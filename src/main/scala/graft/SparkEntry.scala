@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.operators.Relational
   */
 object SparkEntry {
   private def registry: Seq[GraftQuery] =
-    Relational.all
+    Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
+      Multimodal.all ++ Sketches.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared columnar text/hash primitives for the LLM-pipeline operators.
+  *
+  * All pure `org.apache.spark.sql.functions` compositions (codegen'd, no
+  * UDFs) so they stay inside WholeStageCodegen at 100 TB scale. The
+  * tokenizer is the engine-wide port of the reference's map-UDF tokenizer
+  * (yamr map_libs/word_count.py:16-20: regex `\w+` findall → strip `,.` →
+  * lower → drop empty; the strip is a no-op after `\w+`).
+  */
+object TextFunctions {
+
+  /** Lowercased word tokens; empty strings (from leading separators)
+    * removed. ASCII `\W` split — identical semantics in Java regex (Spark)
+    * and RE2 (DuckDB oracle).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\W+"), t => t =!= "")
+
+  /** Whitespace-normalized text: lower, collapse runs, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Stable 60-bit content hash derived from md5 (identical hex in every
+    * engine): first 15 hex chars parsed base-16. Used for MinHash/SimHash
+    * so oracle engines can reproduce signatures bit-for-bit.
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: family of hash functions h_i(s) = hash60(i || ':' || s). */
+  def hash60Seeded(seed: Column, s: Column): Column =
+    hash60(concat(seed.cast("string"), lit(":"), s))
+
+  /** Distinct word w-shingles (default w=3) of the token array, or empty
+    * array when the document has fewer than w tokens.
+    */
+  def shingles(toks: Column, w: Int = 3): Column = {
+    val idx = sequence(lit(1), size(toks) - lit(w - 1))
+    val grams = transform(idx, j =>
+      concat_ws(" ", (0 until w).map(o => element_at(toks, j + lit(o))): _*))
+    when(size(toks) >= w, array_distinct(grams)).otherwise(array().cast("array<string>"))
+  }
+
+  /** Number of word tokens. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token estimate: letter runs, digit runs, and single
+    * punctuation marks each count as one token (a cheap deterministic
+    * stand-in for a real BPE vocab; same regex semantics in RE2).
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Polynomial rolling hash over the characters of the normalized text:
+    * fold(chars, 0, (a, ch) => (a*31 + codepoint(ch)) mod 1e9+7).
+    * Mirrors DuckDB `list_reduce(list_prepend(0, codes), ...)`.
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val chars = filter(split(normalized(text), ""), c => c =!= "")
+    aggregate(chars, lit(0L),
+      (acc, ch) => (acc * lit(31L) + ascii(ch).cast("long")) % lit(1000000007L))
+  }
+}

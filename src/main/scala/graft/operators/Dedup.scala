@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Deduplication operators for large-scale corpus curation: exact
+  * (content-hash groupBy), MinHash+LSH near-dup, SimHash, and exact n-gram
+  * Jaccard. The reference has no dedup of any kind (its closest mechanism
+  * is group-by-key, yamr reducer.py:131-139); these are the SURVEY §2.14
+  * extension set.
+  *
+  * Scale design (100 TB):
+  *   - Exact dedup is one hash-agg shuffle on a 16-byte digest — the
+  *     minimum possible; AQE coalesces the post-agg partitions.
+  *   - MinHash: per-doc signature cost is linear (shingles × k hashes, all
+  *     codegen'd column expressions, no UDFs); candidate generation joins
+  *     on (band, signature) buckets, so the shuffle carries only
+  *     (doc, band-sig) pairs — never the O(n²) pair space.
+  *   - SimHash: 32-bit signatures; near-dup candidates via 8-bit band
+  *     equality (pigeonhole for hamming ≤ 3), verified by bit_count(xor).
+  *   - Exact Jaccard is the small-scale oracle/calibration path; at scale
+  *     the shingle-frequency skew makes the shingle self-join explode, so
+  *     MinHash banding is the production path.
+  */
+object Dedup {
+
+  /** Distinct (doc_id, shingle) pairs. */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
+
+  private val shingleSql =
+    """sh AS (SELECT doc_id, unnest(sh) AS s
+      |       FROM (SELECT doc_id,
+      |                    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |             FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+      |                                              x -> x <> '') AS t
+      |                   FROM documents) tt
+      |             WHERE len(t) >= 3) s0)""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  // Exact dedup: md5 content-hash groups with canonical representative
+  // (min doc_id) and copy count.
+  private val q35 = GraftQuery(
+    "q35_dedup_exact",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("content_hash")),
+    Some("""
+      SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY md5(text)
+      ORDER BY content_hash"""))
+
+  // ---------------------------------------------------------------- q36
+  // Exact n-gram Jaccard similarity: top-20 most similar pairs. The
+  // calibration oracle for the MinHash path.
+  private val q36 = GraftQuery(
+    "q36_dedup_ngram_jaccard",
+    (s, dir) => {
+      val sh = shingleRows(Tables.documents(s, dir))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val common = sh.alias("a")
+        .join(sh.alias("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .select(col("da"), col("db"),
+          (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("da"), col("db"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $shingleSql,
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+      SELECT da, db, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+      FROM common
+      JOIN sizes na ON na.doc_id = da
+      JOIN sizes nb ON nb.doc_id = db
+      ORDER BY jaccard DESC, da, db
+      LIMIT 20"""))
+
+  // ---------------------------------------------------------------- q37
+  // MinHash signatures + LSH banding: k=8 hash functions (md5-derived,
+  // engine-reproducible), b=4 bands × r=2 rows. Output is the banded
+  // signature table — joining it to itself on (band, sig) yields candidate
+  // pairs in O(collisions), the scale path for near-dedup.
+  private val q37 = GraftQuery(
+    "q37_dedup_minhash",
+    (s, dir) => {
+      val sh = shingleRows(Tables.documents(s, dir))
+      val hashed = sh
+        .withColumn("i", explode(sequence(lit(0), lit(7))))
+        .withColumn("h", hash60Seeded(col("i"), col("s")))
+      val minh = hashed.groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
+      minh
+        .withColumn("band", floor(col("i") / 2).cast("int"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+            x => x.getField("mh").cast("string")), ",").as("sig"))
+        .orderBy(col("doc_id"), col("band"))
+    },
+    Some(s"""
+      WITH $shingleSql,
+      hashed AS (SELECT doc_id, i,
+                        ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15))::BIGINT AS h
+                 FROM sh CROSS JOIN range(0, 8) r(i)),
+      minh AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i)
+      SELECT doc_id, CAST(i // 2 AS INT) AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+      FROM minh
+      GROUP BY doc_id, i // 2
+      ORDER BY doc_id, band"""))
+
+  // ---------------------------------------------------------------- q38
+  // SimHash: 32-bit signature from token-hash bit votes (sign of the
+  // per-bit ±1 sum over distinct tokens).
+  private val q38 = GraftQuery(
+    "q38_dedup_simhash",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .withColumn("h", hash60(col("tok")))
+      toks
+        .withColumn("b", explode(sequence(lit(0), lit(31))))
+        .withColumn("vote", when(expr("(shiftright(h, b) & 1)") === 1, lit(1)).otherwise(lit(-1)))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(col("vote")).as("v"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
+          .otherwise(lit(0L))).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(list_distinct(
+                      list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''))) AS tok
+                    FROM documents),
+      hashed AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+      votes AS (SELECT doc_id, b,
+                       SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                FROM hashed CROSS JOIN range(0, 32) r(b)
+                GROUP BY doc_id, b)
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38)
+}

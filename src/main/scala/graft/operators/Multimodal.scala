@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
+  * with decode / feature-extraction as per-partition batch functions.
+  *
+  * The reference's whole data model is opaque blobs handed to user code
+  * (one chunk string per map task, yamr mapper.py:74-84); this module is
+  * the typed, columnar version of that contract: payloads stay opaque
+  * `BinaryType` columns, metadata rides in typed columns, and the only
+  * imperative step (the media decoder) runs as `mapPartitions` over a
+  * `Dataset` — Spark's per-partition batch boundary, the Scala analog of
+  * `mapInPandas`.
+  *
+  * The decoder itself is STUBBED (no image/audio libs in this
+  * environment): `decodeStub` derives deterministic fake features from the
+  * payload bytes. The Spark-side plumbing — schema, binary columns,
+  * partitioning, batch shape — is real and oracle-tested.
+  */
+object Multimodal {
+
+  /** A multimodal record: payload is an opaque byte blob. */
+  final case class MediaRecord(doc_id: Long, mime: String, payload: Array[Byte])
+
+  /** Extracted features (decode stub output). */
+  final case class MediaFeatures(
+      doc_id: Long, mime: String, n_bytes: Long, head_byte: Int, checksum: Long)
+
+  /** STUB decoder: a real implementation would decode the image/audio
+    * payload here (e.g. JPEG → pixels → embedding). Deterministic fake:
+    * byte length, first byte, and a little-endian additive checksum.
+    */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val sum = r.payload.foldLeft(0L)((a, b) => (a + (b & 0xff)) % 1000000007L)
+    MediaFeatures(r.doc_id, r.mime,
+      r.payload.length.toLong,
+      if (r.payload.nonEmpty) r.payload(0) & 0xff else -1,
+      sum)
+  }
+
+  /** The per-partition decode pipeline: batch-shaped like mapInPandas —
+    * one iterator in, one iterator out, no per-row task overhead.
+    */
+  def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Builds a media table from `documents`: payload = UTF-8 bytes of the
+    * text (the deterministic stand-in for real image bytes).
+    */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), lit("text/plain").as("mime"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  // ---------------------------------------------------------------- q42
+  // Full multimodal path: binary column → repartitioned decode batches →
+  // typed features, oracle-mirrored via byte arithmetic on the UTF-8
+  // payload in DuckDB.
+  private val q42 = GraftQuery(
+    "q42_multimodal_features",
+    (s, dir) => {
+      val features = extractFeatures(mediaTable(s, dir))
+      features.toDF()
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+          col("head_byte"), col("checksum"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, 'text/plain' AS mime,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(ascii(substr(text, 1, 1)) AS INT) AS head_byte,
+             CAST(list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+               (a, b) -> (a + b) % 1000000007) AS BIGINT) AS checksum
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q42)
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.GraftQuery
+import graft.functions.TextFunctions.hash60
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (`array<float>`, 64-dim).
+  *
+  * Absent in the reference (single-input dataflow only, yamr
+  * job_tracker.py:29); SURVEY §2.14 extension set.
+  *
+  * All dot products are sequential left folds over double-cast elements
+  * (`aggregate(zip_with(...))`) so the DuckDB oracle
+  * (`list_reduce(list_prepend(0.0, ...))`) reproduces them bit-for-bit.
+  *
+  * Scale design (100 TB): brute-force top-k is O(|Q|·|C|) with a broadcast
+  * query side — correct baseline and calibration oracle. The scale path is
+  * random-hyperplane LSH (q41): signatures are linear scans, candidates
+  * come from bucket equality joins, so the shuffle never materializes the
+  * pair space. Norms are precomputed once per vector before any join.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  private def vecs(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  private val dotSql =
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(%s, %s), p -> p[1] * p[2])), (s, x) -> s + x)"
+  private def sqlDot(a: String, b: String): String = dotSql.format(a, b)
+  private val sqlVecs =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |            sqrt(${sqlDot("embedding::DOUBLE[]", "embedding::DOUBLE[]")}) AS norm
+       |      FROM embeddings)""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  // Embedding-cosine near-dup: top-20 most similar pairs within a fixed
+  // candidate subset (exact, the calibration baseline for LSH).
+  private val q39 = GraftQuery(
+    "q39_cosine_pairs",
+    (s, dir) => {
+      val e = vecs(Tables.embeddings(s, dir)).filter(col("vec_id") < 300)
+      val a = e.select(col("vec_id").as("da"), col("v").as("va"), col("norm").as("na"))
+      val b = e.select(col("vec_id").as("db"), col("v").as("vb"), col("norm").as("nb"))
+      a.join(b, col("da") < col("db"))
+        .select(col("da"), col("db"),
+          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        .orderBy(col("cos").desc, col("da"), col("db"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $sqlVecs,
+      sub AS (SELECT * FROM e WHERE vec_id < 300)
+      SELECT a.vec_id AS da, b.vec_id AS db,
+             ${sqlDot("a.v", "b.v")} / (a.norm * b.norm) AS cos
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+      ORDER BY cos DESC, da, db
+      LIMIT 20"""))
+
+  // ---------------------------------------------------------------- q40
+  // Brute-force cosine top-k ANN baseline: 5 nearest neighbors for each
+  // query vector (vec_id < 20) over the whole corpus. Query side is tiny →
+  // broadcast; candidates stream; TakeOrdered per query via window rank.
+  private val q40 = GraftQuery(
+    "q40_ann_bruteforce",
+    (s, dir) => {
+      val e = vecs(Tables.embeddings(s, dir))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nn_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("nn_id"), col("cos"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""
+      WITH $sqlVecs,
+      q AS (SELECT vec_id AS qid, v AS qv, norm AS qn FROM e WHERE vec_id < 20),
+      scored AS (SELECT qid, e.vec_id AS nn_id,
+                        ${sqlDot("qv", "e.v")} / (qn * e.norm) AS cos
+                 FROM e JOIN q ON e.vec_id <> qid),
+      ranked AS (SELECT qid, nn_id, cos,
+                        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rank
+                 FROM scored)
+      SELECT qid, rank, nn_id, cos FROM ranked
+      WHERE rank <= 5
+      ORDER BY qid, rank"""))
+
+  // ---------------------------------------------------------------- q41
+  // LSH-bucketed ANN (the scale path): 16 deterministic random-hyperplane
+  // sign bits per vector (planes derived from md5 so runs are
+  // reproducible), candidates = same 8-bit primary bucket, then exact
+  // re-rank. Approximate by construction → no SQL oracle; recall vs the
+  // brute-force baseline is asserted in ScalaTest.
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is an
+    * md5-derived 60-bit value mapped into [-1, 1). Reproducible across
+    * runs and engines (no RNG state).
+    */
+  private[operators] def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { j =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p,$j".getBytes("UTF-8"))
+        val h = java.nio.ByteBuffer.wrap(d, 0, 8).getLong & ((1L << 60) - 1)
+        h.toDouble / (1L << 59).toDouble - 1.0
+      }
+    }
+
+  /** Adds a `bucket` column = sign-bit LSH signature of `v`. */
+  private[operators] def withLshBucket(df: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bucket = planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(planeCol, col("v")) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+
+  private val q41 = GraftQuery(
+    "q41_ann_lsh",
+    (s, dir) => {
+      val nPlanes = 8
+      val e = withLshBucket(vecs(Tables.embeddings(s, dir)), nPlanes, dim = 64)
+      // multiprobe: the query's own bucket plus every hamming-1 neighbor
+      // bucket, exploded so candidate lookup stays an equi-join on bucket
+      // (scale path: no theta-join, query side broadcast)
+      val probes = array(
+        col("bucket") +: (0 until nPlanes).map(p =>
+          expr(s"bucket ^ ${1L << p}")): _*)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("norm").as("qn"), explode(probes).as("qbucket"))
+      val scored = e.join(broadcast(q),
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nn_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("nn_id"), col("cos"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q39, q40, q41)
+}

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table: word count (the
+  * reference's flagship job, yamr map_libs/word_count.py), per-document
+  * token statistics, stopword-based language ID, quality scoring, and
+  * content fingerprinting.
+  *
+  * Everything is a pure column expression (WholeStageCodegen end-to-end);
+  * per-document work is embarrassingly parallel — no shuffle except the
+  * final corpus-level aggregations, which benefit from map-side partial agg.
+  */
+object TextAnalysis {
+
+  // Stopword marker sets for the heuristic language classifier. Scoring is
+  // count-of-markers; argmax with alphabetical tie-break; 'und' when no
+  // marker appears. Deterministic and ANSI-SQL-mirrorable by construction.
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("de5", "shi4", "le5"))
+
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  private def sqlMarkerCount(words: Seq[String]): String =
+    s"len(list_filter(t, x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x)))"
+
+  // ---------------------------------------------------------------- q30
+  // Word count over the corpus — the reference's flagship query
+  // (word_count.py:3-23 map + :26-66 reduce), as scan → split → explode →
+  // hash-agg with map-side combine (which the reference lacks, SURVEY §2.4).
+  private val q30 = GraftQuery(
+    "q30_wordcount",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("word")),
+    Some("""
+      SELECT w AS word, COUNT(*) AS cnt
+      FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                      x -> x <> '')) AS w
+            FROM documents) t
+      GROUP BY w
+      ORDER BY w"""))
+
+  // ---------------------------------------------------------------- q31
+  // Per-document token statistics (token counting: whitespace tokens +
+  // BPE-ish subword estimate).
+  private val q31 = GraftQuery(
+    "q31_token_stats",
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_actual"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_uniq_tokens"),
+          subwordCount(col("text")).as("n_subword_tokens"),
+          (aggregate(transform(toks, t => length(t)), lit(0),
+            (a, x) => a + x).cast("double") / size(toks)).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS n_chars_actual,
+             CAST(len(t) AS INT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS INT) AS n_uniq_tokens,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_subword_tokens,
+             CAST(list_reduce(list_prepend(0, list_transform(t, x -> length(x))), (a,b) -> a+b) AS DOUBLE) / len(t) AS avg_token_len
+      FROM (SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+            FROM documents) d
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q32
+  // Heuristic language ID: stopword-marker counts, argmax with
+  // alphabetical tie-break.
+  private val q32 = GraftQuery(
+    "q32_lang_id",
+    (s, dir) => {
+      val withToks = Tables.documents(s, dir)
+        .withColumn("t", tokens(col("text")))
+      val counted = stopwords.foldLeft(withToks) { case (df, (lang, words)) =>
+        df.withColumn(s"c_$lang", markerCount(col("t"), words))
+      }
+      val Seq(de, en, es, fr, zh) = stopwords.map { case (l, _) => col(s"c_$l") }
+      counted
+        .withColumn("pred_lang",
+          when(greatest(de, en, es, fr, zh) === 0, lit("und"))
+            .when(de >= en && de >= es && de >= fr && de >= zh, lit("de"))
+            .when(en >= es && en >= fr && en >= zh, lit("en"))
+            .when(es >= fr && es >= zh, lit("es"))
+            .when(fr >= zh, lit("fr"))
+            .otherwise(lit("zh")))
+        .select(col("doc_id"), col("lang").as("labeled_lang"), col("pred_lang"),
+          de.cast("int").as("c_de"), en.cast("int").as("c_en"),
+          es.cast("int").as("c_es"), fr.cast("int").as("c_fr"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id, lang AS labeled_lang,
+             CASE WHEN greatest(c_de, c_en, c_es, c_fr, c_zh) = 0 THEN 'und'
+                  WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                  WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                  WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                  WHEN c_fr >= c_zh THEN 'fr'
+                  ELSE 'zh' END AS pred_lang,
+             CAST(c_de AS INT) AS c_de, CAST(c_en AS INT) AS c_en,
+             CAST(c_es AS INT) AS c_es, CAST(c_fr AS INT) AS c_fr
+      FROM (SELECT doc_id, lang,
+                   ${sqlMarkerCount(stopwords(0)._2)} AS c_de,
+                   ${sqlMarkerCount(stopwords(1)._2)} AS c_en,
+                   ${sqlMarkerCount(stopwords(2)._2)} AS c_es,
+                   ${sqlMarkerCount(stopwords(3)._2)} AS c_fr,
+                   ${sqlMarkerCount(stopwords(4)._2)} AS c_zh
+            FROM (SELECT doc_id, lang,
+                         list_filter(string_split_regex(lower(text), '\\W+'),
+                                     x -> x <> '') AS t
+                  FROM documents) d) c
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q33
+  // Quality scoring: length / punctuation / stopword-ratio heuristics and
+  // a keep/drop gate — the standard pretraining-corpus filter shape.
+  private val q33 = GraftQuery(
+    "q33_quality_score",
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks)
+      val stopCnt = markerCount(toks, stopwords(1)._2) // en markers
+      val punctCnt = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+      val nChars = length(col("text"))
+      val stopRatio = stopCnt.cast("double") / nTok
+      val punctRatio = punctCnt.cast("double") / nChars
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          stopRatio.as("stop_ratio"),
+          punctRatio.as("punct_ratio"),
+          (stopRatio * lit(2.0) + (lit(1.0) - punctRatio)).as("quality_score"),
+          when(nTok >= 20 && nTok <= 1000 && stopRatio > 0.02, lit(1))
+            .otherwise(lit(0)).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(t) AS INT) AS n_tokens,
+             CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS DOUBLE) / len(t) AS stop_ratio,
+             CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) AS punct_ratio,
+             (CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS DOUBLE) / len(t)) * 2.0
+               + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text)) AS quality_score,
+             CASE WHEN len(t) BETWEEN 20 AND 1000
+                   AND CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS DOUBLE) / len(t) > 0.02
+                  THEN 1 ELSE 0 END AS keep
+      FROM (SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+            FROM documents) d
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q34
+  // Document fingerprinting: md5 content hash of whitespace-normalized
+  // text + a polynomial rolling hash (both engine-reproducible).
+  private val q34 = GraftQuery(
+    "q34_fingerprint",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          md5(normalized(col("text"))).as("fp_md5"),
+          rollingFingerprint(col("text")).as("fp_roll"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''),
+                                x -> ascii(x)::BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34)
+}
