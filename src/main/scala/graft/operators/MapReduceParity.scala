@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.functions.YamrPartition
+import graft.mr.Jobs
+import graft.sources.Tables
+
+/** Reference-parity queries: the generic map/reduce surface and the
+  * byte-exact yamr partitioner, exercised over the driver test tables and
+  * oracle-checked.
+  */
+object MapReduceParity {
+
+  // ---------------------------------------------------------------- q45
+  // Word count through the GENERIC MapReduce surface (typed flatMap →
+  // groupByKey → combine) rather than column expressions — proves the
+  // reference's UDF contract (mapper.py:112-122 / reducer.py:131-139)
+  // compiles onto Spark with identical results to the relational form
+  // (q30 shares the oracle SQL).
+  private val q45 = GraftQuery(
+    "q45_mr_wordcount",
+    (s, dir) => {
+      import s.implicits._
+      val corpus = Tables.documents(s, dir).select(col("text")).as[String]
+      Jobs.wordCount(corpus)
+        .toDF("word", "cnt")
+        .orderBy(col("word"))
+    },
+    Some("""
+      SELECT w AS word, COUNT(*) AS cnt
+      FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                      x -> x <> '')) AS w
+            FROM documents) t
+      GROUP BY w
+      ORDER BY w"""))
+
+  // ---------------------------------------------------------------- q46
+  // Max-value-per-period through the generic surface: the max_year_temp
+  // job shape (max_year_temp.py) over events (year of ts, max value).
+  private val q46 = GraftQuery(
+    "q46_mr_maxvalue",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = Tables.events(s, dir)
+        .select(year(col("ts")).as("y"), col("value")).as[(Int, Double)]
+      import graft.mr.MapReduce
+      MapReduce.mapReduceByKey(pairs)(
+        (p: (Int, Double)) => Iterator.single(p),
+        (a: Double, b: Double) => math.max(a, b))
+        .toDF("y", "max_value")
+        .orderBy(col("y"))
+    },
+    Some("""
+      SELECT CAST(year(ts) AS INT) AS y, MAX(value) AS max_value
+      FROM events
+      GROUP BY 1
+      ORDER BY y"""))
+
+  // ---------------------------------------------------------------- q47
+  // Byte-exact reference hash partitioning (hash_partitioner.py:4-10) as
+  // a codegen'd Catalyst expression: partition id for each doc key at
+  // n=32, plus the mapper's 1-based region id (mapper.py:129-131).
+  private val q47 = GraftQuery(
+    "q47_yamr_partition",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          YamrPartition(col("doc_id").cast("string"), 32).as("part_id"))
+        .withColumn("region", col("part_id") + 1)
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(('0x' || hex(CAST(doc_id AS VARCHAR)))::BIGINT % 32 AS INT) AS part_id,
+             CAST(('0x' || hex(CAST(doc_id AS VARCHAR)))::BIGINT % 32 + 1 AS INT) AS region
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q45, q46, q47)
+}

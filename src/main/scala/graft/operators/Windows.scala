@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Event-time window aggregations over `events` in BATCH form — tumbling,
+  * sliding, and session windows via the same `window()`/`session_window()`
+  * functions Structured Streaming uses, so the streaming layer
+  * (graft.streaming.Streams) is batch-parity-tested against these
+  * oracle-checked results (SURVEY §7.2 step 6).
+  *
+  * Window starts are emitted as epoch-second BIGINTs (boundaries are whole
+  * seconds; avoids timestamp-precision mismatches with the oracle).
+  * Value sums go through DECIMAL(18,2) as everywhere else.
+  */
+object Windows {
+
+  // ---------------------------------------------------------------- q48
+  // Tumbling 1-hour windows per event_type.
+  private val q48 = GraftQuery(
+    "q48_window_tumbling",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type")),
+    Some("""
+      SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type"""))
+
+  // ---------------------------------------------------------------- q49
+  // Sliding windows: 10 minutes long, sliding every 5 — each event lands
+  // in 2 windows (Spark's window() duplicates rows; the oracle unnests the
+  // two candidate starts explicitly).
+  private val q49 = GraftQuery(
+    "q49_window_sliding",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("win_start"), col("n"))
+        .orderBy(col("win_start")),
+    Some("""
+      SELECT s AS win_start, COUNT(*) AS n
+      FROM (SELECT CAST(floor(epoch(ts) / 300) * 300 - 300 * k AS BIGINT) AS s,
+                   epoch(ts) AS t
+            FROM events CROSS JOIN range(0, 2) r(k)) w
+      WHERE t < s + 600 AND t >= s
+      GROUP BY s
+      ORDER BY s"""))
+
+  // ---------------------------------------------------------------- q50
+  // Session windows per user with a 30-minute inactivity gap
+  // (session_window(); oracle = classic gaps-and-islands).
+  private val q50 = GraftQuery(
+    "q50_window_session",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""
+      WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                         >= 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked)
+      SELECT user_id,
+             CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM sessions
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_start"""))
+
+  val all: Seq[GraftQuery] = Seq(q48, q49, q50)
+}

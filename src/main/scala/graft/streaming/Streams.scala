@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming layer over the `events` stream (ABSENT in the
+  * reference — strictly batch, SURVEY §2.10).
+  *
+  * Each transform here is the streaming form of an oracle-checked batch
+  * query in [[graft.operators.Windows]]; batch-parity and
+  * watermark/late-data semantics are asserted in ScalaTest with
+  * `MemoryStream` (see StreamingSpec). At scale these run unchanged on a
+  * Kafka/file source: state lives in the state store, watermarks bound it.
+  */
+object Streams {
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Tumbling 1-hour counts/sums per event_type, 30-min watermark: late
+    * rows beyond the watermark are dropped, finalized windows emit once
+    * (append mode).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 10m/5m windows, 30-min watermark. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("n"))
+
+  /** Session windows (30-min gap) per user, watermarked. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"))
+
+  /** Custom stateful operator: running per-user totals via
+    * flatMapGroupsWithState (the Spark form of the reference's per-key
+    * reduce contract, generalized to unbounded streams with explicit
+    * state; reducer.py:131-139 is the batch special case).
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          batch.foreach { e => n += 1; s += e.value }
+          val next = UserRunning(userId, n, s)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Reads the parquet events table as a bounded stream (file source) —
+    * used by tests and as the template for a production file/Kafka source.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(graft.sources.Tables.load(spark, dir, "events").schema)
+      .parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+/** Operator-level behavior tests on synthetic micro-data: the properties
+  * the sf-scale oracle cannot see (near-dup detection on planted
+  * duplicates, LSH recall on clustered vectors, sketch error bounds).
+  */
+class OperatorsSpec extends SparkSpec {
+
+  test("entry flagship query returns rows (driver smoke contract)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("minhash banding finds planted near-duplicates") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"tok$i").mkString(" ") + " xx yy zz"
+    val other = (1 to 60).map(i => s"other$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, other)).toDF("doc_id", "text")
+
+    // same banding pipeline as q37
+    val sh = docs.select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
+    val hashed = sh
+      .withColumn("i", explode(sequence(lit(0), lit(7))))
+      .withColumn("h", hash60Seeded(col("i"), col("s")))
+    val minh = hashed.groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
+    val bands = minh
+      .withColumn("band", floor(col("i") / 2).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh").cast("string")), ",").as("sig"))
+    val pairs = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"expected planted near-dup pair, got $pairs")
+    assert(!pairs.exists { case (a, b) => b == 2L || a == 2L },
+      "unrelated doc must not collide")
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    import spark.implicits._
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 48).map(i => s"tok$i").mkString(" ") + " aa bb"
+    val far = (1 to 50).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, near), (2L, far)).toDF("doc_id", "text")
+    val sig = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", hash60(col("tok")))
+      .withColumn("b", explode(sequence(lit(0), lit(31))))
+      .withColumn("vote", when(expr("(shiftright(h, b) & 1)") === 1, lit(1)).otherwise(lit(-1)))
+      .groupBy(col("doc_id"), col("b")).agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
+        .otherwise(lit(0L))).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(0L), sig(1L)) < hamming(sig(0L), sig(2L)),
+      s"near pair must be closer: ${sig.toSeq}")
+    assert(hamming(sig(0L), sig(1L)) <= 8)
+  }
+
+  test("LSH ANN: high recall on clustered vectors") {
+    import spark.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    // 20 well-separated centroids, 20 members each with small jitter
+    val rows = for {
+      c <- 0 until 20
+      m <- 0 until 20
+    } yield {
+      val centroid = Array.tabulate(dim)(j =>
+        math.sin(c * 131.7 + j * 7.3) * 10.0)
+      val v = centroid.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      ((c * 20 + m).toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val e = Similarity.withLshBucket(
+      df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v")))),
+      nPlanes = 8, dim = dim)
+    // members of the same cluster must share their LSH bucket far more
+    // often than random (same-cluster cosine ≈ 1)
+    val buckets = e.select(col("vec_id"), col("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sameBucket = (0 until 20).count { c =>
+      val bs = (0 until 20).map(m => buckets((c * 20 + m).toLong))
+      bs.distinct.size == 1
+    }
+    assert(sameBucket >= 18, s"only $sameBucket/20 clusters bucket-coherent")
+  }
+
+  test("approx_count_distinct within 5% of exact on lineitem") {
+    val li = graft.sources.Tables.lineitem(spark, sf001)
+    val row = li.agg(
+      approx_count_distinct(col("l_partkey")).as("a"),
+      countDistinct(col("l_partkey")).as("e")).collect()(0)
+    val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
+  }
+
+  test("multimodal decode stub: deterministic features from payload bytes") {
+    val r = Multimodal.MediaRecord(7L, "text/plain", "abc".getBytes("UTF-8"))
+    val f = Multimodal.decodeStub(r)
+    assert(f.n_bytes == 3 && f.head_byte == 'a'.toInt && f.checksum == 97L + 98 + 99)
+    val empty = Multimodal.decodeStub(Multimodal.MediaRecord(8L, "x", Array.empty))
+    assert(empty.n_bytes == 0 && empty.head_byte == -1 && empty.checksum == 0L)
+  }
+
+  test("exact dedup: planted duplicates collapse to one representative") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "unique")).toDF("doc_id", "text")
+    val groups = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((1L, 2L), (3L, 1L)))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Streaming-layer semantics: batch parity against the oracle-checked
+  * Windows queries, watermark late-data dropping, and custom state.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window: streaming result == batch result on events table") {
+    val batch = Windows_q48_batch()
+    val stream = Streams.tumblingCounts(Tables.events(spark, sf001))
+    // running the same transform in batch mode must equal the oracle query
+    val a = batch.collect().map(_.toSeq).toSet
+    val b = stream.collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  private def Windows_q48_batch() =
+    graft.SparkEntry.queries("q48_window_tumbling")(spark, sf001)
+
+  test("MemoryStream: watermark drops late rows in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.tumblingCounts(df)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(s"wm_test_${System.nanoTime()}")
+      .start()
+    val name = q.name
+    try {
+      // batch 1: events in hour 10 and hour 12 → watermark advances to 11:30
+      mem.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:15:00"), "click", 2.0),
+        (ts("2024-01-01 12:00:00"), "click", 3.0))
+      q.processAllAvailable()
+      // batch 2: a LATE row for hour 10 (before watermark) must be dropped,
+      // and hour-10's finalized window must have emitted without it
+      mem.addData((ts("2024-01-01 10:30:00"), "click", 100.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close everything
+      mem.addData((ts("2024-01-01 15:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select(col("win_start"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val hour10 = ts("2024-01-01 10:00:00").getTime / 1000
+      assert(rows.contains((hour10, 2L, 3.0)),
+        s"hour-10 window must close with 2 rows (late row dropped): $rows")
+    } finally q.stop()
+  }
+
+  test("session windows merge events within gap, split beyond it") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0), // same session (10 min gap)
+      (1L, ts("2024-01-01 11:30:00"), 3.0), // new session (>30 min)
+      (2L, ts("2024-01-01 10:00:00"), 4.0)
+    ).toDF("user_id", "ts", "value")
+    val got = events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("start"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val t10 = ts("2024-01-01 10:00:00").getTime / 1000
+    val t1130 = ts("2024-01-01 11:30:00").getTime / 1000
+    assert(got == Set((1L, t10, 2L), (1L, t1130, 1L), (2L, t10, 1L)))
+  }
+
+  test("flatMapGroupsWithState: running totals accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val out = Streams.runningUserTotals(mem.toDS())
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName(s"state_test_${System.nanoTime()}")
+      .start()
+    try {
+      mem.addData(
+        Streams.Event(1, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+        Streams.Event(2, ts("2024-01-01 10:01:00"), 7L, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Streams.Event(3, ts("2024-01-01 10:02:00"), 7L, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table(q.name).as[Streams.UserRunning].collect()
+      val last = rows.maxBy(_.n_events)
+      assert(last == Streams.UserRunning(7L, 3L, 7.0))
+    } finally q.stop()
+  }
+}
