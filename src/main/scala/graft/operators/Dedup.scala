@@ -28,9 +28,15 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** Distinct (doc_id, shingle) pairs. */
+  /** Distinct (doc_id, shingle) pairs. The token array is materialized as
+    * a projected column BEFORE shingling: composing `shingles(tokens(c))`
+    * inline re-evaluates the tokenizer for every shingle element inside
+    * the transform lambda (no CSE across lambda boundaries — O(tokens²)
+    * per document, observed 5× re-tokenization in the physical plan).
+    */
   private def shingleRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(shingles(col("t"))).as("s"))
 
   private val shingleSql =
     """sh AS (SELECT doc_id, unnest(sh) AS s
@@ -64,10 +70,14 @@ object Dedup {
   private val q36 = GraftQuery(
     "q36_dedup_ngram_jaccard",
     (s, dir) => {
+      // join on a 64-bit shingle hash instead of the raw string: smaller
+      // shuffle keys, cheaper probes; collision probability at 1e6 distinct
+      // shingles is ~1e-7 and only perturbs one pair count if it ever hits
       val sh = shingleRows(Tables.documents(s, dir))
+        .select(col("doc_id"), xxhash64(col("s")).as("sk"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val common = sh.alias("a")
-        .join(sh.alias("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .join(sh.alias("b"), col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("c"))
       common
@@ -99,17 +109,23 @@ object Dedup {
   private val q37 = GraftQuery(
     "q37_dedup_minhash",
     (s, dir) => {
+      // all 8 hash functions as WIDE columns of one row per shingle, then
+      // one groupBy(doc_id) with 8 min() aggregates: map-side partial agg
+      // collapses the shuffle to one row per document (vs exploding ×8 and
+      // shuffling every (doc, i, hash) tuple)
       val sh = shingleRows(Tables.documents(s, dir))
-      val hashed = sh
-        .withColumn("i", explode(sequence(lit(0), lit(7))))
-        .withColumn("h", hash60Seeded(col("i"), col("s")))
-      val minh = hashed.groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
-      minh
-        .withColumn("band", floor(col("i") / 2).cast("int"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-            x => x.getField("mh").cast("string")), ",").as("sig"))
+      val hashed = sh.select(
+        col("doc_id") +:
+          (0 until 8).map(i => hash60Seeded(lit(i), col("s")).as(s"h$i")): _*)
+      val minh = hashed.groupBy(col("doc_id"))
+        .agg((0 until 8).map(i => min(col(s"h$i")).as(s"mh$i")).head,
+          (1 until 8).map(i => min(col(s"h$i")).as(s"mh$i")): _*)
+      minh.select(col("doc_id"),
+        expr("""stack(4,
+                 0, concat(mh0, ',', mh1),
+                 1, concat(mh2, ',', mh3),
+                 2, concat(mh4, ',', mh5),
+                 3, concat(mh6, ',', mh7)) AS (band, sig)"""))
         .orderBy(col("doc_id"), col("band"))
     },
     Some(s"""

@@ -13,6 +13,19 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Repartitions an under-partitioned scan up to the cluster parallelism.
+    *
+    * Small single-row-group parquet files produce ONE input partition, so
+    * CPU-heavy per-row pipelines (tokenize → shingle → 8×md5) run on one
+    * core no matter how many exist. The shuffle moves only the small raw
+    * table; downstream compute then uses every core. At 100 TB inputs have
+    * thousands of row groups and this is a no-op.
+    */
+  def widen(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads via the
     * nanosAsLong legacy conf; normalize to TimestampType (µs) here so every
     * downstream operator sees a plain timestamp column.
@@ -34,6 +47,6 @@ object Tables {
   def orders(s: SparkSession, dir: String): DataFrame = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
   def events(s: SparkSession, dir: String): DataFrame = eventsNormalized(s, dir)
-  def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
-  def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+  def documents(s: SparkSession, dir: String): DataFrame = widen(s, load(s, dir, "documents"))
+  def embeddings(s: SparkSession, dir: String): DataFrame = widen(s, load(s, dir, "embeddings"))
 }
