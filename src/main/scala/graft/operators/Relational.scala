@@ -604,7 +604,64 @@ object Relational {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
+  // ---------------------------------------------------------------- q27
+  // Scalar array functions over the token array (ABSENT in reference
+  // beyond JSON array indexing, max_year_temp.py:20-22).
+  private val q27 = GraftQuery(
+    "q27_scalar_array",
+    (s, dir) => {
+      val t = col("t")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("t"))
+        .select(
+          col("doc_id"),
+          size(t).as("n"),
+          element_at(t, 1).as("first_tok"),
+          element_at(t, -1).as("last_tok"),
+          array_join(slice(t, 1, 3), " ").as("prefix3"),
+          array_contains(t, "the").as("has_the"),
+          size(array_distinct(t)).as("n_distinct"),
+          element_at(array_sort(t), 1).as("min_tok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(t) AS INT) AS n,
+             t[1] AS first_tok,
+             t[-1] AS last_tok,
+             array_to_string(t[1:3], ' ') AS prefix3,
+             list_contains(t, 'the') AS has_the,
+             CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+             list_sort(t)[1] AS min_tok
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+            FROM documents) d
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q28
+  // Scalar map functions: JSON props parsed into MapType, key/value ops.
+  private val q28 = GraftQuery(
+    "q28_scalar_map",
+    (s, dir) => {
+      val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          size(map_keys(m)).as("n_keys"),
+          array_join(array_sort(map_keys(m)), ",").as("keys_sorted"),
+          element_at(m, "k").cast("long").as("k_val"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id,
+             CAST(len(json_keys(props)) AS INT) AS n_keys,
+             array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      FROM events
+      ORDER BY event_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
 }

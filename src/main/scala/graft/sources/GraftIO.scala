@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.YamrPartition
+
+/** Sources and sinks beyond the driver's parquet tables (SURVEY §2.1 /
+  * §2.12).
+  *
+  * The reference's entire I/O surface is: chunked text scan (one DFS chunk
+  * per map task, yamr mapper.py:74-80) and a JSON-array-per-region sink
+  * (reducer.py:141-150). Spark equivalents are declared here, plus the
+  * engine-native columnar formats.
+  */
+object GraftIO {
+
+  // ---- sources ------------------------------------------------------
+
+  /** Line-oriented text scan (file splits = tasks, like chunk = map task). */
+  def readText(s: SparkSession, path: String): Dataset[String] = s.read.textFile(path)
+
+  /** Chunk-as-one-record scan — exact parity with the reference's map
+    * input contract (whole chunk delivered as a single string,
+    * fake_fs.py:10-19 / mapper.py:74-84). Only for small-corpus parity
+    * jobs; the 100 TB path is line/columnar scans.
+    */
+  def readChunks(s: SparkSession, path: String): Dataset[(String, String)] = {
+    import s.implicits._
+    s.sparkContext.wholeTextFiles(path).toDS()
+  }
+
+  def readJson(s: SparkSession, path: String): DataFrame = s.read.json(path)
+
+  def readCsv(s: SparkSession, path: String): DataFrame =
+    s.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def readParquet(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
+
+  // ---- sinks --------------------------------------------------------
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Region-partitioned JSON sink — the reference's result layout: output
+    * placed by the byte-exact yamr key hash into `n` files, one JSON doc
+    * per record (reducer.py:141-150 writes region files keyed by the yamr
+    * hash; job_tracker.py:249-256 enumerates them 1..n).
+    *
+    * Note `repartition(n, expr)` would murmur3-hash the expression value —
+    * direct partition-id placement needs a custom RDD `Partitioner` (the
+    * Spark surface for content-defined placement).
+    */
+  def writeRegionJson(df: DataFrame, keyCol: String, n: Int, path: String): Unit = {
+    val spark = df.sparkSession
+    val keyed = df
+      .select(col(keyCol).cast("string").as("__k"),
+        to_json(struct(df.columns.map(col): _*)).as("__j"))
+      .rdd.map(r => (r.getString(0), r.getString(1)))
+    val placed = keyed
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = n
+        override def getPartition(key: Any): Int =
+          YamrPartition.compute(
+            org.apache.spark.unsafe.types.UTF8String.fromString(key.toString), n)
+      })
+      .values
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    placed.saveAsTextFile(path)
+  }
+}

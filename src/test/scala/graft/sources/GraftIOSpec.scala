@@ -1,0 +1,93 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.mr.{Aggregators, Jobs}
+
+/** Source/sink round-trips (SURVEY §2.1 / §2.12) + the typed Aggregator
+  * fast path.
+  */
+class GraftIOSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graftio_$name").toString
+
+  test("parquet round-trip preserves schema and rows") {
+    val df = Tables.nation(spark, sf001)
+    val out = tmp("pq")
+    GraftIO.writeParquet(df, out)
+    val back = GraftIO.readParquet(spark, out)
+    assert(back.schema == df.schema)
+    assert(back.count() == df.count())
+  }
+
+  test("csv round-trip") {
+    val df = Tables.region(spark, sf001)
+    val out = tmp("csv")
+    GraftIO.writeCsv(df, out)
+    val back = GraftIO.readCsv(spark, out)
+    assert(back.count() == df.count())
+    assert(back.columns.toSeq == df.columns.toSeq)
+  }
+
+  test("json round-trip") {
+    val df = Tables.region(spark, sf001)
+    val out = tmp("json")
+    GraftIO.writeJson(df, out)
+    val back = GraftIO.readJson(spark, out)
+    assert(back.count() == df.count())
+  }
+
+  test("region-partitioned JSON sink: n files, content-defined placement (reducer.py:141-150)") {
+    import spark.implicits._
+    val df = Seq("aa" -> 1, "bb" -> 2, "cc" -> 3, "mm" -> 4).toDF("k", "v")
+    val out = tmp("regions")
+    GraftIO.writeRegionJson(df, "k", 2, out)
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length == 2)
+    // reference golden (test_partition.py:31-41): with n=2, bb → region 1
+    // (partition 0), {aa, cc, mm} → region 2 (partition 1)
+    val p0 = scala.io.Source.fromFile(parts(0), "UTF-8").getLines().mkString
+    val p1 = scala.io.Source.fromFile(parts(1), "UTF-8").getLines().mkString
+    assert(p0.contains("\"bb\"") && !p0.contains("\"aa\""))
+    assert(p1.contains("\"aa\"") && p1.contains("\"cc\"") && p1.contains("\"mm\""))
+  }
+
+  test("chunk-as-record scan: whole file delivered as one string (mapper.py:74-84)") {
+    val path = "/root/reference/alice"
+    assume(new java.io.File(path).exists())
+    val chunks = GraftIO.readChunks(spark, path).collect()
+    assert(chunks.length == 1)
+    assert(chunks(0)._2.length == 147699 || chunks(0)._2.nonEmpty)
+    // chunk-scan word count == line-scan word count (chunking never splits
+    // mid-token in the line reader for this corpus)
+    import spark.implicits._
+    val viaChunks = Jobs.wordCount(GraftIO.readChunks(spark, path).map(_._2)).collect().toMap
+    val viaLines = Jobs.wordCount(GraftIO.readText(spark, path)).collect().toMap
+    assert(viaChunks == viaLines)
+  }
+
+  test("typed Aggregator fast path: avg and top-k with mergeable buffers") {
+    import spark.implicits._
+    val ds = Tables.orders(spark, sf001)
+      .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+    val avgAgg = new Aggregators.AvgAggregator().toColumn
+    val got = ds.groupByKey(_._1).mapValues(_._2).agg(avgAgg).collect().toMap
+    val expected = Tables.orders(spark, sf001)
+      .groupBy(col("o_custkey")).agg(avg(col("o_totalprice")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-9) }
+
+    val top2 = new Aggregators.TopKAggregator(2).toColumn
+    val t = ds.groupByKey(_._1).mapValues(_._2).agg(top2).collect().toMap
+    val naive = ds.collect().groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).sorted(Ordering[Double].reverse).take(2).toSeq
+    }
+    assert(t == naive)
+  }
+}
