@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions class must make yamr_partition callable from SQL. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("yamr_partition registered via SparkSessionExtensions is callable from SQL") {
+    // getOrCreate returns the active session as-is (extensions ignored),
+    // so detach it first; the new session reuses the SparkContext but
+    // builds fresh session state with the extensions applied
+    val prev = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val rows = s.sql(
+        "SELECT yamr_partition('aa', 3) AS p1, yamr_partition('moasold', 3) AS p2, yamr_partition('bbsa', 4) AS p3")
+        .collect()(0)
+      // reference goldens, tests/test_partition.py:43-47
+      assert(rows.getInt(0) == 2 && rows.getInt(1) == 1 && rows.getInt(2) == 1)
+    } finally {
+      // restore the shared session for other suites; context stays alive
+      SparkSession.getActiveSession // touch to avoid unused warnings
+      prevRestore(prev)
+    }
+  }
+
+  private def prevRestore(prev: Option[SparkSession]): Unit = prev.foreach { p =>
+    SparkSession.setActiveSession(p)
+    SparkSession.setDefaultSession(p)
+  }
+}
