@@ -661,7 +661,29 @@ object Relational {
       FROM events
       ORDER BY event_id"""))
 
+  // ---------------------------------------------------------------- q29
+  // Generator / UDTF surface: one row in → N (pos, value) rows out
+  // (posexplode — the relational form of the reference's 1-chunk→N-tuples
+  // map contract, mapper.py:112-122).
+  private val q29 = GraftQuery(
+    "q29_posexplode",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("t"))
+        .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "token")))
+        .orderBy(col("doc_id"), col("pos")),
+    Some("""
+      SELECT doc_id,
+             CAST(generate_subscripts(t, 1) - 1 AS INT) AS pos,
+             unnest(t) AS token
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+            FROM documents WHERE doc_id < 50) d
+      ORDER BY doc_id, pos"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
+    q29)
 }

@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-path utilities: the shuffle-shaping tools a 100 TB deployment
+  * needs beyond what AQE does automatically. The reference has no skew or
+  * locality handling at all (any chunk → any worker, yamr
+  * job_tracker.py:146-156); Spark gives AQE skew-join splitting for free,
+  * and these cover the two cases AQE cannot:
+  *
+  *   - '''Salted join''': pre-shuffle salting for a join whose hot keys
+  *     are known to blow past a single task even after AQE splitting
+  *     (AQE can split a skewed *partition*, but every row of one key
+  *     still meets every matching build row in one task).
+  *   - '''Bucketed co-located join''': persist both sides bucketed on the
+  *     join key so repeated fact-fact joins run with ZERO shuffle — the
+  *     pattern for iterative pipelines over the same 100 TB fact table.
+  */
+object ScaleOps {
+
+  /** Equi-join with `factor`-way salting of `right`'s rows: each left row
+    * gets a random-free deterministic salt (hash of all columns mod
+    * factor), each right row is replicated `factor` times. The result
+    * equals the plain join row-for-row; the shuffle spreads each hot key
+    * over `factor` tasks.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, factor: Int): DataFrame = {
+    val lSalt = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(factor)).cast("int"))
+    val rSalt = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    lSalt.join(rSalt, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Writes `df` as a bucketed+sorted table: `buckets` files per
+    * partition, co-located and pre-sorted on `key`. Joins between tables
+    * bucketed the same way need no exchange and no sort.
+    */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int, table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** True if the executed plan of `df` contains a shuffle exchange. */
+  def hasShuffle(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}
