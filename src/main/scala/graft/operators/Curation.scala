@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** End-to-end corpus dedup pipeline — the composed training-data curation
+  * operator (SURVEY §2.14): MinHash banding candidates → exact-Jaccard
+  * verification → connected components → per-cluster representative →
+  * deduplicated corpus.
+  *
+  * Scale design: candidates come only from LSH bucket collisions (never
+  * the O(n²) pair space); verification joins shingle sets for candidate
+  * pairs only; connected components is iterative smallest-label
+  * propagation over the (sparse) duplicate graph, converging in
+  * O(log diameter) joins — dup clusters are tiny in practice, so this
+  * terminates in 1-3 rounds on real corpora.
+  */
+object Curation {
+
+  /** (doc_id, shingle) rows, tokens materialized before shingling. */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(shingles(col("t"))).as("s"))
+
+  /** LSH candidate pairs: k=8 md5-derived minhashes, 4 bands × 2 rows. */
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesFromShingles(shingleRows(docs))
+
+  private def minhashCandidatesFromShingles(sh: DataFrame): DataFrame = {
+    val hashed = sh.select(
+      col("doc_id") +:
+        (0 until 8).map(i => hash60Seeded(lit(i), col("s")).as(s"h$i")): _*)
+    val minh = hashed.groupBy(col("doc_id"))
+      .agg((0 until 8).map(i => min(col(s"h$i")).as(s"mh$i")).head,
+        (1 until 8).map(i => min(col(s"h$i")).as(s"mh$i")): _*)
+    val bands = minh.select(col("doc_id"),
+      expr("""stack(4,
+               0, concat(mh0, ',', mh1),
+               1, concat(mh2, ',', mh3),
+               2, concat(mh4, ',', mh5),
+               3, concat(mh6, ',', mh7)) AS (band, sig)"""))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** Keeps only candidate pairs whose exact shingle Jaccard ≥ threshold. */
+  def verifyPairs(docs: DataFrame, candidates: DataFrame, threshold: Double): DataFrame =
+    verifyPairsFromShingles(shingleRows(docs), candidates, threshold)
+
+  private def verifyPairsFromShingles(
+      sh: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = candidates
+      .join(sh.select(col("doc_id").as("da"), col("s")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("s").as("s2")), "db")
+      .filter(col("s") === col("s2"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Connected components of the duplicate graph.
+    *
+    * Hybrid strategy (same reasoning as broadcast-join thresholds): the
+    * verified dup-edge list is ~O(actual duplicates), tiny relative to the
+    * corpus even at 100 TB, so when it fits comfortably on the driver
+    * (≤ `driverEdgeLimit`, ~16 MB) a local union-find + broadcast-mapped
+    * join replaces the iterative job loop. Beyond the limit, distributed
+    * smallest-label propagation (O(log diameter) join rounds) takes over.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 10,
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("da"), col("db")).persist()
+    val nEdges = e.count()
+    if (nEdges <= driverEdgeLimit) {
+      val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist()
+      // path-compressed union-find over only the docs that appear in edges
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+      }
+      val mapping = parent.keys.map(d => (d, find(d))).toSeq
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val mapDf = mapping.toDF("doc_id", "rep0")
+      nodes.join(broadcast(mapDf), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep0"), col("doc_id")).as("rep"))
+    } else distributedCC(nodes, e, maxIter)
+  }
+
+  private def distributedCC(nodes: DataFrame, edges: DataFrame, maxIter: Int): DataFrame = {
+    // undirected edge list, both directions
+    val sym = edges.select(col("da").as("src"), col("db").as("dst"))
+      .union(edges.select(col("db").as("src"), col("da").as("dst")))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("rep"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min(col("rep")).as("nrep"))
+      val next = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
+        .select(labels("doc_id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      next.cache()
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.rep") =!= col("o.rep")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** The full pipeline: returns (doc_id, rep) where rep is the canonical
+    * (minimum) doc_id of the near-duplicate cluster; docs with rep ==
+    * doc_id form the deduplicated corpus.
+    */
+  def clusterAssignments(docs: DataFrame, threshold: Double): DataFrame = {
+    // shingles feed candidate generation AND verification — cache once
+    // instead of recomputing the tokenize→shingle→explode pipeline 3×
+    val sh = shingleRows(docs).persist()
+    try {
+      val pairs = verifyPairsFromShingles(
+        sh, minhashCandidatesFromShingles(sh), threshold)
+      // CC materializes its labels per iteration, so sh can be released
+      connectedComponents(docs.select(col("doc_id")), pairs)
+    } finally sh.unpersist()
+  }
+
+  def dedupedCorpus(docs: DataFrame, threshold: Double): DataFrame =
+    docs.join(clusterAssignments(docs, threshold)
+        .filter(col("rep") === col("doc_id")).select(col("doc_id")), "doc_id")
+
+  // ---------------------------------------------------------------- q51
+  // Pipeline over the driver corpus (which DOES contain planted near-dup
+  // pairs at jaccard ≈ 0.99). The oracle replays the ENTIRE pipeline in
+  // SQL — md5-reproducible minhash banding, exact-jaccard verification,
+  // and connected components as a recursive transitive closure — so both
+  // false positives and false negatives break the match.
+  private val q51 = GraftQuery(
+    "q51_dedup_pipeline",
+    (s, dir) =>
+      clusterAssignments(Tables.documents(s, dir), threshold = 0.5)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH RECURSIVE
+      sh AS (SELECT doc_id, unnest(sh) AS s
+             FROM (SELECT doc_id,
+                          list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+                   FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+                                                    x -> x <> '') AS t
+                         FROM documents) tt
+                   WHERE len(t) >= 3) s0),
+      hashed AS (SELECT doc_id, i,
+                        ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15))::BIGINT AS h
+                 FROM sh CROSS JOIN range(0, 8) r(i)),
+      minh AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i),
+      bands AS (SELECT doc_id, i // 2 AS band,
+                       string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+                FROM minh GROUP BY doc_id, i // 2),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (SELECT da, db, COUNT(*) AS c
+                 FROM cand JOIN sh a ON a.doc_id = da
+                           JOIN sh b ON b.doc_id = db AND a.s = b.s
+                 GROUP BY da, db),
+      edges AS (SELECT da, db FROM common
+                JOIN sizes na ON na.doc_id = da JOIN sizes nb ON nb.doc_id = db
+                WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5),
+      sym AS (SELECT da AS src, db AS dst FROM edges
+              UNION ALL SELECT db, da FROM edges),
+      reach AS (SELECT doc_id AS a, doc_id AS b FROM documents
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b)
+      SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q51)
+}

@@ -153,5 +153,63 @@ object Similarity {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(q39, q40, q41)
+  /** IVF-style ANN (the other classic scale path next to LSH): a KMeans
+    * coarse quantizer (spark.ml, fixed seed) assigns every vector to one
+    * of `nlist` cells; each query exactly re-ranks only the vectors in its
+    * `nprobe` nearest cells. Index cost is one clustering pass; query cost
+    * is |Q| × (n/nlist) × nprobe instead of |Q| × n.
+    */
+  def ivfTopK(embeddings: DataFrame, isQuery: Column, k: Int,
+      nlist: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    // few coarse partitions: KMeans runs ~10 jobs over this input, and
+    // thousands of rows split across 32 partitions is pure task overhead
+    val e = vecs(embeddings).coalesce(8)
+      .withColumn("fv", array_to_vector(col("v"))).cache()
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
+    val assigned = model.transform(e).drop("fv")
+
+    // nprobe nearest cells per query via a tiny centroid table
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("cell2", "cv")
+    val queries = assigned.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val probed = queries.crossJoin(broadcast(centDf))
+      .withColumn("dist", aggregate(
+        zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, v) => s + v))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cell2"))
+    val probeCells = probed.withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn"), col("cell2"))
+
+    val cand = assigned.join(broadcast(probeCells),
+        col("cell") === col("cell2") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("cos"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nn_id"))
+    cand.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nn_id"), col("cos"))
+  }
+
+  // ---------------------------------------------------------------- q42b
+  // IVF ANN over the driver embeddings (approximate → rows-only; recall
+  // vs brute force asserted in SimilaritySpec on clustered data).
+  private val q42b = GraftQuery(
+    "q41b_ann_ivf",
+    (s, dir) =>
+      ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 20, k = 5,
+        nlist = 16, nprobe = 4)
+        .orderBy(col("qid"), col("rank")),
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q39, q40, q41, q42b)
 }

@@ -73,6 +73,16 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup: drops repeated event_ids, with the watermark
+    * bounding how long each id is remembered in the state store — the
+    * streaming form of the exact-dedup batch operator (Dedup q35) and the
+    * standard ingestion-side dedup for at-least-once sources.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Reads the parquet events table as a bounded stream (file source) —
     * used by tests and as the template for a production file/Kafka source.
     */

@@ -78,6 +78,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, t10, 2L), (1L, t1130, 1L), (2L, t10, 1L)))
   }
 
+  test("streaming dedup: repeated event_ids across batches emit once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "value")
+    val q = Streams.dedupStream(df).writeStream.outputMode("append")
+      .format("memory").queryName(s"dedup_test_${System.nanoTime()}")
+      .start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0), (2L, ts("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      // same ids again (at-least-once redelivery) + one new id
+      mem.addData((1L, ts("2024-01-01 10:02:00"), 1.0), (3L, ts("2024-01-01 10:03:00"), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table(q.name).select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: running totals accumulate across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
