@@ -62,6 +62,32 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** One sampled "frame" of a media payload. A real implementation would
+    * decode video and emit every k-th frame; the stub slices the payload
+    * into fixed windows so the 1-record→N-frames dataflow (flatMap), frame
+    * metadata, and downstream partitioning are all real.
+    */
+  final case class Frame(doc_id: Long, frame_no: Int, offset: Long, frame: Array[Byte])
+
+  /** Frame sampling: emits every `stride`-th `frameBytes`-sized window of
+    * the payload — the mapInPandas-shaped 1→N expansion for video/audio.
+    */
+  def sampleFrames(ds: Dataset[MediaRecord], frameBytes: Int, stride: Int): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .map { case (win, i) => Frame(r.doc_id, i, i.toLong * frameBytes, win) }
+    }
+  }
+
+  /** "Resize" stub: a real decoder would scale pixels; the stub truncates
+    * or zero-pads the payload to `targetBytes`, preserving the
+    * fixed-output-size contract real resize has.
+    */
+  def resizeStub(r: MediaRecord, targetBytes: Int): MediaRecord =
+    r.copy(payload = r.payload.padTo(targetBytes, 0.toByte).take(targetBytes))
+
   // ---------------------------------------------------------------- q42
   // Full multimodal path: binary column → repartitioned decode batches →
   // typed features, oracle-mirrored via byte arithmetic on the UTF-8
@@ -86,5 +112,27 @@ object Multimodal {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q42)
+  // ---------------------------------------------------------------- q43b
+  // Frame sampling over the media table: every 2nd 64-byte window, with
+  // per-frame metadata — oracle mirrors the slicing arithmetic on the
+  // UTF-8 text (ASCII corpus ⇒ byte == char).
+  private val q43b = GraftQuery(
+    "q42b_multimodal_frames",
+    (s, dir) =>
+      sampleFrames(mediaTable(s, dir), frameBytes = 64, stride = 2).toDF()
+        .select(col("doc_id"), col("frame_no"), col("offset"),
+          length(col("frame")).as("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_no")),
+    Some("""
+      SELECT doc_id,
+             CAST(i AS INT) AS frame_no,
+             CAST(i * 64 AS BIGINT) AS offset,
+             CAST(least(64, n - i * 64) AS INT) AS frame_bytes
+      FROM (SELECT doc_id, octet_length(encode(text)) AS n,
+                   unnest(range(0, (octet_length(encode(text)) + 63) // 64)) AS i
+            FROM documents) t
+      WHERE i % 2 = 0
+      ORDER BY doc_id, frame_no"""))
+
+  val all: Seq[GraftQuery] = Seq(q42, q43b)
 }

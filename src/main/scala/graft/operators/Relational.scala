@@ -682,8 +682,52 @@ object Relational {
             FROM documents WHERE doc_id < 50) d
       ORDER BY doc_id, pos"""))
 
+  // ---------------------------------------------------------------- q2a
+  // Pivot: wide conditional aggregation (docs per source × lang).
+  private val q2a = GraftQuery(
+    "q2a_pivot",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("source")),
+    Some("""
+      SELECT source,
+             CAST(COUNT(*) FILTER (lang = 'de') AS BIGINT) AS de,
+             CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS en,
+             CAST(COUNT(*) FILTER (lang = 'es') AS BIGINT) AS es,
+             CAST(COUNT(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+             CAST(COUNT(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+      FROM documents
+      GROUP BY source
+      ORDER BY source"""))
+
+  // ---------------------------------------------------------------- q2b
+  // Unpivot (melt): wide → long.
+  private val q2b = GraftQuery(
+    "q2b_unpivot",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(sumd2(col("l_quantity")).as("qty"),
+          sumd2(col("l_discount")).as("disc"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("disc")),
+          "measure", "value")
+        .orderBy(col("l_returnflag"), col("measure")),
+    Some("""
+      WITH agg AS (SELECT l_returnflag,
+                          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+                          CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+                   FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'qty' AS measure, qty AS value FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'disc' AS measure, disc AS value FROM agg
+      ORDER BY l_returnflag, measure"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29)
+    q29, q2a, q2b)
 }
