@@ -63,8 +63,11 @@ object GraftIO {
       .select(col(keyCol).cast("string").as("__k"),
         to_json(struct(df.columns.map(col): _*)).as("__j"))
       .rdd.map(r => (r.getString(0), r.getString(1)))
+    // repartitionAndSortWithinPartitions: content-defined placement AND
+    // the reference's per-region key sort (mapper.py:133-134) in one
+    // shuffle — the sorted-reduce-input contract made visible
     val placed = keyed
-      .partitionBy(new org.apache.spark.Partitioner {
+      .repartitionAndSortWithinPartitions(new org.apache.spark.Partitioner {
         override def numPartitions: Int = n
         override def getPartition(key: Any): Int =
           YamrPartition.compute(

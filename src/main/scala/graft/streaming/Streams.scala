@@ -88,9 +88,12 @@ object Streams {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source needs a DIRECTORY; select just the events table via
+    // glob filter (new files matching it would stream in incrementally)
     val raw = spark.readStream
       .schema(graft.sources.Tables.load(spark, dir, "events").schema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else raw

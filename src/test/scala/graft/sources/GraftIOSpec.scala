@@ -41,20 +41,45 @@ class GraftIOSpec extends SparkSpec {
     assert(back.count() == df.count())
   }
 
-  test("region-partitioned JSON sink: n files, content-defined placement (reducer.py:141-150)") {
+  test("region-partitioned JSON sink: n files, content-defined placement + per-region key sort (reducer.py:141-150)") {
     import spark.implicits._
-    val df = Seq("aa" -> 1, "bb" -> 2, "cc" -> 3, "mm" -> 4).toDF("k", "v")
+    val df = Seq("mm" -> 5, "aa" -> 1, "bb" -> 2, "cc" -> 3, "mm" -> 4).toDF("k", "v")
     val out = tmp("regions")
     GraftIO.writeRegionJson(df, "k", 2, out)
     val parts = new java.io.File(out).listFiles()
       .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
     assert(parts.length == 2)
     // reference golden (test_partition.py:31-41): with n=2, bb → region 1
-    // (partition 0), {aa, cc, mm} → region 2 (partition 1)
-    val p0 = scala.io.Source.fromFile(parts(0), "UTF-8").getLines().mkString
-    val p1 = scala.io.Source.fromFile(parts(1), "UTF-8").getLines().mkString
-    assert(p0.contains("\"bb\"") && !p0.contains("\"aa\""))
-    assert(p1.contains("\"aa\"") && p1.contains("\"cc\"") && p1.contains("\"mm\""))
+    // (partition 0), {aa, cc, mm, mm} → region 2 (partition 1), each
+    // region sorted by key (mapper.py:133-134)
+    val p0 = scala.io.Source.fromFile(parts(0), "UTF-8").getLines().toSeq
+    val p1 = scala.io.Source.fromFile(parts(1), "UTF-8").getLines().toSeq
+    assert(p0.forall(_.contains("\"bb\"")) && p0.size == 1)
+    val keys1 = p1.map(l => "\"k\":\"(\\w+)\"".r.findFirstMatchIn(l).get.group(1))
+    assert(keys1 == Seq("aa", "cc", "mm", "mm"), s"region 2 must be key-sorted: $keys1")
+  }
+
+  test("streaming file source: readStream over events aggregates with batch parity") {
+    import org.apache.spark.sql.functions._
+    val stream = graft.streaming.Streams.eventsStream(spark, sf001)
+    assert(stream.isStreaming)
+    val agg = graft.streaming.Streams.tumblingCounts(stream)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(s"file_src_${System.nanoTime()}")
+      .start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits windows closed by the watermark; the last
+      // 30 min of event-time stays open — compare against the batch
+      // result restricted to the emitted windows
+      val got = spark.table(q.name)
+        .select("win_start", "event_type", "n", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.SparkEntry.queries("q48_window_tumbling")(spark, sf001)
+        .collect().map(_.toSeq).toSet
+      assert(got.nonEmpty && got.subsetOf(batch),
+        s"streamed windows must match batch: ${got.size} of ${batch.size}")
+    } finally q.stop()
   }
 
   test("chunk-as-record scan: whole file delivered as one string (mapper.py:74-84)") {
