@@ -24,22 +24,34 @@ object Bench {
     // tokenize/explode codegen paths (first execution otherwise pays ~3s
     // of whole-stage-codegen compilation on whichever query runs first)
     import org.apache.spark.sql.functions._
-    graft.sources.Tables.lineitem(spark, sfDir).count()
-    graft.sources.Tables.events(spark, sfDir).count()
-    graft.sources.Tables.embeddings(spark, sfDir).count()
-    graft.sources.Tables.documents(spark, sfDir)
-      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
-      .groupBy(col("w")).count().count()
+    try {
+      graft.sources.Tables.lineitem(spark, sfDir).count()
+      graft.sources.Tables.events(spark, sfDir).count()
+      graft.sources.Tables.embeddings(spark, sfDir).count()
+      graft.sources.Tables.documents(spark, sfDir)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).count().count()
+    } catch { case e: Throwable =>
+      // a broken warm-up must not kill the bench — per-query error
+      // handling below reports what actually fails
+      System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
+    }
 
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        failures += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fq = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fq,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

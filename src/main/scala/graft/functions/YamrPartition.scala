@@ -29,6 +29,18 @@ case class YamrPartition(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "yamr_partition"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    left.dataType match {
+      case _: org.apache.spark.sql.types.StringType =>
+        if (right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"yamr_partition: n must be INT, got ${right.dataType.sql}")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"yamr_partition: key must be STRING, got ${other.sql}")
+    }
+  }
+
   override def nullSafeEval(key: Any, n: Any): Any =
     YamrPartition.compute(key.asInstanceOf[UTF8String], n.asInstanceOf[Int])
 
@@ -44,6 +56,8 @@ case class YamrPartition(left: Expression, right: Expression)
 object YamrPartition {
   /** bigint(utf8_bytes(key)) mod n; empty key ⇒ BigInteger(1, []) = 0. */
   def compute(key: UTF8String, n: Int): Int = {
+    if (n <= 0)
+      throw new IllegalArgumentException(s"yamr_partition: n must be positive, got $n")
     val bytes = key.getBytes
     if (bytes.isEmpty) 0
     else new BigInteger(1, bytes).mod(BigInteger.valueOf(n.toLong)).intValue()

@@ -21,11 +21,23 @@ object Jobs {
     else wordRe.findAllIn(data).map(w => strip(w).toLowerCase)
       .filter(_.nonEmpty).toSeq
 
+  /** ASCII tokenizer variant: identical to what `\W+`-split computes in
+    * both Java regex and RE2 — use when results must match the DuckDB
+    * oracle (which has no Unicode `\w`); `tokenize` is the
+    * reference-parity Unicode form for the Russian `onegin` corpus.
+    */
+  private val asciiWordRe = "\\w+".r
+  def tokenizeAscii(data: String): Seq[String] =
+    if (data == null) Seq.empty
+    else asciiWordRe.findAllIn(data).map(w => strip(w).toLowerCase)
+      .filter(_.nonEmpty).toSeq
+
   /** Word count: map emits (word, 1); reduce sums (word_count.py:61-63). */
-  def wordCount(corpus: Dataset[String]): Dataset[(String, Long)] = {
+  def wordCount(corpus: Dataset[String],
+      tokenizer: String => Seq[String] = tokenize): Dataset[(String, Long)] = {
     import corpus.sparkSession.implicits._
     MapReduce.mapReduceByKey(corpus)(
-      (line: String) => tokenize(line).map(_ -> 1L),
+      (line: String) => tokenizer(line).map(_ -> 1L),
       (a: Long, b: Long) => a + b)
   }
 

@@ -78,21 +78,27 @@ object Curation {
     * corpus even at 100 TB, so when it fits comfortably on the driver
     * (≤ `driverEdgeLimit`, ~16 MB) a local union-find + broadcast-mapped
     * join replaces the iterative job loop. Beyond the limit, distributed
-    * smallest-label propagation (O(log diameter) join rounds) takes over.
+    * smallest-label propagation takes over — one join round per hop of
+    * component diameter, erroring loudly if `maxIter` rounds don't
+    * converge (silent truncation would report one cluster as several).
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 10,
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50,
       driverEdgeLimit: Long = 1000000L): DataFrame = {
     val e = edges.select(col("da"), col("db")).persist()
     val nEdges = e.count()
     if (nEdges <= driverEdgeLimit) {
       val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
       e.unpersist()
-      // path-compressed union-find over only the docs that appear in edges
+      // path-compressed union-find over only the docs that appear in
+      // edges; find is iterative — recursion would overflow the stack on
+      // chain-shaped graphs approaching driverEdgeLimit
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x
-        else { val r = find(p); parent(x) = r; r }
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
       }
       pairs.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
@@ -131,6 +137,10 @@ object Curation {
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge within $iter rounds " +
+          s"($changed labels still changing) — raise maxIter")
     labels
   }
 

@@ -24,7 +24,10 @@ object MapReduceParity {
     (s, dir) => {
       import s.implicits._
       val corpus = Tables.documents(s, dir).select(col("text")).as[String]
-      Jobs.wordCount(corpus)
+      // ASCII tokenizer: the oracle's RE2 \W+ has no Unicode \w, and q30
+      // (same oracle) splits ASCII-only — Unicode tokenize would diverge
+      // on non-ASCII text
+      Jobs.wordCount(corpus, Jobs.tokenizeAscii)
         .toDF("word", "cnt")
         .orderBy(col("word"))
     },
@@ -71,10 +74,19 @@ object MapReduceParity {
         .withColumn("region", col("part_id") + 1)
         .orderBy(col("doc_id")),
     Some("""
-      SELECT doc_id,
-             CAST(('0x' || hex(CAST(doc_id AS VARCHAR)))::BIGINT % 32 AS INT) AS part_id,
-             CAST(('0x' || hex(CAST(doc_id AS VARCHAR)))::BIGINT % 32 + 1 AS INT) AS region
-      FROM documents
+      WITH k AS (SELECT doc_id, hex(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      -- Horner fold (a*256 + byte) mod 32 == bigint(bytes) mod 32, but
+      -- never overflows regardless of key length (a direct ::BIGINT cast
+      -- of the hex blows up at 8+ characters)
+      p AS (SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform(range(1, length(h) // 2 + 1),
+                         i -> ('0x' || substr(h, CAST(i*2-1 AS INT), 2))::BIGINT)),
+                     (a, b) -> (a * 256 + b) % 32) AS part_id
+            FROM k)
+      SELECT doc_id, CAST(part_id AS INT) AS part_id, CAST(part_id + 1 AS INT) AS region
+      FROM p
       ORDER BY doc_id"""))
 
   val all: Seq[GraftQuery] = Seq(q45, q46, q47)

@@ -102,14 +102,20 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
     Some("""
+      -- byte-exact: fold over the hex pairs of the UTF-8 encoding, so
+      -- multi-byte characters and empty payloads match the byte-level
+      -- stub (per-character ascii() would diverge on non-ASCII text)
+      WITH b AS (SELECT doc_id, hex(encode(text)) AS h FROM documents)
       SELECT doc_id, 'text/plain' AS mime,
-             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             CAST(ascii(substr(text, 1, 1)) AS INT) AS head_byte,
+             CAST(length(h) // 2 AS BIGINT) AS n_bytes,
+             CAST(CASE WHEN length(h) = 0 THEN -1
+                       ELSE ('0x' || substr(h, 1, 2))::BIGINT END AS INT) AS head_byte,
              CAST(list_reduce(
                list_prepend(0::BIGINT,
-                 list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+                 list_transform(range(1, length(h) // 2 + 1),
+                   i -> ('0x' || substr(h, CAST(i*2-1 AS INT), 2))::BIGINT)),
                (a, b) -> (a + b) % 1000000007) AS BIGINT) AS checksum
-      FROM documents
+      FROM b
       ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- q43b

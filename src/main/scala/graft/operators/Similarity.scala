@@ -165,11 +165,16 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
 
     // few coarse partitions: KMeans runs ~10 jobs over this input, and
-    // thousands of rows split across 32 partitions is pure task overhead
+    // thousands of rows split across 32 partitions is pure task overhead.
+    // Cache only for the iterative fit, then release — the single
+    // assignment pass downstream re-derives vecs cheaply.
     val e = vecs(embeddings).coalesce(8)
-      .withColumn("fv", array_to_vector(col("v"))).cache()
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
+      .withColumn("fv", array_to_vector(col("v")))
+    val fitInput = e.cache()
+    val model =
+      try new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cell").fit(fitInput)
+      finally fitInput.unpersist()
     val assigned = model.transform(e).drop("fv")
 
     // nprobe nearest cells per query via a tiny centroid table

@@ -44,7 +44,11 @@ object ScaleOps {
       .format("parquet")
       .saveAsTable(table)
 
-  /** True if the executed plan of `df` contains a shuffle exchange. */
+  /** True if the executed plan of `df` contains a shuffle exchange of any
+    * partitioning (hash, range, round-robin, single-partition). Broadcast
+    * exchanges are not shuffles and don't count.
+    */
   def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+    df.queryExecution.executedPlan.toString.linesIterator
+      .exists(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
 }

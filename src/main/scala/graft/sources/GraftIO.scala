@@ -59,8 +59,11 @@ object GraftIO {
     */
   def writeRegionJson(df: DataFrame, keyCol: String, n: Int, path: String): Unit = {
     val spark = df.sparkSession
+    // null keys normalize to "" (region 0 via BigInteger(1, []) = 0):
+    // deterministic placement, and the within-partition String sort never
+    // sees null (the reference would crash on int('', 16))
     val keyed = df
-      .select(col(keyCol).cast("string").as("__k"),
+      .select(coalesce(col(keyCol).cast("string"), lit("")).as("__k"),
         to_json(struct(df.columns.map(col): _*)).as("__j"))
       .rdd.map(r => (r.getString(0), r.getString(1)))
     // repartitionAndSortWithinPartitions: content-defined placement AND
@@ -70,7 +73,8 @@ object GraftIO {
       .repartitionAndSortWithinPartitions(new org.apache.spark.Partitioner {
         override def numPartitions: Int = n
         override def getPartition(key: Any): Int =
-          YamrPartition.compute(
+          if (key == null) 0 // deterministic placement; reference would crash
+          else YamrPartition.compute(
             org.apache.spark.unsafe.types.UTF8String.fromString(key.toString), n)
       })
       .values
