@@ -89,5 +89,32 @@ object MapReduceParity {
       FROM p
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q45, q46, q47)
+  // ---------------------------------------------------------------- q45b
+  // Top-k per group through the typed Aggregator surface: bounded per-
+  // group heaps with map-side partial merge — O(k) state per group where
+  // the window row_number form (q09) sorts whole partitions. The 100 TB
+  // path for top-k-per-key.
+  private val q45b = GraftQuery(
+    "q45b_topk_aggregator",
+    (s, dir) => {
+      import s.implicits._
+      val ds = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+      val top3 = new graft.mr.Aggregators.TopKAggregator(3).toColumn
+      ds.groupByKey(_._1).mapValues(_._2).agg(top3)
+        .toDF("o_custkey", "tops")
+        .select(col("o_custkey"), posexplode(col("tops")).as(Seq("i", "o_totalprice")))
+        .select(col("o_custkey"), (col("i") + 1).cast("int").as("rn"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""
+      SELECT o_custkey, rn, o_totalprice FROM (
+        SELECT o_custkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC) AS INT) AS rn
+        FROM orders) t
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn"""))
+
+  val all: Seq[GraftQuery] = Seq(q45, q45b, q46, q47)
 }
