@@ -216,5 +216,36 @@ object Similarity {
         .orderBy(col("qid"), col("rank")),
     None)
 
-  val all: Seq[GraftQuery] = Seq(q39, q40, q41, q42b)
+  // ---------------------------------------------------------------- q53
+  // Per-label centroids: element-wise mean vector per class — the
+  // prototype/classifier-head aggregation. posexplode → (label, dim)
+  // hash-agg with partial aggregation. Exactness: multiplying a float by
+  // 2^40 is lossless (power-of-two scale of a 24-bit mantissa), so the
+  // scaled values are exact BIGINTs, the sum is exact and
+  // order-independent, and both engines divide the same integers.
+  // (DECIMAL casts of floats round differently across engines — Spark
+  // goes through the shortest string representation.)
+  private val q53 = GraftQuery(
+    "q53_embed_centroids",
+    (s, dir) => {
+      val scale = 1099511627776.0 // 2^40
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("sx", floor(col("x").cast("double") * lit(scale)).cast("long"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("sx")).as("ssum"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim"),
+          (col("ssum").cast("double") / lit(scale) / col("n")).as("centroid"))
+        .orderBy(col("label"), col("dim"))
+    },
+    Some("""
+      SELECT label, CAST(i - 1 AS INT) AS dim,
+             CAST(SUM(sx) AS DOUBLE) / 1099511627776.0 / COUNT(*) AS centroid
+      FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1099511627776.0) AS BIGINT) AS sx
+            FROM embeddings) t
+      GROUP BY label, i
+      ORDER BY label, dim"""))
+
+  val all: Seq[GraftQuery] = Seq(q39, q40, q41, q42b, q53)
 }

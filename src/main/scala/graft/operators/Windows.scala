@@ -92,5 +92,34 @@ object Windows {
       GROUP BY user_id, session_id
       ORDER BY user_id, session_start"""))
 
-  val all: Seq[GraftQuery] = Seq(q48, q49, q50)
+  // ---------------------------------------------------------------- q52
+  // RANGE window frame (value-range, not row-count): per user, activity
+  // in the trailing 10 minutes of event time. Frame membership depends
+  // only on the ordering value, so ties cannot perturb the result.
+  private val q52 = GraftQuery(
+    "q52_window_range_frame",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("epoch_s"))
+        .rangeBetween(-600L, 0L)
+      Tables.events(s, dir)
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+        .withColumn("n_10m", count(lit(1)).over(w))
+        .withColumn("sum_10m",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"), col("n_10m"), col("sum_10m"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             COUNT(*) OVER w AS n_10m,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10m
+      FROM (SELECT user_id, event_id, value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+            FROM events) e
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q48, q49, q50, q52)
 }
