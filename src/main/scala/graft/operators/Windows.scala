@@ -121,5 +121,24 @@ object Windows {
                    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q48, q49, q50, q52)
+  // ---------------------------------------------------------------- q54
+  // Batch form of the stream-stream interval join (Streams.
+  // clickPurchaseJoin runs the same plan under watermarks): conversion
+  // attribution — purchases within 20 minutes after a same-user click.
+  private val q54 = GraftQuery(
+    "q54_interval_join",
+    (s, dir) =>
+      graft.streaming.Streams.clickPurchaseJoin(Tables.events(s, dir))
+        .orderBy(col("click_id"), col("purchase_id")),
+    Some("""
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             c.user_id, p.value AS purchase_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts
+       AND p.ts <= c.ts + INTERVAL 20 MINUTE
+      ORDER BY click_id, purchase_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q48, q49, q50, q52, q54)
 }

@@ -73,6 +73,28 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * purchases within the following 20 minutes (conversion attribution).
+    * Both sides carry watermarks so the join state is bounded — Spark
+    * evicts click state once no purchase can still arrive for it.
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", "30 minutes")
+    clicks.join(purchases,
+      expr("""c_user = p_user AND
+              p_ts >= c_ts AND
+              p_ts <= c_ts + interval 20 minutes"""))
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+        col("purchase_value"))
+  }
+
   /** Streaming exact dedup: drops repeated event_ids, with the watermark
     * bounding how long each id is remembered in the state store — the
     * streaming form of the exact-dedup batch operator (Dedup q35) and the

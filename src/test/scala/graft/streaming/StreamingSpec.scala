@@ -97,6 +97,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchase within 20min of click joins, later one does not") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.clickPurchaseJoin(df).writeStream.outputMode("append")
+      .format("memory").queryName(s"ssj_test_${System.nanoTime()}")
+      .start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0),
+        (2L, ts("2024-01-01 10:05:00"), 7L, "purchase", 9.5), // within 20m → joins
+        (3L, ts("2024-01-01 11:00:00"), 7L, "purchase", 4.0), // 60m later → no
+        (4L, ts("2024-01-01 10:06:00"), 8L, "purchase", 1.0)) // other user → no
+      q.processAllAvailable()
+      // advance both watermarks so all joinable state resolves
+      mem.addData((9L, ts("2024-01-01 13:00:00"), 7L, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table(q.name)
+        .select("click_id", "purchase_id", "user_id", "purchase_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set((1L, 2L, 7L, 9.5)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: running totals accumulate across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
