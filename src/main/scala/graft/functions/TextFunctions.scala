@@ -25,10 +25,16 @@ object TextFunctions {
     trim(regexp_replace(lower(text), "\\s+", " "))
 
   /** Stable 60-bit content hash derived from md5 (identical hex in every
-    * engine): first 15 hex chars parsed base-16. Used for MinHash/SimHash
-    * so oracle engines can reproduce signatures bit-for-bit.
+    * engine): the top 60 bits of the digest == the first 15 hex chars
+    * parsed base-16. Native codegen'd expression ([[Md5Hash60]]); the
+    * column-function form `conv(substring(md5(s),1,15),16,10)` is kept in
+    * [[hash60Reference]] and asserted equal in tests — DuckDB oracles
+    * reproduce the value via the hex form.
     */
-  def hash60(s: Column): Column =
+  def hash60(s: Column): Column = Md5Hash60(s)
+
+  /** Pure-builtin form of [[hash60]] (equivalence oracle for tests). */
+  def hash60Reference(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** Seeded variant: family of hash functions h_i(s) = hash60(i || ':' || s). */

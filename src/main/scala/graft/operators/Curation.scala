@@ -58,10 +58,14 @@ object Curation {
   private def verifyPairsFromShingles(
       sh: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // equi-join on (db, shingle), NOT join-then-filter: the latter crosses
+    // every da-shingle with every db-shingle per candidate pair (~10^4
+    // rows/pair) before filtering; including s in the join key keeps it a
+    // hash join sized by the actual intersections
     val common = candidates
       .join(sh.select(col("doc_id").as("da"), col("s")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("s").as("s2")), "db")
-      .filter(col("s") === col("s2"))
+      .join(sh.select(col("doc_id").as("db2"), col("s").as("s2")),
+        col("db") === col("db2") && col("s") === col("s2"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
     common
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
