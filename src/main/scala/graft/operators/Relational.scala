@@ -661,6 +661,53 @@ object Relational {
       FROM events
       ORDER BY event_id"""))
 
+  // ---------------------------------------------------------------- q55
+  // Statistical aggregates computed from exact decimal moments (Σx, Σx²,
+  // Σxy), then combined in double with the textbook formulas — engine
+  // built-ins (stddev/corr) stream floats in nondeterministic order and
+  // cannot bit-match across engines; moment sums can.
+  private val q55 = GraftQuery(
+    "q55_agg_stats",
+    (s, dir) => {
+      val q = col("l_quantity")
+      val p = col("l_extendedprice")
+      val agg = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(q)).cast("double").as("sq"),
+          sum(dec4(q * q)).cast("double").as("sqq"),
+          sum(dec2(p)).cast("double").as("sp"),
+          sum(dec4(p * p)).cast("double").as("spp"),
+          sum(dec4(q * p)).cast("double").as("sqp"))
+      agg.select(
+          col("l_returnflag"), col("n"),
+          ((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1))
+            .as("var_qty"),
+          sqrt((col("spp") - col("sp") * col("sp") / col("n")) / (col("n") - 1))
+            .as("std_price"),
+          ((col("sqp") - col("sq") * col("sp") / col("n")) /
+            (sqrt(col("sqq") - col("sq") * col("sq") / col("n")) *
+             sqrt(col("spp") - col("sp") * col("sp") / col("n")))).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sqq,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS spp,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sqp
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             (sqq - sq * sq / n) / (n - 1) AS var_qty,
+             sqrt((spp - sp * sp / n) / (n - 1)) AS std_price,
+             (sqp - sq * sp / n) /
+               (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n)) AS corr_qty_price
+      FROM m
+      ORDER BY l_returnflag"""))
+
   // ---------------------------------------------------------------- q29
   // Generator / UDTF surface: one row in → N (pos, value) rows out
   // (posexplode — the relational form of the reference's 1-chunk→N-tuples
@@ -729,5 +776,5 @@ object Relational {
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q2a, q2b)
+    q29, q2a, q2b, q55)
 }
