@@ -95,6 +95,29 @@ object Streams {
         col("purchase_value"))
   }
 
+  /** Left-outer variant: clicks with no purchase in their 20-minute
+    * window are still emitted (null purchase columns) — but only once the
+    * watermark proves no matching purchase can arrive, which is what
+    * makes outer stream-stream joins sound.
+    */
+  def clickPurchaseJoinOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", "30 minutes")
+    clicks.join(purchases,
+      expr("""c_user = p_user AND
+              p_ts >= c_ts AND
+              p_ts <= c_ts + interval 20 minutes"""),
+      "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+        col("purchase_value"))
+  }
+
   /** Streaming exact dedup: drops repeated event_ids, with the watermark
     * bounding how long each id is remembered in the state store — the
     * streaming form of the exact-dedup batch operator (Dedup q35) and the

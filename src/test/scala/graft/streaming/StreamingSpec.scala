@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.sources.Tables
 
+object StreamingSpec {
+  /** Cross-restart sink buffer for the checkpoint-recovery test. */
+  val ckptSeen: scala.collection.mutable.ArrayBuffer[Streams.UserRunning] =
+    scala.collection.mutable.ArrayBuffer.empty
+}
+
 /** Streaming-layer semantics: batch parity against the oracle-checked
   * Windows queries, watermark late-data dropping, and custom state.
   */
@@ -120,6 +126,76 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
       assert(rows == Set((1L, 2L, 7L, 9.5)), s"got $rows")
     } finally q.stop()
+  }
+
+  test("left-outer stream join: unmatched click emits with nulls once watermark closes its window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.clickPurchaseJoinOuter(df).writeStream.outputMode("append")
+      .format("memory").queryName(s"ssjo_test_${System.nanoTime()}")
+      .start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0),     // will match
+        (2L, ts("2024-01-01 10:05:00"), 7L, "purchase", 9.5),
+        (3L, ts("2024-01-01 10:00:00"), 8L, "click", 0.0))     // never matches
+      q.processAllAvailable()
+      // push watermark far past click 3's window end + both watermarks
+      mem.addData(
+        (8L, ts("2024-01-01 14:00:00"), 9L, "click", 0.0),
+        (9L, ts("2024-01-01 14:00:00"), 9L, "purchase", 1.0))
+      q.processAllAvailable()
+      mem.addData(
+        (10L, ts("2024-01-01 18:00:00"), 9L, "click", 0.0),
+        (11L, ts("2024-01-01 18:00:00"), 9L, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table(q.name)
+        .select("click_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(rows(1L) == 2L, s"matched click must join: $rows")
+      assert(rows.get(3L).contains(-1L), s"unmatched click must emit with null purchase: $rows")
+    } finally q.stop()
+  }
+
+  test("checkpoint recovery: stateful query resumes accumulated state after restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[Streams.Event]
+    StreamingSpec.ckptSeen.clear()
+    def start() =
+      Streams.runningUserTotals(mem.toDS()).writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streams.UserRunning], _: Long) =>
+          val rows = batch.collect()
+          StreamingSpec.ckptSeen.synchronized {
+            StreamingSpec.ckptSeen ++= rows
+          }
+          ()
+        }
+        .start()
+
+    val q1 = start()
+    mem.addData(
+      Streams.Event(1, ts("2024-01-01 10:00:00"), 5L, "click", 2.0),
+      Streams.Event(2, ts("2024-01-01 10:01:00"), 5L, "click", 3.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the same checkpoint: state (n=2, sum=5.0) must survive
+    val q2 = start()
+    try {
+      mem.addData(Streams.Event(3, ts("2024-01-01 10:02:00"), 5L, "click", 10.0))
+      q2.processAllAvailable()
+      val rows = StreamingSpec.ckptSeen.synchronized(StreamingSpec.ckptSeen.toList)
+      assert(rows.nonEmpty, "restarted query must emit")
+      val last = rows.maxBy(_.n_events)
+      assert(last == Streams.UserRunning(5L, 3L, 15.0),
+        s"state must carry across restart: ${rows.mkString(",")}")
+    } finally q2.stop()
   }
 
   test("flatMapGroupsWithState: running totals accumulate across batches") {
