@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, MapReduceParity, Multimodal, Relational, Similarity, Sketches, TextAnalysis, Windows}
+import graft.operators.{Curation, Dedup, MapReduceParity, Multimodal, Relational, Similarity, Sketches, SqlSurface, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   private def registry: Seq[GraftQuery] =
     Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
       Multimodal.all ++ Sketches.all ++ MapReduceParity.all ++ Windows.all ++
-      Curation.all
+      Curation.all ++ SqlSurface.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -30,9 +30,23 @@ object Aggregators {
     def reduce(b: Seq[Double], v: Double): Seq[Double] = insert(b, v)
     def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] = b.foldLeft(a)(insert)
     def finish(b: Seq[Double]): Seq[Double] = b
+    // Buffer invariant: sorted descending, size ≤ k. A full buffer whose
+    // minimum already beats v is untouched (the common case on skewed
+    // streams); otherwise binary-search the insertion point — O(log k)
+    // compares + one O(k) copy, vs the O(k log k) re-sort per row.
     private def insert(b: Seq[Double], v: Double): Seq[Double] = {
-      val nb = (b :+ v).sorted(Ordering[Double].reverse)
-      if (nb.size > k) nb.take(k) else nb
+      if (b.size >= k && v <= b.last) b
+      else {
+        val vec = b.toVector
+        var lo = 0
+        var hi = vec.size
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (vec(mid) > v) lo = mid + 1 else hi = mid
+        }
+        val nb = (vec.take(lo) :+ v) ++ vec.drop(lo)
+        if (nb.size > k) nb.take(k) else nb
+      }
     }
     def bufferEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()

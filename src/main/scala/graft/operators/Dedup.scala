@@ -67,6 +67,16 @@ object Dedup {
   // ---------------------------------------------------------------- q36
   // Exact n-gram Jaccard similarity: top-20 most similar pairs. The
   // calibration oracle for the MinHash path.
+  //
+  // A shingle appearing in k documents contributes k² rows to the
+  // self-join, so boilerplate shingles (headers, license text) blow the
+  // join up superlinearly at scale. Shingles with document frequency
+  // above `maxShingleDf` carry ~no Jaccard signal and are dropped BEFORE
+  // the self-join (the same high-df suppression MinHash banding applies
+  // implicitly). Denominator sizes stay exact (counted over ALL
+  // shingles), so scores are a documented lower bound for pairs whose
+  // overlap includes dropped shingles; the cap is mirrored in the oracle.
+  private val maxShingleDf = 100
   private val q36 = GraftQuery(
     "q36_dedup_ngram_jaccard",
     (s, dir) => {
@@ -76,8 +86,12 @@ object Dedup {
       val sh = shingleRows(Tables.documents(s, dir))
         .select(col("doc_id"), xxhash64(col("s")).as("sk"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val common = sh.alias("a")
-        .join(sh.alias("b"), col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
+      val rare = sh.groupBy(col("sk")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf)
+        .select(col("sk"))
+      val kept = sh.join(rare, "sk")
+      val common = kept.alias("a")
+        .join(kept.alias("b"), col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("c"))
       common
@@ -91,8 +105,10 @@ object Dedup {
     Some(s"""
       WITH $shingleSql,
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $maxShingleDf),
+      kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
       common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                 FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
                  GROUP BY a.doc_id, b.doc_id)
       SELECT da, db, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
       FROM common

@@ -135,6 +135,31 @@ object Relational {
       GROUP BY c_custkey
       ORDER BY c_custkey"""))
 
+  // ---------------------------------------------------------------- q04b
+  // Right outer join (SURVEY §2.5) — declared in its own right, not just
+  // as the mirror of q04: the preserved side is the RIGHT (customer)
+  // input of an orders-first join.
+  private val q04b = GraftQuery(
+    "q04b_join_right",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "O")
+      ord.join(cust, col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(
+          count(col("o_orderkey")).as("n_open"),
+          coalesce(sum(dec2(col("o_totalprice"))), lit(0)).cast("double").as("open_spend"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_open,
+             CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS open_spend
+      FROM (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+      RIGHT JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_mktsegment
+      ORDER BY c_custkey"""))
+
   // ---------------------------------------------------------------- q05
   // Left-semi join (SQL: IN / EXISTS).
   private val q05 = GraftQuery(
@@ -532,21 +557,31 @@ object Relational {
   private val q24 = GraftQuery(
     "q24_asof_join",
     (s, dir) => {
+      // Union both event streams and carry the latest purchase forward with
+      // one running `last(ignoreNulls)` window — one shuffle on user_id,
+      // O(1) state per row. (A join-then-rank shape materializes
+      // clicks × all-prior-purchases per user before pruning: a per-hot-user
+      // fanout bomb at scale.) At equal ts a purchase sorts BEFORE the
+      // click (kind 0 < 1) so `ts >= p_ts` stays inclusive; among equal-ts
+      // purchases the max event_id wins (event_id asc, running last).
+      // The purchase columns ride in one struct so the running last() picks
+      // an atomic row, never fields from different purchases.
       val ev = Tables.events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
+        .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("kind"),
+          lit(null).cast("struct<pid:bigint,pvalue:double>").as("p"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_event_id"), col("user_id").as("p_user_id"),
-          col("ts").as("p_ts"), col("value").as("p_value"))
-      val joined = clicks.join(purchases,
-        col("user_id") === col("p_user_id") && col("ts") >= col("p_ts"), "left")
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(col("p_ts").desc_nulls_last, col("p_event_id").desc_nulls_last)
-      joined.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), lit(0).as("kind"),
+          struct(col("event_id").as("pid"), col("value").as("pvalue")).as("p"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("lp", last(col("p"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
         .select(col("event_id"), col("user_id"),
-          col("p_event_id").as("purchase_event_id"),
-          col("p_value").as("purchase_value"))
+          col("lp.pid").as("purchase_event_id"),
+          col("lp.pvalue").as("purchase_value"))
         .orderBy(col("event_id"))
     },
     Some("""
@@ -666,6 +701,23 @@ object Relational {
   // Σxy), then combined in double with the textbook formulas — engine
   // built-ins (stddev/corr) stream floats in nondeterministic order and
   // cannot bit-match across engines; moment sums can.
+  //
+  // The moment-to-double conversion must itself be cross-engine
+  // deterministic: once a decimal sum exceeds 2^53 scaled units (Σp² does
+  // at sf0.001 already), Spark's decimal→double cast and DuckDB's round
+  // the SAME exact decimal to DIFFERENT neighboring doubles. So the
+  // decimal is split into integral + fractional parts, each converted
+  // through BIGINT (int64→double is IEEE round-to-nearest-even in both
+  // engines), and recombined with two IEEE ops — bit-identical at any
+  // magnitude the integral part's BIGINT can hold (9.2e18).
+  private def decSplitDouble(c: Column, scale: Int): Column = {
+    val w = floor(c)
+    w.cast("long").cast("double") +
+      ((c - w) * lit(scale)).cast("long").cast("double") / lit(scale.toDouble)
+  }
+  private def momentSql(expr: String, alias: String, scale: Int): String =
+    s"""CAST(CAST(FLOOR($expr) AS BIGINT) AS DOUBLE) +
+        CAST(CAST(($expr - FLOOR($expr)) * $scale AS BIGINT) AS DOUBLE) / $scale.0 AS $alias"""
   private val q55 = GraftQuery(
     "q55_agg_stats",
     (s, dir) => {
@@ -675,11 +727,11 @@ object Relational {
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          sum(dec2(q)).cast("double").as("sq"),
-          sum(dec4(q * q)).cast("double").as("sqq"),
-          sum(dec2(p)).cast("double").as("sp"),
-          sum(dec4(p * p)).cast("double").as("spp"),
-          sum(dec4(q * p)).cast("double").as("sqp"))
+          decSplitDouble(sum(dec2(q)), 100).as("sq"),
+          decSplitDouble(sum(dec4(q * q)), 10000).as("sqq"),
+          decSplitDouble(sum(dec2(p)), 100).as("sp"),
+          decSplitDouble(sum(dec4(p * p)), 10000).as("spp"),
+          decSplitDouble(sum(dec4(q * p)), 10000).as("sqp"))
       agg.select(
           col("l_returnflag"), col("n"),
           ((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1))
@@ -691,15 +743,23 @@ object Relational {
              sqrt(col("spp") - col("sp") * col("sp") / col("n")))).as("corr_qty_price"))
         .orderBy(col("l_returnflag"))
     },
-    Some("""
-      WITH m AS (
+    Some(s"""
+      WITH s AS (
         SELECT l_returnflag, COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
-               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sqq,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
-               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS spp,
-               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sqp
-        FROM lineitem GROUP BY l_returnflag)
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS dsq,
+               SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS dsqq,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS dsp,
+               SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS dspp,
+               SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS dsqp
+        FROM lineitem GROUP BY l_returnflag),
+      m AS (
+        SELECT l_returnflag, n,
+               ${momentSql("dsq", "sq", 100)},
+               ${momentSql("dsqq", "sqq", 10000)},
+               ${momentSql("dsp", "sp", 100)},
+               ${momentSql("dspp", "spp", 10000)},
+               ${momentSql("dsqp", "sqp", 10000)}
+        FROM s)
       SELECT l_returnflag, n,
              (sqq - sq * sq / n) / (n - 1) AS var_qty,
              sqrt((spp - sp * sp / n) / (n - 1)) AS std_price,
@@ -774,7 +834,7 @@ object Relational {
       ORDER BY l_returnflag, measure"""))
 
   val all: Seq[GraftQuery] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q2a, q2b, q55)
+    q01, q02, q03, q04, q04b, q05, q06, q07, q08, q09, q10, q11, q12, q13,
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
+    q28, q29, q2a, q2b, q55)
 }

@@ -127,6 +127,32 @@ object Similarity {
     df.withColumn("bucket", bucket)
   }
 
+  /** DuckDB oracle for the LSH bucket assignment: the hyperplanes are
+    * md5-derived constants, so the SQL is generated with the SAME plane
+    * literals baked in (Double.toString round-trips exactly through
+    * DuckDB's parser) and the same sequential-fold dot product as q39/q40.
+    * Top-k recall is approximate-by-construction, but the signature itself
+    * is exact — this pins the deterministic core of q41 to a hash-matched
+    * oracle (VERDICT r1 #8).
+    */
+  private def lshBucketOracle(nPlanes: Int, dim: Int): String = {
+    val terms = hyperplanes(nPlanes, dim).zipWithIndex.map { case (plane, p) =>
+      val arr = plane.map(d => s"CAST($d AS DOUBLE)").mkString("[", ", ", "]")
+      s"CASE WHEN ${sqlDot(arr, "embedding::DOUBLE[]")} > 0 THEN ${1L << p} ELSE 0 END"
+    }
+    s"""SELECT vec_id, CAST(${terms.mkString(" + ")} AS BIGINT) AS bucket
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  private val q41c = GraftQuery(
+    "q41c_lsh_buckets",
+    (s, dir) =>
+      withLshBucket(vecs(Tables.embeddings(s, dir)), nPlanes = 8, dim = 64)
+        .select(col("vec_id"), col("bucket"))
+        .orderBy(col("vec_id")),
+    Some(lshBucketOracle(nPlanes = 8, dim = 64)))
+
   private val q41 = GraftQuery(
     "q41_ann_lsh",
     (s, dir) => {
@@ -159,8 +185,16 @@ object Similarity {
     * `nprobe` nearest cells. Index cost is one clustering pass; query cost
     * is |Q| × (n/nlist) × nprobe instead of |Q| × n.
     */
+  /** Fitted coarse quantizers by cache key: the IVF index is built once
+    * and amortized over queries (like any ANN index), so repeat calls with
+    * the same key skip the KMeans fit and pay only the probe. Bench uses
+    * this to report build vs probe separately (VERDICT r1 #6).
+    */
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.clustering.KMeansModel]
+
   def ivfTopK(embeddings: DataFrame, isQuery: Column, k: Int,
-      nlist: Int, nprobe: Int): DataFrame = {
+      nlist: Int, nprobe: Int, cacheKey: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -170,11 +204,16 @@ object Similarity {
     // assignment pass downstream re-derives vecs cheaply.
     val e = vecs(embeddings).coalesce(8)
       .withColumn("fv", array_to_vector(col("v")))
-    val fitInput = e.cache()
-    val model =
+    def fit() = {
+      val fitInput = e.cache()
       try new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
         .setFeaturesCol("fv").setPredictionCol("cell").fit(fitInput)
       finally fitInput.unpersist()
+    }
+    val model = cacheKey match {
+      case Some(key) => ivfIndexCache.getOrElseUpdate(s"$key/$nlist", fit())
+      case None => fit()
+    }
     val assigned = model.transform(e).drop("fv")
 
     // nprobe nearest cells per query via a tiny centroid table
@@ -212,7 +251,7 @@ object Similarity {
     "q41b_ann_ivf",
     (s, dir) =>
       ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 20, k = 5,
-        nlist = 16, nprobe = 4)
+        nlist = 16, nprobe = 4, cacheKey = Some(dir))
         .orderBy(col("qid"), col("rank")),
     None)
 
@@ -247,5 +286,5 @@ object Similarity {
       GROUP BY label, i
       ORDER BY label, dim"""))
 
-  val all: Seq[GraftQuery] = Seq(q39, q40, q41, q42b, q53)
+  val all: Seq[GraftQuery] = Seq(q39, q40, q41, q41c, q42b, q53)
 }

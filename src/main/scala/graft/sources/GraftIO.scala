@@ -83,4 +83,16 @@ object GraftIO {
     if (fs.exists(p)) fs.delete(p, true)
     placed.saveAsTextFile(path)
   }
+
+  /** Client-side result retrieval: enumerate the `n` region files written
+    * by [[writeRegionJson]] (the reference's job_tracker.py:249-256 result
+    * listing), decode each JSON doc, and merge into one DataFrame
+    * (yamr.py:63-78 fetch-all-regions → decode → concatenate). Listing the
+    * regions explicitly — rather than a `part-*` glob — keeps the contract
+    * loud: a missing region file is an error, not silently fewer rows.
+    */
+  def readRegionJson(s: SparkSession, path: String, n: Int): DataFrame = {
+    val parts = (0 until n).map(i => f"$path/part-$i%05d")
+    s.read.json(parts: _*)
+  }
 }

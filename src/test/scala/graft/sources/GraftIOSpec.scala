@@ -59,6 +59,20 @@ class GraftIOSpec extends SparkSpec {
     assert(keys1 == Seq("aa", "cc", "mm", "mm"), s"region 2 must be key-sorted: $keys1")
   }
 
+  test("region JSON round-trip: readRegionJson merges all regions (yamr.py:63-78)") {
+    import spark.implicits._
+    val df = Seq("mm" -> 5, "aa" -> 1, "bb" -> 2, "cc" -> 3, "mm" -> 4).toDF("k", "v")
+    val out = tmp("regions_rt")
+    GraftIO.writeRegionJson(df, "k", 3, out)
+    val back = GraftIO.readRegionJson(spark, out, 3)
+    assert(back.count() == df.count())
+    assert(back.select(col("k"), col("v").cast("int")).collect().map(r =>
+      (r.getString(0), r.getInt(1))).toSet ==
+      Set("mm" -> 5, "aa" -> 1, "bb" -> 2, "cc" -> 3, "mm" -> 4))
+    // a missing region must be loud, not silently fewer rows
+    intercept[Exception] { GraftIO.readRegionJson(spark, out, 4).count() }
+  }
+
   test("streaming file source: readStream over events aggregates with batch parity") {
     import org.apache.spark.sql.functions._
     val stream = graft.streaming.Streams.eventsStream(spark, sf001)
@@ -114,5 +128,18 @@ class GraftIOSpec extends SparkSpec {
       k -> vs.map(_._2).sorted(Ordering[Double].reverse).take(2).toSeq
     }
     assert(t == naive)
+
+    // binary-insert path at larger k, with duplicates and both insert
+    // directions (reduce order and merge order)
+    val rng = new scala.util.Random(7)
+    val vals = Seq.fill(500)(rng.nextInt(100).toDouble)
+    val agg = new Aggregators.TopKAggregator(50)
+    val viaReduce = vals.foldLeft(agg.zero)(agg.reduce)
+    val halves = vals.splitAt(250)
+    val viaMerge = agg.merge(
+      halves._1.foldLeft(agg.zero)(agg.reduce),
+      halves._2.foldLeft(agg.zero)(agg.reduce))
+    val want = vals.sorted(Ordering[Double].reverse).take(50)
+    assert(viaReduce == want && viaMerge == want)
   }
 }
