@@ -47,19 +47,31 @@ object Bench {
       val t0 = System.nanoTime()
       try SparkEntry.queries("q41b_ann_ivf")(spark, sfDir).count()
       catch { case e: Throwable =>
+        failures += "q41b_ann_ivf_build" // a bogus build time must not pass silently
         System.err.println(s"[bench] q41b index build FAILED: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
     }
 
+    // median of 3 runs per query: single-shot timing can't separate a
+    // systematic plan regression from one-off JIT/GC noise (VERDICT r2 #5)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        failures += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var i = 0
+      while (i < reps && !failed) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          failed = true
+          failures += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        times += (System.nanoTime() - t0) / 1e9
+        i += 1
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.sorted.apply(times.length / 2)
     } :+ ("q41b_ann_ivf_build" -> ivfBuild)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

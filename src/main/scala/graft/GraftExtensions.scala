@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.YamrPartition
+import graft.functions.{Md5Hash60, YamrPartition}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst functions for SQL use.
@@ -12,8 +12,9 @@ import graft.functions.YamrPartition
   * Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `SparkSession.builder().withExtensions(new GraftExtensions)` — then
-  * `SELECT yamr_partition(key, 8)` works in plain SQL, codegen'd
-  * (SURVEY §7.4: the one genuinely custom expression the engine needs).
+  * `SELECT yamr_partition(key, 8)` and `SELECT md5_hash60(s)` work in
+  * plain SQL, codegen'd (SURVEY §7.4: the two genuinely custom
+  * expressions the engine needs).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -23,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "yamr_partition(key, n) takes 2 arguments")
         YamrPartition(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_hash60"),
+      new ExpressionInfo(classOf[Md5Hash60].getName, "md5_hash60"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "md5_hash60(s) takes 1 argument")
+        Md5Hash60(children.head)
       }))
   }
 }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Curation, Dedup, MapReduceParity, Multimodal, Relational, Similarity, Sketches, SqlSurface, TextAnalysis, Windows}
+import graft.plans.ScaleOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +16,7 @@ object SparkEntry {
   private def registry: Seq[GraftQuery] =
     Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
       Multimodal.all ++ Sketches.all ++ MapReduceParity.all ++ Windows.all ++
-      Curation.all ++ SqlSurface.all
+      Curation.all ++ SqlSurface.all ++ ScaleOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -26,7 +27,14 @@ object SparkEntry {
     registry.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Generated oracles (data-derived constants) are included when their
+    * query has run in this JVM — Verify runs all queries first, so its
+    * dump gets them; a cold call degrades those entries to rows-only. */
   def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
+    registry.flatMap { q =>
+      q.oracle
+        .orElse(q.oracleGen.flatMap(g => try g() catch { case _: Exception => None }))
+        .map(sql => q.name -> sql.trim)
+    }.toMap
 }

@@ -53,19 +53,27 @@ object Curation {
 
   /** Keeps only candidate pairs whose exact shingle Jaccard ≥ threshold. */
   def verifyPairs(docs: DataFrame, candidates: DataFrame, threshold: Double): DataFrame =
-    verifyPairsFromShingles(shingleRows(docs), candidates, threshold)
+    verifyPairsFromShingles(shingleRows(docs), candidates, threshold,
+      docs.select(col("doc_id")).count())
 
   private def verifyPairsFromShingles(
-      sh: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
+      sh: DataFrame, candidates: DataFrame, threshold: Double, nDocs: Long): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // equi-join on (db, shingle), NOT join-then-filter: the latter crosses
-    // every da-shingle with every db-shingle per candidate pair (~10^4
-    // rows/pair) before filtering; including s in the join key keeps it a
-    // hash join sized by the actual intersections
+    // same hygiene as q36 (shared helper): 64-bit hashed join keys and the
+    // corpus-scaled df-cap, so boilerplate shingles can't re-inflate the
+    // verification join the candidate stage already avoided. Capped counts
+    // lower-bound true Jaccard (denominators stay exact over ALL
+    // shingles); the q51 oracle mirrors the cap. Blind spot and rationale
+    // documented at Dedup.dfCap.
+    val kept = Dedup.cappedHashedShingles(sh, Dedup.dfCap(nDocs))
+    // equi-join on (db, shingle-hash), NOT join-then-filter: the latter
+    // crosses every da-shingle with every db-shingle per candidate pair
+    // (~10^4 rows/pair) before filtering; including sk in the join key
+    // keeps it a hash join sized by the actual intersections
     val common = candidates
-      .join(sh.select(col("doc_id").as("da"), col("s")), "da")
-      .join(sh.select(col("doc_id").as("db2"), col("s").as("s2")),
-        col("db") === col("db2") && col("s") === col("s2"))
+      .join(kept.select(col("doc_id").as("da"), col("sk")), "da")
+      .join(kept.select(col("doc_id").as("db2"), col("sk").as("sk2")),
+        col("db") === col("db2") && col("sk") === col("sk2"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
     common
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
@@ -158,7 +166,8 @@ object Curation {
     val sh = shingleRows(docs).persist()
     try {
       val pairs = verifyPairsFromShingles(
-        sh, minhashCandidatesFromShingles(sh), threshold)
+        sh, minhashCandidatesFromShingles(sh), threshold,
+        docs.select(col("doc_id")).count())
       // CC materializes its labels per iteration, so sh can be released
       connectedComponents(docs.select(col("doc_id")), pairs)
     } finally sh.unpersist()
@@ -200,9 +209,12 @@ object Curation {
                FROM bands a JOIN bands b
                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      rare AS (SELECT s FROM sh GROUP BY s
+               HAVING COUNT(*) <= greatest(100, (SELECT COUNT(*) // 100 FROM documents))),
+      kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
       common AS (SELECT da, db, COUNT(*) AS c
-                 FROM cand JOIN sh a ON a.doc_id = da
-                           JOIN sh b ON b.doc_id = db AND a.s = b.s
+                 FROM cand JOIN kept a ON a.doc_id = da
+                           JOIN kept b ON b.doc_id = db AND a.s = b.s
                  GROUP BY da, db),
       edges AS (SELECT da, db FROM common
                 JOIN sizes na ON na.doc_id = da JOIN sizes nb ON nb.doc_id = db

@@ -64,32 +64,56 @@ object Dedup {
       GROUP BY md5(text)
       ORDER BY content_hash"""))
 
+  // ------------------------------------------------- df-cap hygiene
+  // A shingle appearing in k documents contributes k² rows to a shingle
+  // self-join (and k rows per candidate to the verification join), so
+  // boilerplate shingles (headers, license text) blow those joins up
+  // superlinearly at scale. Shingles with document frequency above the
+  // cap carry ~no Jaccard signal and are dropped BEFORE any join. The cap
+  // scales with corpus size (1% of docs, floor 100) so genuinely common
+  // boilerplate is always dropped while small corpora keep everything.
+  //
+  // BLIND SPOT (documented, by construction): a duplicate CLUSTER larger
+  // than the cap has every shared shingle above the cap, so its pairs
+  // lose ALL kept overlap and score 0 here — they do NOT merely score
+  // lower. MinHash banding (q37/q51 candidates) keeps all shingles and
+  // still collides such clusters in every band; this capped exact path is
+  // the pairwise calibration tool, not the cluster-discovery path.
+  // Denominator sizes stay exact (counted over ALL shingles), so kept
+  // scores are a lower bound of true Jaccard; the cap is mirrored in the
+  // oracles.
+
+  /** df-cap for a corpus of `nDocs` documents: max(100, 1% of docs). */
+  private[operators] def dfCap(nDocs: Long): Long = math.max(100L, nDocs / 100L)
+
+  /** The same cap as a DuckDB scalar subquery over `documents`. */
+  private[operators] val dfCapSql =
+    "greatest(100, (SELECT COUNT(*) // 100 FROM documents))"
+
+  /** (doc_id, sk) shingle rows keyed by 64-bit hash with high-df shingles
+    * dropped — the join-ready form shared by q36 and the q51 pipeline's
+    * verification join. Hashed keys instead of raw strings: smaller
+    * shuffle keys, cheaper probes; collision probability at 1e6 distinct
+    * shingles is ~1e-7 and only perturbs one pair count if it ever hits.
+    */
+  private[operators] def cappedHashedShingles(sh: DataFrame, cap: Long): DataFrame = {
+    val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("sk"))
+    val rare = hashed.groupBy(col("sk")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select(col("sk"))
+    hashed.join(rare, "sk")
+  }
+
   // ---------------------------------------------------------------- q36
   // Exact n-gram Jaccard similarity: top-20 most similar pairs. The
-  // calibration oracle for the MinHash path.
-  //
-  // A shingle appearing in k documents contributes k² rows to the
-  // self-join, so boilerplate shingles (headers, license text) blow the
-  // join up superlinearly at scale. Shingles with document frequency
-  // above `maxShingleDf` carry ~no Jaccard signal and are dropped BEFORE
-  // the self-join (the same high-df suppression MinHash banding applies
-  // implicitly). Denominator sizes stay exact (counted over ALL
-  // shingles), so scores are a documented lower bound for pairs whose
-  // overlap includes dropped shingles; the cap is mirrored in the oracle.
-  private val maxShingleDf = 100
+  // calibration oracle for the MinHash path (df-cap rationale above).
   private val q36 = GraftQuery(
     "q36_dedup_ngram_jaccard",
     (s, dir) => {
-      // join on a 64-bit shingle hash instead of the raw string: smaller
-      // shuffle keys, cheaper probes; collision probability at 1e6 distinct
-      // shingles is ~1e-7 and only perturbs one pair count if it ever hits
       val sh = shingleRows(Tables.documents(s, dir))
-        .select(col("doc_id"), xxhash64(col("s")).as("sk"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val rare = sh.groupBy(col("sk")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxShingleDf)
-        .select(col("sk"))
-      val kept = sh.join(rare, "sk")
+      // cap from the RAW scan's count — zero-column, no widen shuffle
+      val kept = cappedHashedShingles(sh, dfCap(Tables.load(s, dir, "documents").count()))
       val common = kept.alias("a")
         .join(kept.alias("b"), col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -105,7 +129,7 @@ object Dedup {
     Some(s"""
       WITH $shingleSql,
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $maxShingleDf),
+      rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $dfCapSql),
       kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
       common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
                  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id

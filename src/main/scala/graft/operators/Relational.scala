@@ -833,8 +833,40 @@ object Relational {
       SELECT l_returnflag, 'disc' AS measure, disc AS value FROM agg
       ORDER BY l_returnflag, measure"""))
 
+  // ---------------------------------------------------------------- q59
+  // GROUPING SETS in its general form — ((a),(b),()) is NOT a rollup or
+  // cube special case (rollup q21 / cube q25 cover those): one Expand
+  // emits the per-flag, per-status, and grand-total groups in a single
+  // pass over the scan instead of three separate aggregations unioned.
+  private val q59 = GraftQuery(
+    "q59_grouping_sets",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sumd2(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("cnt"), col("sum_qty"), col("g_rf"), col("g_ls"))
+        .orderBy(col("rf"), col("ls")),
+    Some("""
+      SELECT COALESCE(l_returnflag, '(all)') AS rf,
+             COALESCE(l_linestatus, '(all)') AS ls,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+             CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rf, ls"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q04b, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q2a, q2b, q55)
+    q28, q29, q2a, q2b, q55, q59)
 }

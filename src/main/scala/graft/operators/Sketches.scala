@@ -17,7 +17,7 @@ object Sketches {
   private val q43 = GraftQuery(
     "q43_approx_sketches",
     (s, dir) =>
-      Tables.lineitem(s, dir)
+      Tables.lineitemWide(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
@@ -31,7 +31,7 @@ object Sketches {
   private val q44 = GraftQuery(
     "q44_exact_distinct",
     (s, dir) =>
-      Tables.lineitem(s, dir)
+      Tables.lineitemWide(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_partkey")).as("n_parts"),

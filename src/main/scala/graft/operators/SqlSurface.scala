@@ -18,22 +18,39 @@ import graft.sources.Tables
   */
 object SqlSurface {
 
+  /** Registers the views once per (session, dir): `registerAll` eagerly
+    * builds plans + file-index listings for every table, which at 3-4 s
+    * dwarfed the sub-second queries when paid per run (VERDICT r2 #2). A
+    * session-conf marker keys the memo, so a dir change re-registers.
+    */
+  private def registerOnce(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    if (s.conf.get("graft.sql.registeredDir", "") != dir) {
+      Tables.registerAll(s, dir)
+      s.conf.set("graft.sql.registeredDir", dir)
+    }
+
   private def sqlQuery(name: String, stmt: String): GraftQuery =
     GraftQuery(
       name,
-      (s, dir) => { Tables.registerAll(s, dir); s.sql(stmt) },
+      (s, dir) => { registerOnce(s, dir); s.sql(stmt) },
       Some(stmt))
 
-  // Aggregation through the SQL parser (decimal-exact sums per the oracle
-  // determinism contract in Relational).
+  // Aggregation through the SQL parser. The decimal sum is emitted through
+  // the integral/fractional BIGINT split (Relational.decSplitDouble
+  // rationale): a straight decimal→double CAST rounds to different
+  // neighboring doubles across engines once the sum passes 2^53 scaled
+  // units, which o_totalprice sums do at larger scale factors.
   private val q56 = sqlQuery(
     "q56_sql_agg",
     """
-      SELECT o_orderpriority,
-             COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-      FROM orders
-      GROUP BY o_orderpriority
+      SELECT o_orderpriority, n_orders,
+             CAST(CAST(FLOOR(s) AS BIGINT) AS DOUBLE) +
+             CAST(CAST((s - FLOOR(s)) * 100 AS BIGINT) AS DOUBLE) / CAST(100 AS DOUBLE) AS total_price
+      FROM (SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+            FROM orders
+            GROUP BY o_orderpriority) t
       ORDER BY o_orderpriority""")
 
   // Join + dim filter through the SQL parser; nation/region are tiny dims

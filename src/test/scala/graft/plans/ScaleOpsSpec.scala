@@ -21,6 +21,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("declared q60 salted join matches the plain-join aggregation") {
+    val q60 = graft.SparkEntry.queries("q60_salted_join")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = Tables.lineitem(spark, sf001)
+      .join(Tables.orders(spark, sf001), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(q60.toSeq == plain.toSeq)
+  }
+
   test("bucketed co-located join plans without a shuffle exchange") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft_wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
