@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.GraftQuery
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Training-data preparation operators beyond dedup/similarity (SURVEY
+  * §2.14 extension set): deterministic sampling, per-source quotas,
+  * sequence packing, n-gram frequencies, embedding quantization, and PII
+  * redaction — the curation steps a 100 TB pretraining pipeline runs
+  * between raw crawl and tokenizer.
+  *
+  * Scale design: sampling/quantization/redaction are stateless scans
+  * (no shuffle, WholeStageCodegen end to end); quotas and packing shuffle
+  * once on their natural key (source / lang); bigram counting is
+  * explode → hash-agg with map-side partials. Sampling decisions are
+  * md5-derived (hash60), so they are engine-reproducible, rerun-stable,
+  * and consistent across incremental runs — no RNG state to checkpoint,
+  * unlike `df.sample`.
+  */
+object DataPrep {
+
+  // ---------------------------------------------------------------- q61
+  // Deterministic hash sampling: keep doc iff hash60("sample:" || id) ≡ 0
+  // (mod 10) — a 10% sample that is identical on every rerun and every
+  // engine, and composes with incremental ingestion (a doc's fate never
+  // depends on what else is in the batch).
+  private val q61 = GraftQuery(
+    "q61_hash_sample",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(pmod(hash60Seeded(lit("sample"), col("doc_id").cast("string")), lit(10)) === 0)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, lang, source
+      FROM documents
+      WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q62
+  // Per-source quota (training-mix curation): keep at most K docs per
+  // source, chosen by hash order — a deterministic uniform subsample per
+  // stratum, not "first K by id" (which would bias toward old data). One
+  // shuffle on source; the window is a per-group top-K, so at scale this
+  // is rank-and-filter, never a global sort.
+  private val q62 = {
+    val K = 50
+    GraftQuery(
+      "q62_source_quota",
+      (s, dir) => {
+        val h = hash60Seeded(lit("quota"), col("doc_id").cast("string"))
+        val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+        Tables.documents(s, dir)
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter(col("rn") <= K)
+          .select(col("source"), col("rn"), col("doc_id"))
+          .orderBy(col("source"), col("rn"))
+      },
+      Some(s"""
+        SELECT source, rn, doc_id
+        FROM (SELECT source, doc_id,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                                doc_id) AS INT) AS rn
+              FROM documents) t
+        WHERE rn <= $K
+        ORDER BY source, rn"""))
+  }
+
+  // ---------------------------------------------------------------- q63
+  // Sequence packing: assign docs to fixed token-budget packs (context
+  // windows) per language — pack_id = exclusive-prefix-sum of token
+  // counts DIV budget, in doc_id order. Streaming-chunking semantics
+  // (a straddling doc starts in the pack its prefix lands in), chosen
+  // over exact first-fit because it is expressible as ONE window cumsum —
+  // no sequential driver loop — and packs stay within budget + one doc.
+  // Partitioned by lang: each group's window is independent, so the
+  // cumsum parallelizes across groups at scale.
+  private val q63 = {
+    val B = 2048
+    GraftQuery(
+      "q63_seq_packing",
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tokens"))
+          .withColumn("cum_excl", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("lang"), col("doc_id"), col("n_tokens"),
+            expr(s"CAST(cum_excl DIV $B AS INT)").as("pack_id"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some(s"""
+        SELECT lang, doc_id, n_tokens, CAST(cum_excl // $B AS INT) AS pack_id
+        FROM (SELECT lang, doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+              FROM (SELECT lang, doc_id,
+                           CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                                                x -> x <> '')) AS INT) AS n_tokens
+                    FROM documents) tok) c
+        ORDER BY lang, doc_id"""))
+  }
+
+  // ---------------------------------------------------------------- q64
+  // Corpus bigram frequencies (vocabulary/boilerplate analysis): top-40
+  // bigrams by count. Explode → hash-agg (map-side partials collapse the
+  // shuffle to distinct bigrams per partition) → TakeOrdered.
+  private val q64 = GraftQuery(
+    "q64_bigram_freq",
+    (s, dir) => {
+      val t = col("t")
+      val grams = transform(sequence(lit(1), size(t) - 1),
+        j => concat(element_at(t, j), lit(" "), element_at(t, j + 1)))
+      Tables.documents(s, dir)
+        .select(tokens(col("text")).as("t"))
+        .select(explode(when(size(t) >= 2, grams)
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(40)
+    },
+    Some("""
+      WITH toks AS (SELECT list_filter(string_split_regex(lower(text), '\W+'),
+                                       x -> x <> '') AS t
+                    FROM documents),
+      b AS (SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM toks WHERE len(t) >= 2)
+      SELECT bigram, COUNT(*) AS cnt
+      FROM b
+      GROUP BY bigram
+      ORDER BY cnt DESC, bigram
+      LIMIT 40"""))
+
+  // ---------------------------------------------------------------- q65
+  // Symmetric int8 quantization of embeddings (the storage/serving format
+  // for ANN at scale: 4× smaller than float32, 8× than float64): per
+  // vector, scale by 127/max|x| and floor. Exactness: max|x| is a
+  // sequential greatest-fold (order-identical in both engines), and
+  // x*127/mx is two IEEE ops in the same order — bit-identical inputs to
+  // floor. Zero vectors are excluded (scale undefined). Emitted exploded
+  // (vec_id, dim, qval) — scalar rows, no cross-engine array formatting.
+  private val q65 = GraftQuery(
+    "q65_embed_quantize",
+    (s, dir) => {
+      val mx = aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x)))
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("mx", mx)
+        .filter(col("mx") > 0)
+        .select(col("vec_id"), col("mx"), posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          greatest(lit(-127), least(lit(127),
+            floor(col("x") * lit(127.0) / col("mx")))).cast("int").as("qval"))
+        .orderBy(col("vec_id"), col("dim"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list_transform(embedding::DOUBLE[], x -> abs(x))),
+                          (a, x) -> greatest(a, x)) AS mx
+                 FROM embeddings)
+      SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+             CAST(greatest(-127, least(127, floor(x * 127.0 / mx))) AS INT) AS qval
+      FROM (SELECT vec_id, mx, generate_subscripts(v, 1) AS i, unnest(v) AS x
+            FROM e WHERE mx > 0) t
+      ORDER BY vec_id, dim"""))
+
+  // ---------------------------------------------------------------- q66
+  // PII redaction: mask email addresses and long digit runs, reporting
+  // match counts and an md5 of the redacted text (proves byte-identical
+  // redaction across engines without emitting the full text). Patterns
+  // use only constructs with identical semantics in Java regex (Spark)
+  // and RE2 (DuckDB) — no lookaround, no backrefs. Stateless scan.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val numRe = "\\d{4,}"
+  private val q66 = GraftQuery(
+    "q66_pii_redact",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(emailRe)).cast("int").as("n_emails"),
+          regexp_count(col("text"), lit(numRe)).cast("int").as("n_nums"),
+          md5(regexp_replace(regexp_replace(col("text"), emailRe, "[EMAIL]"),
+            numRe, "[NUM]")).as("redacted_md5"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '$emailRe')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '$numRe')) AS INT) AS n_nums,
+             md5(regexp_replace(regexp_replace(text, '$emailRe', '[EMAIL]', 'g'),
+                                '$numRe', '[NUM]', 'g')) AS redacted_md5
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66)
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavior tests for the data-prep operators on micro-data; value-level
+  * parity is the driver's DuckDB oracle gate.
+  */
+class DataPrepSpec extends SparkSpec {
+
+  test("hash sample is deterministic and roughly the target fraction") {
+    def ids() = graft.SparkEntry.queries("q61_hash_sample")(spark, sf001)
+      .collect().map(_.getLong(0)).toSeq
+    val a = ids()
+    assert(a == ids(), "same sample on every run")
+    val total = graft.sources.Tables.load(spark, sf001, "documents").count()
+    val frac = a.length.toDouble / total
+    assert(frac > 0.04 && frac < 0.2, s"~10% expected, got $frac of $total")
+  }
+
+  test("source quota keeps at most K docs per source and is hash-ordered") {
+    val rows = graft.SparkEntry.queries("q62_source_quota")(spark, sf001)
+      .groupBy("source").count().collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) <= 50, s"source ${r.getString(0)}"))
+  }
+
+  test("sequence packing: pack ids are non-decreasing and bounded by total/budget") {
+    val rows = graft.SparkEntry.queries("q63_seq_packing")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._2)
+      assert(sorted.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        "pack_id non-decreasing in doc order")
+      val totalTokens = sorted.map(_._3.toLong).sum
+      assert(sorted.last._4 == ((totalTokens - sorted.last._3) / 2048).toInt)
+    }
+  }
+
+  test("int8 quantization stays in range and hits 127 or -127 at each vector's max") {
+    val rows = graft.SparkEntry.queries("q65_embed_quantize")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, q) => q >= -128 && q <= 127 })
+    // the max-|x| dim of each vector quantizes to ±127 (or -128→clamped)
+    val perVec = rows.groupBy(_._1).map { case (_, qs) => qs.map(_._2).map(math.abs).max }
+    assert(perVec.forall(m => m == 127))
+  }
+
+  test("PII redaction masks planted emails and digit runs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at alice@example.com or bob.smith+x@mail.co today"),
+      (2L, "card 12345678 expires soon; short 123 stays"),
+      (3L, "nothing to redact here")).toDF("doc_id", "text")
+    val out = docs.select(
+      regexp_count(col("text"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+        .as("n_emails"),
+      regexp_count(col("text"), lit("\\d{4,}")).as("n_nums"),
+      regexp_replace(
+        regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+        "\\d{4,}", "[NUM]").as("red"))
+      .collect()
+    assert(out(0).getAs[Int]("n_emails") == 2 && out(0).getAs[String]("red").contains("[EMAIL]"))
+    assert(out(1).getAs[Int]("n_nums") == 1 && out(1).getAs[String]("red").contains("[NUM] expires"))
+    assert(out(1).getAs[String]("red").contains("short 123 stays"))
+    assert(out(2).getAs[Int]("n_emails") == 0 && out(2).getAs[Int]("n_nums") == 0)
+  }
+}
