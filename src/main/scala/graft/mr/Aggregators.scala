@@ -52,4 +52,50 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
     def outputEncoder: Encoder[Seq[Double]] = bufferEncoder
   }
+
+  /** HyperLogLog distinct-count sketch with EXPORTABLE, mergeable register
+    * state — what `approx_count_distinct` (whose HLL++ state stays inside
+    * the plan) cannot give: persist per-shard/per-day sketches and fold
+    * them incrementally, the 100 TB pattern where re-scanning history for
+    * every refresh is off the table. Register merge is element-wise max —
+    * commutative, associative, idempotent — so shard sketches combine in
+    * any order and re-merging a shard is harmless.
+    *
+    * Standard HLL (Flajolet et al. 2007): p-bit bucket index, rank =
+    * leading zeros of the remaining bits + 1, harmonic-mean estimate with
+    * the linear-counting small-range correction. Input is a pre-hashed
+    * 64-bit value (e.g. `xxhash64(col)`), keeping the aggregator
+    * type-agnostic.
+    */
+  class HllAggregator(p: Int = 12) extends Aggregator[Long, Array[Int], Long] {
+    private val m = 1 << p
+    def zero: Array[Int] = new Array[Int](m)
+    def reduce(b: Array[Int], hash: Long): Array[Int] = {
+      val idx = (hash >>> (64 - p)).toInt
+      val w = hash << p
+      val rank = if (w == 0) 64 - p + 1 else java.lang.Long.numberOfLeadingZeros(w) + 1
+      if (rank > b(idx)) b(idx) = rank
+      b
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Int]): Long = {
+      val alpha = 0.7213 / (1.0 + 1.079 / m) // bias constant for m >= 128
+      var sum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < m) { sum += math.pow(2.0, -b(i)); if (b(i) == 0) zeros += 1; i += 1 }
+      val e = alpha * m * m / sum
+      val corrected =
+        if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) // linear counting
+        else e
+      math.round(corrected)
+    }
+    def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
 }

@@ -45,5 +45,23 @@ object Sketches {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
-  val all: Seq[GraftQuery] = Seq(q43, q44)
+  // Mergeable-state HLL counterpart (SURVEY §2.14 "custom aggregate only
+  // if mergeable sketch state must be exported"): same estimates family as
+  // q43, but through the engine's own Aggregator whose register state can
+  // be persisted per shard and folded incrementally — asserted in
+  // AggregatorsSpec (merge law + ≤5% error). Estimate → rows-only check.
+  private val q67 = GraftQuery(
+    "q67_hll_mergeable",
+    (s, dir) => {
+      val hll = udaf(new graft.mr.Aggregators.HllAggregator(12),
+        org.apache.spark.sql.Encoders.scalaLong)
+      Tables.lineitemWide(s, dir)
+        .select(col("l_returnflag"), xxhash64(col("l_partkey")).as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(hll(col("h")).as("est_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q43, q44, q67)
 }

@@ -37,6 +37,14 @@ object ScaleOps {
     lSalt.join(rSalt, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Writes `df` Hive-partitioned by `key` (one directory per value):
+    * equality/IN filters on `key` then prune whole directories at
+    * planning time (`PartitionFilters` on the scan) — at 100 TB the
+    * difference between reading one day and reading the archive.
+    */
+  def writePartitioned(df: DataFrame, key: String, path: String): Unit =
+    df.write.mode("overwrite").partitionBy(key).parquet(path)
+
   /** Writes `df` as a bucketed+sorted table: `buckets` files per
     * partition, co-located and pre-sorted on `key`. Joins between tables
     * bucketed the same way need no exchange and no sort.

@@ -35,6 +35,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(q60.toSeq == plain.toSeq)
   }
 
+  test("hive-partitioned write enables partition pruning at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val ev = Tables.events(spark, sf001)
+    ScaleOps.writePartitioned(ev, "event_type", dir)
+    val clicks = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = clicks.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_type"),
+      s"filter must prune partitions, not scan+filter:\n$plan")
+    // PushedFilters stays empty for the partition column — the predicate
+    // is resolved against the file index, not evaluated per row
+    assert(clicks.count() == ev.filter(col("event_type") === "click").count())
+  }
+
   test("bucketed co-located join plans without a shuffle exchange") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft_wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
