@@ -27,14 +27,17 @@ object ScaleOps {
     * gets a random-free deterministic salt (hash of all columns mod
     * factor), each right row is replicated `factor` times. The result
     * equals the plain join row-for-row; the shuffle spreads each hot key
-    * over `factor` tasks.
+    * over `factor` tasks. The shuffle-hash hint pins the strategy the
+    * technique targets: salting exists precisely when the side is too big
+    * to broadcast (a broadcast join has no skew problem — and broadcasting
+    * a factor-replicated build side would pay factor× driver memory).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, factor: Int): DataFrame = {
     val lSalt = left.withColumn("__salt",
       pmod(xxhash64(left.columns.map(col): _*), lit(factor)).cast("int"))
     val rSalt = right.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
-    lSalt.join(rSalt, Seq(key, "__salt")).drop("__salt")
+    lSalt.join(rSalt.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 
   /** Writes `df` Hive-partitioned by `key` (one directory per value):
