@@ -55,7 +55,8 @@ object Bench {
 
     // median of 3 runs per query: single-shot timing can't separate a
     // systematic plan regression from one-off JIT/GC noise (VERDICT r2 #5)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false

@@ -34,7 +34,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     registry.flatMap { q =>
       q.oracle
-        .orElse(q.oracleGen.flatMap(g => try g() catch { case _: Exception => None }))
+        .orElse(q.oracleGen.flatMap(g =>
+          try g() catch { case e: Exception =>
+            // a BROKEN generator must not silently weaken the gate to
+            // rows-only — that degrade path is only for "query never ran"
+            System.err.println(s"[oracle] ${q.name} generator failed: $e")
+            None
+          }))
         .map(sql => q.name -> sql.trim)
     }.toMap
 }

@@ -160,14 +160,17 @@ object Curation {
     * (minimum) doc_id of the near-duplicate cluster; docs with rep ==
     * doc_id form the deduplicated corpus.
     */
-  def clusterAssignments(docs: DataFrame, threshold: Double): DataFrame = {
+  def clusterAssignments(docs: DataFrame, threshold: Double,
+      nDocsHint: Option[Long] = None): DataFrame = {
     // shingles feed candidate generation AND verification — cache once
     // instead of recomputing the tokenize→shingle→explode pipeline 3×
     val sh = shingleRows(docs).persist()
     try {
+      // the hint lets callers supply a metadata-cheap count (raw parquet
+      // scan) instead of counting through whatever plan docs carries
       val pairs = verifyPairsFromShingles(
         sh, minhashCandidatesFromShingles(sh), threshold,
-        docs.select(col("doc_id")).count())
+        nDocsHint.getOrElse(docs.select(col("doc_id")).count()))
       // CC materializes its labels per iteration, so sh can be released
       connectedComponents(docs.select(col("doc_id")), pairs)
     } finally sh.unpersist()
@@ -186,7 +189,8 @@ object Curation {
   private val q51 = GraftQuery(
     "q51_dedup_pipeline",
     (s, dir) =>
-      clusterAssignments(Tables.documents(s, dir), threshold = 0.5)
+      clusterAssignments(Tables.documents(s, dir), threshold = 0.5,
+        nDocsHint = Some(Tables.load(s, dir, "documents").count()))
         .orderBy(col("doc_id")),
     Some("""
       WITH RECURSIVE
@@ -210,7 +214,7 @@ object Curation {
                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       rare AS (SELECT s FROM sh GROUP BY s
-               HAVING COUNT(*) <= greatest(100, (SELECT COUNT(*) // 100 FROM documents))),
+               HAVING COUNT(*) <= """ + Dedup.dfCapSql + """),
       kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
       common AS (SELECT da, db, COUNT(*) AS c
                  FROM cand JOIN kept a ON a.doc_id = da

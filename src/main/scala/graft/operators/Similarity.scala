@@ -203,7 +203,7 @@ object Similarity {
         val file = new java.io.File(new java.net.URI(f))
         s"$f:${file.length}:${file.lastModified}"
       } catch { case _: Exception => f } // non-local FS: name-only
-    }.mkString(";").hashCode.toHexString
+    }.mkString(";") // full descriptor — a 32-bit digest could collide into a stale model
 
   /** KMeans input: few coarse partitions — the fit runs ~10 jobs over this
     * input, and thousands of rows split across 32 partitions is pure task

@@ -18,16 +18,24 @@ import graft.sources.Tables
   */
 object SqlSurface {
 
-  /** Registers the views once per (session, dir): `registerAll` eagerly
-    * builds plans + file-index listings for every table, which at 3-4 s
-    * dwarfed the sub-second queries when paid per run (VERDICT r2 #2). A
-    * session-conf marker keys the memo, so a dir change re-registers.
+  /** Registers the views once per (session, data state): `registerAll`
+    * eagerly builds plans + file-index listings for every table, which at
+    * 3-4 s dwarfed the sub-second queries when paid per run (VERDICT r2
+    * #2). The memo key is dir + a cheap file fingerprint (names, sizes,
+    * mtimes), so both a dir change AND regenerated data under the same
+    * path re-register instead of serving a stale file listing.
     */
-  private def registerOnce(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    if (s.conf.get("graft.sql.registeredDir", "") != dir) {
+  private def registerOnce(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val key = dir + "|" + files.map(f =>
+      s"${f.getName}:${f.length}:${f.lastModified}").mkString(";")
+    if (s.conf.get("graft.sql.registeredDir", "") != key) {
       Tables.registerAll(s, dir)
-      s.conf.set("graft.sql.registeredDir", dir)
+      s.conf.set("graft.sql.registeredDir", key)
     }
+  }
 
   private def sqlQuery(name: String, stmt: String): GraftQuery =
     GraftQuery(

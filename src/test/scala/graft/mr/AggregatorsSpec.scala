@@ -7,11 +7,11 @@ import graft.SparkSpec
 /** Algebraic + accuracy properties of the exportable HLL sketch. */
 class AggregatorsSpec extends SparkSpec {
 
-  private def hashOf(v: Long): Long = {
+  private def hashesOf(vs: Seq[Long]): Seq[Long] = {
     // any well-mixed 64-bit hash works; use the same xxhash64 the query
-    // applies, via a 1-row DataFrame (keeps the test and query aligned)
+    // applies, hashed in ONE job (keeps the test and query aligned)
     import spark.implicits._
-    Seq(v).toDF("x").select(xxhash64(col("x"))).collect()(0).getLong(0)
+    vs.toDF("x").select(xxhash64(col("x"))).as[Long].collect().toSeq
   }
 
   test("HLL merge law: sketch(A ++ B) == merge(sketch(A), sketch(B)) register-for-register") {
@@ -45,7 +45,7 @@ class AggregatorsSpec extends SparkSpec {
 
   test("HLL small-range correction counts tiny sets near-exactly") {
     val agg = new Aggregators.HllAggregator(12)
-    val sk = (1L to 100L).map(hashOf).foldLeft(agg.zero)(agg.reduce)
+    val sk = hashesOf(1L to 100L).foldLeft(agg.zero)(agg.reduce)
     val est = agg.finish(sk)
     assert(math.abs(est - 100) <= 2, s"got $est")
   }
