@@ -67,10 +67,9 @@ object Aggregators {
     * 64-bit value (e.g. `xxhash64(col)`), keeping the aggregator
     * type-agnostic.
     */
-  class HllAggregator(p: Int = 12) extends Aggregator[Long, Array[Int], Long] {
-    private val m = 1 << p
-    def zero: Array[Int] = new Array[Int](m)
-    def reduce(b: Array[Int], hash: Long): Array[Int] = {
+  object Hll {
+    def zero(p: Int): Array[Int] = new Array[Int](1 << p)
+    def reduce(p: Int, b: Array[Int], hash: Long): Array[Int] = {
       val idx = (hash >>> (64 - p)).toInt
       val w = hash << p
       val rank = if (w == 0) 64 - p + 1 else java.lang.Long.numberOfLeadingZeros(w) + 1
@@ -79,10 +78,11 @@ object Aggregators {
     }
     def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
       var i = 0
-      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
       a
     }
-    def finish(b: Array[Int]): Long = {
+    def estimate(b: Array[Int]): Long = {
+      val m = b.length
       val alpha = 0.7213 / (1.0 + 1.079 / m) // bias constant for m >= 128
       var sum = 0.0
       var zeros = 0
@@ -94,8 +94,34 @@ object Aggregators {
         else e
       math.round(corrected)
     }
+    /** Register state ↔ bytes (one rank per byte; ranks ≤ 64-p+1 ≤ 127):
+      * the persistence format for per-shard sketches. */
+    def serialize(b: Array[Int]): Array[Byte] = b.map(_.toByte)
+    def deserialize(bytes: Array[Byte]): Array[Int] = bytes.map(_.toInt)
+  }
+
+  class HllAggregator(p: Int = 12) extends Aggregator[Long, Array[Int], Long] {
+    def zero: Array[Int] = Hll.zero(p)
+    def reduce(b: Array[Int], hash: Long): Array[Int] = Hll.reduce(p, b, hash)
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = Hll.merge(a, b)
+    def finish(b: Array[Int]): Long = Hll.estimate(b)
     def bufferEncoder: Encoder[Array[Int]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Same sketch, but the OUTPUT is the serialized register state — the
+    * per-shard form a pipeline persists (e.g. one sketch row per
+    * day/partition) and later folds with [[Hll.merge]] for an incremental
+    * global estimate, without re-scanning history.
+    */
+  class HllStateAggregator(p: Int = 12) extends Aggregator[Long, Array[Int], Array[Byte]] {
+    def zero: Array[Int] = Hll.zero(p)
+    def reduce(b: Array[Int], hash: Long): Array[Int] = Hll.reduce(p, b, hash)
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = Hll.merge(a, b)
+    def finish(b: Array[Int]): Array[Byte] = Hll.serialize(b)
+    def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 }

@@ -23,6 +23,23 @@ import graft.sources.Tables
   */
 object DataPrep {
 
+  /** The q61 sampling predicate as a reusable column expression: being a
+    * stateless row-local function, it applies unchanged to a streaming
+    * relation (asserted in StreamingSpec) — deterministic sampling needs
+    * no RNG state, so batch backfill and the live stream pick the SAME
+    * documents.
+    */
+  def sampleKeep(docId: org.apache.spark.sql.Column, mod: Int = 10): org.apache.spark.sql.Column =
+    pmod(hash60Seeded(lit("sample"), docId.cast("string")), lit(mod)) === 0
+
+  private[operators] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val numRe = "\\d{4,}"
+
+  /** q66's redaction as a reusable column expression (stateless — same
+    * batch/stream property as [[sampleKeep]]). */
+  def redact(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(text, emailRe, "[EMAIL]"), numRe, "[NUM]")
+
   // ---------------------------------------------------------------- q61
   // Deterministic hash sampling: keep doc iff hash60("sample:" || id) ≡ 0
   // (mod 10) — a 10% sample that is identical on every rerun and every
@@ -32,7 +49,7 @@ object DataPrep {
     "q61_hash_sample",
     (s, dir) =>
       Tables.documents(s, dir)
-        .filter(pmod(hash60Seeded(lit("sample"), col("doc_id").cast("string")), lit(10)) === 0)
+        .filter(sampleKeep(col("doc_id")))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id")),
     Some("""
@@ -180,8 +197,6 @@ object DataPrep {
   // redaction across engines without emitting the full text). Patterns
   // use only constructs with identical semantics in Java regex (Spark)
   // and RE2 (DuckDB) — no lookaround, no backrefs. Stateless scan.
-  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val numRe = "\\d{4,}"
   private val q66 = GraftQuery(
     "q66_pii_redact",
     (s, dir) =>
@@ -189,8 +204,7 @@ object DataPrep {
         .select(col("doc_id"),
           regexp_count(col("text"), lit(emailRe)).cast("int").as("n_emails"),
           regexp_count(col("text"), lit(numRe)).cast("int").as("n_nums"),
-          md5(regexp_replace(regexp_replace(col("text"), emailRe, "[EMAIL]"),
-            numRe, "[NUM]")).as("redacted_md5"))
+          md5(redact(col("text"))).as("redacted_md5"))
         .orderBy(col("doc_id")),
     Some(s"""
       SELECT doc_id,

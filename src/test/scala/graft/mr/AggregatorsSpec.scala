@@ -43,6 +43,28 @@ class AggregatorsSpec extends SparkSpec {
     }
   }
 
+  test("exported shard sketches fold to the same estimate as one global sketch") {
+    import spark.implicits._
+    val stateAgg = udaf(new Aggregators.HllStateAggregator(12),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // shard the events table by type, export one sketch row per shard —
+    // the per-day/per-partition persistence pattern — then merge
+    // driver-side and compare against sketching everything at once
+    val ev = graft.sources.Tables.events(spark, sf001)
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+    val shardStates = ev.groupBy(col("event_type")).agg(stateAgg(col("h")).as("state"))
+      .collect().map(r => Aggregators.Hll.deserialize(r.getAs[Array[Byte]]("state")))
+    val folded = shardStates.reduce(Aggregators.Hll.merge)
+    val whole = ev.select(col("h")).as[Long].collect()
+      .foldLeft(Aggregators.Hll.zero(12))((b, h) => Aggregators.Hll.reduce(12, b, h))
+    assert(Aggregators.Hll.estimate(folded) == Aggregators.Hll.estimate(whole))
+    // and the estimate itself is sane vs the exact distinct-user count
+    val exact = graft.sources.Tables.events(spark, sf001)
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    val err = math.abs(Aggregators.Hll.estimate(folded) - exact).toDouble / exact
+    assert(err <= 0.05, s"est=${Aggregators.Hll.estimate(folded)} exact=$exact")
+  }
+
   test("HLL small-range correction counts tiny sets near-exactly") {
     val agg = new Aggregators.HllAggregator(12)
     val sk = hashesOf(1L to 100L).foldLeft(agg.zero)(agg.reduce)

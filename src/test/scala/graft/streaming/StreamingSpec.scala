@@ -103,6 +103,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless data-prep ops (hash sample + redaction) give identical results over a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "mail me at a@b.com"), (2L, "code 123456 plain"), (3L, "nothing"),
+      (10L, "x@y.org and 98765432"), (20L, "clean text"), (30L, "id 4444 4444"))
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = df.filter(graft.operators.DataPrep.sampleKeep(col("doc_id"), mod = 2))
+      .select(col("doc_id"), graft.operators.DataPrep.redact(col("text")).as("red"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(s"prep_test_${System.nanoTime()}")
+      .start()
+    try {
+      mem.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(3): _*) // incremental arrival must not change fates
+      q.processAllAvailable()
+      val streamed = spark.table(q.name).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = docs.toDF("doc_id", "text")
+        .filter(graft.operators.DataPrep.sampleKeep(col("doc_id"), mod = 2))
+        .select(col("doc_id"), graft.operators.DataPrep.redact(col("text")).as("red"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed.nonEmpty && streamed.size < docs.size, "a strict sample")
+      assert(streamed.forall { case (_, t) => !t.contains("@") })
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchase within 20min of click joins, later one does not") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
