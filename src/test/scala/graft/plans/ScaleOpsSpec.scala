@@ -35,6 +35,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(q60.toSeq == plain.toSeq)
   }
 
+  test("AQE splits a skewed join partition at runtime (the no-manual-salt path)") {
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    // shrink the skew thresholds so the hot key trips AQE at test scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try {
+      // hot key 1: 400k rows; 99 cold keys: 100 rows each
+      val left = ((1 to 400000).map(_ => 1L) ++
+        (2 to 100).flatMap(k => Seq.fill(100)(k.toLong)))
+        .toDF("k").withColumn("pad", lpad(col("k").cast("string"), 64, "x"))
+      val right = (1 to 100).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      // act on THIS DataFrame: count() builds a separate QueryExecution,
+      // whose adaptive plan would leave joined's own one un-finalized
+      assert(joined.collect().length == 400000 + 99 * 100)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the hot partition as skewed:\n$finalPlan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("hive-partitioned write enables partition pruning at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val ev = Tables.events(spark, sf001)
