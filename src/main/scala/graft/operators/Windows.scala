@@ -140,5 +140,79 @@ object Windows {
        AND p.ts <= c.ts + INTERVAL 20 MINUTE
       ORDER BY click_id, purchase_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q48, q49, q50, q52, q54)
+  // ---------------------------------------------------------------- q68
+  // The ranking-function family beyond row_number (q09): percent_rank,
+  // cume_dist, ntile, first/nth_value — per-group distribution positions
+  // over a total order (unique tie-break on o_orderkey, so every function
+  // is deterministic). percent_rank/cume_dist are exact small-integer
+  // ratios — identical doubles in both engines.
+  private val q68 = GraftQuery(
+    "q68_window_rank_family",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("cheapest", first_value(col("o_orderkey")).over(w))
+        .withColumn("second_cheapest", nth_value(col("o_orderkey"), 2).over(w))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("pr"),
+          col("cd"), col("quartile"), col("cheapest"), col("second_cheapest"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderpriority, o_orderkey,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             first_value(o_orderkey) OVER w AS cheapest,
+             nth_value(o_orderkey, 2) OVER w AS second_cheapest
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderpriority, o_orderkey"""))
+
+  // ---------------------------------------------------------------- q69
+  // Exact percentiles by rank selection: the value at ceil(p·n) in the
+  // group's total order. Index arithmetic is pure integers
+  // ((p·100·n + 99) DIV 100), so there is no float-boundary risk, and —
+  // unlike interpolating percentile functions — the answer is always an
+  // actual data value, computed identically in any engine. The
+  // distributed shape is one window rank + filter, no global sort.
+  private val q69 = GraftQuery(
+    "q69_exact_percentile_rank",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val ranked = Tables.lineitem(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
+      ranked
+        .filter(col("rn") === expr("(50 * n + 99) DIV 100") ||
+          col("rn") === expr("(95 * n + 99) DIV 100"))
+        .select(col("l_returnflag"),
+          when(col("rn") === expr("(50 * n + 99) DIV 100"), lit("p50"))
+            .otherwise(lit("p95")).as("pct"),
+          col("l_extendedprice").as("value"))
+        .orderBy(col("l_returnflag"), col("pct"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+      SELECT l_returnflag,
+             CASE WHEN rn = (50 * n + 99) // 100 THEN 'p50' ELSE 'p95' END AS pct,
+             l_extendedprice AS value
+      FROM ranked
+      WHERE rn = (50 * n + 99) // 100 OR rn = (95 * n + 99) // 100
+      ORDER BY l_returnflag, pct"""))
+
+  val all: Seq[GraftQuery] = Seq(q48, q49, q50, q52, q54, q68, q69)
 }
