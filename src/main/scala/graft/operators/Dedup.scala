@@ -214,5 +214,33 @@ object Dedup {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38)
+  // ---------------------------------------------------------------- q70
+  // Edit-distance similarity on short strings (the title/URL-dedup
+  // companion to shingle Jaccard): Levenshtein over 40-char prefixes for
+  // a bounded candidate set, closest 20 pairs. Integer distances →
+  // bit-exact across engines. Scale path: edit distance is only ever
+  // computed on SHORT fields over candidate pairs (length-band + prefix
+  // bucketing bounds the pair space, same discipline as LSH); the full
+  // cross-pair form here is the deliberate small-subset calibration.
+  private val q70 = GraftQuery(
+    "q70_edit_distance",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+      d.alias("a").join(d.alias("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          levenshtein(col("a.p"), col("b.p")).as("dist"))
+        .orderBy(col("dist"), col("da"), col("db"))
+        .limit(20)
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, substr(text, 1, 40) AS p
+                 FROM documents WHERE doc_id < 60)
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(levenshtein(a.p, b.p) AS INT) AS dist
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      ORDER BY dist, da, db
+      LIMIT 20"""))
+
+  val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70)
 }

@@ -86,5 +86,19 @@ object SqlSurface {
       WHERE rn <= 2
       ORDER BY o_custkey, rn""")
 
-  val all: Seq[GraftQuery] = Seq(q56, q57, q58)
+  // Correlated EXISTS/NOT EXISTS through the SQL parser: Catalyst's
+  // RewritePredicateSubquery turns these into semi/anti joins — the
+  // declarative twin of q05/q06's explicit left_semi/left_anti.
+  private val q71 = sqlQuery(
+    "q71_sql_exists",
+    """
+      SELECT o_orderkey, o_orderpriority
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+      ORDER BY o_orderkey""")
+
+  val all: Seq[GraftQuery] = Seq(q56, q57, q58, q71)
 }
