@@ -865,8 +865,32 @@ object Relational {
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY rf, ls"""))
 
+  // ---------------------------------------------------------------- q72
+  // Array aggregation (collect_set) made deterministic: Spark collects in
+  // partition-arrival order, so the set is sorted before emission and
+  // joined to a scalar string (the driver's value compare is
+  // row-scalar-based; engine array formatting differs). Shuffle volume is
+  // O(groups × distinct values) — bounded here by design; unbounded
+  // collect at scale belongs in explode-side processing instead.
+  private val q72 = GraftQuery(
+    "q72_array_agg",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+          countDistinct(col("l_linestatus")).as("n_statuses"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+             COUNT(DISTINCT l_linestatus) AS n_statuses
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q04b, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q2a, q2b, q55, q59)
+    q28, q29, q2a, q2b, q55, q59, q72)
 }
