@@ -77,6 +77,10 @@ object Aggregators {
       b
     }
     def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      // folding states of different precision would silently estimate
+      // wrong (or throw an opaque AIOOBE) — fail loudly instead
+      require(a.length == b.length,
+        s"cannot merge HLL states of different precision: ${a.length} vs ${b.length} registers")
       var i = 0
       while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
       a

@@ -152,12 +152,18 @@ object Windows {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
+      // value functions need the FULL-partition frame: the default running
+      // frame would leave nth_value(2) NULL on each partition's first row
+      // (rank functions must keep the default ordering frame)
+      val wf = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
       Tables.orders(s, dir)
         .withColumn("pr", percent_rank().over(w))
         .withColumn("cd", cume_dist().over(w))
         .withColumn("quartile", ntile(4).over(w))
-        .withColumn("cheapest", first_value(col("o_orderkey")).over(w))
-        .withColumn("second_cheapest", nth_value(col("o_orderkey"), 2).over(w))
+        .withColumn("cheapest", first_value(col("o_orderkey")).over(wf))
+        .withColumn("second_cheapest", nth_value(col("o_orderkey"), 2).over(wf))
         .select(col("o_orderpriority"), col("o_orderkey"), col("pr"),
           col("cd"), col("quartile"), col("cheapest"), col("second_cheapest"))
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
@@ -167,11 +173,14 @@ object Windows {
              percent_rank() OVER w AS pr,
              cume_dist() OVER w AS cd,
              CAST(ntile(4) OVER w AS INT) AS quartile,
-             first_value(o_orderkey) OVER w AS cheapest,
-             nth_value(o_orderkey, 2) OVER w AS second_cheapest
+             first_value(o_orderkey) OVER wf AS cheapest,
+             nth_value(o_orderkey, 2) OVER wf AS second_cheapest
       FROM orders
       WINDOW w AS (PARTITION BY o_orderpriority
-                   ORDER BY o_totalprice, o_orderkey)
+                   ORDER BY o_totalprice, o_orderkey),
+             wf AS (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY o_orderpriority, o_orderkey"""))
 
   // ---------------------------------------------------------------- q69
@@ -187,17 +196,22 @@ object Windows {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_returnflag"))
         .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val p50Idx = expr("(50 * n + 99) DIV 100")
+      val p95Idx = expr("(95 * n + 99) DIV 100")
       val ranked = Tables.lineitem(s, dir)
         .withColumn("rn", row_number().over(w))
         .withColumn("n", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
+      // one label row PER matching percentile (a 1-row group has p50 and
+      // p95 coincide — both labels must still appear), via explode of the
+      // non-null labels rather than a first-match when/otherwise
       ranked
-        .filter(col("rn") === expr("(50 * n + 99) DIV 100") ||
-          col("rn") === expr("(95 * n + 99) DIV 100"))
-        .select(col("l_returnflag"),
-          when(col("rn") === expr("(50 * n + 99) DIV 100"), lit("p50"))
-            .otherwise(lit("p95")).as("pct"),
-          col("l_extendedprice").as("value"))
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          explode(filter(
+            array(when(col("rn") === p50Idx, lit("p50")),
+              when(col("rn") === p95Idx, lit("p95"))),
+            x => x.isNotNull)).as("pct"))
+        .select(col("l_returnflag"), col("pct"), col("l_extendedprice").as("value"))
         .orderBy(col("l_returnflag"), col("pct"))
     },
     Some("""
@@ -208,10 +222,11 @@ object Windows {
                COUNT(*) OVER (PARTITION BY l_returnflag) AS n
         FROM lineitem)
       SELECT l_returnflag,
-             CASE WHEN rn = (50 * n + 99) // 100 THEN 'p50' ELSE 'p95' END AS pct,
+             unnest(list_filter([CASE WHEN rn = (50 * n + 99) // 100 THEN 'p50' END,
+                                 CASE WHEN rn = (95 * n + 99) // 100 THEN 'p95' END],
+                                x -> x IS NOT NULL)) AS pct,
              l_extendedprice AS value
       FROM ranked
-      WHERE rn = (50 * n + 99) // 100 OR rn = (95 * n + 99) // 100
       ORDER BY l_returnflag, pct"""))
 
   val all: Seq[GraftQuery] = Seq(q48, q49, q50, q52, q54, q68, q69)

@@ -41,8 +41,7 @@ class ScaleOpsSpec extends SparkSpec {
       "spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
       .map(k => k -> spark.conf.getOption(k)).toMap
     // shrink the skew thresholds so the hot key trips AQE at test scale
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
