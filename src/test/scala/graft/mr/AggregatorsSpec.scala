@@ -65,6 +65,12 @@ class AggregatorsSpec extends SparkSpec {
     assert(err <= 0.05, s"est=${Aggregators.Hll.estimate(folded)} exact=$exact")
   }
 
+  test("HLL merge rejects mixed-precision states loudly") {
+    intercept[IllegalArgumentException] {
+      Aggregators.Hll.merge(Aggregators.Hll.zero(12), Aggregators.Hll.zero(13))
+    }
+  }
+
   test("HLL small-range correction counts tiny sets near-exactly") {
     val agg = new Aggregators.HllAggregator(12)
     val sk = hashesOf(1L to 100L).foldLeft(agg.zero)(agg.reduce)
