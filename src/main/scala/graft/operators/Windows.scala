@@ -229,5 +229,40 @@ object Windows {
       FROM ranked
       ORDER BY l_returnflag, pct"""))
 
-  val all: Seq[GraftQuery] = Seq(q48, q49, q50, q52, q54, q68, q69)
+  // ---------------------------------------------------------------- q73
+  // Cohort retention: users grouped by first-seen week, counted in each
+  // subsequent week — the temporal self-alignment pattern (engagement /
+  // data-freshness dashboards). Weeks are epoch-integer buckets
+  // (epoch DIV 604800), so bucketing is engine-agnostic — no calendar
+  // week-start semantics to disagree on. Shape: one distinct (user,
+  // week) pass, a tiny per-user min, a broadcastable self-join, one
+  // final hash-agg — no window over the whole history.
+  private val q73 = GraftQuery(
+    "q73_cohort_retention",
+    (s, dir) => {
+      val weeks = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(unix_timestamp(ts) DIV 604800 AS BIGINT)").as("wk"))
+        .distinct()
+      val first = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      weeks.join(first, "user_id")
+        .withColumn("wk_offset", (col("wk") - col("cohort")).cast("int"))
+        .filter(col("wk_offset") <= 3)
+        .groupBy(col("cohort"), col("wk_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("wk_offset"))
+    },
+    Some("""
+      WITH weeks AS (SELECT DISTINCT user_id,
+                            CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+                     FROM events),
+      first AS (SELECT user_id, MIN(wk) AS cohort FROM weeks GROUP BY user_id)
+      SELECT cohort, CAST(wk - cohort AS INT) AS wk_offset,
+             COUNT(DISTINCT weeks.user_id) AS n_users
+      FROM weeks JOIN first ON weeks.user_id = first.user_id
+      WHERE wk - cohort <= 3
+      GROUP BY cohort, wk - cohort
+      ORDER BY cohort, wk_offset"""))
+
+  val all: Seq[GraftQuery] = Seq(q48, q49, q50, q52, q54, q68, q69, q73)
 }
