@@ -68,7 +68,14 @@ object Aggregators {
     * type-agnostic.
     */
   object Hll {
-    def zero(p: Int): Array[Int] = new Array[Int](1 << p)
+    def zero(p: Int): Array[Int] = {
+      // the bias constant in `estimate` is only valid for m >= 128 (p >= 7)
+      // and p > 18 allocates multi-MB register arrays for no accuracy gain;
+      // out-of-range precisions fail loudly (same philosophy as the merge
+      // precision guard) instead of silently estimating wrong
+      require(p >= 7 && p <= 18, s"HLL precision must be in [7, 18], got $p")
+      new Array[Int](1 << p)
+    }
     def reduce(p: Int, b: Array[Int], hash: Long): Array[Int] = {
       val idx = (hash >>> (64 - p)).toInt
       val w = hash << p

@@ -53,19 +53,20 @@ object Curation {
 
   /** Keeps only candidate pairs whose exact shingle Jaccard ≥ threshold. */
   def verifyPairs(docs: DataFrame, candidates: DataFrame, threshold: Double): DataFrame =
-    verifyPairsFromShingles(shingleRows(docs), candidates, threshold,
-      docs.select(col("doc_id")).count())
+    verifyPairsFromShingles(shingleRows(docs), candidates, threshold)
 
   private def verifyPairsFromShingles(
-      sh: DataFrame, candidates: DataFrame, threshold: Double, nDocs: Long): DataFrame = {
+      sh: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // same hygiene as q36 (shared helper): 64-bit hashed join keys and the
-    // corpus-scaled df-cap, so boilerplate shingles can't re-inflate the
-    // verification join the candidate stage already avoided. Capped counts
-    // lower-bound true Jaccard (denominators stay exact over ALL
-    // shingles); the q51 oracle mirrors the cap. Blind spot and rationale
-    // documented at Dedup.dfCap.
-    val kept = Dedup.cappedHashedShingles(sh, Dedup.dfCap(nDocs))
+    // 64-bit hashed join keys (same rationale as q36: small shuffle keys,
+    // cheap probes) but NO df-cap here: the candidate list already bounds
+    // the join size, and capping inside verification has a failure mode
+    // the pairwise path doesn't — a duplicate CLUSTER larger than the cap
+    // has every shared shingle above it, so capped overlap counts drop to
+    // 0 and exactly the largest duplicate clusters silently fail to merge
+    // (ADVICE r3). The cap stays where it belongs: the q36 exact
+    // SELF-join, whose blow-up it exists to prevent.
+    val kept = sh.select(col("doc_id"), xxhash64(col("s")).as("sk"))
     // equi-join on (db, shingle-hash), NOT join-then-filter: the latter
     // crosses every da-shingle with every db-shingle per candidate pair
     // (~10^4 rows/pair) before filtering; including sk in the join key
@@ -129,7 +130,9 @@ object Curation {
     // undirected edge list, both directions
     val sym = edges.select(col("da").as("src"), col("db").as("dst"))
       .union(edges.select(col("db").as("src"), col("da").as("dst")))
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("rep"))
+    // initial labels are persisted too, so every iteration follows the
+    // same discipline: cache next, count the diff, release the old
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("rep")).cache()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -160,17 +163,13 @@ object Curation {
     * (minimum) doc_id of the near-duplicate cluster; docs with rep ==
     * doc_id form the deduplicated corpus.
     */
-  def clusterAssignments(docs: DataFrame, threshold: Double,
-      nDocsHint: Option[Long] = None): DataFrame = {
+  def clusterAssignments(docs: DataFrame, threshold: Double): DataFrame = {
     // shingles feed candidate generation AND verification — cache once
     // instead of recomputing the tokenize→shingle→explode pipeline 3×
     val sh = shingleRows(docs).persist()
     try {
-      // the hint lets callers supply a metadata-cheap count (raw parquet
-      // scan) instead of counting through whatever plan docs carries
       val pairs = verifyPairsFromShingles(
-        sh, minhashCandidatesFromShingles(sh), threshold,
-        nDocsHint.getOrElse(docs.select(col("doc_id")).count()))
+        sh, minhashCandidatesFromShingles(sh), threshold)
       // CC materializes its labels per iteration, so sh can be released
       connectedComponents(docs.select(col("doc_id")), pairs)
     } finally sh.unpersist()
@@ -189,8 +188,7 @@ object Curation {
   private val q51 = GraftQuery(
     "q51_dedup_pipeline",
     (s, dir) =>
-      clusterAssignments(Tables.documents(s, dir), threshold = 0.5,
-        nDocsHint = Some(Tables.load(s, dir, "documents").count()))
+      clusterAssignments(Tables.documents(s, dir), threshold = 0.5)
         .orderBy(col("doc_id")),
     Some("""
       WITH RECURSIVE
@@ -213,12 +211,9 @@ object Curation {
                FROM bands a JOIN bands b
                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      rare AS (SELECT s FROM sh GROUP BY s
-               HAVING COUNT(*) <= """ + Dedup.dfCapSql + """),
-      kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
       common AS (SELECT da, db, COUNT(*) AS c
-                 FROM cand JOIN kept a ON a.doc_id = da
-                           JOIN kept b ON b.doc_id = db AND a.s = b.s
+                 FROM cand JOIN sh a ON a.doc_id = da
+                           JOIN sh b ON b.doc_id = db AND a.s = b.s
                  GROUP BY da, db),
       edges AS (SELECT da, db FROM common
                 JOIN sizes na ON na.doc_id = da JOIN sizes nb ON nb.doc_id = db

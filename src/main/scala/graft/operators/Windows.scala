@@ -233,16 +233,25 @@ object Windows {
   // Cohort retention: users grouped by first-seen week, counted in each
   // subsequent week — the temporal self-alignment pattern (engagement /
   // data-freshness dashboards). Weeks are epoch-integer buckets
-  // (epoch DIV 604800), so bucketing is engine-agnostic — no calendar
-  // week-start semantics to disagree on. Shape: one distinct (user,
+  // (floordiv(epoch, 604800)), so bucketing is engine-agnostic — no
+  // calendar week-start semantics to disagree on. Shape: one distinct (user,
   // week) pass, a tiny per-user min, a broadcastable self-join, one
   // final hash-agg — no window over the whole history.
   private val q73 = GraftQuery(
     "q73_cohort_retention",
     (s, dir) => {
+      // FLOOR division, not DIV: truncate-toward-zero would make the
+      // pre-1970 (negative-epoch) weeks one bucket wide-of-true and put
+      // epoch 0 in a 2-weeks-minus-1s bucket. Both engines' integer
+      // division truncates (Spark DIV and DuckDB's BIGINT `//` alike), so
+      // BOTH sides spell out floor via the positive-mod identity
+      // floordiv(x, m) = (x - pmod(x, m)) / m, keeping the arithmetic
+      // integer-exact. (Sub-second truncation still assumes whole-second
+      // timestamps, which the events table guarantees.)
       val weeks = Tables.events(s, dir)
         .select(col("user_id"),
-          expr("CAST(unix_timestamp(ts) DIV 604800 AS BIGINT)").as("wk"))
+          expr("CAST((unix_timestamp(ts) - pmod(unix_timestamp(ts), 604800)) / 604800 AS BIGINT)")
+            .as("wk"))
         .distinct()
       val first = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
       weeks.join(first, "user_id")
@@ -253,9 +262,10 @@ object Windows {
         .orderBy(col("cohort"), col("wk_offset"))
     },
     Some("""
-      WITH weeks AS (SELECT DISTINCT user_id,
-                            CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
-                     FROM events),
+      WITH sec AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+      weeks AS (SELECT DISTINCT user_id,
+                       (e - ((e % 604800) + 604800) % 604800) // 604800 AS wk
+                FROM sec),
       first AS (SELECT user_id, MIN(wk) AS cohort FROM weeks GROUP BY user_id)
       SELECT cohort, CAST(wk - cohort AS INT) AS wk_offset,
              COUNT(DISTINCT weeks.user_id) AS n_users

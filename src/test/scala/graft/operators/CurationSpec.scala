@@ -37,4 +37,34 @@ class CurationSpec extends SparkSpec {
       .collect()
     assert(pairs.isEmpty, s"0.99 threshold must reject all: ${pairs.mkString(",")}")
   }
+
+  test("a duplicate cluster larger than the old df-cap still merges (ADVICE r3 regression)") {
+    // 120 near-identical docs: every shared shingle has df = 120 > the
+    // old cap of max(100, n/100) = 100, so the capped verification join
+    // scored all pairs 0 and the cluster silently failed to merge —
+    // exactly the clusters dedup exists to find. Verification is uncapped
+    // now (candidates bound the join), so all 120 must land on rep 1.
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val docs = (1 to 120).map(i => (i.toLong, s"$base x$i")).toDF("doc_id", "text")
+    val assign = Curation.clusterAssignments(docs, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign.size == 120 && assign.values.forall(_ == 1L),
+      s"expected one cluster with rep 1, got reps ${assign.values.toSet}")
+  }
+
+  test("connectedComponents distributed label propagation matches union-find") {
+    import spark.implicits._
+    val nodes = (1L to 6L).toDF("doc_id")
+    // chain 1-2-3 (needs >1 propagation round), pair 5-6, isolated 4
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L)
+    // driverEdgeLimit = 0 forces the distributed path on a tiny graph
+    val dist = Curation.connectedComponents(nodes, edges, driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected, s"distributed path: $dist")
+    val driver = Curation.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == expected, s"driver union-find path: $driver")
+  }
 }

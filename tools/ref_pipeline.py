@@ -20,14 +20,15 @@ for r, tups in regions.items():
     f = tempfile.NamedTemporaryFile('w', suffix='.json', delete=False)
     json.dump(tups, f); f.close(); files.append(f.name)
 out = []
+outfiles = []
 for fn in files:
     tups = [(x[0], x[1]) for x in json.load(open(fn))]
     grouped = {}
     for k, v in tups: grouped.setdefault(k, []).append(v)
     result = [(k, sum(vs)) for k, vs in sorted(grouped.items())]
     o = tempfile.NamedTemporaryFile('w', suffix='.json', delete=False)
-    json.dump(result, o); o.close()
+    json.dump(result, o); o.close(); outfiles.append(o.name)
     out.extend(result)
-for fn in files: os.unlink(fn)
+for fn in files + outfiles: os.unlink(fn)
 t1 = time.time()
 print(f"reference-pipeline onegin: {t1-t0:.3f}s, {len(out)} distinct words, {len(tuples)} tokens")
