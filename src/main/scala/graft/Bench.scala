@@ -41,11 +41,17 @@ object Bench {
 
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
 
+    // optional comma-separated query filter for targeted re-measurement
+    // (regression triage without paying for the whole tail)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+
     // The IVF index build (KMeans fit) is a one-time amortized cost, not
     // query latency: run q41b once up front so the fitted model lands in
     // Similarity's index cache, report that as *_build, and let the timed
     // loop below measure the probe-only path like any other query.
-    val ivfBuild: Option[Double] = {
+    val ivfBuild: Option[Double] = if (!selected("q41b_ann_ivf")) None else {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries("q41b_ann_ivf")(spark, sfDir).count()
@@ -61,7 +67,9 @@ object Bench {
     // systematic plan regression from one-off JIT/GC noise (VERDICT r2 #5)
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
+      .flatMap { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var i = 0

@@ -65,23 +65,27 @@ object Dedup {
       ORDER BY content_hash"""))
 
   // ------------------------------------------------- df-cap hygiene
-  // A shingle appearing in k documents contributes k² rows to a shingle
-  // self-join (and k rows per candidate to the verification join), so
-  // boilerplate shingles (headers, license text) blow those joins up
-  // superlinearly at scale. Shingles with document frequency above the
-  // cap carry ~no Jaccard signal and are dropped BEFORE any join. The cap
-  // scales with corpus size (1% of docs, floor 100) so genuinely common
-  // boilerplate is always dropped while small corpora keep everything.
+  // A shingle appearing in k documents contributes ~k² rows to exact
+  // pair generation, so boilerplate shingles (headers, license text)
+  // blow the q36 pair space up superlinearly at scale. Shingles with
+  // document frequency above the cap carry ~no Jaccard signal and are
+  // dropped before pairing. The cap scales with corpus size (1% of docs,
+  // floor 100) so genuinely common boilerplate is always dropped while
+  // small corpora keep everything. The cap applies ONLY to this exact
+  // all-pairs path — the q51 pipeline's verification join is bounded by
+  // its LSH candidate list and counts intersections uncapped (a capped
+  // verification silently failed to merge clusters larger than the cap;
+  // ADVICE r3).
   //
   // BLIND SPOT (documented, by construction): a duplicate CLUSTER larger
   // than the cap has every shared shingle above the cap, so its pairs
   // lose ALL kept overlap and score 0 here — they do NOT merely score
-  // lower. MinHash banding (q37/q51 candidates) keeps all shingles and
-  // still collides such clusters in every band; this capped exact path is
-  // the pairwise calibration tool, not the cluster-discovery path.
+  // lower. MinHash banding (q37/q51) keeps all shingles and still
+  // collides such clusters in every band; this capped exact path is the
+  // pairwise calibration tool, not the cluster-discovery path.
   // Denominator sizes stay exact (counted over ALL shingles), so kept
   // scores are a lower bound of true Jaccard; the cap is mirrored in the
-  // oracles.
+  // q36 oracle.
 
   /** df-cap for a corpus of `nDocs` documents: max(100, 1% of docs). */
   private[operators] def dfCap(nDocs: Long): Long = math.max(100L, nDocs / 100L)
@@ -89,20 +93,6 @@ object Dedup {
   /** The same cap as a DuckDB scalar subquery over `documents`. */
   private[operators] val dfCapSql =
     "greatest(100, (SELECT COUNT(*) // 100 FROM documents))"
-
-  /** (doc_id, sk) shingle rows keyed by 64-bit hash with high-df shingles
-    * dropped — the join-ready form shared by q36 and the q51 pipeline's
-    * verification join. Hashed keys instead of raw strings: smaller
-    * shuffle keys, cheaper probes; collision probability at 1e6 distinct
-    * shingles is ~1e-7 and only perturbs one pair count if it ever hits.
-    */
-  private[operators] def cappedHashedShingles(sh: DataFrame, cap: Long): DataFrame = {
-    val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("sk"))
-    val rare = hashed.groupBy(col("sk")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap)
-      .select(col("sk"))
-    hashed.join(rare, "sk")
-  }
 
   // ---------------------------------------------------------------- q36
   // Exact n-gram Jaccard similarity: top-20 most similar pairs. The
@@ -113,10 +103,27 @@ object Dedup {
       val sh = shingleRows(Tables.documents(s, dir))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       // cap from the RAW scan's count — zero-column, no widen shuffle
-      val kept = cappedHashedShingles(sh, dfCap(Tables.load(s, dir, "documents").count()))
-      val common = kept.alias("a")
-        .join(kept.alias("b"), col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      val cap = dfCap(Tables.load(s, dir, "documents").count())
+      // pair generation by grouped explosion, not a self-join: one
+      // groupBy on the 64-bit shingle hash (small shuffle keys; collision
+      // probability at 1e6 distinct shingles ~1e-7, perturbing one pair
+      // count if it ever hits) collects each shingle's ≤cap doc list,
+      // applies the df-cap as a size filter, and explodes the sorted
+      // list's C(k,2) ordered pairs directly. Same pair multiset as the
+      // kept⋈kept self-join, but each (sk, doc) row is shuffled ONCE and
+      // the tokenize→shingle pipeline is evaluated twice (sizes + here)
+      // instead of four times (sizes + rare + both join sides).
+      val docLists = sh.select(col("doc_id"), xxhash64(col("s")).as("sk"))
+        .groupBy(col("sk")).agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")).between(2, cap))
+        .select(array_sort(col("ds")).as("ds"))
+      val common = docLists
+        .select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+             |  transform(slice(ds, i + 2, size(ds)),
+             |            y -> named_struct('da', x, 'db', y))))""".stripMargin)).as("p"))
+        .select(col("p.da").as("da"), col("p.db").as("db"))
+        .groupBy(col("da"), col("db"))
         .agg(count(lit(1)).as("c"))
       common
         .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
