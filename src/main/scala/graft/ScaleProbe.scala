@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dedup-family scale probe (VERDICT r3 #6): measures the declared
+  * dedup queries one decade up from the bench SF, so the scale argument
+  * in SCALE.md is empirical, not only analytic.
+  *
+  * The probe corpus replicates the source documents table `copies`×
+  * (sf0.1 × 10 ≈ 50k docs) with a per-copy Caesar rotation of the text:
+  * every token changes, so copies share no shingles and each copy
+  * reproduces the source corpus's duplicate structure instead of
+  * collapsing into cross-copy clone clusters — the workload SHAPE is
+  * preserved while volume grows 10×. doc_ids are remapped to disjoint
+  * ranges. Deterministic, no RNG.
+  *
+  * Usage: runMain graft.ScaleProbe [srcDir] [copies]
+  * Prints one JSON line: per-query seconds at the scaled corpus.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).flatMap(_.toIntOption).getOrElse(10)
+    val out = s"/root/repo/target/tmp/scaleprobe_x$copies"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docsPath = s"$out/documents.parquet"
+    if (!new java.io.File(docsPath).exists) {
+      val docs = graft.sources.Tables.load(spark, src, "documents")
+      val alphabet = "abcdefghijklmnopqrstuvwxyz"
+      def rot(c: Int) = alphabet.drop(c % 26) + alphabet.take(c % 26)
+      val scaled = (0 until copies).map { c =>
+        docs.select(
+          (col("doc_id") + lit(c.toLong * 100000000L)).as("doc_id"),
+          translate(lower(col("text")), alphabet, rot(c)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+      // write with enough files that the scan parallelizes like real data
+      scaled.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(docsPath)
+    }
+
+    val names = Seq("q35_dedup_exact", "q36_dedup_ngram_jaccard",
+      "q37_dedup_minhash", "q38_dedup_simhash", "q51_dedup_pipeline")
+    val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
+    val times = names.map { name =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, out).count()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"scaleprobe","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
+    spark.stop()
+  }
+}
