@@ -7,17 +7,23 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{Md5Hash60, YamrPartition}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
-  * Catalyst functions for SQL use.
+  * Catalyst functions for SQL use, the TopKPerKey planner strategy, and
+  * its filter-pushdown optimizer rule.
   *
   * Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `SparkSession.builder().withExtensions(new GraftExtensions)` — then
   * `SELECT yamr_partition(key, 8)` and `SELECT md5_hash60(s)` work in
   * plain SQL, codegen'd (SURVEY §7.4: the two genuinely custom
-  * expressions the engine needs).
+  * expressions the engine needs), and [[graft.plans.TopKPerKey.topK]]
+  * plans through the injected strategy. (On sessions built without
+  * extensions, `TopKPerKey.ensureRegistered` installs the same pair via
+  * `spark.experimental`.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
     ext.injectFunction((
       new FunctionIdentifier("yamr_partition"),
       new ExpressionInfo(classOf[YamrPartition].getName, "yamr_partition"),

@@ -1,0 +1,196 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Top-k-per-key as a WHOLE-OPERATOR Catalyst extension — the (c)-level
+  * custom-operator path (logical node + planner strategy + physical
+  * operator + optimizer rule, registered through SparkSessionExtensions
+  * or `spark.experimental`), demonstrated on the one operator where the
+  * built-in plan is structurally wasteful at scale.
+  *
+  * The window form (q09: row_number ≤ k) SORTS every partition and keeps
+  * whole groups in memory; the typed-Aggregator form (q45b) fixes the
+  * state bound but pays serialization at the typed boundary. This
+  * operator keeps a bounded k-row binary heap per key in raw UnsafeRow
+  * form, in BOTH a map-side (partial) and a post-shuffle (final) pass —
+  * the shuffle carries at most k rows per (key, input partition), the
+  * same partial→final contract as Spark's own hash aggregates. At 100 TB
+  * that is the difference between shuffling the fact table and shuffling
+  * k rows per key per map task.
+  *
+  * The reference has no top-k operator at all (its only ordering is the
+  * per-region key sort, yamr mapper.py:133-134); this is SURVEY §2.14
+  * extension-set machinery built the way SURVEY §7.4 prescribes for
+  * whole-operator semantics.
+  */
+object TopKPerKey {
+
+  private val strategy = new TopKPerKeyStrategy
+
+  /** Idempotent registration of the planner strategy + optimizer rule on
+    * a session built WITHOUT extensions (`spark.experimental` is the
+    * public per-session surface for exactly this). Sessions created with
+    * `.withExtensions(new GraftExtensions)` get both injected at build
+    * time instead; registering twice is harmless but avoided anyway.
+    */
+  def ensureRegistered(s: SparkSession): Unit = synchronized {
+    if (!s.experimental.extraStrategies.exists(_.isInstanceOf[TopKPerKeyStrategy]))
+      s.experimental.extraStrategies = s.experimental.extraStrategies :+ strategy
+    if (!s.experimental.extraOptimizations.contains(PushFilterThroughTopK))
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ PushFilterThroughTopK
+  }
+
+  /** The k first rows of each key group under `order` (give `.desc`
+    * columns for largest-first). Output columns = input columns; row
+    * order within the result is not defined (order downstream).
+    */
+  def topK(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val s = df.sparkSession
+    ensureRegistered(s)
+    val sortOrder = order.map(c => graftbridge.expressionOf(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    graftbridge.dataFrameOf(s,
+      TopKPerKeyNode(keys.map(graftbridge.expressionOf), sortOrder, k,
+        df.queryExecution.analyzed))
+  }
+
+  // ---------------------------------------------------------------- q77
+  // The custom operator as a declared query: 2 highest-price lineitems
+  // per supplier, deterministic tie-break. The oracle is the equivalent
+  // window form — the custom plan must reproduce it row-for-row.
+  private val q77 = GraftQuery(
+    "q77_custom_topk_plan",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+      topK(li, Seq(col("l_suppkey")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), 2)
+        .orderBy(col("l_suppkey"), col("l_extendedprice").desc,
+          col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT l_suppkey, l_extendedprice, l_orderkey, l_linenumber FROM (
+        SELECT l_suppkey, l_extendedprice, l_orderkey, l_linenumber,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        FROM lineitem) t
+      WHERE rn <= 2
+      ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber"""))
+
+  val all: Seq[GraftQuery] = Seq(q77)
+}
+
+/** Logical marker node: the k first rows per `keys` group under
+  * `sortOrder`. Pure pass-through schema, so column pruning and filter
+  * pushdown below it stay available to the optimizer.
+  */
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+/** Plans the logical node as partial (pre-shuffle) + final (post-shuffle)
+  * physical passes — the hash-aggregate contract applied to top-k: the
+  * partial pass bounds what each map task emits to k rows per key, the
+  * final pass requires clustering on the keys (EnsureRequirements inserts
+  * the hash exchange) and merges.
+  */
+class TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, sortOrder, k, child) =>
+      val mapSide = TopKPerKeyExec(keys, sortOrder, k, partial = true, planLater(child))
+      TopKPerKeyExec(keys, sortOrder, k, partial = false, mapSide) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Bounded-heap top-k per key over raw UnsafeRows: O(k) state per key,
+  * no partition sort, no typed-boundary serialization. `partial = true`
+  * accepts any child distribution (map-side prune); the final pass
+  * demands `ClusteredDistribution(keys)`.
+  */
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial || keys.isEmpty) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  // stable explain rendering (and the plan-assertion anchor in tests)
+  override def simpleString(maxFields: Int): String =
+    s"TopKPerKeyExec [partial=$partial, k=$k, " +
+      s"keys=${keys.mkString(", ")}, order=${sortOrder.mkString(", ")}]"
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val keyExprs = keys
+    val so = sortOrder
+    val attrs = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, attrs)
+      // "first k under sortOrder" = the k SMALLEST under this ordering; a
+      // max-heap on it keeps the current worst on top for O(log k) evict
+      val ord = RowOrdering.create(so, attrs)
+      val heaps = scala.collection.mutable.HashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row) // reused buffer — copy only on first insert
+        val heap = heaps.getOrElse(key, {
+          val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+          heaps.put(key.copy(), h)
+          h
+        })
+        if (heap.size < kLocal) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    }
+  }
+}
+
+/** Filters on key columns commute with per-key top-k (dropping whole
+  * groups never changes the survivors of other groups), so push them
+  * below the node — from there the stock rules continue pushing them to
+  * the scan. Without this the custom node is a pushdown fence.
+  */
+object PushFilterThroughTopK extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, t: TopKPerKeyNode)
+        if cond.deterministic &&
+          cond.references.subsetOf(AttributeSet(t.keys.flatMap(_.references))) =>
+      t.copy(child = Filter(cond, t.child))
+  }
+}

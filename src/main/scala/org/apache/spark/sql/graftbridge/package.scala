@@ -11,4 +11,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftbridge {
   def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over an arbitrary LogicalPlan (custom operator nodes):
+    * `Dataset.ofRows` is `private[sql]` in Spark 4's classic module.
+    */
+  def dataFrameOf(s: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
 }
