@@ -17,6 +17,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // declarative strategy/rule/function injection — same plan for q77
+      // whether the session comes from here, Verify, or a user builder
+      // (ensureRegistered stays as the fallback for plain sessions)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -22,6 +22,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
 
   /** Local session for tests / standalone mains. */
   def local(appName: String = "graft", threads: String = "*"): SparkSession = {

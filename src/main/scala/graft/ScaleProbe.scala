@@ -33,7 +33,9 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val docsPath = s"$out/documents.parquet"
-    if (!new java.io.File(docsPath).exists) {
+    // _SUCCESS, not bare directory existence: an interrupted write leaves
+    // a partial directory that would silently shrink the probe corpus
+    if (!new java.io.File(s"$docsPath/_SUCCESS").exists) {
       val docs = graft.sources.Tables.load(spark, src, "documents")
       val alphabet = "abcdefghijklmnopqrstuvwxyz"
       def rot(c: Int) = alphabet.drop(c % 26) + alphabet.take(c % 26)

@@ -107,15 +107,23 @@ object Dedup {
       // pair generation by grouped explosion, not a self-join: one
       // groupBy on the 64-bit shingle hash (small shuffle keys; collision
       // probability at 1e6 distinct shingles ~1e-7, perturbing one pair
-      // count if it ever hits) collects each shingle's ≤cap doc list,
-      // applies the df-cap as a size filter, and explodes the sorted
-      // list's C(k,2) ordered pairs directly. Same pair multiset as the
-      // kept⋈kept self-join, but each (sk, doc) row is shuffled ONCE and
-      // the tokenize→shingle pipeline is evaluated twice (sizes + here)
-      // instead of four times (sizes + rare + both join sides).
-      val docLists = sh.select(col("doc_id"), xxhash64(col("s")).as("sk"))
+      // count if it ever hits) collects each eligible shingle's ≤cap doc
+      // list and explodes the sorted list's C(k,2) ordered pairs
+      // directly. Same pair multiset as the kept⋈kept self-join, but
+      // each surviving (sk, doc) row is shuffled once for the collect.
+      val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("sk"))
+      // df-cap BEFORE collect_list, not after: a count aggregate partial-
+      // aggregates map-side (tiny shuffle rows) and the semi-join drops
+      // boilerplate shingles before any list buffer exists — a shingle
+      // shared by 10M docs costs one counter, never a 10M-element
+      // aggregation buffer (ADVICE r4). The extra tokenize→shingle pass
+      // this costs is a stateless scan; the thing it buys is bounded
+      // (≤cap) per-group state at any corpus size.
+      val eligible = hashed.groupBy(col("sk")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, cap))
+        .select(col("sk"))
+      val docLists = hashed.join(eligible, Seq("sk"), "left_semi")
         .groupBy(col("sk")).agg(collect_list(col("doc_id")).as("ds"))
-        .filter(size(col("ds")).between(2, cap))
         .select(array_sort(col("ds")).as("ds"))
       val common = docLists
         .select(explode(expr(

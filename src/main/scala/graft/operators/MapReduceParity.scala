@@ -120,7 +120,7 @@ object MapReduceParity {
     Some(s"""
       WITH corpus AS (SELECT text FROM documents
                       UNION ALL
-                      SELECT * FROM (VALUES ${unicodeLines.map(l => s"('$l')").mkString(", ")}) t(text))
+                      SELECT * FROM (VALUES ${unicodeLines.map(l => s"('${l.replace("'", "''")}')").mkString(", ")}) t(text))
       SELECT w AS word, COUNT(*) AS cnt
       FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                       x -> x <> '')) AS w

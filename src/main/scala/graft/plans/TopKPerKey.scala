@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.functions.col
@@ -53,20 +53,41 @@ object TopKPerKey {
   }
 
   /** The k first rows of each key group under `order` (give `.desc`
-    * columns for largest-first). Output columns = input columns; row
-    * order within the result is not defined (order downstream).
+    * columns for largest-first). Empty `keys` = global top-k. Output
+    * columns = input columns; row order within the result is not
+    * defined (order downstream).
+    *
+    * Spark 4's public `Column` is a lazy ColumnNode wrapper whose inner
+    * `UnresolvedAttribute`s are only resolved at Dataset-API
+    * boundaries — embedding `expressionOf(col)` directly in a custom
+    * logical node leaves them unresolved (and drags non-serializable
+    * sql.internal sort markers into the task closure). So we resolve
+    * THROUGH the Dataset API: a throwaway `select` analyzes the keys, a
+    * throwaway `sortWithinPartitions` analyzes the ordering, and both
+    * yield real catalyst expressions bound (by exprId) to this df's
+    * analyzed output — serializable and optimizer-visible.
     */
   def topK(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(order.nonEmpty, "top-k needs at least one ordering column")
     val s = df.sparkSession
     ensureRegistered(s)
-    val sortOrder = order.map(c => graftbridge.expressionOf(c) match {
-      case so: SortOrder => so
-      case e => SortOrder(e, Ascending)
-    })
+    val keyExprs: Seq[Expression] =
+      if (keys.isEmpty) Nil
+      else df.select(keys: _*).queryExecution.analyzed match {
+        case Project(projectList, _) => projectList.map {
+          case Alias(child, _) => child
+          case e => e
+        }
+        case other =>
+          throw new IllegalStateException(s"key resolution produced ${other.nodeName}")
+      }
+    val sortOrder: Seq[SortOrder] =
+      df.sortWithinPartitions(order: _*).queryExecution.analyzed.collectFirst {
+        case srt: Sort => srt.order
+      }.getOrElse(throw new IllegalStateException("order resolution produced no Sort"))
     graftbridge.dataFrameOf(s,
-      TopKPerKeyNode(keys.map(graftbridge.expressionOf), sortOrder, k,
-        df.queryExecution.analyzed))
+      TopKPerKeyNode(keyExprs, sortOrder, k, df.queryExecution.analyzed))
   }
 
   // ---------------------------------------------------------------- q77
@@ -140,7 +161,10 @@ case class TopKPerKeyExec(
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partial || keys.isEmpty) UnspecifiedDistribution :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    // global top-k (no keys): the final merge must see every partial
+    // survivor in ONE place, or each partition would emit its own "top k"
+    else if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)

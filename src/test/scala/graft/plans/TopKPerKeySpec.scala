@@ -37,9 +37,12 @@ class TopKPerKeySpec extends SparkSpec {
   }
 
   test("plans as partial + final passes with the exchange between them") {
-    val plan = TopKPerKey.topK(orders(), Seq(col("o_custkey")),
+    val df = TopKPerKey.topK(orders(), Seq(col("o_custkey")),
       Seq(col("o_totalprice").desc), 3)
-      .queryExecution.executedPlan.toString
+    // materialize FIRST so the assertion reads the plan AQE actually ran
+    // (the driver's Bench/Verify sessions run with AQE on)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
     val partialIdx = plan.indexOf("TopKPerKeyExec [partial=true")
     val finalIdx = plan.indexOf("TopKPerKeyExec [partial=false")
     val exchangeIdx = plan.indexOf("Exchange hashpartitioning(o_custkey")
@@ -47,6 +50,16 @@ class TopKPerKeySpec extends SparkSpec {
     // tree prints parent-first: final above exchange above partial
     assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx,
       s"final@$finalIdx exchange@$exchangeIdx partial@$partialIdx\n$plan")
+  }
+
+  test("global top-k (no keys) returns exactly k rows total, not k per partition") {
+    // repartition wide so a per-partition bug would overshoot k
+    val df = orders().repartition(8)
+    val got = TopKPerKey.topK(df, Seq.empty, Seq(col("o_totalprice").desc), 5)
+      .orderBy(col("o_totalprice").desc).collect()
+    val expect = orders().orderBy(col("o_totalprice").desc).limit(5).collect()
+    assert(got.length == 5 && got.sameElements(expect),
+      s"got ${got.length} rows: ${got.mkString("; ")}")
   }
 
   test("key filters push through the node to the parquet scan") {
