@@ -215,5 +215,82 @@ object DataPrep {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66)
+  // ---------------------------------------------------------------- q79
+  // Benchmark decontamination: drop training documents sharing any word
+  // n-gram with the held-out eval set (the standard n-gram-overlap
+  // filter used before pretraining; gram size is a parameter — real
+  // pipelines use 8–13, this corpus's vocabulary needs 4 to produce a
+  // non-trivial split). Eval membership here is doc_id % 97 = 0.
+  //
+  // Shape at 100 TB: grams are 64-bit hashes (8-byte shuffle keys, not
+  // strings); the eval gram set is tiny relative to the corpus, so both
+  // the semi-join (find contaminated) and the anti-join (drop them)
+  // broadcast the small side — the training corpus is never shuffled.
+  // xxhash64 collisions could only FALSE-POSITIVE a drop (~1e-9 at 1e5
+  // grams), never leak contamination through.
+  private val q79 = GraftQuery(
+    "q79_decontaminate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val grams = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 4)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 3), i -> concat_ws(' ', slice(t, i, 4)))")).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("gh")).distinct()
+      val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                    FROM documents),
+      grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g
+                FROM toks WHERE len(t) >= 4),
+      eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+      contaminated AS (SELECT DISTINCT doc_id FROM grams
+                       WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM eval_grams))
+      SELECT d.doc_id, d.source, d.lang, d.n_chars
+      FROM documents d
+      WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      ORDER BY d.doc_id"""))
+
+  // ---------------------------------------------------------------- q80
+  // Temperature-based source mixing weights (alpha = 0.5, the sqrt
+  // rebalancing used for multilingual/multi-source pretraining mixes):
+  // per-source token totals and normalized sampling weights. One
+  // partial-aggregating groupBy on source; the normalizer is a broadcast
+  // scalar, so nothing else shuffles. Float parity: sqrt is correctly
+  // rounded in both engines, and the normalizer sums DECIMAL(38,6) —
+  // exact and order-independent where a double sum would vary in ULPs
+  // with Spark's partial-agg ordering.
+  private val q80 = GraftQuery(
+    "q80_source_mix_weights",
+    (s, dir) => {
+      val ps = Tables.documents(s, dir)
+        .select(col("source"), size(tokens(col("text"))).as("ntok"))
+        .groupBy(col("source")).agg(sum(col("ntok")).as("n_tokens"))
+        .select(col("source"), col("n_tokens"),
+          sqrt(col("n_tokens")).cast("decimal(38,6)").as("sq"))
+      val tot = ps.agg(sum(col("sq")).as("tot"))
+      ps.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          (col("sq").cast("double") / col("tot").cast("double")).as("weight"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH toks AS (SELECT source, len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS ntok
+                    FROM documents),
+      ps AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM toks GROUP BY source),
+      sq AS (SELECT source, n_tokens, CAST(sqrt(n_tokens) AS DECIMAL(38,6)) AS sq FROM ps)
+      SELECT source, n_tokens,
+             CAST(sq AS DOUBLE) / CAST((SELECT SUM(sq) FROM sq) AS DOUBLE) AS weight
+      FROM sq ORDER BY source"""))
+
+  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80)
 }

@@ -193,5 +193,52 @@ object TextAnalysis {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34)
+  // ---------------------------------------------------------------- q78
+  // Repetition signals per document (Gopher-style quality rules, Rae et
+  // al. 2021 §A1.1: fraction of tokens in the most frequent n-gram,
+  // duplicate-n-gram fraction): type-token ratio, top-bigram fraction,
+  // duplicate-bigram fraction. Per-document explode → two hash-aggs,
+  // both partial-aggregating map-side; no corpus-level state, so the
+  // scan parallelism IS the parallelism at any corpus size.
+  private val q78 = GraftQuery(
+    "q78_repetition_signals",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      // bigram text: slice element i (0-based lambda index) is t[i+1]
+      // (1-based), so its successor is element_at(t, i + 2)
+      val bg = toks.select(col("doc_id"), size(col("t")).as("n"),
+        size(array_distinct(col("t"))).as("nd"),
+        explode(expr(
+          "transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', element_at(t, i + 2)))")).as("g"))
+      val cnt = bg.groupBy(col("doc_id"), col("n"), col("nd"), col("g"))
+        .agg(count(lit(1)).as("c"))
+      cnt.groupBy(col("doc_id"), col("n"), col("nd"))
+        .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"), count(lit(1)).as("dq"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          (col("nd").cast("double") / col("n")).as("type_token_ratio"),
+          (col("mx").cast("double") / col("tot")).as("top_bigram_frac"),
+          (lit(1.0) - col("dq").cast("double") / col("tot")).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                    FROM documents),
+      bg AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+                    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS b
+             FROM toks WHERE len(t) >= 2),
+      cnt AS (SELECT doc_id, n, nd, g, COUNT(*) AS c
+              FROM (SELECT doc_id, n, nd, unnest(b) AS g FROM bg) e
+              GROUP BY doc_id, n, nd, g),
+      agg AS (SELECT doc_id, any_value(n) AS n, any_value(nd) AS nd,
+                     MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS dq
+              FROM cnt GROUP BY doc_id)
+      SELECT doc_id, n AS n_tokens,
+             CAST(nd AS DOUBLE) / n AS type_token_ratio,
+             CAST(mx AS DOUBLE) / tot AS top_bigram_frac,
+             1.0 - CAST(dq AS DOUBLE) / tot AS dup_bigram_frac
+      FROM agg ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78)
 }

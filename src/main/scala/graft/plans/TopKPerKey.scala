@@ -114,7 +114,27 @@ object TopKPerKey {
       WHERE rn <= 2
       ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber"""))
 
-  val all: Seq[GraftQuery] = Seq(q77)
+  // ---------------------------------------------------------------- q77b
+  // Global top-k through the same operator (keys = none): each partition
+  // emits its k best (partial pass), the final pass runs under AllTuples
+  // — at 100 TB the shuffle is k rows per map task, where the naive
+  // ORDER BY ... LIMIT k oracle form sorts every partition fully.
+  private val q77b = GraftQuery(
+    "q77b_global_topk",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      topK(li, Seq.empty,
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), 10)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 10"""))
+
+  val all: Seq[GraftQuery] = Seq(q77, q77b)
 }
 
 /** Logical marker node: the k first rows per `keys` group under

@@ -67,4 +67,39 @@ class DataPrepSpec extends SparkSpec {
     assert(out(1).getAs[String]("red").contains("short 123 stays"))
     assert(out(2).getAs[Int]("n_emails") == 0 && out(2).getAs[Int]("n_nums") == 0)
   }
+
+  test("decontamination drops exactly the docs sharing a 4-gram with the eval set") {
+    import spark.implicits._
+    val survivors = graft.SparkEntry.queries("q79_decontaminate")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    // no eval doc survives into the training output
+    assert(survivors.forall(_ % 97 != 0))
+    // independent recomputation on RAW gram strings (no xxhash64): the
+    // hashed join must agree — also proves no collision-induced drift here
+    val grams = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 3), i -> concat_ws(' ', slice(t, i, 4)))")).as("g"))
+    val evalG = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
+    val dropped = grams.filter(col("doc_id") % 97 =!= 0).join(evalG, "g")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val train = graft.sources.Tables.load(spark, sf001, "documents")
+      .filter(col("doc_id") % 97 =!= 0).select("doc_id").as[Long].collect().toSet
+    assert(survivors == train -- dropped,
+      s"survivors=${survivors.size} train=${train.size} dropped=${dropped.size}")
+  }
+
+  test("source mix weights are a probability distribution ordered like sqrt(tokens)") {
+    val rows = graft.SparkEntry.queries("q80_source_mix_weights")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9, s"sum=${rows.map(_._3).sum}")
+    // temperature 0.5 preserves token-count order but compresses ratios
+    val byTok = rows.sortBy(_._2)
+    assert(byTok.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    val (minW, maxW) = (byTok.head, byTok.last)
+    assert(maxW._3 / minW._3 < maxW._2.toDouble / minW._2,
+      "sqrt temperature must compress the spread")
+  }
 }

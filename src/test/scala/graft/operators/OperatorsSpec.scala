@@ -138,4 +138,24 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(groups == Set((1L, 2L), (3L, 1L)))
   }
+
+  test("repetition signals match a hand-computed document and stay in [0,1]") {
+    val rows = graft.SparkEntry.queries("q78_repetition_signals")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, ttr, top, dup) =>
+      assert(n >= 2 && ttr > 0 && ttr <= 1 && top > 0 && top <= 1 && dup >= 0 && dup < 1, s"doc $id")
+    }
+    // independent scala recomputation for one document
+    val (id0, n0, ttr0, top0, dup0) = rows.head
+    val text = graft.sources.Tables.load(spark, sf001, "documents")
+      .filter(col("doc_id") === id0).select("text").collect().head.getString(0)
+    val toks = "\\W+".r.split(text.toLowerCase).filter(_.nonEmpty).toSeq
+    val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+    val counts = bigrams.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n0 == toks.size)
+    assert(math.abs(ttr0 - toks.distinct.size.toDouble / toks.size) < 1e-12)
+    assert(math.abs(top0 - counts.values.max.toDouble / bigrams.size) < 1e-12)
+    assert(math.abs(dup0 - (1.0 - counts.size.toDouble / bigrams.size)) < 1e-12)
+  }
 }
