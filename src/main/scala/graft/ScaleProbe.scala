@@ -38,11 +38,22 @@ object ScaleProbe {
     if (!new java.io.File(s"$docsPath/_SUCCESS").exists) {
       val docs = graft.sources.Tables.load(spark, src, "documents")
       val alphabet = "abcdefghijklmnopqrstuvwxyz"
-      def rot(c: Int) = alphabet.drop(c % 26) + alphabet.take(c % 26)
+      // per-copy AFFINE cipher x -> a*x + b (mod 26), a coprime to 26:
+      // 12 multipliers × 26 shifts = 312 distinct permutations, so up to
+      // 312 copies share no tokens (a bare rotation collides at 27 — the
+      // colliding copies would be exact cross-copy clones, inflating the
+      // duplicate structure instead of preserving it). a=1 reproduces the
+      // old rotation, so copies < 26 generate byte-identical corpora.
+      val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+      require(copies <= coprimes.size * 26, s"affine alphabet space exhausted at $copies copies")
+      def perm(c: Int): String = {
+        val a = coprimes(c / 26); val b = c % 26
+        (0 until 26).map(i => alphabet((a * i + b) % 26)).mkString
+      }
       val scaled = (0 until copies).map { c =>
         docs.select(
           (col("doc_id") + lit(c.toLong * 100000000L)).as("doc_id"),
-          translate(lower(col("text")), alphabet, rot(c)).as("text"),
+          translate(lower(col("text")), alphabet, perm(c)).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
       // write with enough files that the scan parallelizes like real data

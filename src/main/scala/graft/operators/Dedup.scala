@@ -161,39 +161,48 @@ object Dedup {
   // engine-reproducible), b=4 bands × r=2 rows. Output is the banded
   // signature table — joining it to itself on (band, sig) yields candidate
   // pairs in O(collisions), the scale path for near-dedup.
+  /** (doc_id, band, sig) LSH band signatures: k=8 minhashes, b=4 bands ×
+    * r=2 rows. All 8 hash functions as WIDE columns of one row per
+    * shingle, then one groupBy(doc_id) with 8 min() aggregates: map-side
+    * partial agg collapses the shuffle to one row per document (vs
+    * exploding ×8 and shuffling every (doc, i, hash) tuple).
+    */
+  private def bandSigs(docs: DataFrame): DataFrame = {
+    val sh = shingleRows(docs)
+    val hashed = sh.select(
+      col("doc_id") +:
+        (0 until 8).map(i => hash60Seeded(lit(i), col("s")).as(s"h$i")): _*)
+    val minh = hashed.groupBy(col("doc_id"))
+      .agg((0 until 8).map(i => min(col(s"h$i")).as(s"mh$i")).head,
+        (1 until 8).map(i => min(col(s"h$i")).as(s"mh$i")): _*)
+    minh.select(col("doc_id"),
+      expr("""stack(4,
+               0, concat(mh0, ',', mh1),
+               1, concat(mh2, ',', mh3),
+               2, concat(mh4, ',', mh5),
+               3, concat(mh6, ',', mh7)) AS (band, sig)"""))
+  }
+
+  /** The band-signature pipeline as DuckDB CTEs (assumes `sh` from
+    * [[shingleSql]] is already in scope; yields `bands(doc_id, band, sig)`).
+    */
+  private val bandSql =
+    """hashed AS (SELECT doc_id, i,
+      |                  ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15))::BIGINT AS h
+      |           FROM sh CROSS JOIN range(0, 8) r(i)),
+      |minh AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
+      |                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+      |          FROM minh GROUP BY doc_id, i // 2)""".stripMargin
+
   private val q37 = GraftQuery(
     "q37_dedup_minhash",
-    (s, dir) => {
-      // all 8 hash functions as WIDE columns of one row per shingle, then
-      // one groupBy(doc_id) with 8 min() aggregates: map-side partial agg
-      // collapses the shuffle to one row per document (vs exploding ×8 and
-      // shuffling every (doc, i, hash) tuple)
-      val sh = shingleRows(Tables.documents(s, dir))
-      val hashed = sh.select(
-        col("doc_id") +:
-          (0 until 8).map(i => hash60Seeded(lit(i), col("s")).as(s"h$i")): _*)
-      val minh = hashed.groupBy(col("doc_id"))
-        .agg((0 until 8).map(i => min(col(s"h$i")).as(s"mh$i")).head,
-          (1 until 8).map(i => min(col(s"h$i")).as(s"mh$i")): _*)
-      minh.select(col("doc_id"),
-        expr("""stack(4,
-                 0, concat(mh0, ',', mh1),
-                 1, concat(mh2, ',', mh3),
-                 2, concat(mh4, ',', mh5),
-                 3, concat(mh6, ',', mh7)) AS (band, sig)"""))
-        .orderBy(col("doc_id"), col("band"))
-    },
+    (s, dir) => bandSigs(Tables.documents(s, dir))
+      .orderBy(col("doc_id"), col("band")),
     Some(s"""
       WITH $shingleSql,
-      hashed AS (SELECT doc_id, i,
-                        ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15))::BIGINT AS h
-                 FROM sh CROSS JOIN range(0, 8) r(i)),
-      minh AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i)
-      SELECT doc_id, CAST(i // 2 AS INT) AS band,
-             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
-      FROM minh
-      GROUP BY doc_id, i // 2
-      ORDER BY doc_id, band"""))
+      $bandSql
+      SELECT doc_id, band, sig FROM bands ORDER BY doc_id, band"""))
 
   // ---------------------------------------------------------------- q38
   // SimHash: 32-bit signature from token-hash bit votes (sign of the
@@ -257,5 +266,61 @@ object Dedup {
       ORDER BY dist, da, db
       LIMIT 20"""))
 
-  val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70)
+  // ---------------------------------------------------------------- q81
+  // Incremental dedup: admit a NEW batch of documents (doc_id % 10 = 9)
+  // against the EXISTING corpus (the rest) without re-clustering the
+  // corpus — the standard shape for continuously-growing training sets.
+  // A new doc is rejected if (a) its exact content hash exists in the
+  // corpus, or (b) any of its 4 LSH band signatures collides with a
+  // corpus doc's (the q37 banding, so ~Jaccard ≥ 0.5 near-dups gate).
+  //
+  // Shape at 100 TB: in production the corpus side of both joins is a
+  // STORED signature table (hashes and band sigs persist as corpus
+  // metadata; here they are derived inline because the harness is
+  // stateless). Both rejections are anti-joins on short keys — 16-byte
+  // content hashes, (band, sig) strings — where the batch side is the
+  // small one; the corpus text is never reshuffled, only its key
+  // columns. Admission is per-doc with no batch-internal state, so the
+  // batch pipeline parallelizes by scan split.
+  private val q81 = GraftQuery(
+    "q81_incremental_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isNew = col("doc_id") % 10 === 9
+      val batch = docs.filter(isNew)
+      val corpusHash = docs.filter(!isNew).select(md5(col("text")).as("h")).distinct()
+      // REJECT sets, not admit sets: a batch doc too short to shingle has
+      // no band rows, and must be admitted (no near-dup evidence), which
+      // an admit-side semi-join would silently drop
+      val exactReject = batch.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(corpusHash, Seq("h"), "left_semi").select(col("doc_id"))
+      val corpusBands = bandSigs(docs.filter(!isNew))
+        .select(col("band"), col("sig")).distinct()
+      val nearReject = bandSigs(batch)
+        .join(corpusBands, Seq("band", "sig"), "left_semi")
+        .select(col("doc_id")).distinct()
+      batch.join(exactReject, Seq("doc_id"), "left_anti")
+        .join(nearReject, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $shingleSql,
+      $bandSql,
+      exact_reject AS (
+        SELECT DISTINCT b.doc_id
+        FROM documents b JOIN documents c ON md5(b.text) = md5(c.text)
+        WHERE b.doc_id % 10 = 9 AND c.doc_id % 10 <> 9),
+      near_reject AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands b JOIN bands c ON b.band = c.band AND b.sig = c.sig
+        WHERE b.doc_id % 10 = 9 AND c.doc_id % 10 <> 9)
+      SELECT doc_id, source, lang, n_chars
+      FROM documents
+      WHERE doc_id % 10 = 9
+        AND doc_id NOT IN (SELECT doc_id FROM exact_reject)
+        AND doc_id NOT IN (SELECT doc_id FROM near_reject)
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70, q81)
 }

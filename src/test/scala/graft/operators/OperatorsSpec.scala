@@ -139,6 +139,29 @@ class OperatorsSpec extends SparkSpec {
     assert(groups == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("incremental dedup admits exactly the batch minus hash/banding collisions") {
+    import spark.implicits._
+    val survivors = graft.SparkEntry.queries("q81_incremental_dedup")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.forall(_ % 10 == 9), "only new-batch docs in the output")
+    // independent recomputation from the DECLARED q37 surface + md5
+    val bands = graft.SparkEntry.queries("q37_dedup_minhash")(spark, sf001)
+    val corpusBands = bands.filter(col("doc_id") % 10 =!= 9)
+      .select(col("band"), col("sig")).distinct()
+    val nearReject = bands.filter(col("doc_id") % 10 === 9)
+      .join(corpusBands, Seq("band", "sig"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    val hashes = graft.sources.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val corpusH = hashes.filter(col("doc_id") % 10 =!= 9).select("h").distinct()
+    val exactReject = hashes.filter(col("doc_id") % 10 === 9)
+      .join(corpusH, Seq("h"), "left_semi").select("doc_id").as[Long].collect().toSet
+    val batch = hashes.filter(col("doc_id") % 10 === 9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == batch -- nearReject -- exactReject,
+      s"survivors=${survivors.size} batch=${batch.size} near=${nearReject.size} exact=${exactReject.size}")
+  }
+
   test("repetition signals match a hand-computed document and stay in [0,1]") {
     val rows = graft.SparkEntry.queries("q78_repetition_signals")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
