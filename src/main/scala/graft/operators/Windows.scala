@@ -185,32 +185,83 @@ object Windows {
 
   // ---------------------------------------------------------------- q69
   // Exact percentiles by rank selection: the value at ceil(p·n) in the
-  // group's total order. Index arithmetic is pure integers
-  // ((p·100·n + 99) DIV 100), so there is no float-boundary risk, and —
-  // unlike interpolating percentile functions — the answer is always an
-  // actual data value, computed identically in any engine. The
-  // distributed shape is one window rank + filter, no global sort.
+  // group's total order under (value, l_orderkey, l_linenumber). Index
+  // arithmetic is pure integers ((p·100·n + 99) DIV 100), so there is no
+  // float-boundary risk, and — unlike interpolating percentile
+  // functions — the answer is always an actual data value, computed
+  // identically in any engine.
+  //
+  // The naive shape (the oracle's window form) hash-partitions by
+  // l_returnflag and SORTS EVERY GROUP IN ONE TASK — with 3 groups at
+  // 100 TB that is one task sorting ~33 TB, the worst skew in the repo.
+  // So the implementation is two-pass HISTOGRAM RANK SELECTION instead:
+  //   pass 1: per-(group, value-bucket) counts — a partial-aggregating
+  //           hash-agg, ≤ groups×1024 result rows, collected (bounded by
+  //           the group-count guard, same discipline as the hybrid-CC
+  //           collect);
+  //   driver: cumulative counts locate each target rank's bucket and its
+  //           rank WITHIN that bucket;
+  //   pass 2: sort ONLY the hit buckets (a filter that prunes everything
+  //           else at the scan) and pick the local-rank row.
+  // Nothing ever sorts more than one bucket (~n/1024 rows; degenerate
+  // all-equal-values data collapses to one bucket = the naive cost, no
+  // worse). Bucketing is floor((v-lo)/width): monotone in v under IEEE
+  // (same lo, width > 0), so bucket order is value order and any
+  // float rounding at a boundary only moves WHERE the split is, never
+  // the selected row.
   private val q69 = GraftQuery(
     "q69_exact_percentile_rank",
     (s, dir) => {
+      val targets = Seq("p50" -> 50, "p95" -> 95)
+      val nBuckets = 1024
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val stats = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      require(stats.length <= 64,
+        s"histogram rank selection presumes few large groups (got ${stats.length}); " +
+          "use the window form when groups are many (they parallelize by group)")
+      val width = stats.map { case (f, _, lo, hi) =>
+        f -> (if (hi > lo) (hi - lo) / nBuckets else 1.0)
+      }.toMap
+      def bucketCol = least(lit(nBuckets - 1), floor(
+        (col("l_extendedprice") - coalesce(stats.map { case (f, _, lo, _) =>
+          when(col("l_returnflag") === f, lit(lo))
+        }: _*)) / coalesce(stats.map { case (f, _, _, _) =>
+          when(col("l_returnflag") === f, lit(width(f)))
+        }: _*)).cast("long"))
+      val hist = li.select(col("l_returnflag"), bucketCol.as("b"))
+        .groupBy(col("l_returnflag"), col("b")).agg(count(lit(1)).as("c"))
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+      // driver: locate (bucket, local rank) for every (group, percentile)
+      val hits: Seq[(String, Long, String, Long)] = for {
+        (f, n, _, _) <- stats.toSeq
+        (label, p) <- targets
+      } yield {
+        val rank = (p * n + 99) / 100
+        var cum = 0L; var b = 0L
+        while (b < nBuckets && cum + hist.getOrElse((f, b), 0L) < rank) {
+          cum += hist.getOrElse((f, b), 0L); b += 1
+        }
+        (f, b, label, rank - cum)
+      }
+      import s.implicits._
+      val hitDf = hits.toDF("l_returnflag", "b", "pct", "local_rank")
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag"))
+        .partitionBy(col("l_returnflag"), col("b"))
         .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      val p50Idx = expr("(50 * n + 99) DIV 100")
-      val p95Idx = expr("(95 * n + 99) DIV 100")
-      val ranked = Tables.lineitem(s, dir)
+      val hitBuckets = hits.map { case (f, b, _, _) => (f, b) }.distinct
+      li.select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"), bucketCol.as("b"))
+        .filter(hitBuckets.map { case (f, b) =>
+          col("l_returnflag") === f && col("b") === b
+        }.reduce(_ || _))
         .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
-      // one label row PER matching percentile (a 1-row group has p50 and
-      // p95 coincide — both labels must still appear), via explode of the
-      // non-null labels rather than a first-match when/otherwise
-      ranked
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          explode(filter(
-            array(when(col("rn") === p50Idx, lit("p50")),
-              when(col("rn") === p95Idx, lit("p95"))),
-            x => x.isNotNull)).as("pct"))
+        .join(broadcast(hitDf),
+          Seq("l_returnflag", "b"), "inner")
+        .filter(col("rn") === col("local_rank"))
         .select(col("l_returnflag"), col("pct"), col("l_extendedprice").as("value"))
         .orderBy(col("l_returnflag"), col("pct"))
     },

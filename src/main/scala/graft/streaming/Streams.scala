@@ -128,6 +128,22 @@ object Streams {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming INCREMENTAL dedup against a static corpus: documents
+    * arriving on a stream are admitted only if their content hash is
+    * absent from the (static, broadcastable-or-bucketed) corpus hash
+    * table AND unseen within the stream's own watermark — the streaming
+    * form of the batch q81 admission gate, i.e. ingestion-side dedup for
+    * a continuously-growing training set. Stream-static joins never
+    * hold corpus state in the state store; only the within-stream
+    * dedup's hash set is stateful, and the watermark bounds it.
+    */
+  def incrementalDedupStream(docs: DataFrame, corpusHashes: DataFrame): DataFrame =
+    docs
+      .withColumn("h", md5(col("text")))
+      .join(corpusHashes, Seq("h"), "left_anti")
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("h")
+
   /** Reads the parquet events table as a bounded stream (file source) —
     * used by tests and as the template for a production file/Kafka source.
     */

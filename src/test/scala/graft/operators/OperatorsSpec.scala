@@ -139,6 +139,29 @@ class OperatorsSpec extends SparkSpec {
     assert(groups == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("histogram rank selection equals the single-task window form") {
+    val got = graft.SparkEntry.queries("q69_exact_percentile_rank")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    // the naive form the implementation deliberately avoids (it sorts
+    // each whole group in one task) — kept here as the semantic pin
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val expect = graft.sources.Tables.lineitem(spark, sf001)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        explode(filter(array(
+          when(col("rn") === expr("(50 * n + 99) DIV 100"), lit("p50")),
+          when(col("rn") === expr("(95 * n + 99) DIV 100"), lit("p95"))),
+          x => x.isNotNull)).as("pct"))
+      .select(col("l_returnflag"), col("pct"), col("l_extendedprice"))
+      .orderBy(col("l_returnflag"), col("pct"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == expect, s"got=$got\nexpect=$expect")
+  }
+
   test("incremental dedup admits exactly the batch minus hash/banding collisions") {
     import spark.implicits._
     val survivors = graft.SparkEntry.queries("q81_incremental_dedup")(spark, sf001)

@@ -103,6 +103,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: corpus dupes and within-stream dupes both drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("existing doc one", "existing doc two").toDF("text")
+      .select(md5(col("text")).as("h"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.incrementalDedupStream(df, corpus)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(s"incdedup_test_${System.nanoTime()}")
+      .start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "existing doc one"), // corpus dup → drop
+        (2L, ts("2024-01-01 10:01:00"), "fresh doc a"))      // admit
+      q.processAllAvailable()
+      mem.addData(
+        (3L, ts("2024-01-01 10:02:00"), "fresh doc a"),      // stream dup → drop
+        (4L, ts("2024-01-01 10:03:00"), "fresh doc b"),      // admit
+        (5L, ts("2024-01-01 10:04:00"), "existing doc two")) // corpus dup → drop
+      q.processAllAvailable()
+      val ids = spark.table(q.name).select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(2L, 4L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("stateless data-prep ops (hash sample + redaction) give identical results over a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
