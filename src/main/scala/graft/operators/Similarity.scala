@@ -447,5 +447,62 @@ object Similarity {
       GROUP BY label, i
       ORDER BY label, dim"""))
 
-  val all: Seq[GraftQuery] = Seq(q39, q40, q41, q41c, q41d, q42b, q53)
+  // ---------------------------------------------------------------- q83
+  // Semantic dedup (SemDeDup, Abbas et al. 2023 shape): drop an
+  // embedding when a same-IVF-cell neighbor with a SMALLER id exceeds
+  // the cosine threshold — keep-first is the deterministic variant of
+  // the paper's keep rule. Pairwise work is confined to cells (the
+  // SemDeDup trick: near-dups share a cell), so cost is Σ|cell|², not
+  // n² — nlist scales it. Threshold is a parameter: production semantic
+  // dedup runs ~0.95+; the driver's synthetic embeddings have no planted
+  // near-dups (max pairwise cos ≈ 0.51), so the declared query uses 0.4
+  // to exercise a non-trivial drop set. Deterministic once the seed-42
+  // centroids are fitted → end-to-end hash-match oracle via generated
+  // SQL (centroid literals + the same sequential-fold cell assignment
+  // and cosine as q41d/q39).
+  @volatile private var semanticDedupOracleSql: Option[String] = None
+
+  private def semanticDedupOracle(cents: Array[Array[Double]], thr: Double): String = {
+    val dCols = cents.zipWithIndex.map { case (c, i) =>
+      val arr = c.map(d => s"CAST($d AS DOUBLE)").mkString("[", ", ", "]")
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($arr, v), p -> (p[1]-p[2])*(p[1]-p[2]))), (s, x) -> s + x) AS d$i"
+    }
+    s"""WITH $sqlVecs,
+       |d AS (SELECT vec_id, v, norm, ${dCols.mkString(", ")} FROM e),
+       |m AS (SELECT *, least(${cents.indices.map(i => s"d$i").mkString(", ")}) AS md FROM d),
+       |c AS (SELECT vec_id, v, norm,
+       |             CAST(CASE ${cents.indices.map(i => s"WHEN d$i = md THEN $i").mkString(" ")} END AS INT) AS cell
+       |      FROM m),
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |            FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |            WHERE ${sqlDot("a.v", "b.v")} / (a.norm * b.norm) > $thr)
+       |SELECT vec_id, cell
+       |FROM c
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  private val q83 = GraftQuery(
+    "q83_semantic_dedup",
+    (s, dir) => {
+      val thr = 0.4
+      val model = ivfModel(Tables.embeddings(s, dir), nlist = 16, cacheKey = Some(dir))
+      val cents = model.clusterCenters.map(_.toArray)
+      semanticDedupOracleSql = Some(semanticDedupOracle(cents, thr))
+      val assigned = withCells(vecs(Tables.embeddings(s, dir)), cents)
+        .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      val a = assigned.select(col("cell").as("a_cell"), col("vec_id").as("a_id"),
+        col("v").as("a_v"), col("norm").as("a_n"))
+      val dropped = assigned.join(a,
+          col("cell") === col("a_cell") && col("a_id") < col("vec_id"))
+        .filter(dot(col("a_v"), col("v")) / (col("a_n") * col("norm")) > thr)
+        .select(col("vec_id")).distinct()
+      assigned.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    },
+    None,
+    oracleGen = Some(() => semanticDedupOracleSql))
+
+  val all: Seq[GraftQuery] = Seq(q39, q40, q41, q41c, q41d, q42b, q53, q83)
 }

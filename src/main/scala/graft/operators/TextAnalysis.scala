@@ -240,5 +240,58 @@ object TextAnalysis {
              1.0 - CAST(dq AS DOUBLE) / tot AS dup_bigram_frac
       FROM agg ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78)
+  // ---------------------------------------------------------------- q82
+  // Corpus-statistics rarity scoring: per-document mean token probability
+  // (c_w / N over the whole corpus) and mean inverse frequency (N / c_w,
+  // the idf-like rarity signal) — the surprisal-style quality filter
+  // family, formulated WITHOUT transcendentals: ln differs by ULPs
+  // between Java's Math.log and DuckDB's libm, while ratios of exact
+  // integer counts are bit-identical doubles in both engines. Per-doc
+  // sums are SEQUENTIAL FOLDS over position-sorted score lists (FP
+  // addition is order-sensitive; partial aggregation order is not
+  // deterministic, a fold over a sorted array is).
+  //
+  // Shape at 100 TB: the token-frequency table is vocabulary-sized
+  // (broadcastable for natural language); one posexplode + join + one
+  // per-doc collect bounded by document length. No corpus-wide state
+  // beyond the freq dimension.
+  private val q82 = GraftQuery(
+    "q82_rarity_scoring",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum(col("c")).as("n"))
+      toks.join(freq, "w").crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("pos"),
+          (col("c").cast("double") / col("n")).as("p"),
+          (col("n").cast("double") / col("c")).as("r"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          (aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
+            lit(0.0), (acc, x) => acc + x.getField("p")) / count(lit(1))).as("avg_p"),
+          (aggregate(array_sort(collect_list(struct(col("pos"), col("r")))),
+            lit(0.0), (acc, x) => acc + x.getField("r")) / count(lit(1))).as("avg_rarity"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w
+                  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                        FROM documents) d),
+      freq AS (SELECT w, COUNT(*) AS c FROM tk GROUP BY w),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tk),
+      scored AS (SELECT doc_id, pos,
+                        CAST(c AS DOUBLE) / n AS p,
+                        CAST(n AS DOUBLE) / c AS r
+                 FROM tk JOIN freq USING (w) CROSS JOIN tot)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
+                         (s, x) -> s + x) / COUNT(*) AS avg_p,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(r ORDER BY pos)),
+                         (s, x) -> s + x) / COUNT(*) AS avg_rarity
+      FROM scored
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82)
 }

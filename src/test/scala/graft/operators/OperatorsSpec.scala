@@ -139,6 +139,26 @@ class OperatorsSpec extends SparkSpec {
     assert(groups == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("rarity scoring matches hand-computed corpus statistics for one document") {
+    val rows = graft.SparkEntry.queries("q82_rarity_scoring")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val texts = graft.sources.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    def toks(t: String) = "\\W+".r.split(t.toLowerCase).filter(_.nonEmpty).toSeq
+    val corpus = texts.flatMap { case (_, t) => toks(t) }
+    val freq = corpus.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = corpus.length.toLong
+    val (id0, nt0, avgP0, avgR0) = rows.head
+    val t0 = toks(texts.toMap.apply(id0))
+    assert(nt0 == t0.size)
+    // same fold order (token position) and same per-token exact divisions
+    val avgP = t0.map(w => freq(w).toDouble / n).sum / t0.size
+    val avgR = t0.map(w => n.toDouble / freq(w)).sum / t0.size
+    assert(math.abs(avgP0 - avgP) < 1e-12 && math.abs(avgR0 - avgR) < 1e-9,
+      s"avg_p $avgP0 vs $avgP, avg_rarity $avgR0 vs $avgR")
+  }
+
   test("histogram rank selection equals the single-task window form") {
     val got = graft.SparkEntry.queries("q69_exact_percentile_rank")(spark, sf001)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq

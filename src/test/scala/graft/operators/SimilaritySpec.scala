@@ -73,4 +73,27 @@ class SimilaritySpec extends SparkSpec {
     val agree = a.count { case (id, c) => own(id) == c }
     assert(agree == a.length, s"fold argmin differs from model on ${a.length - agree} vectors")
   }
+
+  test("semantic dedup drops exactly the smaller-id-dominated same-cell vectors") {
+    val sf = "/root/testdata/sf0.001"
+    val survivors = graft.SparkEntry.queries("q83_semantic_dedup")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    // independent brute-force recomputation from the DECLARED cell surface
+    val cells = graft.SparkEntry.queries("q41d_ivf_cells")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val ids = vs.keys.toSeq.sorted
+    val dropped = (for {
+      j <- ids; i <- ids if i < j && cells(i) == cells(j) && cos(vs(i), vs(j)) > 0.4
+    } yield j).toSet
+    assert(survivors == ids.toSet -- dropped,
+      s"survivors=${survivors.size} total=${ids.size} dropped=${dropped.size}")
+  }
 }
