@@ -11,7 +11,15 @@ import org.apache.spark.sql.SparkSession
   */
 object ThroughputBench {
   def main(args: Array[String]): Unit = {
-    val path = args.headOption.getOrElse("/root/reference/onegin")
+    // `maxtemp <corpus>` switches to the reference's second job
+    // (max_year_temp vs tools/ref_maxtemp_pipeline.py); default is the
+    // word-count flagship (vs tools/ref_pipeline.py)
+    val (job, path) = args.toSeq match {
+      case Seq("maxtemp", p) => ("maxtemp", p)
+      case Seq("maxtemp") => ("maxtemp", "/tmp/temp_x1.json")
+      case Seq(p) => ("wordcount", p)
+      case _ => ("wordcount", "/root/reference/onegin")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,21 +30,39 @@ object ThroughputBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def run(): (Long, Long, Double) = {
-      val t0 = System.nanoTime()
-      val corpus = spark.read.textFile(path)
-      val counts = graft.mr.Jobs.wordCount(corpus).cache()
-      val distinct = counts.count()
-      val total = counts.map(_._2).reduce(_ + _)
-      val dt = (System.nanoTime() - t0) / 1e9
-      counts.unpersist()
-      (distinct, total, dt)
+    if (job == "maxtemp") {
+      def run(): (Long, Double, Double) = {
+        val t0 = System.nanoTime()
+        val corpus = spark.read.textFile(path)
+        val maxes = graft.mr.Jobs.maxYearTemp(corpus).cache()
+        val years = maxes.count()
+        val chk = maxes.map(_._2).reduce(_ + _)
+        val dt = (System.nanoTime() - t0) / 1e9
+        maxes.unpersist()
+        (years, chk, dt)
+      }
+      run() // warm-up
+      val runs = (1 to 3).map(_ => run())
+      val (years, chk, _) = runs.head
+      val med = runs.map(_._3).sorted.apply(1)
+      println(f"graft maxtemp $path: $med%.3fs, $years years, sum_of_max $chk%.1f")
+    } else {
+      def run(): (Long, Long, Double) = {
+        val t0 = System.nanoTime()
+        val corpus = spark.read.textFile(path)
+        val counts = graft.mr.Jobs.wordCount(corpus).cache()
+        val distinct = counts.count()
+        val total = counts.map(_._2).reduce(_ + _)
+        val dt = (System.nanoTime() - t0) / 1e9
+        counts.unpersist()
+        (distinct, total, dt)
+      }
+      run() // warm-up: JIT + codegen, same policy as the r1 measurement
+      val runs = (1 to 3).map(_ => run())
+      val (distinct, total, _) = runs.head
+      val med = runs.map(_._3).sorted.apply(1)
+      println(f"graft wordcount $path: $med%.3fs, $distinct distinct words, $total tokens")
     }
-    run() // warm-up: JIT + codegen, same policy as the r1 measurement
-    val runs = (1 to 3).map(_ => run())
-    val (distinct, total, _) = runs.head
-    val med = runs.map(_._3).sorted.apply(1)
-    println(f"graft wordcount $path: $med%.3fs, $distinct distinct words, $total tokens")
     spark.stop()
   }
 }
