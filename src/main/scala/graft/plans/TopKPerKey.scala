@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge
 
@@ -180,6 +181,17 @@ case class TopKPerKeyExec(
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  // standard observability contract: these surface in the Spark UI / AQE
+  // plan like the built-in operators' metrics. numPrunedRows is THE
+  // number that justifies the operator at scale — rows the partial pass
+  // kept out of the shuffle.
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numKeys" -> SQLMetrics.createMetric(sparkContext, "number of distinct keys seen"),
+    "numPrunedRows" -> SQLMetrics.createMetric(sparkContext,
+      if (partial) "rows pruned before shuffle" else "rows pruned in final merge"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
     // global top-k (no keys): the final merge must see every partial
@@ -199,6 +211,9 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val so = sortOrder
     val attrs = child.output
+    val outRows = longMetric("numOutputRows")
+    val keysSeen = longMetric("numKeys")
+    val pruned = longMetric("numPrunedRows")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, attrs)
       // "first k under sortOrder" = the k SMALLEST under this ordering; a
@@ -212,15 +227,20 @@ case class TopKPerKeyExec(
         val heap = heaps.getOrElse(key, {
           val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
           heaps.put(key.copy(), h)
+          keysSeen += 1
           h
         })
         if (heap.size < kLocal) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+        else {
+          pruned += 1
+          if (ord.compare(row, heap.head) < 0) {
+            heap.dequeue()
+            heap.enqueue(row.copy())
+          }
         }
       }
       heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+        .map { r => outRows += 1; r }
     }
   }
 }

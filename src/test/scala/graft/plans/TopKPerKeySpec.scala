@@ -62,6 +62,34 @@ class TopKPerKeySpec extends SparkSpec {
       s"got ${got.length} rows: ${got.mkString("; ")}")
   }
 
+  test("metrics: partial pass reports the rows it kept out of the shuffle") {
+    import spark.implicits._
+    val df = spark.range(1000).select((col("id") % 5).as("k"), col("id").as("v"))
+      .repartition(4)
+    val topped = TopKPerKey.topK(df, Seq(col("k")), Seq(col("v").desc), 3)
+    // collect() (not count()) so the SAME QueryExecution's plan runs —
+    // count() plans a separate query and would leave these metrics at 0
+    assert(topped.collect().length == 15)
+    // descend through AQE wrappers: query stages are leaves to collect(),
+    // their actual fragments hang off .plan / .executedPlan
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children ++ (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      })).flatMap(allNodes)
+    val execs = allNodes(topped.queryExecution.executedPlan)
+      .collect { case t: TopKPerKeyExec => t }
+    assert(execs.map(_.partial).sorted == Seq(false, true), s"execs=$execs")
+    val partialM = execs.find(_.partial).get.metrics
+    val finalM = execs.find(!_.partial).get.metrics
+    // 1000 rows, ≤ 4 partitions × 5 keys × 3 kept map-side → most pruned
+    assert(partialM("numPrunedRows").value >= 900, partialM.toString)
+    assert(finalM("numOutputRows").value == 15, finalM.toString)
+    assert(finalM("numKeys").value == 5, finalM.toString)
+  }
+
   test("key filters push through the node to the parquet scan") {
     val filtered = TopKPerKey.topK(orders(), Seq(col("o_custkey")),
       Seq(col("o_totalprice").desc), 3)
