@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+
+/** The engine's user-facing API in one place: every training-data
+  * pipeline operation as a plain DataFrame/Dataset function, independent
+  * of the declared-query harness. Each forwards to the operator module
+  * that implements (and oracle-verifies) it — this object adds no logic,
+  * only discoverability: a consumer imports `graft.Pipeline` and composes
+  * these like `org.apache.spark.sql.functions`.
+  *
+  * Everything relational (joins, windows, aggregates, set ops, scalar
+  * functions) is deliberately NOT wrapped: that surface IS the Spark
+  * DataFrame API, used directly.
+  */
+object Pipeline {
+
+  // ---- dedup -----------------------------------------------------------
+  /** (doc_id, band, sig) MinHash/LSH band signatures (k=8, b=4×r=2). */
+  def bandSigs(docs: DataFrame): DataFrame = operators.Dedup.bandSigs(docs)
+
+  /** Admit `batch` rows with no exact or LSH-band collision in `corpus`. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame): DataFrame =
+    operators.Dedup.incrementalDedup(batch, corpus)
+
+  /** MinHash band-collision candidate pairs for the curation pipeline. */
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    operators.Curation.minhashCandidates(docs)
+
+  /** Exact-Jaccard verification of candidate pairs at `threshold`. */
+  def verifyPairs(docs: DataFrame, candidates: DataFrame, threshold: Double): DataFrame =
+    operators.Curation.verifyPairs(docs, candidates, threshold)
+
+  /** Duplicate-cluster ids per doc (banding → verify → connected components). */
+  def clusterAssignments(docs: DataFrame, threshold: Double): DataFrame =
+    operators.Curation.clusterAssignments(docs, threshold)
+
+  /** The deduplicated corpus: one representative per near-dup cluster. */
+  def dedupedCorpus(docs: DataFrame, threshold: Double): DataFrame =
+    operators.Curation.dedupedCorpus(docs, threshold)
+
+  /** SemDeDup survivors: drop same-IVF-cell neighbors above `thr` cosine. */
+  def semanticDedup(embeddings: DataFrame, thr: Double, nlist: Int): DataFrame =
+    operators.Similarity.semanticDedup(embeddings, thr, nlist)
+
+  // ---- similarity search ------------------------------------------------
+  /** IVF approximate top-k cosine neighbors for the `isQuery` rows. */
+  def ivfTopK(embeddings: DataFrame, isQuery: Column, k: Int,
+      nlist: Int, nprobe: Int): DataFrame =
+    operators.Similarity.ivfTopK(embeddings, isQuery, k, nlist, nprobe)
+
+  // ---- curation / filtering ---------------------------------------------
+  /** Drop `train` rows sharing any word n-gram with `eval`. */
+  def decontaminate(train: DataFrame, eval_ : DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    operators.DataPrep.decontaminate(train, eval_, idCol, textCol, n)
+
+  /** Gopher-style repetition signals per document. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    operators.TextAnalysis.repetitionSignals(df, idCol, textCol)
+
+  /** Corpus-statistics rarity scores per document. */
+  def rarityScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    operators.TextAnalysis.rarityScores(df, idCol, textCol)
+
+  /** sqrt-temperature sampling weights per group. */
+  def mixWeights(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    operators.DataPrep.mixWeights(df, groupCol, textCol)
+
+  // ---- scale tools --------------------------------------------------------
+  /** Skew-proof equi-join: explicit salt in the key, shuffle-hash pinned. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, factor: Int): DataFrame =
+    plans.ScaleOps.saltedJoin(left, right, key, factor)
+
+  /** Custom whole-operator top-k per key (empty `keys` = global). */
+  def topK(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame =
+    plans.TopKPerKey.topK(df, keys, order, k)
+
+  // ---- reference-parity jobs ----------------------------------------------
+  /** The reference's flagship word-count job (Unicode tokenizer parity). */
+  def wordCount(corpus: Dataset[String]): Dataset[(String, Long)] =
+    mr.Jobs.wordCount(corpus)
+
+  /** The reference's max-temperature-per-year job. */
+  def maxYearTemp(corpus: Dataset[String]): Dataset[(Int, Double)] =
+    mr.Jobs.maxYearTemp(corpus)
+
+  // ---- streaming ------------------------------------------------------------
+  /** Ingestion-side dedup of a document stream against a static corpus. */
+  def incrementalDedupStream(docs: DataFrame, corpusHashes: DataFrame): DataFrame =
+    streaming.Streams.incrementalDedupStream(docs, corpusHashes)
+}

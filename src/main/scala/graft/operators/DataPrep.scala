@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -215,35 +216,51 @@ object DataPrep {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** (id, gramHash) rows: 64-bit hashes of the word `n`-grams of
+    * `textCol` (8-byte shuffle/join keys, never gram strings).
+    */
+  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("__id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("__id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n)))")).as("g"))
+      .select(col("__id"), xxhash64(col("g")).as("gh"))
+
+  /** Benchmark decontamination, the general two-corpus form: rows of
+    * `train` that share NO word `n`-gram of `textCol` with any row of
+    * `eval` (the standard overlap filter run before pretraining; real
+    * pipelines use n = 8–13).
+    *
+    * Shape at 100 TB: grams are 64-bit hashes; the eval gram set is tiny
+    * relative to the corpus, so both the semi-join (find contaminated
+    * ids) and the anti-join (drop them) broadcast the small side — the
+    * training corpus is never shuffled. xxhash64 collisions could only
+    * FALSE-POSITIVE a drop (~1e-9 at 1e5 grams), never leak
+    * contamination through.
+    */
+  def decontaminate(train: DataFrame, eval_ : DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val evalGrams = gramHashes(eval_, idCol, textCol, n)
+      .select(col("gh")).distinct()
+    val contaminated = gramHashes(train, idCol, textCol, n)
+      .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+      .select(col("__id").as(idCol)).distinct()
+    train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------------------- q79
-  // Benchmark decontamination: drop training documents sharing any word
-  // n-gram with the held-out eval set (the standard n-gram-overlap
-  // filter used before pretraining; gram size is a parameter — real
-  // pipelines use 8–13, this corpus's vocabulary needs 4 to produce a
-  // non-trivial split). Eval membership here is doc_id % 97 = 0.
-  //
-  // Shape at 100 TB: grams are 64-bit hashes (8-byte shuffle keys, not
-  // strings); the eval gram set is tiny relative to the corpus, so both
-  // the semi-join (find contaminated) and the anti-join (drop them)
-  // broadcast the small side — the training corpus is never shuffled.
-  // xxhash64 collisions could only FALSE-POSITIVE a drop (~1e-9 at 1e5
-  // grams), never leak contamination through.
+  // Decontamination as a declared query: eval membership is
+  // doc_id % 97 = 0; gram size 4 (this corpus's vocabulary needs 4 to
+  // produce a non-trivial split).
   private val q79 = GraftQuery(
     "q79_decontaminate",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val grams = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 4)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(t) - 3), i -> concat_ws(' ', slice(t, i, 4)))")).as("g"))
-        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-      val evalGrams = grams.filter(col("doc_id") % 97 === 0)
-        .select(col("gh")).distinct()
-      val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(evalGrams), Seq("gh"), "left_semi")
-        .select(col("doc_id")).distinct()
-      docs.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 4)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     },
@@ -261,28 +278,29 @@ object DataPrep {
       ORDER BY d.doc_id"""))
 
   // ---------------------------------------------------------------- q80
-  // Temperature-based source mixing weights (alpha = 0.5, the sqrt
-  // rebalancing used for multilingual/multi-source pretraining mixes):
-  // per-source token totals and normalized sampling weights. One
-  // partial-aggregating groupBy on source; the normalizer is a broadcast
-  // scalar, so nothing else shuffles. Float parity: sqrt is correctly
-  // rounded in both engines, and the normalizer sums DECIMAL(38,6) —
-  // exact and order-independent where a double sum would vary in ULPs
-  // with Spark's partial-agg ordering.
+  /** Per-group token totals and sqrt-temperature sampling weights over
+    * `textCol`, grouped by `groupCol` — the multilingual/multi-source
+    * rebalancing mix. One partial-aggregating groupBy; the normalizer is
+    * a broadcast scalar summed as DECIMAL(38,6) (exact and
+    * order-independent where a double sum varies in ULPs with partial-agg
+    * ordering). Output: (groupCol, n_tokens, weight).
+    */
+  def mixWeights(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val ps = df
+      .select(col(groupCol), size(tokens(col(textCol))).as("ntok"))
+      .groupBy(col(groupCol)).agg(sum(col("ntok")).as("n_tokens"))
+      .select(col(groupCol), col("n_tokens"),
+        sqrt(col("n_tokens")).cast("decimal(38,6)").as("sq"))
+    val tot = ps.agg(sum(col("sq")).as("tot"))
+    ps.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_tokens"),
+        (col("sq").cast("double") / col("tot").cast("double")).as("weight"))
+  }
+
   private val q80 = GraftQuery(
     "q80_source_mix_weights",
-    (s, dir) => {
-      val ps = Tables.documents(s, dir)
-        .select(col("source"), size(tokens(col("text"))).as("ntok"))
-        .groupBy(col("source")).agg(sum(col("ntok")).as("n_tokens"))
-        .select(col("source"), col("n_tokens"),
-          sqrt(col("n_tokens")).cast("decimal(38,6)").as("sq"))
-      val tot = ps.agg(sum(col("sq")).as("tot"))
-      ps.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_tokens"),
-          (col("sq").cast("double") / col("tot").cast("double")).as("weight"))
-        .orderBy(col("source"))
-    },
+    (s, dir) => mixWeights(Tables.documents(s, dir), "source", "text")
+      .orderBy(col("source")),
     Some("""
       WITH toks AS (SELECT source, len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS ntok
                     FROM documents),

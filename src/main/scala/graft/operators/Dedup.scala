@@ -167,7 +167,7 @@ object Dedup {
     * partial agg collapses the shuffle to one row per document (vs
     * exploding ×8 and shuffling every (doc, i, hash) tuple).
     */
-  private def bandSigs(docs: DataFrame): DataFrame = {
+  def bandSigs(docs: DataFrame): DataFrame = {
     val sh = shingleRows(docs)
     val hashed = sh.select(
       col("doc_id") +:
@@ -282,25 +282,32 @@ object Dedup {
   // small one; the corpus text is never reshuffled, only its key
   // columns. Admission is per-doc with no batch-internal state, so the
   // batch pipeline parallelizes by scan split.
+  /** Incremental admission of `batch` against `corpus` (both carrying
+    * `doc_id`/`text`): rows of `batch` with no exact content-hash match
+    * in the corpus AND no LSH band-signature collision with it. REJECT
+    * sets, not admit sets: a batch doc too short to shingle has no band
+    * rows, and must be admitted (no near-dup evidence), which an
+    * admit-side semi-join would silently drop.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusHash = corpus.select(md5(col("text")).as("h")).distinct()
+    val exactReject = batch.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpusHash, Seq("h"), "left_semi").select(col("doc_id"))
+    val corpusBands = bandSigs(corpus)
+      .select(col("band"), col("sig")).distinct()
+    val nearReject = bandSigs(batch)
+      .join(corpusBands, Seq("band", "sig"), "left_semi")
+      .select(col("doc_id")).distinct()
+    batch.join(exactReject, Seq("doc_id"), "left_anti")
+      .join(nearReject, Seq("doc_id"), "left_anti")
+  }
+
   private val q81 = GraftQuery(
     "q81_incremental_dedup",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val isNew = col("doc_id") % 10 === 9
-      val batch = docs.filter(isNew)
-      val corpusHash = docs.filter(!isNew).select(md5(col("text")).as("h")).distinct()
-      // REJECT sets, not admit sets: a batch doc too short to shingle has
-      // no band rows, and must be admitted (no near-dup evidence), which
-      // an admit-side semi-join would silently drop
-      val exactReject = batch.select(col("doc_id"), md5(col("text")).as("h"))
-        .join(corpusHash, Seq("h"), "left_semi").select(col("doc_id"))
-      val corpusBands = bandSigs(docs.filter(!isNew))
-        .select(col("band"), col("sig")).distinct()
-      val nearReject = bandSigs(batch)
-        .join(corpusBands, Seq("band", "sig"), "left_semi")
-        .select(col("doc_id")).distinct()
-      batch.join(exactReject, Seq("doc_id"), "left_anti")
-        .join(nearReject, Seq("doc_id"), "left_anti")
+      incrementalDedup(docs.filter(isNew), docs.filter(!isNew))
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     },

@@ -482,25 +482,32 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** SemDeDup over an embeddings table (vec_id, embedding): survivors
+    * after dropping every vector with a same-IVF-cell neighbor of
+    * smaller id above `thr` cosine. Output: (vec_id, cell).
+    */
+  def semanticDedup(embeddings: DataFrame, thr: Double, nlist: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val model = ivfModel(embeddings, nlist, cacheKey)
+    val cents = model.clusterCenters.map(_.toArray)
+    semanticDedupOracleSql = Some(semanticDedupOracle(cents, thr))
+    val assigned = withCells(vecs(embeddings), cents)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+    val a = assigned.select(col("cell").as("a_cell"), col("vec_id").as("a_id"),
+      col("v").as("a_v"), col("norm").as("a_n"))
+    val dropped = assigned.join(a,
+        col("cell") === col("a_cell") && col("a_id") < col("vec_id"))
+      .filter(dot(col("a_v"), col("v")) / (col("a_n") * col("norm")) > thr)
+      .select(col("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   private val q83 = GraftQuery(
     "q83_semantic_dedup",
-    (s, dir) => {
-      val thr = 0.4
-      val model = ivfModel(Tables.embeddings(s, dir), nlist = 16, cacheKey = Some(dir))
-      val cents = model.clusterCenters.map(_.toArray)
-      semanticDedupOracleSql = Some(semanticDedupOracle(cents, thr))
-      val assigned = withCells(vecs(Tables.embeddings(s, dir)), cents)
-        .select(col("vec_id"), col("v"), col("norm"), col("cell"))
-      val a = assigned.select(col("cell").as("a_cell"), col("vec_id").as("a_id"),
-        col("v").as("a_v"), col("norm").as("a_n"))
-      val dropped = assigned.join(a,
-          col("cell") === col("a_cell") && col("a_id") < col("vec_id"))
-        .filter(dot(col("a_v"), col("v")) / (col("a_n") * col("norm")) > thr)
-        .select(col("vec_id")).distinct()
-      assigned.join(dropped, Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("cell"))
-        .orderBy(col("vec_id"))
-    },
+    (s, dir) => semanticDedup(Tables.embeddings(s, dir), thr = 0.4,
+      nlist = 16, cacheKey = Some(dir))
+      .orderBy(col("vec_id")),
     None,
     oracleGen = Some(() => semanticDedupOracleSql))
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -200,28 +200,34 @@ object TextAnalysis {
   // duplicate-bigram fraction. Per-document explode → two hash-aggs,
   // both partial-aggregating map-side; no corpus-level state, so the
   // scan parallelism IS the parallelism at any corpus size.
+  /** Per-document repetition signals over `textCol`, keyed by `idCol`:
+    * (id, n_tokens, type_token_ratio, top_bigram_frac, dup_bigram_frac).
+    * Documents with fewer than 2 tokens have no bigrams and are omitted.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+    // bigram text: slice element i (0-based lambda index) is t[i+1]
+    // (1-based), so its successor is element_at(t, i + 2)
+    val bg = toks.select(col("__id"), size(col("t")).as("n"),
+      size(array_distinct(col("t"))).as("nd"),
+      explode(expr(
+        "transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', element_at(t, i + 2)))")).as("g"))
+    val cnt = bg.groupBy(col("__id"), col("n"), col("nd"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("__id"), col("n"), col("nd"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"), count(lit(1)).as("dq"))
+      .select(col("__id").as(idCol), col("n").as("n_tokens"),
+        (col("nd").cast("double") / col("n")).as("type_token_ratio"),
+        (col("mx").cast("double") / col("tot")).as("top_bigram_frac"),
+        (lit(1.0) - col("dq").cast("double") / col("tot")).as("dup_bigram_frac"))
+  }
+
   private val q78 = GraftQuery(
     "q78_repetition_signals",
-    (s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-      // bigram text: slice element i (0-based lambda index) is t[i+1]
-      // (1-based), so its successor is element_at(t, i + 2)
-      val bg = toks.select(col("doc_id"), size(col("t")).as("n"),
-        size(array_distinct(col("t"))).as("nd"),
-        explode(expr(
-          "transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', element_at(t, i + 2)))")).as("g"))
-      val cnt = bg.groupBy(col("doc_id"), col("n"), col("nd"), col("g"))
-        .agg(count(lit(1)).as("c"))
-      cnt.groupBy(col("doc_id"), col("n"), col("nd"))
-        .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"), count(lit(1)).as("dq"))
-        .select(col("doc_id"), col("n").as("n_tokens"),
-          (col("nd").cast("double") / col("n")).as("type_token_ratio"),
-          (col("mx").cast("double") / col("tot")).as("top_bigram_frac"),
-          (lit(1.0) - col("dq").cast("double") / col("tot")).as("dup_bigram_frac"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) => repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id")),
     Some("""
       WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
                     FROM documents),
@@ -255,25 +261,33 @@ object TextAnalysis {
   // (broadcastable for natural language); one posexplode + join + one
   // per-doc collect bounded by document length. No corpus-wide state
   // beyond the freq dimension.
+  /** Corpus-statistics rarity scores per document: mean token probability
+    * and mean inverse frequency (idf-like). Per-doc sums are sequential
+    * folds over position-sorted lists — deterministic at any parallelism.
+    */
+  def rarityScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("__id"), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).as("n"))
+    toks.join(freq, "w").crossJoin(broadcast(tot))
+      .select(col("__id"), col("pos"),
+        (col("c").cast("double") / col("n")).as("p"),
+        (col("n").cast("double") / col("c")).as("r"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p")) / count(lit(1))).as("avg_p"),
+        (aggregate(array_sort(collect_list(struct(col("pos"), col("r")))),
+          lit(0.0), (acc, x) => acc + x.getField("r")) / count(lit(1))).as("avg_rarity"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   private val q82 = GraftQuery(
     "q82_rarity_scoring",
-    (s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
-      val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val tot = freq.agg(sum(col("c")).as("n"))
-      toks.join(freq, "w").crossJoin(broadcast(tot))
-        .select(col("doc_id"), col("pos"),
-          (col("c").cast("double") / col("n")).as("p"),
-          (col("n").cast("double") / col("c")).as("r"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          (aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
-            lit(0.0), (acc, x) => acc + x.getField("p")) / count(lit(1))).as("avg_p"),
-          (aggregate(array_sort(collect_list(struct(col("pos"), col("r")))),
-            lit(0.0), (acc, x) => acc + x.getField("r")) / count(lit(1))).as("avg_rarity"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) => rarityScores(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("avg_p"), col("avg_rarity"))
+      .orderBy(col("doc_id")),
     Some("""
       WITH tk AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w
                   FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t

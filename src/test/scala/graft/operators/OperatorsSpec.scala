@@ -139,6 +139,32 @@ class OperatorsSpec extends SparkSpec {
     assert(groups == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("Pipeline facade operators accept caller-chosen column names") {
+    import spark.implicits._
+    val docs = Seq((10L, "a b a b a b a b"), (11L, "p q r s t u v w"))
+      .toDF("my_id", "body")
+    val rep = graft.Pipeline.repetitionSignals(docs, "my_id", "body")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // "a b" ×4 of 7 bigrams, 2 distinct tokens of 8
+    assert(rep(10L)._1 == 8 && math.abs(rep(10L)._2 - 0.25) < 1e-12)
+    assert(math.abs(rep(10L)._3 - 4.0 / 7) < 1e-12 && math.abs(rep(10L)._4 - (1 - 2.0 / 7)) < 1e-12)
+    assert(rep(11L)._3 == 1.0 / 7 && rep(11L)._4 == 0.0)
+
+    val train = Seq((1L, "p q r s"), (2L, "u v w x")).toDF("my_id", "body")
+    val eval_ = Seq((9L, "q r")).toDF("my_id", "body")
+    val kept = graft.Pipeline.decontaminate(train, eval_, "my_id", "body", n = 2)
+      .select("my_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"doc 1 shares the 2-gram 'q r' with eval; got $kept")
+
+    val mix = graft.Pipeline.mixWeights(
+      Seq(("a", "one two three four"), ("b", "one two three four five six seven eight nine"))
+        .toDF("grp", "body"), "grp", "body")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(mix("a")._1 == 4 && mix("b")._1 == 9)
+    assert(math.abs(mix("a")._2 - 0.4) < 1e-9 && math.abs(mix("b")._2 - 0.6) < 1e-9)
+  }
+
   test("rarity scoring matches hand-computed corpus statistics for one document") {
     val rows = graft.SparkEntry.queries("q82_rarity_scoring")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
