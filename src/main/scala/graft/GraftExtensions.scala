@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Md5Hash60, YamrPartition}
+import graft.functions.{DotProduct, Md5Hash60, SquaredDistance, YamrPartition}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst functions for SQL use, the TopKPerKey planner strategy, and
@@ -37,6 +37,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "md5_hash60(s) takes 1 argument")
         Md5Hash60(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "dot_product(a, b) takes 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("squared_distance"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "squared_distance"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "squared_distance(a, b) takes 2 arguments")
+        SquaredDistance(children.head, children(1))
       }))
   }
 }

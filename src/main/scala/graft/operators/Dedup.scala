@@ -87,12 +87,19 @@ object Dedup {
   // scores are a lower bound of true Jaccard; the cap is mirrored in the
   // q36 oracle.
 
-  /** df-cap for a corpus of `nDocs` documents: max(100, 1% of docs). */
-  private[operators] def dfCap(nDocs: Long): Long = math.max(100L, nDocs / 100L)
+  /** df-cap for a corpus of `nDocs` documents: 1% of docs, floor 100,
+    * CEILING 10k — the ceiling is what keeps the worst case bounded at
+    * any corpus size (an uncapped 1% of 1B docs would admit a 10M-doc
+    * shingle and its 5×10¹³ pair explosion; with the ceiling no shingle
+    * ever contributes more than C(10k, 2) ≈ 5×10⁷ pairs). Identical at
+    * every tested SF and probe scale (all ≤ 1M docs).
+    */
+  private[operators] def dfCap(nDocs: Long): Long =
+    math.max(100L, math.min(10000L, nDocs / 100L))
 
   /** The same cap as a DuckDB scalar subquery over `documents`. */
   private[operators] val dfCapSql =
-    "greatest(100, (SELECT COUNT(*) // 100 FROM documents))"
+    "greatest(100, least(10000, (SELECT COUNT(*) // 100 FROM documents)))"
 
   // ---------------------------------------------------------------- q36
   // Exact n-gram Jaccard similarity: top-20 most similar pairs. The

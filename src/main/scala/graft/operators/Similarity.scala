@@ -25,9 +25,11 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+  /** Sequential-fold dot product of two array<double> columns — the
+    * native codegen'd expression (same fold order as the HOF form it
+    * replaced and as the DuckDB oracles, so hash parity is unchanged).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   private def vecs(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -282,10 +284,7 @@ object Similarity {
     // heap; as a single named array the folds are planned once and
     // argmin/probe-rank read elements, not re-derived expressions
     val distArr = array(cents.map { c =>
-      aggregate(
-        zip_with(array(c.map(lit).toIndexedSeq: _*), col("v"),
-          (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.SquaredDistance(array(c.map(lit).toIndexedSeq: _*), col("v"))
     }.toIndexedSeq: _*)
     df.withColumn("dists", distArr)
       .withColumn("md", array_min(col("dists")))

@@ -33,6 +33,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
                   CAST(conv(substring(md5('hello'), 1, 15), 16, 10) AS BIGINT) AS slow""")
         .collect()(0)
       assert(h.getLong(0) == h.getLong(1))
+      val v = s.sql(
+        "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+          "squared_distance(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS sq")
+        .collect()(0)
+      assert(v.getDouble(0) == 11.0 && v.getDouble(1) == 8.0, v.toString)
     } finally {
       // restore the shared session for other suites; context stays alive
       SparkSession.getActiveSession // touch to avoid unused warnings
