@@ -15,10 +15,13 @@ object TextFunctions {
 
   /** Lowercased word tokens; empty strings (from leading separators)
     * removed. ASCII `\W` split — identical semantics in Java regex (Spark)
-    * and RE2 (DuckDB oracle).
+    * and RE2 (DuckDB oracle). `array_remove` rather than a filter lambda:
+    * same result (split yields no nulls, so dropping ""-equal elements IS
+    * the filter), but ArrayRemove is a native codegen'd expression while
+    * HigherOrderFunction lambdas are interpreted per row.
     */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\W+"), t => t =!= "")
+    array_remove(split(lower(text), "\\W+"), "")
 
   /** Whitespace-normalized text: lower, collapse runs, trim. */
   def normalized(text: Column): Column =
@@ -42,9 +45,17 @@ object TextFunctions {
     hash60(concat(seed.cast("string"), lit(":"), s))
 
   /** Distinct word w-shingles (default w=3) of the token array, or empty
-    * array when the document has fewer than w tokens.
+    * array when the document has fewer than w tokens. Native codegen'd
+    * expression ([[WordShingles]]) — the sequence/transform/concat_ws/
+    * array_distinct composition it replaced evaluated three interpreted
+    * lambdas per shingle per row on the dedup hot path; the reference
+    * composition is kept in [[shinglesReference]] and asserted
+    * bit-identical in tests.
     */
-  def shingles(toks: Column, w: Int = 3): Column = {
+  def shingles(toks: Column, w: Int = 3): Column = WordShingles(toks, w)
+
+  /** Pure-builtin form of [[shingles]] (equivalence oracle for tests). */
+  def shinglesReference(toks: Column, w: Int = 3): Column = {
     val idx = sequence(lit(1), size(toks) - lit(w - 1))
     val grams = transform(idx, j =>
       concat_ws(" ", (0 until w).map(o => element_at(toks, j + lit(o))): _*))
