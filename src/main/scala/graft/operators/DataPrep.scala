@@ -310,5 +310,47 @@ object DataPrep {
              CAST(sq AS DOUBLE) / CAST((SELECT SUM(sq) FROM sq) AS DOUBLE) AS weight
       FROM sq ORDER BY source"""))
 
-  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80)
+  /** Overlapping character chunks of `textCol` for context-window
+    * preprocessing: chunks of `chunkLen` starting every `step` chars
+    * (overlap = chunkLen - step), 1-based offsets, the tail chunk
+    * may be shorter. Pure per-row arithmetic — embarrassingly parallel,
+    * no shuffle at any corpus size.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int, step: Int): DataFrame = {
+    require(chunkLen > 0 && step > 0 && step <= chunkLen,
+      s"need 0 < step <= chunkLen, got step=$step chunkLen=$chunkLen")
+    df.select(col(idCol), col(textCol).as("__text"))
+      // Spark's sequence(1, 0, step) THROWS rather than yielding empty;
+      // an empty doc has no chunks on either engine, so drop it up front
+      .filter(length(col("__text")) >= 1)
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col("__text")), lit(step))).as("start"),
+        col("__text"))
+      .select(col(idCol),
+        ((col("start") - 1) / step).cast("int").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        length(expr(s"substring(__text, start, $chunkLen)")).cast("long").as("chunk_len"),
+        md5(expr(s"substring(__text, start, $chunkLen)")).as("chunk_md5"))
+  }
+
+  // ---------------------------------------------------------------- q84
+  // Chunking as a declared query: 200-char chunks every 150 chars (50
+  // overlap). The md5 per chunk proves byte-identical chunk content
+  // across engines without emitting the text.
+  private val q84 = GraftQuery(
+    "q84_doc_chunking",
+    (s, dir) => chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+      chunkLen = 200, step = 150)
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""
+      SELECT doc_id,
+             CAST((s - 1) // 150 AS INT) AS chunk_id,
+             CAST(s AS BIGINT) AS start,
+             CAST(len(substr(text, s, 200)) AS BIGINT) AS chunk_len,
+             md5(substr(text, s, 200)) AS chunk_md5
+      FROM documents, UNNEST(range(1, len(text) + 1, 150)) AS u(s)
+      ORDER BY doc_id, chunk_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84)
 }

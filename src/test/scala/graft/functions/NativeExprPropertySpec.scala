@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+
+/** Property tests: the native codegen'd expressions must agree with
+  * their builtin reference compositions on ARBITRARY inputs, not just
+  * the corpus — random token arrays (any length incl. empty) and random
+  * double vectors (negatives, zeros, non-terminating fractions).
+  * Deterministic seed chain (no flaky CI), 30 samples per law.
+  */
+class NativeExprPropertySpec extends AnyFunSuite {
+
+  private lazy val spark = graft.SparkSpec.session
+  private val params = Gen.Parameters.default
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    var seed = Seed(42L)
+    (1 to n).flatMap { _ =>
+      val r = g.apply(params, seed)
+      seed = seed.next
+      r
+    }
+  }
+
+  private val token: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val tokenArrays: Gen[List[List[String]]] =
+    Gen.nonEmptyListOf(Gen.listOf(token))
+
+  test("WordShingles == builtin composition on arbitrary token arrays") {
+    import spark.implicits._
+    for {
+      (docs, i) <- samples(tokenArrays, 15).zipWithIndex
+      w <- Seq(1 + i % 5, 3)
+    } {
+      val df = docs.map(_.toArray).toDF("t")
+      val diff = df.select(
+        shingles(col("t"), w).as("fast"),
+        shinglesReference(col("t"), w).as("ref"))
+        .filter(not(col("fast") <=> col("ref"))).count()
+      assert(diff == 0, s"sample $i w=$w")
+    }
+  }
+
+  private val vec: Gen[List[Double]] =
+    Gen.listOf(Gen.chooseNum(-1000000, 1000000).map(_ / 9.7))
+
+  test("DotProduct / SquaredDistance == HOF folds on arbitrary vectors") {
+    import spark.implicits._
+    samples(Gen.nonEmptyListOf(vec), 30).zipWithIndex.foreach { case (vs, i) =>
+      // pair each vector with its reverse so lengths always match
+      val df = vs.map(v => (v.toArray, v.reverse.toArray)).toDF("a", "b")
+      val rows = df.select(
+        DotProduct(col("a"), col("b")).as("nd"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (s, v) => s + v).as("hd"),
+        SquaredDistance(col("a"), col("b")).as("nq"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (s, v) => s + v).as("hq"))
+        .collect()
+      rows.foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), s"dot, sample $i")
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(3)), s"sqdist, sample $i")
+      }
+    }
+  }
+}

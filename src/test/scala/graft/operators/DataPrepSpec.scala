@@ -68,6 +68,25 @@ class DataPrepSpec extends SparkSpec {
     assert(out(2).getAs[Int]("n_emails") == 0 && out(2).getAs[Int]("n_nums") == 0)
   }
 
+  test("doc chunking: offsets tile the text with the declared overlap") {
+    import spark.implicits._
+    val text = "abcdefghijklmnopqrstuvwxyz" // 26 chars
+    val rows = DataPrep.chunkDocs(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", chunkLen = 10, step = 7)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    // starts 1,8,15,22 (1-based); lens 10,10,10,5 (tail truncated)
+    assert(rows.toSeq == Seq((0, 1L, 10L), (1, 8L, 10L), (2, 15L, 10L), (3, 22L, 5L)))
+    // every char position is covered; consecutive chunks overlap by 3
+    assert(rows.last._2 + rows.last._3 - 1 == 26)
+    rows.sliding(2).foreach { p =>
+      if (p.length == 2) assert(p(0)._2 + 10 - p(1)._2 == 3)
+    }
+    // empty text yields no chunks
+    assert(DataPrep.chunkDocs(Seq((2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", 10, 7).count() == 0)
+  }
+
   test("decontamination drops exactly the docs sharing a 4-gram with the eval set") {
     import spark.implicits._
     val survivors = graft.SparkEntry.queries("q79_decontaminate")(spark, sf001)
