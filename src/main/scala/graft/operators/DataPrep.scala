@@ -352,5 +352,72 @@ object DataPrep {
       FROM documents, UNNEST(range(1, len(text) + 1, 150)) AS u(s)
       ORDER BY doc_id, chunk_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84)
+  // ---------------------------------------------------------------- q85
+  // The end-to-end prep pipeline a training run actually executes,
+  // composed from the verified building blocks: quality gate (q33's
+  // keep rule + language filter) → benchmark decontamination (the q79
+  // public operator) → exact dedup keep-first (q35's rule) → sequence
+  // packing (q63's exclusive-prefix-sum rule, per source). Every stage
+  // is individually oracle-checked elsewhere; this query pins their
+  // COMPOSITION — the DuckDB oracle replays the whole chain.
+  //
+  // Shape at 100 TB: filter is a stateless scan; decontamination
+  // broadcasts the eval gram set; dedup is one hash-agg on a 16-byte
+  // digest + a semi-join; packing is one window cumsum partitioned by
+  // source. No stage shuffles the corpus text more than once.
+  private val q85 = GraftQuery(
+    "q85_prep_pipeline",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = tokens(col("text"))
+      val en = Seq("the", "a", "and", "of", "to", "is", "in")
+      val stopCnt = size(filter(toks, t => array_contains(array(en.map(lit): _*), t)))
+      val kept = docs
+        .withColumn("n_tokens", size(toks))
+        .withColumn("sr", stopCnt.cast("double") / col("n_tokens"))
+        .filter(col("lang") === "en" && col("n_tokens").between(20, 1000) &&
+          col("sr") > 0.02)
+      val clean = decontaminate(
+        kept.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 4)
+      val minIds = clean.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val deduped = clean.join(minIds, Seq("doc_id"), "left_semi")
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      deduped
+        .withColumn("cum_excl",
+          coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"),
+          col("n_tokens").cast("int").as("n_tokens"),
+          expr("CAST(cum_excl DIV 2048 AS INT)").as("pack_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, source, lang, text,
+                          list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                   FROM documents),
+      kept AS (SELECT doc_id, source, text, len(t) AS n_tokens FROM tok
+               WHERE lang = 'en' AND len(t) BETWEEN 20 AND 1000
+                 AND CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS DOUBLE) / len(t) > 0.02),
+      grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g
+                FROM tok WHERE len(t) >= 4),
+      eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+      contaminated AS (SELECT DISTINCT doc_id FROM grams
+                       WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM eval_grams)),
+      clean AS (SELECT * FROM kept
+                WHERE doc_id % 97 <> 0
+                  AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      dedup AS (SELECT c.* FROM clean c
+                JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep
+                      FROM clean GROUP BY md5(text)) k ON c.doc_id = k.keep)
+      SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS INT) AS pack_id
+      FROM dedup
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84, q85)
 }
