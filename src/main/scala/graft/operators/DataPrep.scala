@@ -133,13 +133,9 @@ object DataPrep {
   private val q64 = GraftQuery(
     "q64_bigram_freq",
     (s, dir) => {
-      val t = col("t")
-      val grams = transform(sequence(lit(1), size(t) - 1),
-        j => concat(element_at(t, j), lit(" "), element_at(t, j + 1)))
       Tables.documents(s, dir)
         .select(tokens(col("text")).as("t"))
-        .select(explode(when(size(t) >= 2, grams)
-          .otherwise(array().cast("array<string>"))).as("bigram"))
+        .select(explode(graft.functions.WordNGrams(col("t"), 2)).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram"))
@@ -222,9 +218,8 @@ object DataPrep {
   private def gramHashes(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.select(col(idCol).as("__id"), tokens(col(textCol)).as("t"))
-      .filter(size(col("t")) >= n)
-      .select(col("__id"), explode(expr(
-        s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n)))")).as("g"))
+      .select(col("__id"),
+        explode(graft.functions.WordNGrams(col("t"), n)).as("g"))
       .select(col("__id"), xxhash64(col("g")).as("gh"))
 
   /** Benchmark decontamination, the general two-corpus form: rows of

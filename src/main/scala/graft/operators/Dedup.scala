@@ -133,10 +133,10 @@ object Dedup {
         .groupBy(col("sk")).agg(collect_list(col("doc_id")).as("ds"))
         .select(array_sort(col("ds")).as("ds"))
       val common = docLists
-        .select(explode(expr(
-          """flatten(transform(ds, (x, i) ->
-             |  transform(slice(ds, i + 2, size(ds)),
-             |            y -> named_struct('da', x, 'db', y))))""".stripMargin)).as("p"))
+        // native C(k,2) pair explosion (graft.functions.OrderedPairs) —
+        // one compiled double loop per shingle instead of nested
+        // interpreted lambdas over the ≤cap-element doc lists
+        .select(explode(graft.functions.OrderedPairs(col("ds"))).as("p"))
         .select(col("p.da").as("da"), col("p.db").as("db"))
         .groupBy(col("da"), col("db"))
         .agg(count(lit(1)).as("c"))

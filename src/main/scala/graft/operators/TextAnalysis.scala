@@ -208,12 +208,9 @@ object TextAnalysis {
     val toks = df
       .select(col(idCol).as("__id"), tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 2)
-    // bigram text: slice element i (0-based lambda index) is t[i+1]
-    // (1-based), so its successor is element_at(t, i + 2)
     val bg = toks.select(col("__id"), size(col("t")).as("n"),
       size(array_distinct(col("t"))).as("nd"),
-      explode(expr(
-        "transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', element_at(t, i + 2)))")).as("g"))
+      explode(graft.functions.WordNGrams(col("t"), 2)).as("g"))
     val cnt = bg.groupBy(col("__id"), col("n"), col("nd"), col("g"))
       .agg(count(lit(1)).as("c"))
     cnt.groupBy(col("__id"), col("n"), col("nd"))

@@ -47,6 +47,39 @@ class NativeExprPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("WordNGrams == builtin composition on arbitrary token arrays") {
+    import spark.implicits._
+    for {
+      (docs, i) <- samples(tokenArrays, 15).zipWithIndex
+      w <- Seq(2, 1 + i % 4)
+    } {
+      val df = docs.map(_.toArray).toDF("t")
+      val t = col("t")
+      val ref = when(size(t) >= w,
+        transform(sequence(lit(1), size(t) - (w - 1)), j =>
+          concat_ws(" ", (0 until w).map(o => element_at(t, j + lit(o))): _*)))
+        .otherwise(array().cast("array<string>"))
+      val diff = df.select(WordNGrams(t, w).as("fast"), ref.as("ref"))
+        .filter(not(col("fast") <=> col("ref"))).count()
+      assert(diff == 0, s"sample $i w=$w")
+    }
+  }
+
+  test("OrderedPairs == nested-transform composition on arbitrary long arrays") {
+    import spark.implicits._
+    val longArrays = Gen.nonEmptyListOf(Gen.listOf(Gen.choose(0L, 1000L)))
+    samples(longArrays, 20).zipWithIndex.foreach { case (arrs, i) =>
+      val df = arrs.map(_.toArray).toDF("ds")
+      val ref = expr(
+        """flatten(transform(ds, (x, i) ->
+           |  transform(slice(ds, i + 2, size(ds)),
+           |            y -> named_struct('da', x, 'db', y))))""".stripMargin)
+      val diff = df.select(OrderedPairs(col("ds")).as("fast"), ref.as("ref"))
+        .filter(not(col("fast") <=> col("ref"))).count()
+      assert(diff == 0, s"sample $i")
+    }
+  }
+
   private val vec: Gen[List[Double]] =
     Gen.listOf(Gen.chooseNum(-1000000, 1000000).map(_ / 9.7))
 
