@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, Md5Hash60, SquaredDistance, YamrPartition}
+import graft.functions.{DotProduct, Md5Hash60, SquaredDistance, WordNGrams, WordShingles, YamrPartition}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst functions for SQL use, the TopKPerKey planner strategy, and
@@ -51,6 +51,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "squared_distance(a, b) takes 2 arguments")
         SquaredDistance(children.head, children(1))
+      }))
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "word_shingles(toks, w) takes 2 arguments")
+        WordShingles(children.head, intLit(children(1), "shingle width"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "word_ngrams(toks, n) takes 2 arguments")
+        WordNGrams(children.head, intLit(children(1), "n-gram width"))
       }))
   }
 }

@@ -67,6 +67,11 @@ object Pipeline {
   def mixWeights(df: DataFrame, groupCol: String, textCol: String): DataFrame =
     operators.DataPrep.mixWeights(df, groupCol, textCol)
 
+  /** Overlapping character chunks for context-window preprocessing. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int, step: Int): DataFrame =
+    operators.DataPrep.chunkDocs(df, idCol, textCol, chunkLen, step)
+
   // ---- scale tools --------------------------------------------------------
   /** Skew-proof equi-join: explicit salt in the key, shuffle-hash pinned. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, factor: Int): DataFrame =

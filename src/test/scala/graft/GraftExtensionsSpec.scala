@@ -38,6 +38,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
           "squared_distance(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS sq")
         .collect()(0)
       assert(v.getDouble(0) == 11.0 && v.getDouble(1) == 8.0, v.toString)
+      val t = s.sql(
+        "SELECT word_shingles(array('a','b','a','b'), 2) AS sh, " +
+          "word_ngrams(array('a','b','a','b'), 2) AS ng")
+        .collect()(0)
+      assert(t.getSeq[String](0) == Seq("a b", "b a"), t.toString)
+      assert(t.getSeq[String](1) == Seq("a b", "b a", "a b"), t.toString)
     } finally {
       // restore the shared session for other suites; context stays alive
       SparkSession.getActiveSession // touch to avoid unused warnings
