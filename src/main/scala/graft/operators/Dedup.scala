@@ -289,25 +289,35 @@ object Dedup {
   // small one; the corpus text is never reshuffled, only its key
   // columns. Admission is per-doc with no batch-internal state, so the
   // batch pipeline parallelizes by scan split.
-  /** Incremental admission of `batch` against `corpus` (both carrying
-    * `doc_id`/`text`): rows of `batch` with no exact content-hash match
-    * in the corpus AND no LSH band-signature collision with it. REJECT
+  /** Incremental admission against STORED corpus signatures — the
+    * production shape for a continuously-growing corpus: content hashes
+    * (`h`) and band signatures (`band`, `sig`) persist as metadata
+    * tables, so admission derives signatures ONLY for the batch and the
+    * corpus text is never read. Store the tables bucketed by their join
+    * keys and the corpus side joins with no exchange at all
+    * (ScaleOpsSpec asserts this on a bucketed signature table). REJECT
     * sets, not admit sets: a batch doc too short to shingle has no band
     * rows, and must be admitted (no near-dup evidence), which an
     * admit-side semi-join would silently drop.
     */
-  def incrementalDedup(batch: DataFrame, corpus: DataFrame): DataFrame = {
-    val corpusHash = corpus.select(md5(col("text")).as("h")).distinct()
+  def incrementalDedupStored(batch: DataFrame, corpusHashes: DataFrame,
+      corpusBands: DataFrame): DataFrame = {
     val exactReject = batch.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(corpusHash, Seq("h"), "left_semi").select(col("doc_id"))
-    val corpusBands = bandSigs(corpus)
-      .select(col("band"), col("sig")).distinct()
+      .join(corpusHashes.select("h"), Seq("h"), "left_semi").select(col("doc_id"))
     val nearReject = bandSigs(batch)
-      .join(corpusBands, Seq("band", "sig"), "left_semi")
+      .join(corpusBands.select("band", "sig"), Seq("band", "sig"), "left_semi")
       .select(col("doc_id")).distinct()
     batch.join(exactReject, Seq("doc_id"), "left_anti")
       .join(nearReject, Seq("doc_id"), "left_anti")
   }
+
+  /** [[incrementalDedupStored]] with the signature tables derived inline
+    * from the corpus text (the stateless-harness form).
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame): DataFrame =
+    incrementalDedupStored(batch,
+      corpus.select(md5(col("text")).as("h")).distinct(),
+      bandSigs(corpus).select(col("band"), col("sig")).distinct())
 
   private val q81 = GraftQuery(
     "q81_incremental_dedup",

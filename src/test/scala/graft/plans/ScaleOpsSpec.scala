@@ -105,4 +105,39 @@ class ScaleOpsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("incremental dedup vs stored bucketed signatures: same rows, fewer shuffles") {
+    import org.apache.spark.sql.functions._
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.load(spark, sf001, "documents")
+      val batch = docs.filter(col("doc_id") % 10 === 9)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+      // persist the corpus signatures BUCKETED BY their join keys — the
+      // production layout: admission never reads or reshuffles the corpus
+      graft.operators.Dedup.bandSigs(corpus).select("band", "sig").distinct()
+        .write.mode("overwrite").bucketBy(4, "band", "sig").sortBy("band", "sig")
+        .format("parquet").saveAsTable("b_corpus_bands")
+      corpus.select(md5(col("text")).as("h")).distinct()
+        .write.mode("overwrite").bucketBy(4, "h").sortBy("h")
+        .format("parquet").saveAsTable("b_corpus_hashes")
+      val stored = graft.operators.Dedup.incrementalDedupStored(
+        batch, spark.table("b_corpus_hashes"), spark.table("b_corpus_bands"))
+      val inline = graft.operators.Dedup.incrementalDedup(batch, corpus)
+      val a = stored.select("doc_id").collect().map(_.getLong(0)).toSet
+      val b = inline.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(a == b, s"stored=$a inline=$b")
+      // the bucketed layout must eliminate the corpus-side exchanges the
+      // inline form pays (signature derivation + join repartitioning)
+      assert(shuffles(stored) < shuffles(inline),
+        s"stored=${shuffles(stored)} inline=${shuffles(inline)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_corpus_bands")
+      spark.sql("DROP TABLE IF EXISTS b_corpus_hashes")
+    }
+  }
 }
