@@ -23,6 +23,13 @@ object Pipeline {
   def incrementalDedup(batch: DataFrame, corpus: DataFrame): DataFrame =
     operators.Dedup.incrementalDedup(batch, corpus)
 
+  /** Same admission against STORED corpus signature tables (production:
+    * bucket them by join key and the corpus side joins shuffle-free).
+    */
+  def incrementalDedupStored(batch: DataFrame, corpusHashes: DataFrame,
+      corpusBands: DataFrame): DataFrame =
+    operators.Dedup.incrementalDedupStored(batch, corpusHashes, corpusBands)
+
   /** MinHash band-collision candidate pairs for the curation pipeline. */
   def minhashCandidates(docs: DataFrame): DataFrame =
     operators.Curation.minhashCandidates(docs)
