@@ -79,6 +79,11 @@ object Pipeline {
       chunkLen: Int, step: Int): DataFrame =
     operators.DataPrep.chunkDocs(df, idCol, textCol, chunkLen, step)
 
+  /** Deterministic hash-based train/val/test assignment. */
+  def splitAssign(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    operators.DataPrep.splitAssign(df, idCol, trainPct, valPct)
+
   // ---- scale tools --------------------------------------------------------
   /** Skew-proof equi-join: explicit salt in the key, shuffle-hash pinned. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, factor: Int): DataFrame =

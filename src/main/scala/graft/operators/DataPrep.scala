@@ -414,5 +414,39 @@ object DataPrep {
       FROM dedup
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84, q85)
+  /** Deterministic train/val/test assignment: bucket = the first 4 md5
+    * hex digits of the id as an int mod 100, split by cumulative ratio
+    * bounds (80/10/10 default). Hash-based, so membership is stable
+    * under reprocessing, ingestion order, and partitioning — the
+    * property random() splits lack — and any engine reproduces it.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"need 0 < train, 0 < val, train+val < 100; got $trainPct/$valPct")
+    val bucket = expr(
+      s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 4), 16, 10) AS INT) % 100")
+    df.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  // ---------------------------------------------------------------- q86
+  private val q86 = GraftQuery(
+    "q86_split_assign",
+    (s, dir) => splitAssign(Tables.documents(s, dir), "doc_id")
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, source,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, source,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS b
+            FROM documents) t
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84, q85, q86)
 }

@@ -68,6 +68,18 @@ class DataPrepSpec extends SparkSpec {
     assert(out(2).getAs[Int]("n_emails") == 0 && out(2).getAs[Int]("n_nums") == 0)
   }
 
+  test("split assignment is stable, exhaustive, and roughly 80/10/10") {
+    def splits() = graft.SparkEntry.queries("q86_split_assign")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val a = splits()
+    assert(a == splits(), "same assignment on every run")
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    val n = a.size.toDouble
+    assert(counts("train") / n > 0.6 && counts("train") / n < 0.95,
+      s"~80% train expected, got $counts of $n")
+  }
+
   test("doc chunking: offsets tile the text with the declared overlap") {
     import spark.implicits._
     val text = "abcdefghijklmnopqrstuvwxyz" // 26 chars
