@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistrib
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, explode, lit}
 import org.apache.spark.sql.graftbridge
 
 import graft.GraftQuery
@@ -135,7 +135,39 @@ object TopKPerKey {
       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
       LIMIT 10"""))
 
-  val all: Seq[GraftQuery] = Seq(q77, q77b)
+  // ---------------------------------------------------------------- q87
+  // Heavy hitters per source: top-3 most frequent tokens of each source,
+  // THROUGH the custom operator — downstream of a real aggregation, so
+  // the partial pass runs over the hash-agg output and the node composes
+  // with exchanges like any built-in (the agg partitions by
+  // (source, word); the final top-k pass re-clusters by source alone).
+  private val q87 = GraftQuery(
+    "q87_heavy_hitters",
+    (s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+      topK(counts, Seq(col("source")),
+        Seq(col("cnt").desc, col("word")), 3)
+        .orderBy(col("source"), col("cnt").desc, col("word"))
+    },
+    Some("""
+      WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                                     x -> x <> '')) AS word
+                   FROM documents),
+      counts AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM tok GROUP BY source, word)
+      SELECT source, word, cnt FROM (
+        SELECT source, word, cnt,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY cnt DESC, word) AS rn
+        FROM counts) t
+      WHERE rn <= 3
+      ORDER BY source, cnt DESC, word"""))
+
+  val all: Seq[GraftQuery] = Seq(q77, q77b, q87)
 }
 
 /** Logical marker node: the k first rows per `keys` group under
