@@ -68,6 +68,26 @@ class DataPrepSpec extends SparkSpec {
     assert(out(2).getAs[Int]("n_emails") == 0 && out(2).getAs[Int]("n_nums") == 0)
   }
 
+  test("public API parameter validation fails loudly, not silently") {
+    import spark.implicits._
+    val df = Seq((1L, "text")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      DataPrep.chunkDocs(df, "doc_id", "text", chunkLen = 5, step = 6)
+    }
+    intercept[IllegalArgumentException] {
+      DataPrep.chunkDocs(df, "doc_id", "text", chunkLen = 0, step = 1)
+    }
+    intercept[IllegalArgumentException] {
+      DataPrep.splitAssign(df, "doc_id", trainPct = 90, valPct = 10) // no test share
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.TopKPerKey.topK(df, Seq(col("doc_id")), Seq.empty, 3) // no order
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.TopKPerKey.topK(df, Seq(col("doc_id")), Seq(col("text")), 0) // k=0
+    }
+  }
+
   test("split assignment is stable, exhaustive, and roughly 80/10/10") {
     def splits() = graft.SparkEntry.queries("q86_split_assign")(spark, sf001)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
