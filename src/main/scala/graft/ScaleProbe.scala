@@ -63,7 +63,7 @@ object ScaleProbe {
 
     val names = Seq("q35_dedup_exact", "q36_dedup_ngram_jaccard",
       "q37_dedup_minhash", "q38_dedup_simhash", "q51_dedup_pipeline",
-      "q79_decontaminate", "q85_prep_pipeline")
+      "q79_decontaminate", "q85_prep_pipeline", "q87_heavy_hitters")
     val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
     val times = names.map { name =>
       val t0 = System.nanoTime()
