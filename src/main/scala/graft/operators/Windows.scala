@@ -227,9 +227,9 @@ object Windows {
         f -> (if (hi > lo) (hi - lo) / nBuckets else 1.0)
       }.toMap
       def bucketCol = least(lit(nBuckets - 1), floor(
-        (col("l_extendedprice") - coalesce(stats.map { case (f, _, lo, _) =>
+        (col("l_extendedprice") - coalesce(stats.toIndexedSeq.map { case (f, _, lo, _) =>
           when(col("l_returnflag") === f, lit(lo))
-        }: _*)) / coalesce(stats.map { case (f, _, _, _) =>
+        }: _*)) / coalesce(stats.toIndexedSeq.map { case (f, _, _, _) =>
           when(col("l_returnflag") === f, lit(width(f)))
         }: _*)).cast("long"))
       val hist = li.select(col("l_returnflag"), bucketCol.as("b"))

@@ -34,7 +34,7 @@ object ScaleOps {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, factor: Int): DataFrame = {
     val lSalt = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(factor)).cast("int"))
+      pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(factor)).cast("int"))
     val rSalt = right.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     lSalt.join(rSalt.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")

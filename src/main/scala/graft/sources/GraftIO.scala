@@ -64,7 +64,7 @@ object GraftIO {
     // sees null (the reference would crash on int('', 16))
     val keyed = df
       .select(coalesce(col(keyCol).cast("string"), lit("")).as("__k"),
-        to_json(struct(df.columns.map(col): _*)).as("__j"))
+        to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("__j"))
       .rdd.map(r => (r.getString(0), r.getString(1)))
     // repartitionAndSortWithinPartitions: content-defined placement AND
     // the reference's per-region key sort (mapper.py:133-134) in one
