@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -8,12 +9,16 @@ import graft.functions.TextFunctions._
 import graft.sources.Tables
 
 /** End-to-end corpus dedup pipeline — the composed training-data curation
-  * operator (SURVEY §2.14): MinHash banding candidates → exact-Jaccard
-  * verification → connected components → per-cluster representative →
-  * deduplicated corpus.
+  * operator (SURVEY §2.14): exact-duplicate collapse → MinHash banding
+  * candidates → exact-Jaccard verification → connected components →
+  * per-cluster representative → deduplicated corpus.
   *
-  * Scale design: candidates come only from LSH bucket collisions (never
-  * the O(n²) pair space); verification joins shingle sets for candidate
+  * Scale design: exact (token-identical) duplicates are collapsed to one
+  * canonical doc per distinct content BEFORE banding, so an m-document
+  * identical cluster costs one hash-agg instead of ~4·C(m,2) band-join
+  * rows (see [[exactCollapse]]); candidates come only from LSH bucket
+  * collisions (never the O(n²) pair space), with oversized buckets
+  * star-routed linearly; verification joins shingle sets for candidate
   * pairs only; connected components is iterative smallest-label
   * propagation over the (sparse) duplicate graph, converging in
   * O(log diameter) joins — dup clusters are tiny in practice, so this
@@ -26,29 +31,115 @@ object Curation {
     docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(shingles(col("t"))).as("s"))
 
-  /** LSH candidate pairs: k=8 md5-derived minhashes, 4 bands × 2 rows. */
-  def minhashCandidates(docs: DataFrame): DataFrame =
-    minhashCandidatesFromShingles(shingleRows(docs))
+  /** Exact-duplicate collapse: (doc_id, cdoc) where cdoc is the minimum
+    * doc_id sharing the same token sequence. Token-identical docs have
+    * identical shingle SETS, hence identical minhash signatures in EVERY
+    * band — so a cluster of m exact copies would emit ~4·C(m,2) pairs
+    * from the band self-join before `distinct()`. On a real 100 TB crawl,
+    * million-document boilerplate clusters (empty pages, error pages,
+    * licence headers) are routine, and m = 1M means ~2×10¹² join rows
+    * from one hot bucket. Collapsing to one canonical doc per distinct
+    * content BEFORE banding removes that quadratic entirely, and is
+    * semantics-preserving: exact copies have Jaccard 1 against their
+    * canonical, so they are by definition in its near-dup cluster, and
+    * because the canonical is the group MINIMUM the component's final
+    * label (min doc_id) is unchanged.
+    *
+    * Docs with < w tokens produce no shingles, were never banded, and
+    * therefore never merged by the uncollapsed pipeline — they keep a
+    * per-doc unique key here so the collapse cannot merge what banding
+    * would not have.
+    *
+    * One window shuffle on the 32-char digest; no join, no driver state.
+    */
+  private def exactCollapse(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val keyed = docs.select(col("doc_id"),
+      when(size(t) >= 3, md5(concat_ws(" ", t)))
+        .otherwise(concat(lit("uniq:"), col("doc_id").cast("string"))).as("dg"))
+    keyed
+      .withColumn("cdoc", min(col("doc_id")).over(Window.partitionBy(col("dg"))))
+      .select(col("doc_id"), col("cdoc"))
+  }
 
-  private def minhashCandidatesFromShingles(sh: DataFrame): DataFrame = {
+  /** Docs that are their own canonical under [[exactCollapse]]. */
+  private def canonicalDocs(docs: DataFrame, members: DataFrame): DataFrame =
+    docs.join(
+      members.filter(col("doc_id") === col("cdoc")).select(col("doc_id")), "doc_id")
+
+  /** Band buckets larger than this route to linear star candidates
+    * (bucket-min → member) instead of the pairwise self-join, so one
+    * pathological bucket of NEAR-identical (post-collapse, so not exact)
+    * docs cannot go quadratic. Inside such a bucket, pairs not incident
+    * to the bucket minimum are no longer verified directly — transitive
+    * closure through the star usually recovers the cluster (members of a
+    * hot bucket agree on half the minhashes, so they are mutually very
+    * similar), but the routing is a documented coverage trade and
+    * [[hotBuckets]] exposes exactly which buckets were routed.
+    */
+  val DefaultHotBucketLimit: Int = 100000
+
+  /** Diagnostic: (band, sig, size) of every bucket above `limit` — run
+    * this to see which buckets [[minhashCandidates]] star-routed.
+    */
+  def hotBuckets(docs: DataFrame, limit: Int = DefaultHotBucketLimit): DataFrame =
+    bandRows(shingleRows(canonicalDocs(docs, exactCollapse(docs))))
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("size"))
+      .filter(col("size") > limit)
+
+  /** LSH candidate pairs: k=8 md5-derived minhashes, 4 bands × 2 rows.
+    *
+    * Exact duplicates are collapsed before banding (see [[exactCollapse]])
+    * and re-attached as linear (canonical → member) star candidates —
+    * identical docs have Jaccard 1, so downstream verification keeps the
+    * stars at any threshold ≤ 1 and connected components merges the group
+    * exactly as the uncollapsed quadratic form would have.
+    */
+  def minhashCandidates(
+      docs: DataFrame, hotBucketLimit: Int = DefaultHotBucketLimit): DataFrame = {
+    val members = exactCollapse(docs)
+    val canonPairs = minhashCandidatesFromShingles(
+      shingleRows(canonicalDocs(docs, members)), hotBucketLimit)
+    val stars = members.filter(col("doc_id") =!= col("cdoc"))
+      .select(col("cdoc").as("da"), col("doc_id").as("db"))
+    canonPairs.union(stars)
+  }
+
+  /** (doc_id, band, sig) rows: 8 minhashes → 4 bands of 2. */
+  private def bandRows(sh: DataFrame): DataFrame = {
     val hashed = sh.select(
       col("doc_id") +:
         (0 until 8).map(i => hash60Seeded(lit(i), col("s")).as(s"h$i")): _*)
     val minh = hashed.groupBy(col("doc_id"))
       .agg((0 until 8).map(i => min(col(s"h$i")).as(s"mh$i")).head,
         (1 until 8).map(i => min(col(s"h$i")).as(s"mh$i")): _*)
-    val bands = minh.select(col("doc_id"),
+    minh.select(col("doc_id"),
       expr("""stack(4,
                0, concat(mh0, ',', mh1),
                1, concat(mh2, ',', mh3),
                2, concat(mh4, ',', mh5),
                3, concat(mh6, ',', mh7)) AS (band, sig)"""))
-    bands.alias("a")
-      .join(bands.alias("b"),
+  }
+
+  private def minhashCandidatesFromShingles(
+      sh: DataFrame, hotBucketLimit: Int): DataFrame = {
+    // one window pass annotates every row with its bucket size and bucket
+    // minimum; the (band, sig) clustering it establishes is the same one
+    // the self-join needs, so EnsureRequirements reuses the exchange
+    val w = Window.partitionBy(col("band"), col("sig"))
+    val sized = bandRows(sh)
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("doc_id")).over(w))
+    val small = sized.filter(col("bsz") <= hotBucketLimit)
+    val pairs = small.alias("a")
+      .join(small.alias("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+    val routed = sized
+      .filter(col("bsz") > hotBucketLimit && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("da"), col("doc_id").as("db"))
+    pairs.union(routed).distinct()
   }
 
   /** Keeps only candidate pairs whose exact shingle Jaccard ≥ threshold. */
@@ -163,16 +254,29 @@ object Curation {
     * (minimum) doc_id of the near-duplicate cluster; docs with rep ==
     * doc_id form the deduplicated corpus.
     */
-  def clusterAssignments(docs: DataFrame, threshold: Double): DataFrame = {
+  def clusterAssignments(docs: DataFrame, threshold: Double,
+      hotBucketLimit: Int = DefaultHotBucketLimit): DataFrame = {
+    // exact duplicates never reach banding, verification, or CC: collapse
+    // first (see exactCollapse — this is what keeps identical-document
+    // mega-clusters from making the band self-join quadratic), run the
+    // LSH pipeline over the content-distinct canonicals only, and expand
+    // the canonical labels back over the membership map at the end.
+    // Because each canonical is its exact-group minimum, the expanded
+    // labels are bit-identical to the uncollapsed pipeline's.
+    val members = exactCollapse(docs).persist()
     // shingles feed candidate generation AND verification — cache once
     // instead of recomputing the tokenize→shingle→explode pipeline 3×
-    val sh = shingleRows(docs).persist()
+    val sh = shingleRows(canonicalDocs(docs, members)).persist()
     try {
       val pairs = verifyPairsFromShingles(
-        sh, minhashCandidatesFromShingles(sh), threshold)
+        sh, minhashCandidatesFromShingles(sh, hotBucketLimit), threshold)
       // CC materializes its labels per iteration, so sh can be released
-      connectedComponents(docs.select(col("doc_id")), pairs)
-    } finally sh.unpersist()
+      val canonCC = connectedComponents(
+        members.filter(col("doc_id") === col("cdoc")).select(col("doc_id")), pairs)
+      members
+        .join(canonCC.select(col("doc_id").as("cdoc"), col("rep")), "cdoc")
+        .select(col("doc_id"), col("rep"))
+    } finally { sh.unpersist(); members.unpersist() }
   }
 
   def dedupedCorpus(docs: DataFrame, threshold: Double): DataFrame =
