@@ -87,7 +87,14 @@ object OrderedPairs {
   /** C(n,2) (a(i), a(j)) i&lt;j pairs, i-major then j order. */
   def compute(a: ArrayData): ArrayData = {
     val n = a.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    // Int arithmetic n*(n-1)/2 overflows above ~65k elements (a negative
+    // allocation size); internal call sites are df-capped at 10k but the
+    // expression is public Column API — size in Long and fail loudly
+    val nPairs = n.toLong * (n - 1) / 2
+    require(nPairs <= Int.MaxValue,
+      s"ordered_pairs: $n elements would produce $nPairs pairs (> Int.MaxValue); " +
+        "cap the per-group list (e.g. a document-frequency cap) before exploding")
+    val out = new Array[Any](nPairs.toInt)
     var k = 0
     var i = 0
     while (i < n) {

@@ -228,10 +228,14 @@ object DataPrep {
     * pipelines use n = 8–13).
     *
     * Shape at 100 TB: grams are 64-bit hashes; the eval gram set is tiny
-    * relative to the corpus, so both the semi-join (find contaminated
-    * ids) and the anti-join (drop them) broadcast the small side — the
-    * training corpus is never shuffled. xxhash64 collisions could only
-    * FALSE-POSITIVE a drop (~1e-9 at 1e5 grams), never leak
+    * relative to the corpus, so the semi-join (find contaminated ids)
+    * pins a broadcast of it. The anti-join side is different: the
+    * contaminated-id set is bounded by the TRAINING corpus, not the eval
+    * set — a high-contamination corpus could be millions of ids — so
+    * that join is left to AQE, which broadcasts when the measured size
+    * allows and falls back to a shuffle of the 8-byte id column (never
+    * the corpus text) when it doesn't (ADVICE r5). xxhash64 collisions
+    * could only FALSE-POSITIVE a drop (~1e-9 at 1e5 grams), never leak
     * contamination through.
     */
   def decontaminate(train: DataFrame, eval_ : DataFrame, idCol: String,
@@ -241,7 +245,7 @@ object DataPrep {
     val contaminated = gramHashes(train, idCol, textCol, n)
       .join(broadcast(evalGrams), Seq("gh"), "left_semi")
       .select(col("__id").as(idCol)).distinct()
-    train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+    train.join(contaminated, Seq(idCol), "left_anti")
   }
 
   // ---------------------------------------------------------------- q79

@@ -486,10 +486,20 @@ object Similarity {
     * smaller id above `thr` cosine. Output: (vec_id, cell).
     */
   def semanticDedup(embeddings: DataFrame, thr: Double, nlist: Int,
-      cacheKey: Option[String] = None): DataFrame = {
+      cacheKey: Option[String] = None): DataFrame =
+    semanticDedupWithOracle(embeddings, thr, nlist, cacheKey)._1
+
+  /** [[semanticDedup]] plus the invocation's own generated DuckDB oracle
+    * SQL (fitted-centroid literals + threshold baked in). The SQL is
+    * RETURNED rather than stashed in shared state, so concurrent or
+    * differently-parameterized invocations can't clobber each other's
+    * oracle (ADVICE r5).
+    */
+  def semanticDedupWithOracle(embeddings: DataFrame, thr: Double, nlist: Int,
+      cacheKey: Option[String] = None): (DataFrame, String) = {
     val model = ivfModel(embeddings, nlist, cacheKey)
     val cents = model.clusterCenters.map(_.toArray)
-    semanticDedupOracleSql = Some(semanticDedupOracle(cents, thr))
+    val oracleSql = semanticDedupOracle(cents, thr)
     val assigned = withCells(vecs(embeddings), cents)
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
     val a = assigned.select(col("cell").as("a_cell"), col("vec_id").as("a_id"),
@@ -498,15 +508,20 @@ object Similarity {
         col("cell") === col("a_cell") && col("a_id") < col("vec_id"))
       .filter(dot(col("a_v"), col("v")) / (col("a_n") * col("norm")) > thr)
       .select(col("vec_id")).distinct()
-    assigned.join(dropped, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("cell"))
+    (assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell")), oracleSql)
   }
 
   private val q83 = GraftQuery(
     "q83_semantic_dedup",
-    (s, dir) => semanticDedup(Tables.embeddings(s, dir), thr = 0.4,
-      nlist = 16, cacheKey = Some(dir))
-      .orderBy(col("vec_id")),
+    (s, dir) => {
+      val (df, sql) = semanticDedupWithOracle(Tables.embeddings(s, dir),
+        thr = 0.4, nlist = 16, cacheKey = Some(dir))
+      // written only by THIS lambda — unrelated semanticDedup invocations
+      // no longer share the slot
+      semanticDedupOracleSql = Some(sql)
+      df.orderBy(col("vec_id"))
+    },
     None,
     oracleGen = Some(() => semanticDedupOracleSql))
 

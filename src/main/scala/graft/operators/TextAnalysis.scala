@@ -254,10 +254,18 @@ object TextAnalysis {
   // addition is order-sensitive; partial aggregation order is not
   // deterministic, a fold over a sorted array is).
   //
-  // Shape at 100 TB: the token-frequency table is vocabulary-sized
-  // (broadcastable for natural language); one posexplode + join + one
-  // per-doc collect bounded by document length. No corpus-wide state
-  // beyond the freq dimension.
+  // Shape at 100 TB: the token-frequency table is vocabulary-sized —
+  // broadcastable for natural language, and the broadcast is PINNED
+  // below rather than left to AQE stats: if the runtime estimate
+  // misjudged (or vocab explodes on code/URL-heavy corpora), the
+  // fallback would be a full shuffle of every token occurrence on a
+  // Zipf-skewed key, which is the one plan this operator must never
+  // run. Corpora whose vocabulary genuinely cannot fit in one executor
+  // should pre-prune freq (e.g. min-count filter) before scoring —
+  // rare-beyond-threshold tokens carry no usable frequency signal
+  // anyway. One posexplode + broadcast join + one per-doc collect
+  // bounded by document length; no corpus-wide state beyond the freq
+  // dimension.
   /** Corpus-statistics rarity scores per document: mean token probability
     * and mean inverse frequency (idf-like). Per-doc sums are sequential
     * folds over position-sorted lists — deterministic at any parallelism.
@@ -267,7 +275,7 @@ object TextAnalysis {
       .select(col(idCol).as("__id"), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
     val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
     val tot = freq.agg(sum(col("c")).as("n"))
-    toks.join(freq, "w").crossJoin(broadcast(tot))
+    toks.join(broadcast(freq), "w").crossJoin(broadcast(tot))
       .select(col("__id"), col("pos"),
         (col("c").cast("double") / col("n")).as("p"),
         (col("n").cast("double") / col("c")).as("r"))

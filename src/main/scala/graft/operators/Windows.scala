@@ -209,6 +209,14 @@ object Windows {
   // (same lo, width > 0), so bucket order is value order and any
   // float rounding at a boundary only moves WHERE the split is, never
   // the selected row.
+  //
+  // EAGERNESS CAVEAT (ADVICE r5): unlike every other declared query,
+  // CONSTRUCTING this DataFrame runs the two driver-side passes (stats +
+  // histogram collects) — the final plan embeds their results as
+  // literals, which is the whole point of rank selection. Plan/column
+  // inspection of q69 therefore costs two cluster jobs; anything that
+  // only needs the schema should describe it statically instead of
+  // building the query.
   private val q69 = GraftQuery(
     "q69_exact_percentile_rank",
     (s, dir) => {
