@@ -6,8 +6,65 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line (driver contract). A warm-up action runs first so
   * session/codegen/file-index startup cost isn't charged to whichever
   * query happens to run first; queries run in name order.
+  *
+  * Self-validation (VERDICT r5 #1 — three rounds of committed bench JSONs
+  * carried contention-inflated entries that were indistinguishable from
+  * regressions after the fact):
+  *   - machine-health metadata is recorded per run: /proc/loadavg before
+  *     and after, and a per-query process-CPU/wall ratio (external
+  *     contention steals cores, so wall grows while our CPU doesn't —
+  *     the ratio drops);
+  *   - each query's median is compared against a committed quiet-machine
+  *     baseline (BENCH_BASELINE.txt, regenerated via
+  *     SPARK_GRAFT_BENCH_BASELINE_WRITE); anything above
+  *     SUSPECT_FACTOR× baseline is re-run once after a cooldown and the
+  *     better median kept (contention only ever inflates);
+  *   - entries still above the threshold are named in a "suspect" list,
+  *     so a contaminated artifact declares itself instead of masquerading
+  *     as a regression.
   */
 object Bench {
+
+  /** Parse a baseline table: one `name seconds` pair per line, `#`
+    * comments and blank lines ignored. Malformed lines are skipped
+    * loudly rather than failing the bench (a stale baseline must not
+    * block measurement).
+    */
+  def parseBaseline(lines: Iterator[String]): Map[String, Double] =
+    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).flatMap { l =>
+      l.split("\\s+") match {
+        case Array(name, num) => num.toDoubleOption.map(name -> _)
+        case _ =>
+          System.err.println(s"[bench] baseline line skipped: $l"); None
+      }
+    }.toMap
+
+  def median(times: Seq[Double]): Double = times.sorted.apply(times.length / 2)
+
+  /** Inflated relative to the quiet baseline? Sub-threshold absolute
+    * times are never suspect: a 0.1s query at 0.22s is scheduler noise,
+    * not contamination worth a re-run.
+    */
+  def isSuspect(med: Double, base: Option[Double], factor: Double,
+                minAbs: Double): Boolean =
+    base.exists(b => med > b * factor && med - b > minAbs)
+
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").take(3).mkString(" ")
+    catch { case _: Throwable => "unavailable" }
+
+  private val osBean =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+  private def processCpuNanos(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+
+  val SUSPECT_FACTOR = 2.0
+  val SUSPECT_MIN_ABS_SEC = 0.3
+  val COOLDOWN_MS = 8000
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,6 +80,22 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val loadBefore = loadavg()
+
+    // quiet-machine reference medians; absent file → no suspect analysis
+    // (first run on a new machine), present file → every entry checked.
+    // cwd-relative first so a checkout anywhere works, absolute repo path
+    // as fallback in case the launcher's cwd differs
+    val baseline: Map[String, Double] =
+      (sys.env.get("SPARK_GRAFT_BENCH_BASELINE").toSeq ++
+        Seq("BENCH_BASELINE.txt", "/root/repo/BENCH_BASELINE.txt"))
+        .map(new java.io.File(_)).find(_.exists) match {
+        case None => Map.empty
+        case Some(f) =>
+          val src = scala.io.Source.fromFile(f)
+          try parseBaseline(src.getLines()) finally src.close()
+      }
 
     // warm-up: touch every table + JIT the scan/agg and the lambda-heavy
     // tokenize/explode codegen paths (first execution otherwise pays ~3s
@@ -71,38 +144,108 @@ object Bench {
     // systematic plan regression from one-off JIT/GC noise (VERDICT r2 #5)
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => selected(name) }
-      .flatMap { case (name, fn) =>
+
+    /** One measured pass over a query: reps wall-clock timings plus the
+      * process-CPU/wall ratio across the successful reps. Returns None if
+      * every rep failed (the failure list already names it).
+      */
+    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                recordFailure: Boolean): Option[(Double, Double)] = {
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var cpuNs = 0L
+      var wallNs = 0L
       var failed = false
       var i = 0
       while (i < reps && !failed) {
+        val c0 = processCpuNanos()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
           // only successful reps count toward the median: a fast exception
           // must not make a broken query look fast (ADVICE r3)
-          times += (System.nanoTime() - t0) / 1e9
+          val dt = System.nanoTime() - t0
+          times += dt / 1e9
+          wallNs += dt
+          if (c0 >= 0) cpuNs += processCpuNanos() - c0
         } catch { case e: Throwable =>
           failed = true
-          failures += name
+          if (recordFailure) failures += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         i += 1
       }
-      // a query with zero successful reps gets NO timing entry — `failed`
-      // already names it, and an absent key can't be mistaken for a result
-      if (times.isEmpty) None else Some(name -> times.sorted.apply(times.length / 2))
-    } ++ ivfBuild.map("q41b_ann_ivf_build" -> _)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      if (times.isEmpty) None
+      else Some((Bench.median(times.toSeq),
+        if (wallNs > 0 && cpuNs > 0) cpuNs.toDouble / wallNs else -1.0))
+    }
+
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
+      .flatMap { case (name, fn) =>
+        measure(name, fn, recordFailure = true).map(name -> _)
+      }
+
+    // contention defense: anything >SUSPECT_FACTOR× its quiet baseline is
+    // re-measured once after a cooldown; keep the BETTER median (external
+    // load only ever inflates wall time, so min is the honest estimate)
+    val inflated = firstPass.collect {
+      case (name, (med, _)) if isSuspect(med, baseline.get(name),
+        SUSPECT_FACTOR, SUSPECT_MIN_ABS_SEC) => name
+    }
+    val reruns: Map[String, (Double, Double)] =
+      if (inflated.isEmpty) Map.empty
+      else {
+        System.err.println(s"[bench] ${inflated.size} inflated vs baseline, " +
+          s"re-running after cooldown: ${inflated.mkString(",")}")
+        Thread.sleep(COOLDOWN_MS)
+        inflated.flatMap { name =>
+          measure(name, SparkEntry.queries(name), recordFailure = false)
+            .map(name -> _)
+        }.toMap
+      }
+
+    val results = firstPass.map { case (name, (med, ratio)) =>
+      reruns.get(name) match {
+        case Some((med2, ratio2)) if med2 < med => (name, med2, ratio2)
+        case _ => (name, med, ratio)
+      }
+    } ++ ivfBuild.map(t => ("q41b_ann_ivf_build", t, -1.0))
+
+    // still inflated after the re-run → named loudly, never silently kept
+    val suspect = results.collect {
+      case (name, med, _) if isSuspect(med, baseline.get(name),
+        SUSPECT_FACTOR, SUSPECT_MIN_ABS_SEC) => name
+    }
+
+    // optional baseline regeneration (quiet machine only — caller's
+    // responsibility, but loadavg is recorded in the header for audit)
+    sys.env.get("SPARK_GRAFT_BENCH_BASELINE_WRITE").foreach { path =>
+      val w = new java.io.PrintWriter(path)
+      try {
+        w.println(s"# quiet-machine bench medians, reps=$reps, sf=$sfDir")
+        w.println(s"# loadavg at start: $loadBefore")
+        results.foreach { case (name, med, _) =>
+          w.println(f"$name $med%.4f")
+        }
+      } finally w.close()
+      System.err.println(s"[bench] baseline written to $path")
+    }
+
+    val loadAfter = loadavg()
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ratios = results.collect { case (k, _, r) if r >= 0 =>
+      "\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
     val fq = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sus = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rr = inflated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // reps/warmup/build-split metadata makes cross-round bench JSONs
     // self-describing, so comparisons can refuse apples-to-oranges
-    // (r2 single-shot vs r3 median-of-3 was silently incomparable)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup":$warmedUp,"build_keys":["q41b_ann_ivf_build"],"queries":$qs,"failed":$fq,"sf":"$sfDir"}""")
+    // (r2 single-shot vs r3 median-of-3 was silently incomparable);
+    // loadavg/cpu_wall/suspect make a contaminated run distinguishable
+    // from a regression AFTER the fact (VERDICT r3/r4/r5)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup":$warmedUp,"build_keys":["q41b_ann_ivf_build"],"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","baseline_entries":${baseline.size},"rerun":$rr,"suspect":$sus,"cpu_wall":$ratios,"queries":$qs,"failed":$fq,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,37 +1,41 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dedup-family scale probe (VERDICT r3 #6): measures the declared
-  * dedup queries one decade up from the bench SF, so the scale argument
-  * in SCALE.md is empirical, not only analytic.
+/** Scale probes (VERDICT r3 #6, r5 #5-#7): measures the heavy operator
+  * families one and two decades up from the bench SF, so the scale
+  * argument in SCALE.md is empirical, not only analytic.
   *
   * The probe corpus replicates the source documents table `copies`×
-  * (sf0.1 × 10 ≈ 50k docs) with a per-copy Caesar rotation of the text:
-  * every token changes, so copies share no shingles and each copy
-  * reproduces the source corpus's duplicate structure instead of
-  * collapsing into cross-copy clone clusters — the workload SHAPE is
-  * preserved while volume grows 10×. doc_ids are remapped to disjoint
-  * ranges. Deterministic, no RNG.
+  * (sf0.1 × 10 ≈ 50k docs) with a per-copy affine-cipher alphabet
+  * permutation of the text: every token changes, so copies share no
+  * shingles and each copy reproduces the source corpus's duplicate
+  * structure instead of collapsing into cross-copy clone clusters — the
+  * workload SHAPE is preserved while volume grows N×. doc_ids are
+  * remapped to disjoint ranges. Deterministic, no RNG. Embeddings
+  * replicate analogously with a per-copy dimension rotation (+ sign flip
+  * past 64 copies): within-copy geometry — and therefore neighbor
+  * structure and recall difficulty — is preserved exactly, while copies
+  * occupy distinct directions.
   *
-  * Usage: runMain graft.ScaleProbe [srcDir] [copies]
-  * Prints one JSON line: per-query seconds at the scaled corpus.
+  * Usage: runMain graft.ScaleProbe [srcDir] [copies] [mode]
+  *   mode "queries" (default) — per-query seconds for the dedup/text
+  *        family over the scaled documents table;
+  *   mode "ann"     — recall@5 of LSH (q41: 8 planes, hamming-1
+  *        multiprobe) and IVF (q41b: nlist=16, nprobe=4) against the
+  *        brute-force top-5 (q40) over the scaled embeddings, plus
+  *        timings (VERDICT r5 #6);
+  *   mode "cc"      — the full dedup pipeline with driverEdgeLimit=0 so
+  *        connected components runs the DISTRIBUTED label-propagation
+  *        path; reports wall time and rounds-to-converge (VERDICT r5 #7).
+  * Prints one JSON line per run.
   */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val copies = args.lift(1).flatMap(_.toIntOption).getOrElse(10)
-    val out = s"/root/repo/target/tmp/scaleprobe_x$copies"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
+  /** Builds (once) and returns the scaled-documents dir for `copies`×. */
+  def scaledDocsDir(spark: SparkSession, src: String, copies: Int): String = {
+    val out = s"/root/repo/target/tmp/scaleprobe_x$copies"
     val docsPath = s"$out/documents.parquet"
     // _SUCCESS, not bare directory existence: an interrupted write leaves
     // a partial directory that would silently shrink the probe corpus
@@ -60,18 +64,121 @@ object ScaleProbe {
       scaled.repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(docsPath)
     }
+    out
+  }
 
-    val names = Seq("q35_dedup_exact", "q36_dedup_ngram_jaccard",
-      "q37_dedup_minhash", "q38_dedup_simhash", "q51_dedup_pipeline",
-      "q79_decontaminate", "q85_prep_pipeline", "q87_heavy_hitters")
-    val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
-    val times = names.map { name =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, out).count()
-      name -> (System.nanoTime() - t0) / 1e9
+  /** Builds (once) the scaled-embeddings table into the SAME probe dir
+    * (so declared queries run against it unchanged). Copy c rotates each
+    * vector's dimensions by c mod 64 and negates past c = 64: rotation
+    * and negation are orthonormal maps, so every within-copy cosine — and
+    * with it the neighbor structure the recall probe measures — is
+    * preserved exactly, while the 128 distinct transforms keep copies
+    * from being byte-identical clones of copy 0. vec_ids are remapped to
+    * disjoint ranges; the q40/q41/q41b query set (vec_id < 20) stays the
+    * untransformed copy-0 vectors.
+    */
+  def scaledEmbeddingsDir(spark: SparkSession, src: String, copies: Int): String = {
+    require(copies <= 128, s"embedding transform space exhausted at $copies copies")
+    val out = s"/root/repo/target/tmp/scaleprobe_x$copies"
+    val embPath = s"$out/embeddings.parquet"
+    if (!new java.io.File(s"$embPath/_SUCCESS").exists) {
+      val emb = graft.sources.Tables.load(spark, src, "embeddings")
+      val dim = 64
+      val scaled = (0 until copies).map { c =>
+        val shift = c % dim
+        val rotated =
+          if (shift == 0) col("embedding")
+          else concat(
+            slice(col("embedding"), shift + 1, dim - shift),
+            slice(col("embedding"), 1, shift))
+        val signed =
+          if (c < dim) rotated
+          else transform(rotated, x => -x)
+        emb.select(
+          (col("vec_id") + lit(c.toLong * 100000000L)).as("vec_id"),
+          signed.as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+      scaled.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(embPath)
     }
-    val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"scaleprobe","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
+    out
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).flatMap(_.toIntOption).getOrElse(10)
+    val mode = args.lift(2).getOrElse("queries")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    mode match {
+      case "queries" =>
+        val out = scaledDocsDir(spark, src, copies)
+        val names = Seq("q35_dedup_exact", "q36_dedup_ngram_jaccard",
+          "q37_dedup_minhash", "q38_dedup_simhash", "q51_dedup_pipeline",
+          "q78_repetition_signals", "q79_decontaminate", "q82_rarity_scoring",
+          "q85_prep_pipeline", "q87_heavy_hitters")
+        val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
+        val times = names.map { name =>
+          val (_, t) = timed(SparkEntry.queries(name)(spark, out).count())
+          name -> t
+        }
+        val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        println(s"""{"metric":"scaleprobe","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
+
+      case "ann" =>
+        val out = scaledEmbeddingsDir(spark, src, copies)
+        val nVecs = graft.sources.Tables.load(spark, out, "embeddings").count()
+        // ground truth: exact top-5 per query over the whole scaled corpus
+        val (bf, tBf) = timed {
+          SparkEntry.queries("q40_ann_bruteforce")(spark, out)
+            .select(col("qid"), col("nn_id")).cache()
+        }
+        val nTruth = bf.count() // materialize inside the timed region? no — build is lazy; count here
+        def recallOf(name: String): (Double, Double) = {
+          val (res, t) = timed {
+            val df = SparkEntry.queries(name)(spark, out)
+              .select(col("qid"), col("nn_id"))
+            df.join(bf, Seq("qid", "nn_id")).count()
+          }
+          (res.toDouble / nTruth, t)
+        }
+        val (recLsh, tLsh) = recallOf("q41_ann_lsh")
+        val (recIvf, tIvf) = recallOf("q41b_ann_ivf")
+        bf.unpersist()
+        println(s"""{"metric":"ann_recall","copies":$copies,"n_vecs":$nVecs,"k":5,"lsh":{"recall":$recLsh,"sec":$tLsh,"planes":8,"multiprobe":"hamming-1"},"ivf":{"recall":$recIvf,"sec":$tIvf,"nlist":16,"nprobe":4},"bruteforce_sec":$tBf,"src":"$src"}""")
+
+      case "cc" =>
+        val out = scaledDocsDir(spark, src, copies)
+        val docs = graft.sources.Tables.load(spark, out, "documents")
+        val nDocs = docs.count()
+        // force the distributed label-propagation path regardless of edge
+        // count, so the beyond-driver fallback has a measured datapoint
+        val (n, t) = timed {
+          graft.operators.Curation
+            .clusterAssignments(docs, threshold = 0.5, driverEdgeLimit = 0L)
+            .count()
+        }
+        val rounds = graft.operators.Curation.lastDistributedCCRounds
+        println(s"""{"metric":"distributed_cc","copies":$copies,"n_docs":$nDocs,"labels":$n,"rounds":$rounds,"sec":$t,"src":"$src"}""")
+
+      case other =>
+        System.err.println(s"unknown mode: $other (expected queries|ann|cc)")
+        sys.exit(2)
+    }
     spark.stop()
   }
 }

@@ -39,10 +39,10 @@ object Curation {
     * million-document boilerplate clusters (empty pages, error pages,
     * licence headers) are routine, and m = 1M means ~2×10¹² join rows
     * from one hot bucket. Collapsing to one canonical doc per distinct
-    * content BEFORE banding removes that quadratic entirely, and is
-    * semantics-preserving: exact copies have Jaccard 1 against their
-    * canonical, so they are by definition in its near-dup cluster, and
-    * because the canonical is the group MINIMUM the component's final
+    * content and banding ONLY canonicals removes that quadratic entirely,
+    * and is semantics-preserving: exact copies have Jaccard 1 against
+    * their canonical, so they are by definition in its near-dup cluster,
+    * and because the canonical is the group MINIMUM the component's final
     * label (min doc_id) is unchanged.
     *
     * Docs with < w tokens produce no shingles, were never banded, and
@@ -50,22 +50,21 @@ object Curation {
     * per-doc unique key here so the collapse cannot merge what banding
     * would not have.
     *
-    * One window shuffle on the 32-char digest; no join, no driver state.
+    * Shuffle cost: doc_id + a 32-char digest per document (~50 B/doc) —
+    * the corpus text and tokens are NEVER shuffled by the collapse. The
+    * canonical FILTER is applied downstream of the minhash aggregation
+    * (see [[bandRows]]), where the data is already one small row per
+    * document, so the collapse adds only digest-sized exchanges at any
+    * corpus size.
     */
   private def exactCollapse(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    val keyed = docs.select(col("doc_id"),
-      when(size(t) >= 3, md5(concat_ws(" ", t)))
-        .otherwise(concat(lit("uniq:"), col("doc_id").cast("string"))).as("dg"))
-    keyed
+    docs.select(col("doc_id"),
+        when(size(t) >= 3, md5(concat_ws(" ", t)))
+          .otherwise(concat(lit("uniq:"), col("doc_id").cast("string"))).as("dg"))
       .withColumn("cdoc", min(col("doc_id")).over(Window.partitionBy(col("dg"))))
       .select(col("doc_id"), col("cdoc"))
   }
-
-  /** Docs that are their own canonical under [[exactCollapse]]. */
-  private def canonicalDocs(docs: DataFrame, members: DataFrame): DataFrame =
-    docs.join(
-      members.filter(col("doc_id") === col("cdoc")).select(col("doc_id")), "doc_id")
 
   /** Band buckets larger than this route to linear star candidates
     * (bucket-min → member) instead of the pairwise self-join, so one
@@ -83,9 +82,13 @@ object Curation {
     * this to see which buckets [[minhashCandidates]] star-routed.
     */
   def hotBuckets(docs: DataFrame, limit: Int = DefaultHotBucketLimit): DataFrame =
-    bandRows(shingleRows(canonicalDocs(docs, exactCollapse(docs))))
+    bandRows(shingleRows(docs), Some(canonicalIds(exactCollapse(docs))))
       .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("size"))
       .filter(col("size") > limit)
+
+  /** doc_ids that are their own canonical under [[exactCollapse]]. */
+  private def canonicalIds(members: DataFrame): DataFrame =
+    members.filter(col("doc_id") === col("cdoc")).select(col("doc_id"))
 
   /** LSH candidate pairs: k=8 md5-derived minhashes, 4 bands × 2 rows.
     *
@@ -99,20 +102,31 @@ object Curation {
       docs: DataFrame, hotBucketLimit: Int = DefaultHotBucketLimit): DataFrame = {
     val members = exactCollapse(docs)
     val canonPairs = minhashCandidatesFromShingles(
-      shingleRows(canonicalDocs(docs, members)), hotBucketLimit)
+      shingleRows(docs), Some(canonicalIds(members)), hotBucketLimit)
     val stars = members.filter(col("doc_id") =!= col("cdoc"))
       .select(col("cdoc").as("da"), col("doc_id").as("db"))
     canonPairs.union(stars)
   }
 
-  /** (doc_id, band, sig) rows: 8 minhashes → 4 bands of 2. */
-  private def bandRows(sh: DataFrame): DataFrame = {
+  /** (doc_id, band, sig) rows: 8 minhashes → 4 bands of 2.
+    *
+    * `canonIds`, when given, keeps only exact-dup canonicals — applied
+    * AFTER the minhash aggregation, where the table is already one small
+    * row per document, so restricting banding to canonicals costs a
+    * semi-join on (doc_id, 8 longs) rows, never a pass over text or
+    * shingles. (Shingling every doc and discarding dup signatures post-agg
+    * is map-side linear work; attaching canonical TEXT before shingling
+    * would instead shuffle the corpus.)
+    */
+  private def bandRows(sh: DataFrame, canonIds: Option[DataFrame]): DataFrame = {
     val hashed = sh.select(
       col("doc_id") +:
         (0 until 8).map(i => hash60Seeded(lit(i), col("s")).as(s"h$i")): _*)
-    val minh = hashed.groupBy(col("doc_id"))
+    val minhAll = hashed.groupBy(col("doc_id"))
       .agg((0 until 8).map(i => min(col(s"h$i")).as(s"mh$i")).head,
         (1 until 8).map(i => min(col(s"h$i")).as(s"mh$i")): _*)
+    val minh = canonIds.fold(minhAll)(ids =>
+      minhAll.join(ids, Seq("doc_id"), "left_semi"))
     minh.select(col("doc_id"),
       expr("""stack(4,
                0, concat(mh0, ',', mh1),
@@ -122,12 +136,12 @@ object Curation {
   }
 
   private def minhashCandidatesFromShingles(
-      sh: DataFrame, hotBucketLimit: Int): DataFrame = {
+      sh: DataFrame, canonIds: Option[DataFrame], hotBucketLimit: Int): DataFrame = {
     // one window pass annotates every row with its bucket size and bucket
     // minimum; the (band, sig) clustering it establishes is the same one
     // the self-join needs, so EnsureRequirements reuses the exchange
     val w = Window.partitionBy(col("band"), col("sig"))
-    val sized = bandRows(sh)
+    val sized = bandRows(sh, canonIds)
       .withColumn("bsz", count(lit(1)).over(w))
       .withColumn("bmin", min(col("doc_id")).over(w))
     val small = sized.filter(col("bsz") <= hotBucketLimit)
@@ -247,32 +261,48 @@ object Curation {
       throw new IllegalStateException(
         s"connected components did not converge within $iter rounds " +
           s"($changed labels still changing) — raise maxIter")
+    // rounds-to-converge is the scale-relevant number (one join round per
+    // hop of component diameter) — surface it for probes and ops logs
+    System.err.println(s"[graft] distributed CC converged in $iter rounds")
+    lastDistributedCCRounds = iter
     labels
   }
+
+  /** Rounds the most recent [[distributedCC]] run took to converge —
+    * diagnostic only (ScaleProbe reports it next to wall time; the VALUE
+    * returned by the operator never depends on it).
+    */
+  @volatile private[graft] var lastDistributedCCRounds: Int = -1
 
   /** The full pipeline: returns (doc_id, rep) where rep is the canonical
     * (minimum) doc_id of the near-duplicate cluster; docs with rep ==
     * doc_id form the deduplicated corpus.
     */
   def clusterAssignments(docs: DataFrame, threshold: Double,
-      hotBucketLimit: Int = DefaultHotBucketLimit): DataFrame = {
+      hotBucketLimit: Int = DefaultHotBucketLimit,
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
     // exact duplicates never reach banding, verification, or CC: collapse
     // first (see exactCollapse — this is what keeps identical-document
-    // mega-clusters from making the band self-join quadratic), run the
-    // LSH pipeline over the content-distinct canonicals only, and expand
-    // the canonical labels back over the membership map at the end.
-    // Because each canonical is its exact-group minimum, the expanded
-    // labels are bit-identical to the uncollapsed pipeline's.
+    // mega-clusters from making the band self-join quadratic), restrict
+    // banding, verification, and CC to the content-distinct canonicals,
+    // and expand the canonical labels back over the membership map at the
+    // end. Because each canonical is its exact-group minimum, the
+    // expanded labels are bit-identical to the uncollapsed pipeline's.
     val members = exactCollapse(docs).persist()
+    val canon = canonicalIds(members)
     // shingles feed candidate generation AND verification — cache once
-    // instead of recomputing the tokenize→shingle→explode pipeline 3×
-    val sh = shingleRows(canonicalDocs(docs, members)).persist()
+    // instead of recomputing the tokenize→shingle→explode pipeline 3×.
+    // ALL docs' shingles (map-side linear; dup signatures are discarded
+    // post-minhash-agg by the canonIds semi-join, where rows are already
+    // small) — canonical-only shingling would need text joined back to
+    // the membership map, i.e. a full corpus shuffle.
+    val sh = shingleRows(docs).persist()
     try {
       val pairs = verifyPairsFromShingles(
-        sh, minhashCandidatesFromShingles(sh, hotBucketLimit), threshold)
+        sh, minhashCandidatesFromShingles(sh, Some(canon), hotBucketLimit), threshold)
       // CC materializes its labels per iteration, so sh can be released
-      val canonCC = connectedComponents(
-        members.filter(col("doc_id") === col("cdoc")).select(col("doc_id")), pairs)
+      val canonCC = connectedComponents(canon, pairs,
+        driverEdgeLimit = driverEdgeLimit)
       members
         .join(canonCC.select(col("doc_id").as("cdoc"), col("rep")), "cdoc")
         .select(col("doc_id"), col("rep"))
