@@ -56,6 +56,20 @@ object Pipeline {
       nlist: Int, nprobe: Int): DataFrame =
     operators.Similarity.ivfTopK(embeddings, isQuery, k, nlist, nprobe)
 
+  /** The IVF index as a storable table: (vec_id, v, norm, cell). Persist
+    * bucketed by `cell`, then probe with [[ivfTopKStored]] — index cost
+    * paid once, not per query run.
+    */
+  def ivfAssignments(embeddings: DataFrame, nlist: Int): DataFrame =
+    operators.Similarity.ivfAssignments(embeddings, nlist)
+
+  /** IVF top-k against a stored [[ivfAssignments]] table (the production
+    * probe path: corpus vectors are never re-folded against centroids).
+    */
+  def ivfTopKStored(assigned: DataFrame, isQuery: Column,
+      cents: Array[Array[Double]], k: Int, nprobe: Int): DataFrame =
+    operators.Similarity.ivfTopKStored(assigned, isQuery, cents, k, nprobe)
+
   // ---- curation / filtering ---------------------------------------------
   /** Drop `train` rows sharing any word n-gram with `eval`. */
   def decontaminate(train: DataFrame, eval_ : DataFrame, idCol: String,

@@ -157,9 +157,30 @@ object ScaleProbe {
           (res.toDouble / nTruth, t)
         }
         val (recLsh, tLsh) = recallOf("q41_ann_lsh")
-        val (recIvf, tIvf) = recallOf("q41b_ann_ivf")
+        // first q41b call fits the KMeans coarse quantizer (amortized
+        // index build, cached by data fingerprint); the second call runs
+        // the inline probe — report both, as Bench does
+        val (recIvf, tIvfBuild) = recallOf("q41b_ann_ivf")
+        val (_, tIvfProbe) = recallOf("q41b_ann_ivf")
+        // production probe path: assignments persisted once, queries
+        // probe the stored table (corpus never re-folded vs centroids)
+        val emb = graft.sources.Tables.embeddings(spark, out)
+        val cents = graft.operators.Similarity
+          .ivfModel(emb, nlist = 16, cacheKey = Some(out))
+          .clusterCenters.map(_.toArray)
+        val assignedPath = s"$out/ivf_assignments.parquet"
+        if (!new java.io.File(s"$assignedPath/_SUCCESS").exists)
+          graft.operators.Similarity.ivfAssignments(emb, 16, Some(out))
+            .write.mode("overwrite").parquet(assignedPath)
+        val assigned = spark.read.parquet(assignedPath)
+        val (nStored, tStored) = timed {
+          graft.operators.Similarity
+            .ivfTopKStored(assigned, col("vec_id") < 20, cents, k = 5, nprobe = 4)
+            .join(bf, Seq("qid", "nn_id")).count()
+        }
+        val recStored = nStored.toDouble / nTruth
         bf.unpersist()
-        println(s"""{"metric":"ann_recall","copies":$copies,"n_vecs":$nVecs,"k":5,"lsh":{"recall":$recLsh,"sec":$tLsh,"planes":8,"multiprobe":"hamming-1"},"ivf":{"recall":$recIvf,"sec":$tIvf,"nlist":16,"nprobe":4},"bruteforce_sec":$tBf,"src":"$src"}""")
+        println(s"""{"metric":"ann_recall","copies":$copies,"n_vecs":$nVecs,"k":5,"lsh":{"recall":$recLsh,"sec":$tLsh,"planes":8,"multiprobe":"hamming-1"},"ivf":{"recall":$recIvf,"build_probe_sec":$tIvfBuild,"probe_sec":$tIvfProbe,"stored_probe_sec":$tStored,"stored_recall":$recStored,"nlist":16,"nprobe":4},"bruteforce_sec":$tBf,"src":"$src"}""")
 
       case "cc" =>
         val out = scaledDocsDir(spark, src, copies)

@@ -321,6 +321,49 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nn_id"), col("cos"))
   }
 
+  /** The IVF index as DATA: every corpus vector's (vec_id, v, norm, cell)
+    * under the fitted coarse quantizer. Persist this next to the corpus
+    * (bucketed by `cell` for a zero-exchange probe join) and the
+    * index build — KMeans fit AND the nlist distance folds per corpus
+    * vector — is paid once, not per query run.
+    */
+  def ivfAssignments(embeddings: DataFrame, nlist: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val model = ivfModel(embeddings, nlist, cacheKey)
+    withCells(vecs(embeddings), model.clusterCenters.map(_.toArray))
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+  }
+
+  /** IVF probe against STORED assignments — the production query path
+    * (same split as q81's stored-signature dedup: derive per-batch, store
+    * per-corpus). Only the query subset is folded against the centroid
+    * literals (|Q| × nlist folds); the corpus side contributes its stored
+    * cell and is touched once by the candidate equi-join. Value-identical
+    * to [[ivfTopK]] when `assigned` came from [[ivfAssignments]] with the
+    * same model (asserted in SimilaritySpec): same folds, same
+    * smallest-index/(cos desc, nn_id) tie-breaks.
+    */
+  def ivfTopKStored(assigned: DataFrame, isQuery: Column,
+      cents: Array[Array[Double]], k: Int, nprobe: Int): DataFrame = {
+    val q0 = withCells(
+      assigned.filter(isQuery).select(col("vec_id"), col("v"), col("norm")), cents)
+    val probed = q0.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("norm").as("qn"), posexplode(col("dists")).as(Seq("cell2", "dist")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cell2"))
+    val probeCells = probed.withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn"), col("cell2"))
+    val cand = assigned.select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      .join(broadcast(probeCells),
+        col("cell") === col("cell2") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("cos"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nn_id"))
+    cand.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nn_id"), col("cos"))
+  }
+
   // ---------------------------------------------------------------- q41b
   // IVF ANN over the driver embeddings. Like q41: recall is approximate
   // by construction, but once the seed-42 KMeans centroids are fitted the

@@ -42,6 +42,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9")
   }
 
+  test("stored-assignment IVF probe is value-identical to the inline form") {
+    val df = clustered()
+    val model = Similarity.ivfModel(df, nlist = 16)
+    val cents = model.clusterCenters.map(_.toArray)
+    // round-trip the index through parquet — the production shape is a
+    // stored table, and the write/read must not perturb the doubles
+    val path = s"target/tmp/ivf_assign_spec_${System.nanoTime()}"
+    Similarity.ivfAssignments(df, nlist = 16).write.parquet(path)
+    val assigned = spark.read.parquet(path)
+    val stored = Similarity
+      .ivfTopKStored(assigned, col("vec_id") < 20, cents, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val inline = Similarity
+      .ivfTopK(df, col("vec_id") < 20, k = 5, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(stored === inline)
+  }
+
   test("IVF returns k results per query when cells are populated") {
     val got = Similarity.ivfTopK(clustered(), col("vec_id") < 20, k = 5,
       nlist = 16, nprobe = 4).groupBy("qid").count().collect()
