@@ -70,5 +70,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "word_ngrams(toks, n) takes 2 arguments")
         WordNGrams(children.head, intLit(children(1), "n-gram width"))
       }))
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // internal runtime row-level filtering but does NOT register them as
+    // SQL functions; exposing them makes the bloom-decontamination shape
+    // (DataPrep.decontaminateBloom) writable in plain SQL — the bloom
+    // side as a scalar subquery, which is one of the two input forms
+    // might_contain accepts.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, items) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, items)
+        case Seq(c, items, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, items, bits)
+        case _ => throw new IllegalArgumentException(
+          "bloom_filter_agg(xxhash64_value[, expected_items[, num_bits]]) takes 1-3 arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "might_contain(bloom, xxhash64_value) takes 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
   }
 }

@@ -76,6 +76,24 @@ object Pipeline {
       textCol: String, n: Int): DataFrame =
     operators.DataPrep.decontaminate(train, eval_, idCol, textCol, n)
 
+  /** Constant-size bloom form of [[decontaminate]] for very large eval
+    * suites: no false negatives ever; false positives over-drop at a
+    * rate set by numBits/expectedItems. Builds the filter eagerly (one
+    * job).
+    */
+  def decontaminateBloom(train: DataFrame, eval_ : DataFrame, idCol: String,
+      textCol: String, n: Int, expectedItems: Long, numBits: Long): DataFrame =
+    operators.DataPrep.decontaminateBloom(train, eval_, idCol, textCol, n,
+      expectedItems, numBits)
+
+  /** Paragraph-level exact dedup (RefinedWeb/CCNet line dedup): remove
+    * paragraphs appearing in more than `maxDf` documents, reassemble
+    * survivors in order → (id, clean_text, n_kept, n_dropped).
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      delim: String, maxDf: Long): DataFrame =
+    operators.Dedup.paragraphDedup(docs, idCol, textCol, delim, maxDf)
+
   /** Gopher-style repetition signals per document. */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
     operators.TextAnalysis.repetitionSignals(df, idCol, textCol)

@@ -276,6 +276,106 @@ object DataPrep {
       WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
       ORDER BY d.doc_id"""))
 
+  /** Bloom-filter decontamination — the constant-size form of
+    * [[decontaminate]] for eval suites too large to ship as an exact gram
+    * set: the eval grams fold into an m-bit bloom filter (Spark's native
+    * `BloomFilterAggregate`, one binary blob of numBits/8 bytes
+    * regardless of eval size), and a train doc drops when ANY of its
+    * gram hashes might be in the filter.
+    *
+    * Error direction is ONE-SIDED and safe: a bloom filter has no false
+    * negatives, so every truly contaminated doc is dropped — the
+    * guarantee that matters for benchmark integrity. False positives
+    * over-drop clean docs at a rate set by numBits/expectedItems (size
+    * for ≲1% and the over-drop is noise at corpus scale; the q89 oracle
+    * hash-pins the no-miss law, BloomDecontaminationSpec pins the FP
+    * bound).
+    *
+    * NOTE: building the filter runs ONE Spark job eagerly inside this
+    * call (the aggregated blob must be embedded as a plan literal —
+    * Spark's `BloomFilterMightContain` accepts only constants/scalar
+    * subqueries, and `DataFrameStatFunctions.bloomFilter` does the same
+    * collect). Driver state is the blob itself: numBits/8 bytes,
+    * independent of both corpora — the same bounded-sketch reasoning as
+    * the q67 HLL registers.
+    */
+  def decontaminateBloom(train: DataFrame, eval_ : DataFrame, idCol: String,
+      textCol: String, n: Int, expectedItems: Long, numBits: Long): DataFrame =
+    train.join(bloomContaminatedIds(train, eval_, idCol, textCol, n,
+      expectedItems, numBits), Seq(idCol), "left_anti")
+
+  /** The ids [[decontaminateBloom]] would drop (exposed for the q89
+    * no-miss audit query).
+    */
+  def bloomContaminatedIds(train: DataFrame, eval_ : DataFrame, idCol: String,
+      textCol: String, n: Int, expectedItems: Long, numBits: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
+    val bf = gramHashes(eval_, idCol, textCol, n)
+      .agg(columnOf(new BloomFilterAggregate(
+        expressionOf(col("gh")), Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    require(bf != null, "eval corpus produced no n-grams — bloom filter is empty")
+    gramHashes(train, idCol, textCol, n)
+      .filter(columnOf(BloomFilterMightContain(
+        Literal(bf, org.apache.spark.sql.types.BinaryType),
+        expressionOf(col("gh")))))
+      .select(col("__id").as(idCol)).distinct()
+  }
+
+  // ---------------------------------------------------------------- q89
+  // Bloom decontamination audit query. The kept/dropped SET is
+  // bloom-dependent (false positives), so the oracle can't replay it —
+  // what it CAN hash-pin is the one-sided error law: per train doc,
+  // `contaminated_exact` (replayed exactly, q79's semantics) and
+  // `missed` = contaminated-but-kept, which the bloom guarantees FALSE
+  // for every row. Any false negative — the failure mode that would leak
+  // benchmark data into training — flips a boolean and fails the hash.
+  // The false-positive RATE (over-dropping) is pinned in
+  // DataPrepSpec instead; it is deterministic but not SQL-replayable.
+  private val q89 = GraftQuery(
+    "q89_decontaminate_bloom",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      val bloomDropped = bloomContaminatedIds(train, evalSet, "doc_id", "text",
+          n = 4, expectedItems = 100000L, numBits = 1600000L)
+        .withColumn("bdrop", lit(true))
+      // exact contamination, same shape as decontaminate's semi-join
+      val evalGrams = gramHashes(evalSet, "doc_id", "text", 4)
+        .select(col("gh")).distinct()
+      val exact = gramHashes(train, "doc_id", "text", 4)
+        .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+        .select(col("__id").as("doc_id")).distinct()
+        .withColumn("cexact", lit(true))
+      train.select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(bloomDropped, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cexact"), lit(false)).as("contaminated_exact"),
+          (coalesce(col("cexact"), lit(false)) &&
+            !coalesce(col("bdrop"), lit(false))).as("missed"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                    FROM documents),
+      grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g
+                FROM toks WHERE len(t) >= 4),
+      eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+      contaminated AS (SELECT DISTINCT doc_id FROM grams
+                       WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM eval_grams))
+      SELECT doc_id,
+             doc_id IN (SELECT doc_id FROM contaminated) AS contaminated_exact,
+             FALSE AS missed
+      FROM documents
+      WHERE doc_id % 97 <> 0
+      ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- q80
   /** Per-group token totals and sqrt-temperature sampling weights over
     * `textCol`, grouped by `groupCol` — the multilingual/multi-source
@@ -452,5 +552,5 @@ object DataPrep {
             FROM documents) t
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84, q85, q86)
+  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84, q85, q86, q89)
 }

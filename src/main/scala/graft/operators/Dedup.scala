@@ -346,5 +346,93 @@ object Dedup {
         AND doc_id NOT IN (SELECT doc_id FROM near_reject)
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70, q81)
+  /** Paragraph-level exact dedup (the RefinedWeb/CCNet "line dedup"
+    * curation step): remove every paragraph whose document frequency
+    * exceeds `maxDf` — boilerplate (nav bars, licence headers, cookie
+    * banners) repeats across documents while real prose doesn't — and
+    * reassemble each document from its surviving paragraphs in original
+    * order. Output: (id, clean_text, n_kept, n_dropped); documents with
+    * no non-empty paragraphs produce no row.
+    *
+    * Scale design: paragraph frequency is one hash-agg on an 8-byte
+    * paragraph hash (partial-agged count-distinct, never paragraph
+    * text); the violator set is boilerplate-sized (≪ corpus, same
+    * broadcast-ability reasoning as decontamination — left to AQE, not
+    * forced, since its cardinality is data-dependent); the only
+    * corpus-text shuffle is the per-document reassembly groupBy, which
+    * any reconstruction inherently pays.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      delim: String, maxDf: Long): DataFrame = {
+    val pars = docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("pos", "par")))
+      .filter(length(trim(col("par"))) > 0)
+      .withColumn("ph", xxhash64(col("par")))
+    val frequent = pars.groupBy(col("ph"))
+      .agg(count_distinct(col(idCol)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("ph"), lit(true).as("dup"))
+    pars.join(frequent, Seq("ph"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        // collect_list skips nulls, so dropped paragraphs vanish before
+        // the sort; pos is unique per doc → array_sort on the struct's
+        // leading field makes reassembly order deterministic
+        concat_ws(delim, transform(
+          array_sort(collect_list(when(col("dup").isNull,
+            struct(col("pos"), col("par"))))),
+          x => x("par"))).as("clean_text"),
+        count(when(col("dup").isNull, 1)).as("n_kept"),
+        count(when(col("dup").isNotNull, 1)).as("n_dropped"))
+  }
+
+  // ---------------------------------------------------------------- q88
+  // Paragraph dedup as a declared query. The driver corpus is a flat
+  // token stream (no newlines), so the query first renders deterministic
+  // paragraphs — 20-token chunks joined by '\n' (the q84 chunking shape)
+  // — then deduplicates at maxDf = 1: any paragraph appearing in 2+ docs
+  // is boilerplate. The planted near-dup pairs share prefix chunks, so
+  // the drop set is non-trivial (~50 distinct paragraphs at sf0.01).
+  private val q88 = GraftQuery(
+    "q88_paragraph_dedup",
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      val nch = ceil(size(col("t")) / lit(20.0)).cast("int")
+      val para = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 1) // sequence(1,0) throws; 0-token docs have no paragraphs
+        .select(col("doc_id"),
+          concat_ws("\n", transform(sequence(lit(1), nch),
+            i => concat_ws(" ", slice(col("t"), (i - 1) * 20 + 1, lit(20))))).as("text2"))
+      paragraphDedup(para, "doc_id", "text2", "\n", maxDf = 1L)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+                                            x -> x <> '') AS toks
+                 FROM documents),
+      d2 AS (SELECT doc_id,
+                    array_to_string(list_transform(
+                      range(1, CAST(ceil(len(toks) / 20.0) AS BIGINT) + 1),
+                      i -> array_to_string(toks[(i-1)*20+1 : i*20], ' ')), chr(10)) AS text2
+             FROM t WHERE len(toks) >= 1),
+      pars AS (SELECT doc_id, i, par
+               FROM (SELECT doc_id,
+                            generate_subscripts(string_split(text2, chr(10)), 1) AS i,
+                            unnest(string_split(text2, chr(10))) AS par
+                     FROM d2)
+               WHERE trim(par) <> ''),
+      freq AS (SELECT par, COUNT(DISTINCT doc_id) AS df FROM pars GROUP BY par),
+      flagged AS (SELECT p.doc_id, p.i, p.par, f.df > 1 AS dup
+                  FROM pars p JOIN freq f USING (par))
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT dup THEN par END, chr(10) ORDER BY i), '') AS clean_text,
+             CAST(COUNT(*) FILTER (WHERE NOT dup) AS BIGINT) AS n_kept,
+             CAST(COUNT(*) FILTER (WHERE dup) AS BIGINT) AS n_dropped
+      FROM flagged
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70, q81, q88)
 }

@@ -44,6 +44,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect()(0)
       assert(t.getSeq[String](0) == Seq("a b", "b a"), t.toString)
       assert(t.getSeq[String](1) == Seq("a b", "b a", "a b"), t.toString)
+      // bloom_filter_agg + might_contain: the scalar-subquery SQL form of
+      // bloom decontamination. Membership is guaranteed true (a bloom has
+      // no false negatives); '9999' at 8192 bits / 100 items is a
+      // deterministic non-member under Spark's fixed bloom hashing.
+      val b = s.sql(
+        """SELECT might_contain(
+                    (SELECT bloom_filter_agg(xxhash64(CAST(id AS STRING)), 100L, 8192L) FROM range(50)),
+                    xxhash64('7'))   AS member,
+                  might_contain(
+                    (SELECT bloom_filter_agg(xxhash64(CAST(id AS STRING)), 100L, 8192L) FROM range(50)),
+                    xxhash64('9999')) AS nonmember""")
+        .collect()(0)
+      assert(b.getBoolean(0), "bloom missed a member — violates no-false-negative law")
+      assert(!b.getBoolean(1), "planted non-member unexpectedly hit (re-pick the probe)")
     } finally {
       // restore the shared session for other suites; context stays alive
       SparkSession.getActiveSession // touch to avoid unused warnings

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  test("paragraph dedup drops cross-doc boilerplate, keeps order, counts both sides") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "intro one\nSHARED BOILERPLATE\nbody a"),
+      (2L, "intro two\nSHARED BOILERPLATE\nbody b"),
+      (3L, "unique только\nsolo text"),
+      (4L, "SHARED BOILERPLATE")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, "doc_id", "text", "\n", maxDf = 1L)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (1L, "intro one\nbody a", 2L, 1L),
+      (2L, "intro two\nbody b", 2L, 1L),
+      (3L, "unique только\nsolo text", 2L, 0L),
+      // every paragraph dropped → empty text, not a missing row
+      (4L, "", 0L, 1L)))
+  }
+
+  test("paragraph dedup at maxDf=2 keeps a twice-shared paragraph") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a\nB"), (2L, "c\nB"), (3L, "d")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, "doc_id", "text", "\n", maxDf = 2L)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a\nB"), (2L, "c\nB"), (3L, "d")))
+  }
+
+  test("bloom decontamination: no misses ever; generous sizing matches exact") {
+    import spark.implicits._
+    val vocab = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    def text(seed: Int) =
+      (0 until 30).map(i => vocab((seed * 7 + i * 3) % vocab.length)).mkString(" ")
+    val evalDocs = Seq((100L, text(1)), (101L, text(2))).toDF("doc_id", "text")
+    // train: 10 clean docs + 3 docs embedding an eval 4-gram verbatim
+    val leak = text(1).split(" ").slice(5, 9).mkString(" ")
+    val train = (
+      (0 until 10).map(i => (i.toLong, text(10 + i))) ++
+        Seq((20L, s"zulu yankee $leak xray whiskey"),
+          (21L, s"victor uniform $leak tango sierra"),
+          (22L, s"romeo quebec $leak papa oscar"))).toDF("doc_id", "text")
+    val exactKept = DataPrep.decontaminate(train, evalDocs, "doc_id", "text", 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // generous sizing: FP probability ~0 → bloom == exact
+    val bloomKept = DataPrep.decontaminateBloom(train, evalDocs, "doc_id", "text",
+        4, expectedItems = 10000L, numBits = 160000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloomKept === exactKept)
+    // aggressive sizing (64 bits for ~54 grams): false positives WILL
+    // over-drop, but the one-sided law still holds — nothing
+    // exact-contaminated survives
+    val tinyKept = DataPrep.decontaminateBloom(train, evalDocs, "doc_id", "text",
+        4, expectedItems = 54L, numBits = 64L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tinyKept.subsetOf(exactKept),
+      s"bloom kept a doc exact decontamination drops: ${tinyKept -- exactKept}")
+  }
+
+  test("paragraph dedup ignores empty/whitespace paragraphs entirely") {
+    import spark.implicits._
+    // the blank line appears in both docs but is never counted or kept
+    val docs = Seq((1L, "x\n\ny"), (2L, "z\n\nw")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, "doc_id", "text", "\n", maxDf = 1L)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((1L, "x\ny", 2L, 0L), (2L, "z\nw", 2L, 0L)))
+  }
+}
