@@ -135,4 +135,73 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) with exportable,
+    * mergeable counter state — the frequency-estimation sibling of the
+    * HLL above: persist one d×w counter table per shard/day, fold with
+    * element-wise SUM (exact, commutative, associative), query any item's
+    * approximate count later without keeping per-item state. Guarantees
+    * are one-sided: estimate ≥ true count always (counters only
+    * overcount on collisions), and estimate ≤ true + (e/w)·N with
+    * probability 1 − e^(−d).
+    *
+    * Rows use Kirsch–Mitzenmacher double hashing over a pre-hashed 64-bit
+    * input: row i indexes at (h₁ + i·h₂) mod w with h₁/h₂ the high/low
+    * 32 bits — two independent-enough functions from one hash, and (the
+    * real point here) the SAME arithmetic is expressible as Spark column
+    * expressions, so estimates read straight out of a state column with
+    * `element_at`/`least` — no UDF, no driver lookup (see Sketches q90).
+    */
+  object Cms {
+    def zero(d: Int, w: Int): Array[Long] = {
+      require(d >= 1 && d <= 16 && w >= 16,
+        s"CMS needs 1 <= d <= 16 and w >= 16, got d=$d w=$w")
+      new Array[Long](d * w)
+    }
+    /** Row-i counter index of a pre-hashed item — h₁ + i·h₂ stays well
+      * under Long overflow (h₁, h₂ < 2³², i < 16). */
+    def index(hash: Long, i: Int, w: Int): Int = {
+      val h1 = hash >>> 32
+      val h2 = hash & 0xFFFFFFFFL
+      ((h1 + i * h2) % w).toInt
+    }
+    def reduce(d: Int, w: Int, b: Array[Long], hash: Long): Array[Long] = {
+      var i = 0
+      while (i < d) { b(i * w + index(hash, i, w)) += 1L; i += 1 }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      require(a.length == b.length,
+        s"cannot merge CMS states of different geometry: ${a.length} vs ${b.length} counters")
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def estimate(d: Int, w: Int, b: Array[Long], hash: Long): Long = {
+      var est = Long.MaxValue
+      var i = 0
+      while (i < d) {
+        val c = b(i * w + index(hash, i, w))
+        if (c < est) est = c
+        i += 1
+      }
+      est
+    }
+  }
+
+  /** CMS aggregator over pre-hashed values (`xxhash64(col)`); the OUTPUT
+    * is the full counter state as `array<long>` — broadcastable, storable,
+    * and directly queryable with column expressions.
+    */
+  class CmsStateAggregator(d: Int = 7, w: Int = 2048)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Cms.zero(d, w)
+    def reduce(b: Array[Long], hash: Long): Array[Long] = Cms.reduce(d, w, b, hash)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = Cms.merge(a, b)
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
 }

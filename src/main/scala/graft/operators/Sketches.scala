@@ -109,5 +109,70 @@ object Sketches {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
-  val all: Seq[GraftQuery] = Seq(q43, q44, q67)
+  // ---------------------------------------------------------------- q90
+  // Mergeable Count-Min sketch over the corpus token stream — the
+  // frequency sibling of q67's HLL. Three laws hash-pinned via the q43
+  // error-law scheme (exact values + TRUE booleans in the oracle):
+  //   ge_exact    — CMS never undercounts (one-sided error, structural);
+  //   within_eps  — overcount ≤ (e/w)·N (holds with prob 1−e^(−d) per
+  //                 item; deterministic for fixed data + hashing);
+  //   merge_exact — the element-wise SUM of per-source states equals the
+  //                 global state, so estimates agree exactly — the
+  //                 incremental-refresh law, in the ORACLE rather than
+  //                 only a unit test.
+  // Estimates are read out of the broadcast state COLUMN with
+  // element_at + least over the same Kirsch–Mitzenmacher indices the
+  // aggregator wrote — whole-stage-codegen column arithmetic, no UDF, no
+  // driver-side lookup table.
+  private val q90 = GraftQuery(
+    "q90_cms_heavy_hitters",
+    (s, dir) => {
+      val d = 7; val w = 2048
+      import graft.functions.TextFunctions.tokens
+      val cms = udaf(new graft.mr.Aggregators.CmsStateAggregator(d, w),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .withColumn("h", xxhash64(col("w")))
+      val globalSt = toks.agg(cms(col("h")).as("gst"))
+      // per-source sketches folded with zip_with(+) — the persisted-shard
+      // merge path, expressed as a column fold over collect_list
+      val mergedSt = toks.groupBy(col("source")).agg(cms(col("h")).as("st"))
+        .agg(collect_list(col("st")).as("sts"))
+        .select(aggregate(col("sts"),
+          array_repeat(lit(0L), d * w),
+          (acc, st) => zip_with(acc, st, _ + _)).as("mst"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      val top = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(40)
+      def est(st: org.apache.spark.sql.Column) = least(
+        (0 until d).map { i =>
+          val h1 = shiftrightunsigned(col("h"), 32)
+          val h2 = col("h").bitwiseAND(lit(0xFFFFFFFFL))
+          element_at(st, (pmod(h1 + lit(i.toLong) * h2, lit(w.toLong)) +
+            lit(i.toLong * w) + lit(1L)).cast("int"))
+        }: _*)
+      top.withColumn("h", xxhash64(col("w")))
+        .crossJoin(broadcast(globalSt))
+        .crossJoin(broadcast(mergedSt))
+        .crossJoin(broadcast(total))
+        .select(col("w"), col("cnt"),
+          (est(col("gst")) >= col("cnt")).as("ge_exact"),
+          (est(col("gst")) <= col("cnt") +
+            ceil(lit(math.E / w) * col("n")).cast("bigint")).as("within_eps"),
+          (est(col("mst")) === est(col("gst"))).as("merge_exact"))
+        .orderBy(col("cnt").desc, col("w"))
+    },
+    Some("""
+      WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                              x -> x <> '')) AS w
+                    FROM documents)
+      SELECT w, COUNT(*) AS cnt,
+             TRUE AS ge_exact, TRUE AS within_eps, TRUE AS merge_exact
+      FROM toks
+      GROUP BY w
+      ORDER BY cnt DESC, w
+      LIMIT 40"""))
+
+  val all: Seq[GraftQuery] = Seq(q43, q44, q67, q90)
 }

@@ -81,4 +81,39 @@ class AggregatorsSpec extends SparkSpec {
     val est = agg.finish(sk)
     assert(math.abs(est - 100) <= 2, s"got $est")
   }
+
+  /** Zipf-ish stream: item i (1..40) appears 500/i times. */
+  private def cmsStream: Seq[Long] =
+    (1 to 40).flatMap(i => Seq.fill(500 / i)(i.toLong))
+
+  test("CMS never undercounts and stays within (e/w)*N of exact") {
+    val d = 7; val w = 2048
+    val hashes = hashesOf(cmsStream)
+    val exact = cmsStream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val st = hashes.foldLeft(Aggregators.Cms.zero(d, w))(
+      (b, h) => Aggregators.Cms.reduce(d, w, b, h))
+    val bound = math.ceil(math.E / w * hashes.size).toLong
+    exact.foreach { case (item, n) =>
+      val est = Aggregators.Cms.estimate(d, w, st,
+        hashesOf(Seq(item)).head)
+      assert(est >= n, s"CMS undercounted item $item: $est < $n")
+      assert(est <= n + bound, s"CMS overcounted item $item beyond bound: $est > $n + $bound")
+    }
+  }
+
+  test("CMS merge law: sketch(A ++ B) == merge(sketch(A), sketch(B)) counter-for-counter") {
+    val d = 5; val w = 256
+    val (a, b) = cmsStream.splitAt(cmsStream.size / 3)
+    def sk(xs: Seq[Long]) = hashesOf(xs).foldLeft(Aggregators.Cms.zero(d, w))(
+      (st, h) => Aggregators.Cms.reduce(d, w, st, h))
+    val whole = sk(cmsStream)
+    val folded = Aggregators.Cms.merge(sk(a), sk(b))
+    assert(whole.toSeq == folded.toSeq)
+  }
+
+  test("CMS merge rejects mixed-geometry states loudly") {
+    intercept[IllegalArgumentException] {
+      Aggregators.Cms.merge(Aggregators.Cms.zero(5, 256), Aggregators.Cms.zero(7, 256))
+    }
+  }
 }
