@@ -183,6 +183,51 @@ object ScaleProbe {
         bf.unpersist()
         println(s"""{"metric":"ann_recall","copies":$copies,"n_vecs":$nVecs,"k":5,"lsh":{"recall":$recLsh,"sec":$tLsh,"planes":8,"multiprobe":"hamming-1"},"ivf":{"recall":$recIvf,"build_probe_sec":$tIvfBuild,"probe_sec":$tIvfProbe,"stored_probe_sec":$tStored,"stored_recall":$recStored,"nlist":16,"nprobe":4},"bruteforce_sec":$tBf,"src":"$src"}""")
 
+      case "annc" =>
+        // clustered variant of "ann": 20×copies separated clusters of 100
+        // members each (deterministic trig synthesis, no RNG — same shape
+        // as SimilaritySpec's fixture, scaled). Same-cluster cosine ≈ 1,
+        // cross-cluster ≈ random; queries vec_id < 20 land in 20 DISTINCT
+        // clusters (interleaved assignment). This measures the recall
+        // CEILING at scale where "ann" (uniform random vectors) measures
+        // the floor.
+        val nClusters = 20 * copies
+        val per = 100
+        val dim = 64
+        val out = s"/root/repo/target/tmp/scaleprobe_annc_x$copies"
+        val embPath = s"$out/embeddings.parquet"
+        if (!new java.io.File(s"$embPath/_SUCCESS").exists) {
+          val c = (col("vec_id") % nClusters).cast("double")
+          val emb = array((0 until dim).map { j =>
+            (sin(c * 131.7 + j * 7.3) * 10.0 +
+              sin(col("vec_id").cast("double") * 0.91 + j * 3.3) * 0.05)
+              .cast("float")
+          }: _*)
+          spark.range(nClusters.toLong * per).select(col("id").as("vec_id"))
+            .select(col("vec_id"), emb.as("embedding"),
+              (col("vec_id") % 8).cast("int").as("label"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .write.mode("overwrite").parquet(embPath)
+        }
+        val nVecs = graft.sources.Tables.load(spark, out, "embeddings").count()
+        val (bf, tBf) = timed {
+          SparkEntry.queries("q40_ann_bruteforce")(spark, out)
+            .select(col("qid"), col("nn_id")).cache()
+        }
+        val nTruth = bf.count()
+        def recallOf2(name: String): (Double, Double) = {
+          val (res, t) = timed {
+            SparkEntry.queries(name)(spark, out)
+              .select(col("qid"), col("nn_id"))
+              .join(bf, Seq("qid", "nn_id")).count()
+          }
+          (res.toDouble / nTruth, t)
+        }
+        val (recLsh, tLsh) = recallOf2("q41_ann_lsh")
+        val (recIvf, tIvfBuild) = recallOf2("q41b_ann_ivf")
+        bf.unpersist()
+        println(s"""{"metric":"ann_recall_clustered","copies":$copies,"n_vecs":$nVecs,"n_clusters":$nClusters,"k":5,"lsh":{"recall":$recLsh,"sec":$tLsh,"planes":8,"multiprobe":"hamming-1"},"ivf":{"recall":$recIvf,"build_probe_sec":$tIvfBuild,"nlist":16,"nprobe":4},"bruteforce_sec":$tBf,"src":"synthetic-clustered"}""")
+
       case "cc" =>
         val out = scaledDocsDir(spark, src, copies)
         val docs = graft.sources.Tables.load(spark, out, "documents")
