@@ -12,7 +12,8 @@ object PlanDump {
     "q12_sort_limit", "q37_dedup_minhash", "q40_ann_bruteforce",
     "q59_grouping_sets", "q60_salted_join", "q63_seq_packing",
     "q65_embed_quantize", "q77_custom_topk_plan", "q79_decontaminate",
-    "q82_rarity_scoring", "q51_dedup_pipeline")
+    "q82_rarity_scoring", "q51_dedup_pipeline", "q88_paragraph_dedup",
+    "q89_decontaminate_bloom", "q90_cms_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

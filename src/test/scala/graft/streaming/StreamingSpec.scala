@@ -103,6 +103,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS: incrementally aggregated sketch state == batch state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = 5; val w = 256
+    val cms = udaf(new graft.mr.Aggregators.CmsStateAggregator(d, w),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val values = (1L to 300L).map(i => i % 37) // skewed repeats
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("v")
+      .select(xxhash64(col("v")).as("h"))
+      .agg(cms(col("h")).as("st"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(s"cms_stream_${System.nanoTime()}")
+      .start()
+    try {
+      // three micro-batches — the state store must carry the partial
+      // sketch across triggers exactly (counter sums are exact merges)
+      values.grouped(100).foreach { chunk =>
+        mem.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table(q.name).collect()(0).getSeq[Long](0)
+      val batch = values.toDF("v").select(xxhash64(col("v")).as("h"))
+        .agg(cms(col("h")).as("st")).collect()(0).getSeq[Long](0)
+      assert(streamed == batch, "streaming CMS state diverged from batch state")
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup: corpus dupes and within-stream dupes both drop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
