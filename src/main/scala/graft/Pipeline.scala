@@ -106,6 +106,13 @@ object Pipeline {
   def mixWeights(df: DataFrame, groupCol: String, textCol: String): DataFrame =
     operators.DataPrep.mixWeights(df, groupCol, textCol)
 
+  /** Materialize [[mixWeights]] into per-document repetition counts for a
+    * targetDocs-sized epoch — deterministic, rerun-stable, exact quotas.
+    */
+  def epochMix(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, targetDocs: Long): DataFrame =
+    operators.DataPrep.epochMix(docs, idCol, textCol, groupCol, targetDocs)
+
   /** Overlapping character chunks for context-window preprocessing. */
   def chunkDocs(df: DataFrame, idCol: String, textCol: String,
       chunkLen: Int, step: Int): DataFrame =

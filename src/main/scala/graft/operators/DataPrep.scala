@@ -409,6 +409,80 @@ object DataPrep {
              CAST(sq AS DOUBLE) / CAST((SELECT SUM(sq) FROM sq) AS DOUBLE) AS weight
       FROM sq ORDER BY source"""))
 
+  /** Materialize [[mixWeights]] into an actual epoch sample: per-document
+    * repetition counts such that each group contributes
+    * floor(weight × targetDocs) rows to the epoch — the step that turns
+    * sampling WEIGHTS into the training mix a data loader reads.
+    *
+    * Deterministic and rerun-stable, no RNG: within each group every doc
+    * gets the same base count (quota / n_docs); the remainder goes to the
+    * quota-mod-n docs that rank first by md5(doc_id) — the same
+    * hash-ordering trick as q61's sampling, so re-running over a
+    * repartitioned corpus reproduces the epoch bit-for-bit. Groups with
+    * quota < n_docs downsample (some docs get 0 copies); groups with
+    * quota > n_docs upsample (all docs ≥ base copies) — both directions
+    * handled by the same arithmetic.
+    *
+    * Output: (idCol, groupCol, n_copies). Sum(n_copies) per group ==
+    * floor(weight × targetDocs) exactly. Shape at 100 TB: the quota
+    * table is one row per group (broadcast); the ranking is one window
+    * per group over (id, group) pairs — the corpus text is read only by
+    * the token-count aggregation inside mixWeights.
+    */
+  def epochMix(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, targetDocs: Long): DataFrame = {
+    require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")
+    val quota = mixWeights(docs, groupCol, textCol)
+      .join(docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs")), groupCol)
+      .select(col(groupCol),
+        floor(col("weight") * lit(targetDocs)).cast("long").as("target"),
+        col("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.select(col(idCol), col(groupCol))
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(quota), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        (floor(col("target") / col("n_docs")) +
+          when(col("rk") <= pmod(col("target"), col("n_docs")), 1L).otherwise(0L))
+          .cast("long").as("n_copies"))
+  }
+
+  // ---------------------------------------------------------------- q91
+  // Epoch materialization as a declared query: 1000-doc target epoch over
+  // the source-mix weights. The oracle replays the whole chain — q80's
+  // decimal-exact weights, the per-source quotas, and the md5 remainder
+  // ranking — so both the arithmetic and the deterministic tie-break are
+  // hash-pinned.
+  private val q91 = GraftQuery(
+    "q91_epoch_mix",
+    (s, dir) => epochMix(Tables.documents(s, dir), "doc_id", "text",
+        "source", targetDocs = 1000L)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (SELECT source, len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS ntok
+                    FROM documents),
+      ps AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM toks GROUP BY source),
+      sq AS (SELECT source, CAST(sqrt(n_tokens) AS DECIMAL(38,6)) AS sq FROM ps),
+      wts AS (SELECT source,
+                     CAST(sq AS DOUBLE) / CAST((SELECT SUM(sq) FROM sq) AS DOUBLE) AS weight
+              FROM sq),
+      quota AS (SELECT w.source,
+                       CAST(floor(w.weight * 1000) AS BIGINT) AS target,
+                       c.n_docs
+                FROM wts w JOIN (SELECT source, COUNT(*) AS n_docs
+                                 FROM documents GROUP BY source) c
+                  ON w.source = c.source),
+      ranked AS (SELECT doc_id, source,
+                        ROW_NUMBER() OVER (PARTITION BY source
+                                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                 FROM documents)
+      SELECT r.doc_id, r.source,
+             CAST(target // n_docs + CASE WHEN rk <= target % n_docs THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+      FROM ranked r JOIN quota q ON r.source = q.source
+      ORDER BY r.doc_id"""))
+
   /** Overlapping character chunks of `textCol` for context-window
     * preprocessing: chunks of `chunkLen` starting every `step` chars
     * (overlap = chunkLen - step), 1-based offsets, the tail chunk
@@ -552,5 +626,5 @@ object DataPrep {
             FROM documents) t
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84, q85, q86, q89)
+  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84, q85, q86, q89, q91)
 }

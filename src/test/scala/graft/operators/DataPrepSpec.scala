@@ -153,4 +153,28 @@ class DataPrepSpec extends SparkSpec {
     assert(maxW._3 / minW._3 < maxW._2.toDouble / minW._2,
       "sqrt temperature must compress the spread")
   }
+
+  test("epoch mix: per-group copies sum to floor(weight*target) exactly; rerun-stable") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val target = 1000L
+    val mix = DataPrep.epochMix(docs, "doc_id", "text", "source", target)
+    val wts = DataPrep.mixWeights(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val perGroup = mix.groupBy(col("source")).agg(sum(col("n_copies")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perGroup.foreach { case (g, s) =>
+      val quota = math.floor(wts(g) * target).toLong
+      assert(s === quota, s"group $g contributed $s copies, quota $quota")
+    }
+    // a tiny target downsamples: quota < n_docs → some docs get 0 copies
+    val tiny = DataPrep.epochMix(docs, "doc_id", "text", "source", 20L)
+    assert(tiny.filter(col("n_copies") === 0).count() > 0)
+    // deterministic under repartitioning: same counts bit-for-bit
+    val again = DataPrep.epochMix(docs.repartition(7), "doc_id", "text",
+        "source", target)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val first = mix.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(again === first)
+  }
 }
