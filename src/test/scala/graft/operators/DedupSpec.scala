@@ -66,6 +66,24 @@ class DedupSpec extends SparkSpec {
       s"bloom kept a doc exact decontamination drops: ${tinyKept -- exactKept}")
   }
 
+  test("paragraph dedup with an unreachable maxDf is the identity on paragraph content") {
+    import spark.implicits._
+    // generated docs: deterministic pseudo-random paragraph counts and
+    // contents, including repeated paragraphs ACROSS docs — with maxDf
+    // beyond the corpus size nothing drops, so reassembly must
+    // reconstruct every document byte-for-byte (order + delimiter)
+    val docs = (1 to 60).map { i =>
+      val nPars = 1 + (i * 7) % 5
+      val pars = (0 until nPars).map(p => s"para ${(i + p) % 13} body ${(i * p) % 7}")
+      (i.toLong, pars.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, "doc_id", "text", "\n", maxDf = 1000000L)
+      .select(col("doc_id"), col("clean_text"), col("n_dropped"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sortBy(_._1)
+    val expected = docs.collect().map(r => (r.getLong(0), r.getString(1), 0L)).toSeq.sortBy(_._1)
+    assert(got === expected)
+  }
+
   test("paragraph dedup ignores empty/whitespace paragraphs entirely") {
     import spark.implicits._
     // the blank line appears in both docs but is never counted or kept
