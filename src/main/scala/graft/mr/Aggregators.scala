@@ -189,6 +189,40 @@ object Aggregators {
     }
   }
 
+  /** Greenwald–Khanna quantile sketch aggregator — the third leg of the
+    * exportable-sketch triad (HLL = distinct, CMS = frequency, GK =
+    * quantiles). Wraps Spark's own `QuantileSummaries` (the engine's
+    * `percentile_approx` machinery) as a typed `Aggregator`, so the
+    * summary state is a first-class mergeable value: shard summaries
+    * (java-Serializable, a few KB at ε = 0.01) persist per
+    * partition/day and fold with `merge` for an incremental global
+    * quantile — no history re-scan.
+    *
+    * Guarantee: the reported value's RANK is within ε·n of the exact
+    * quantile's (Greenwald & Khanna 2001), so the value lies between the
+    * exact (q−ε) and (q+ε) percentiles; merging shard summaries keeps a
+    * bounded (≤ summed-ε) guarantee. Both laws are asserted in
+    * AggregatorsSpec; the q92 oracle hash-pins the error law per group.
+    */
+  class GkQuantileAggregator(q: Double, relErr: Double = 0.01)
+      extends Aggregator[Double, org.apache.spark.sql.catalyst.util.QuantileSummaries, Double] {
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
+    def zero: QuantileSummaries =
+      new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, relErr)
+    def reduce(b: QuantileSummaries, v: Double): QuantileSummaries = b.insert(v)
+    // GK merge requires both sides flushed; insert-after-merge re-buffers
+    // safely into the head array, so the Aggregator contract holds
+    def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
+      a.compress().merge(b.compress())
+    def finish(b: QuantileSummaries): Double =
+      b.compress().query(Seq(q)).map(_.head).getOrElse(Double.NaN)
+    // kryo: the summary is a plain Serializable class, not a product —
+    // only sketch-sized state crosses the wire, never row data
+    def bufferEncoder: Encoder[QuantileSummaries] = Encoders.kryo[QuantileSummaries]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   /** CMS aggregator over pre-hashed values (`xxhash64(col)`); the OUTPUT
     * is the full counter state as `array<long>` — broadcastable, storable,
     * and directly queryable with column expressions.

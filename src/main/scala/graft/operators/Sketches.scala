@@ -174,5 +174,41 @@ object Sketches {
       ORDER BY cnt DESC, w
       LIMIT 40"""))
 
-  val all: Seq[GraftQuery] = Seq(q43, q44, q67, q90)
+  // ---------------------------------------------------------------- q92
+  // Mergeable GK quantile summaries (the quantile leg of the sketch
+  // triad), error-law-oracled like q43/q67: per group, the GK p50/p95
+  // value must lie between the exact (q−2ε) and (q+2ε) percentiles
+  // (ε = 0.01; the extra ε absorbs interpolation at the rank boundary).
+  // The estimates are deterministic for fixed data, so a drifting
+  // summary flips a boolean and fails the hash.
+  private val q92 = GraftQuery(
+    "q92_gk_quantiles",
+    (s, dir) => {
+      val gk50 = udaf(new graft.mr.Aggregators.GkQuantileAggregator(0.50),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val gk95 = udaf(new graft.mr.Aggregators.GkQuantileAggregator(0.95),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val p = col("l_extendedprice").cast("double")
+      def exact(q: Double) = expr(s"percentile(CAST(l_extendedprice AS DOUBLE), ${q}d)")
+      Tables.lineitemWide(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          gk50(p).as("g50"), gk95(p).as("g95"),
+          exact(0.48).as("lo50"), exact(0.52).as("hi50"),
+          exact(0.93).as("lo95"), exact(0.97).as("hi95"))
+        .select(col("l_returnflag"), col("n"),
+          col("g50").between(col("lo50"), col("hi50")).as("p50_within_eps"),
+          col("g95").between(col("lo95"), col("hi95")).as("p95_within_eps"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             TRUE AS p50_within_eps,
+             TRUE AS p95_within_eps
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  val all: Seq[GraftQuery] = Seq(q43, q44, q67, q90, q92)
 }

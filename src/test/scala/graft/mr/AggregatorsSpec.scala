@@ -116,4 +116,36 @@ class AggregatorsSpec extends SparkSpec {
       Aggregators.Cms.merge(Aggregators.Cms.zero(5, 256), Aggregators.Cms.zero(7, 256))
     }
   }
+
+  test("GK quantile summary: rank error within epsilon on a known stream") {
+    val agg = new Aggregators.GkQuantileAggregator(0.5, relErr = 0.01)
+    // deterministic non-uniform stream of 10k values in [0, 100)
+    val xs = (0 until 10000).map(i => (i * i % 9973) % 100 * 1.0)
+    val sk = xs.foldLeft(agg.zero)(agg.reduce)
+    val est = agg.finish(sk)
+    val sorted = xs.sorted
+    // value's rank must be within eps*n of the true median rank
+    val lo = sorted((0.49 * xs.size).toInt)
+    val hi = sorted(math.min(xs.size - 1, (0.51 * xs.size).toInt))
+    assert(est >= lo && est <= hi, s"median est $est outside [$lo, $hi]")
+  }
+
+  test("GK shard summaries merged give a bounded-error global quantile") {
+    val agg = new Aggregators.GkQuantileAggregator(0.95, relErr = 0.01)
+    val xs = (0 until 12000).map(i => (i * 37 % 10007) * 1.0)
+    // three shards, aggregated independently (per-partition state), merged
+    val merged = xs.grouped(4000)
+      .map(sh => sh.foldLeft(agg.zero)(agg.reduce))
+      .reduce(agg.merge)
+    val est = agg.finish(merged)
+    val sorted = xs.sorted
+    val lo = sorted((0.92 * xs.size).toInt)
+    val hi = sorted(math.min(xs.size - 1, (0.98 * xs.size).toInt))
+    assert(est >= lo && est <= hi, s"merged p95 est $est outside [$lo, $hi]")
+  }
+
+  test("GK summary of an empty stream reports NaN, not a crash") {
+    val agg = new Aggregators.GkQuantileAggregator(0.5)
+    assert(agg.finish(agg.zero).isNaN)
+  }
 }
