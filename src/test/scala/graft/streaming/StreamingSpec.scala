@@ -130,6 +130,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL and GK sketches accumulate across triggers like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hll = udaf(new graft.mr.Aggregators.HllAggregator(12),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val gk = udaf(new graft.mr.Aggregators.GkQuantileAggregator(0.5),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val values = (1L to 400L).map(i => i % 97)
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("v")
+      .select(xxhash64(col("v")).as("h"), col("v").cast("double").as("d"))
+      .agg(hll(col("h")).as("distinct_est"), gk(col("d")).as("p50"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(s"sketch_stream_${System.nanoTime()}")
+      .start()
+    try {
+      values.grouped(150).foreach { chunk =>
+        mem.addData(chunk); q.processAllAvailable()
+      }
+      val row = spark.table(q.name).collect()(0)
+      val batch = values.toDF("v")
+        .select(xxhash64(col("v")).as("h"), col("v").cast("double").as("d"))
+        .agg(hll(col("h")).as("distinct_est"), gk(col("d")).as("p50"))
+        .collect()(0)
+      // HLL registers fold deterministically (max) → identical estimate;
+      // GK summaries are order-sensitive in their sampled cut points, so
+      // the streamed estimate must satisfy the same rank bound, not
+      // bit-equality
+      assert(row.getLong(0) === batch.getLong(0),
+        "streaming HLL estimate diverged from batch")
+      val sorted = values.map(_.toDouble).sorted
+      val (lo, hi) = (sorted((0.48 * sorted.size).toInt),
+        sorted(math.min(sorted.size - 1, (0.52 * sorted.size).toInt)))
+      assert(row.getDouble(1) >= lo && row.getDouble(1) <= hi,
+        s"streaming GK p50 ${row.getDouble(1)} outside [$lo, $hi]")
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup: corpus dupes and within-stream dupes both drop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
