@@ -318,12 +318,16 @@ object DataPrep {
         expressionOf(col("gh")), Literal(expectedItems), Literal(numBits))
         .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    require(bf != null, "eval corpus produced no n-grams — bloom filter is empty")
-    gramHashes(train, idCol, textCol, n)
-      .filter(columnOf(BloomFilterMightContain(
-        Literal(bf, org.apache.spark.sql.types.BinaryType),
-        expressionOf(col("gh")))))
-      .select(col("__id").as(idCol)).distinct()
+    if (bf == null)
+      // an eval set with no n-grams cannot contaminate anything — match
+      // the exact operator's no-op semantics instead of erroring
+      train.select(col(idCol)).limit(0)
+    else
+      gramHashes(train, idCol, textCol, n)
+        .filter(columnOf(BloomFilterMightContain(
+          Literal(bf, org.apache.spark.sql.types.BinaryType),
+          expressionOf(col("gh")))))
+        .select(col("__id").as(idCol)).distinct()
   }
 
   // ---------------------------------------------------------------- q89
@@ -444,7 +448,9 @@ object DataPrep {
       .withColumn("rk", row_number().over(w))
       .join(broadcast(quota), Seq(groupCol))
       .select(col(idCol), col(groupCol),
-        (floor(col("target") / col("n_docs")) +
+        // integer DIV, not floor(double /): exact at any quota magnitude
+        // (a double quotient loses exactness past 2^53)
+        (expr("target DIV n_docs") +
           when(col("rk") <= pmod(col("target"), col("n_docs")), 1L).otherwise(0L))
           .cast("long").as("n_copies"))
   }

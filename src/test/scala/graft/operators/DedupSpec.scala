@@ -66,6 +66,16 @@ class DedupSpec extends SparkSpec {
       s"bloom kept a doc exact decontamination drops: ${tinyKept -- exactKept}")
   }
 
+  test("bloom decontamination with a gram-free eval set is a no-op like the exact form") {
+    import spark.implicits._
+    val train = Seq((1L, "alpha bravo charlie delta echo")).toDF("doc_id", "text")
+    val emptyEval = Seq((9L, "ab")).toDF("doc_id", "text") // < n tokens → no grams
+    val kept = DataPrep.decontaminateBloom(train, emptyEval, "doc_id", "text",
+        4, expectedItems = 100L, numBits = 1024L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L))
+  }
+
   test("paragraph dedup with an unreachable maxDf is the identity on paragraph content") {
     import spark.implicits._
     // generated docs: deterministic pseudo-random paragraph counts and
