@@ -51,6 +51,14 @@ object Pipeline {
     operators.Similarity.semanticDedup(embeddings, thr, nlist)
 
   // ---- similarity search ------------------------------------------------
+  /** Hyperplane-LSH approximate top-k cosine neighbors (recall knobs =
+    * nPlanes + hamming-1 multiprobe); bucket equi-joins, broadcast query
+    * side.
+    */
+  def lshTopK(embeddings: DataFrame, isQuery: Column, k: Int,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame =
+    operators.Similarity.lshTopK(embeddings, isQuery, k, nPlanes, dim)
+
   /** IVF approximate top-k cosine neighbors for the `isQuery` rows. */
   def ivfTopK(embeddings: DataFrame, isQuery: Column, k: Int,
       nlist: Int, nprobe: Int): DataFrame =

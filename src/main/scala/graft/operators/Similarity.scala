@@ -187,30 +187,41 @@ object Similarity {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** Hyperplane-LSH approximate top-k cosine neighbors for the `isQuery`
+    * rows — the other classic scale path next to IVF, with the recall
+    * knobs as PARAMETERS: more planes = smaller buckets (cheaper, lower
+    * recall per probe); multiprobe radius 1 visits every hamming-1
+    * neighbor bucket. Candidates come from bucket equi-joins with the
+    * query side broadcast (no theta-join at any corpus size); signatures
+    * are deterministic md5-derived hyperplanes, so runs reproduce.
+    */
+  def lshTopK(embeddings: DataFrame, isQuery: Column, k: Int,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 62, s"nPlanes must be in [1, 62], got $nPlanes")
+    val e = withLshBucket(vecs(embeddings), nPlanes, dim)
+    // multiprobe: the query's own bucket plus every hamming-1 neighbor
+    // bucket, exploded so candidate lookup stays an equi-join on bucket
+    val probes = array(
+      col("bucket") +: (0 until nPlanes).map(p =>
+        expr(s"bucket ^ ${1L << p}")): _*)
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qn"), explode(probes).as("qbucket"))
+    val scored = e.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nn_id"), col("cos"))
+  }
+
   private val q41 = GraftQuery(
     "q41_ann_lsh",
-    (s, dir) => {
-      val nPlanes = 8
-      val e = withLshBucket(vecs(Tables.embeddings(s, dir)), nPlanes, dim = 64)
-      // multiprobe: the query's own bucket plus every hamming-1 neighbor
-      // bucket, exploded so candidate lookup stays an equi-join on bucket
-      // (scale path: no theta-join, query side broadcast)
-      val probes = array(
-        col("bucket") +: (0 until nPlanes).map(p =>
-          expr(s"bucket ^ ${1L << p}")): _*)
-      val q = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("norm").as("qn"), explode(probes).as("qbucket"))
-      val scored = e.join(broadcast(q),
-          col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nn_id"),
-          (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("cos"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nn_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("qid"), col("rank"), col("nn_id"), col("cos"))
-        .orderBy(col("qid"), col("rank"))
-    },
+    (s, dir) =>
+      lshTopK(Tables.embeddings(s, dir), col("vec_id") < 20, k = 5)
+        .orderBy(col("qid"), col("rank")),
     Some(lshTopKOracle(nPlanes = 8, dim = 64, k = 5)))
 
   /** IVF-style ANN (the other classic scale path next to LSH): a KMeans

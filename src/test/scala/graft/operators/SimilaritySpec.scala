@@ -42,6 +42,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9")
   }
 
+  test("LSH ANN achieves high recall on clustered vectors; plane count is a live knob") {
+    val df = clustered()
+    def recallAt(nPlanes: Int): Double = {
+      val lsh = Similarity.lshTopK(df, col("vec_id") < 20, k = 5, nPlanes = nPlanes)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val e = df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          (Similarity.dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("nn_id"))
+      val bf = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (lsh & bf).size.toDouble / bf.size
+    }
+    assert(recallAt(8) >= 0.9, "LSH recall at 8 planes below 0.9 on clustered data")
+    // fewer planes = bigger buckets = recall can only stay or improve
+    assert(recallAt(4) >= 0.9, "LSH recall at 4 planes below 0.9 on clustered data")
+  }
+
   test("stored-assignment IVF probe is value-identical to the inline form") {
     val df = clustered()
     val model = Similarity.ivfModel(df, nlist = 16)
