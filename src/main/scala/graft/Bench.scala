@@ -225,7 +225,9 @@ object Bench {
         w.println(s"# quiet-machine bench medians, reps=$reps, sf=$sfDir")
         w.println(s"# loadavg at start: $loadBefore")
         results.foreach { case (name, med, _) =>
-          w.println(f"$name $med%.4f")
+          // Locale.ROOT: a comma-decimal default locale would write a
+          // baseline parseBaseline silently discards (ADVICE r6 #2)
+          w.println(name + " " + String.format(java.util.Locale.ROOT, "%.4f", Double.box(med)))
         }
       } finally w.close()
       System.err.println(s"[bench] baseline written to $path")
@@ -235,7 +237,9 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ratios = results.collect { case (k, _, r) if r >= 0 =>
-      "\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+      // Locale.ROOT keeps the emitted JSON valid on comma-decimal locales
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(r))
+    }.mkString("{", ",", "}")
     val fq = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sus = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rr = inflated.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -143,12 +143,15 @@ object ScaleProbe {
       case "ann" =>
         val out = scaledEmbeddingsDir(spark, src, copies)
         val nVecs = graft.sources.Tables.load(spark, out, "embeddings").count()
-        // ground truth: exact top-5 per query over the whole scaled corpus
-        val (bf, tBf) = timed {
-          SparkEntry.queries("q40_ann_bruteforce")(spark, out)
+        // ground truth: exact top-5 per query over the whole scaled corpus.
+        // The COUNT is inside the timed block — cache() alone is lazy, so
+        // timing only the DataFrame build would report a bogus near-zero
+        // brute-force cost (ADVICE r6 #1).
+        val ((bf, nTruth), tBf) = timed {
+          val df = SparkEntry.queries("q40_ann_bruteforce")(spark, out)
             .select(col("qid"), col("nn_id")).cache()
+          (df, df.count())
         }
-        val nTruth = bf.count() // materialize inside the timed region? no — build is lazy; count here
         def recallOf(name: String): (Double, Double) = {
           val (res, t) = timed {
             val df = SparkEntry.queries(name)(spark, out)
@@ -210,11 +213,12 @@ object ScaleProbe {
             .write.mode("overwrite").parquet(embPath)
         }
         val nVecs = graft.sources.Tables.load(spark, out, "embeddings").count()
-        val (bf, tBf) = timed {
-          SparkEntry.queries("q40_ann_bruteforce")(spark, out)
+        // count inside the timed block, same as ann mode (ADVICE r6 #1)
+        val ((bf, nTruth), tBf) = timed {
+          val df = SparkEntry.queries("q40_ann_bruteforce")(spark, out)
             .select(col("qid"), col("nn_id")).cache()
+          (df, df.count())
         }
-        val nTruth = bf.count()
         def recallOf2(name: String): (Double, Double) = {
           val (res, t) = timed {
             SparkEntry.queries(name)(spark, out)

@@ -271,6 +271,14 @@ object Curation {
   /** Rounds the most recent [[distributedCC]] run took to converge —
     * diagnostic only (ScaleProbe reports it next to wall time; the VALUE
     * returned by the operator never depends on it).
+    *
+    * DELIBERATELY module-level and last-writer-wins: two CONCURRENT
+    * clusterAssignments runs in one JVM would race, and the reader could
+    * see the other run's rounds. Its only consumer is the single-run
+    * ScaleProbe cc mode (one probe per JVM); anything needing per-call
+    * rounds under concurrency should parse the `[graft] distributed CC
+    * converged` log line or extend distributedCC to return the count —
+    * do NOT report this field from concurrent jobs (ADVICE r6 #3).
     */
   @volatile private[graft] var lastDistributedCCRounds: Int = -1
 

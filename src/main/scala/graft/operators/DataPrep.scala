@@ -63,8 +63,12 @@ object DataPrep {
   // Per-source quota (training-mix curation): keep at most K docs per
   // source, chosen by hash order — a deterministic uniform subsample per
   // stratum, not "first K by id" (which would bias toward old data). One
-  // shuffle on source; the window is a per-group top-K, so at scale this
-  // is rank-and-filter, never a global sort.
+  // shuffle on source. Unlike q91's unbounded ranking, this window keeps
+  // its plain per-group shape ON PURPOSE: the rn <= K filter lets Spark's
+  // InferWindowGroupLimit insert a PARTIAL WindowGroupLimit before the
+  // exchange — each map task retains ≤ K rows per source, so the shuffled
+  // set and the final sort are ≤ K×tasks rows per source at any corpus
+  // size (plan-asserted in DataPrepSpec).
   private val q62 = {
     val K = 50
     GraftQuery(
@@ -429,10 +433,62 @@ object DataPrep {
     *
     * Output: (idCol, groupCol, n_copies). Sum(n_copies) per group ==
     * floor(weight × targetDocs) exactly. Shape at 100 TB: the quota
-    * table is one row per group (broadcast); the ranking is one window
-    * per group over (id, group) pairs — the corpus text is read only by
-    * the token-count aggregation inside mixWeights.
+    * table is one row per group (broadcast); the remainder ranking is the
+    * two-level [[md5BucketRank]] — parallel within (group, md5-prefix
+    * bucket), offsets broadcast — NOT a per-group window, which would
+    * sort a billion-document source in one task. The corpus text is read
+    * only by the token-count aggregation inside mixWeights.
     */
+  /** Distributed deterministic rank: row_number over
+    * `PARTITION BY groupCol ORDER BY md5(idCol), idCol`, computed WITHOUT
+    * a per-group single-task sort. A plain Spark window partitioned by
+    * group shuffles every row of a group into ONE task — at the target
+    * regime (a 100 TB corpus with a handful of sources) that is a
+    * 50–500 GB single-task sort. Instead: two-level ranking.
+    *
+    *  1. Bucket each row by the first `hexChars` hex digits of the SAME
+    *     md5 that orders the rank. Because the bucket is a prefix of the
+    *     primary sort key, ordering by (bucket, md5, id) IS ordering by
+    *     (md5, id) — every row of bucket b sorts before every row of
+    *     bucket b+1.
+    *  2. Rank within (group, bucket) in parallel — 16^hexChars
+    *     independent sorts per group, each ~1/4096th of the group at the
+    *     default 3 hex digits.
+    *  3. Count rows per (group, bucket) — a groups×buckets-sized table
+    *     built by a partial-aggregated hash-agg on the scan (≤ a few MB
+    *     even at thousands of groups) — exclusive-prefix-sum it per group
+    *     (a window over the TINY counts table, not the data), and
+    *     broadcast-join the offsets back: rank = offset + local rank.
+    *
+    * Output = input plus `rankAs` (1-based LongType). Identical values to
+    * the naive window for every row, so oracles pinned to the (md5, id)
+    * order are unchanged.
+    */
+  def md5BucketRank(df: DataFrame, groupCol: String, idCol: String,
+      rankAs: String, hexChars: Int = 3): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8, s"hexChars in [1,8], got $hexChars")
+    val withKey = df
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__b", conv(substring(col("__h"), 1, hexChars), 16, 10).cast("int"))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+    val counts = withKey.groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val offW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
+      .select(col(groupCol), col("__b"), col("__off"))
+    withKey
+      .withColumn("__lr", row_number().over(localW).cast("long"))
+      .join(broadcast(offsets), Seq(groupCol, "__b"))
+      .withColumn(rankAs, col("__off") + col("__lr"))
+      .drop("__h", "__b", "__lr", "__off")
+  }
+
   def epochMix(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, targetDocs: Long): DataFrame = {
     require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")
@@ -441,11 +497,10 @@ object DataPrep {
       .select(col(groupCol),
         floor(col("weight") * lit(targetDocs)).cast("long").as("target"),
         col("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    docs.select(col(idCol), col(groupCol))
-      .withColumn("rk", row_number().over(w))
+    // Two-level distributed ranking — same (md5, id) total order as a
+    // per-group window, but no single-task-per-group sort (the 100 TB
+    // scale-killer a plain Window.partitionBy(group) would be here).
+    md5BucketRank(docs.select(col(idCol), col(groupCol)), groupCol, idCol, "rk")
       .join(broadcast(quota), Seq(groupCol))
       .select(col(idCol), col(groupCol),
         // integer DIV, not floor(double /): exact at any quota magnitude

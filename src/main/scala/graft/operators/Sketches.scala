@@ -114,8 +114,20 @@ object Sketches {
   // frequency sibling of q67's HLL. Three laws hash-pinned via the q43
   // error-law scheme (exact values + TRUE booleans in the oracle):
   //   ge_exact    — CMS never undercounts (one-sided error, structural);
-  //   within_eps  — overcount ≤ (e/w)·N (holds with prob 1−e^(−d) per
-  //                 item; deterministic for fixed data + hashing);
+  //   within_eps  — overcount ≤ (2e/w)·N. The TEXTBOOK bound is (e/w)·N
+  //                 at probability 1−e^(−d) per item (~3.6% aggregate
+  //                 failure odds over 40 rows on ARBITRARY data); the
+  //                 oracle hash-pins the boolean as always-TRUE, so the
+  //                 pinned bound is doubled to make a spurious flip
+  //                 after a testdata regeneration vanishingly unlikely
+  //                 (ADVICE r6 #4) while still catching a broken sketch
+  //                 (a real defect overcounts by orders of magnitude).
+  //                 RE-PIN PROCEDURE if a regeneration ever flips it
+  //                 anyway: confirm ge_exact still holds and the
+  //                 observed overcount is plausible for d×w (print
+  //                 est−cnt vs (e/w)·N), then widen the multiplier here
+  //                 AND in nothing else — the oracle side is literal
+  //                 TRUE and needs no change;
   //   merge_exact — the element-wise SUM of per-source states equals the
   //                 global state, so estimates agree exactly — the
   //                 incremental-refresh law, in the ORACLE rather than
@@ -159,7 +171,7 @@ object Sketches {
         .select(col("w"), col("cnt"),
           (est(col("gst")) >= col("cnt")).as("ge_exact"),
           (est(col("gst")) <= col("cnt") +
-            ceil(lit(math.E / w) * col("n")).cast("bigint")).as("within_eps"),
+            ceil(lit(2.0 * math.E / w) * col("n")).cast("bigint")).as("within_eps"),
           (est(col("mst")) === est(col("gst"))).as("merge_exact"))
         .orderBy(col("cnt").desc, col("w"))
     },

@@ -48,13 +48,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // bloom decontamination. Membership is guaranteed true (a bloom has
       // no false negatives); '9999' at 8192 bits / 100 items is a
       // deterministic non-member under Spark's fixed bloom hashing.
+      // The probed value is a COLUMN (one-row VALUES), not a literal:
+      // a foldable probe constant-folds to a negative long literal and
+      // Spark's BloomFilterMightContain then generates
+      // `mightContainLong((Long)-74347...L)`, which Janino rejects
+      // ("java.lang.Long is not an rvalue") and silently falls back to
+      // interpreter mode — the very fallback CodegenFallbackSpec pins
+      // against. Production q89 always probes a column, never a literal.
       val b = s.sql(
         """SELECT might_contain(
                     (SELECT bloom_filter_agg(xxhash64(CAST(id AS STRING)), 100L, 8192L) FROM range(50)),
-                    xxhash64('7'))   AS member,
+                    xxhash64(probe))   AS member,
                   might_contain(
                     (SELECT bloom_filter_agg(xxhash64(CAST(id AS STRING)), 100L, 8192L) FROM range(50)),
-                    xxhash64('9999')) AS nonmember""")
+                    xxhash64(probe2)) AS nonmember
+           FROM VALUES ('7', '9999') AS t(probe, probe2)""")
         .collect()(0)
       assert(b.getBoolean(0), "bloom missed a member — violates no-false-negative law")
       assert(!b.getBoolean(1), "planted non-member unexpectedly hit (re-pick the probe)")
