@@ -14,7 +14,8 @@ object PlanDump {
     "q65_embed_quantize", "q77_custom_topk_plan", "q79_decontaminate",
     "q82_rarity_scoring", "q51_dedup_pipeline", "q88_paragraph_dedup",
     "q89_decontaminate_bloom", "q90_cms_heavy_hitters",
-    "q91_epoch_mix", "q92_gk_quantiles", "q62_source_quota")
+    "q91_epoch_mix", "q92_gk_quantiles", "q62_source_quota",
+    "q93_curation_chain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

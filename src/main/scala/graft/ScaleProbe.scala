@@ -131,7 +131,8 @@ object ScaleProbe {
           "q37_dedup_minhash", "q38_dedup_simhash", "q51_dedup_pipeline",
           "q78_repetition_signals", "q79_decontaminate", "q82_rarity_scoring",
           "q85_prep_pipeline", "q87_heavy_hitters", "q88_paragraph_dedup",
-          "q89_decontaminate_bloom", "q90_cms_heavy_hitters", "q91_epoch_mix")
+          "q89_decontaminate_bloom", "q90_cms_heavy_hitters", "q91_epoch_mix",
+          "q93_curation_chain")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out).count())

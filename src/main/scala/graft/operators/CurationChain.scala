@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** The full training-data curation chain as ONE composed operator
+  * (VERDICT r6 next #6): quality gate → decontamination → exact+near
+  * dedup → paragraph dedup → epoch mix. Every stage is an individually
+  * oracle-verified operator (q33/q85 gate, q79/q89 decontamination, q51
+  * dedup, q88 paragraph dedup, q91 epoch mix); this query pins their
+  * COMPOSITION — column contracts, set semantics, and caching across
+  * stage boundaries — which is what a training-data team actually runs.
+  *
+  * Decontamination is the TWO-PHASE form: the q89 bloom (a constant-size
+  * plan literal, no false negatives by construction) prefilters the
+  * corpus to suspects, and the q79 exact gram join confirms ONLY those
+  * suspects. The kept set is therefore exactly the exact-decontamination
+  * kept set (bloom false positives are weeded by the confirm), so the
+  * DuckDB oracle replays the chain exactly — while at 100 TB the
+  * expensive corpus-wide gram join shrinks to the suspect set
+  * (contaminated docs + bloom FPs, ≪ corpus), with the full corpus only
+  * ever scanned against the bloom literal.
+  *
+  * Shape at 100 TB, stage by stage: gate = stateless scan; bloom
+  * prefilter = stateless scan against a numBits/8-byte literal; exact
+  * confirm = gram join over suspects only; dedup = the audited q51 plan
+  * (digest collapse, banded candidates, verified edges, CC); paragraph
+  * dedup = one 8-byte-hash agg + the inherent reassembly groupBy (the
+  * chain's single corpus-text shuffle); epoch mix = broadcast quota +
+  * two-level md5 ranking. Intermediate corpora (post-decontamination,
+  * post-paragraph-dedup) are persisted: the downstream epoch-mix reads
+  * the final corpus several times, and in a production run these stage
+  * boundaries are parquet writes anyway — the persist stands in for the
+  * materialization a real pipeline does between stages.
+  */
+object CurationChain {
+
+  def curationChain(docs: DataFrame, targetDocs: Long): DataFrame = {
+    val toks = tokens(col("text"))
+    val en = Seq("the", "a", "and", "of", "to", "is", "in")
+    val stopCnt = size(filter(toks, t => array_contains(array(en.map(lit): _*), t)))
+    // stage 1 — quality gate (q85's rule: language, length band, stopword
+    // ratio; all stateless column arithmetic)
+    val gated = docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("sr", stopCnt.cast("double") / col("n_tokens"))
+      .filter(col("lang") === "en" && col("n_tokens").between(20, 1000) &&
+        col("sr") > 0.02)
+      .select(col("doc_id"), col("source"), col("text"))
+    // stage 2 — two-phase decontamination against the eval split
+    // (doc_id % 97 = 0, the q79/q85/q89 convention): bloom prefilter →
+    // exact confirm on suspects only; net kept set == exact semantics
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    val train = gated.filter(col("doc_id") % 97 =!= 0)
+    val suspects = DataPrep.bloomContaminatedIds(train, evalSet, "doc_id",
+      "text", n = 4, expectedItems = 100000L, numBits = 1600000L)
+    val evalGrams = DataPrep.gramHashes(evalSet, "doc_id", "text", 4)
+      .select(col("gh")).distinct()
+    val confirmed = DataPrep
+      .gramHashes(train.join(suspects, Seq("doc_id"), "left_semi"),
+        "doc_id", "text", 4)
+      .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+      .select(col("__id").as("doc_id")).distinct()
+    val clean = train.join(confirmed, Seq("doc_id"), "left_anti").persist()
+    // stage 3 — exact + near dedup, the q51 path (exact dups collapse to
+    // the cluster minimum inside clusterAssignments, so reps cover both)
+    val reps = Curation.clusterAssignments(clean.select("doc_id", "text"),
+        threshold = 0.5)
+      .filter(col("rep") === col("doc_id")).select(col("doc_id"))
+    val deduped = clean.join(reps, Seq("doc_id"), "left_semi")
+    // stage 4 — paragraph dedup at maxDf = 1 over deterministic 20-token
+    // rendered paragraphs (q88's shape: the corpus is a flat token
+    // stream, so paragraphs are rendered, not native)
+    val para = deduped
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), col("source"),
+        concat_ws("\n", transform(
+          sequence(lit(1), ceil(size(col("t")) / lit(20.0)).cast("int")),
+          i => concat_ws(" ", slice(col("t"), (i - 1) * 20 + 1, lit(20)))))
+          .as("text2"))
+    val fin = Dedup.paragraphDedup(para.select("doc_id", "text2"),
+        "doc_id", "text2", "\n", maxDf = 1L)
+      .filter(length(col("clean_text")) > 0)
+      .join(para.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("clean_text"))
+      .persist()
+    // stage 5 — epoch mix over the curated corpus (q91's exact-quota +
+    // two-level md5 ranking), weights from the CLEANED text
+    DataPrep.epochMix(fin, "doc_id", "clean_text", "source", targetDocs)
+  }
+
+  // ---------------------------------------------------------------- q93
+  // The chain as a declared query: 500-doc target epoch over the curated
+  // corpus. The oracle replays every stage in one WITH cascade — the
+  // q85 gate, exact decontamination (== the two-phase bloom+confirm by
+  // the no-false-negative law), the q51 recursive-closure dedup, the
+  // q88 paragraph dedup, and the q91 quota/ranking arithmetic — so a
+  // drift in ANY stage's set semantics or in a cross-stage column
+  // contract fails the hash.
+  private val q93 = GraftQuery(
+    "q93_curation_chain",
+    (s, dir) => curationChain(Tables.documents(s, dir), targetDocs = 500L)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH RECURSIVE
+      tok AS (SELECT doc_id, source, lang, text,
+                     list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+              FROM documents),
+      kept AS (SELECT doc_id, source, text, t FROM tok
+               WHERE lang = 'en' AND len(t) BETWEEN 20 AND 1000
+                 AND CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS DOUBLE) / len(t) > 0.02),
+      grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g
+                FROM tok WHERE len(t) >= 4),
+      eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+      contaminated AS (SELECT DISTINCT doc_id FROM grams
+                       WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM eval_grams)),
+      clean AS (SELECT doc_id, source, t FROM kept
+                WHERE doc_id % 97 <> 0
+                  AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      sh AS (SELECT doc_id, unnest(shl) AS s
+             FROM (SELECT doc_id,
+                          list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shl
+                   FROM clean WHERE len(t) >= 3) s0),
+      hashed AS (SELECT doc_id, i,
+                        ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15))::BIGINT AS h
+                 FROM sh CROSS JOIN range(0, 8) r(i)),
+      minh AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i),
+      bands AS (SELECT doc_id, i // 2 AS band,
+                       string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+                FROM minh GROUP BY doc_id, i // 2),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (SELECT da, db, COUNT(*) AS c
+                 FROM cand JOIN sh a ON a.doc_id = da
+                           JOIN sh b ON b.doc_id = db AND a.s = b.s
+                 GROUP BY da, db),
+      edges AS (SELECT da, db FROM common
+                JOIN sizes na ON na.doc_id = da JOIN sizes nb ON nb.doc_id = db
+                WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5),
+      sym AS (SELECT da AS src, db AS dst FROM edges
+              UNION ALL SELECT db, da FROM edges),
+      reach AS (SELECT doc_id AS a, doc_id AS b FROM clean
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b),
+      reps AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a),
+      dedup AS (SELECT c.doc_id, c.source, c.t FROM clean c
+                JOIN reps r ON c.doc_id = r.doc_id AND r.rep = c.doc_id),
+      d2 AS (SELECT doc_id, source,
+                    array_to_string(list_transform(
+                      range(1, CAST(ceil(len(t) / 20.0) AS BIGINT) + 1),
+                      i -> array_to_string(t[(i-1)*20+1 : i*20], ' ')), chr(10)) AS text2
+             FROM dedup WHERE len(t) >= 1),
+      pars AS (SELECT doc_id, i, par
+               FROM (SELECT doc_id,
+                            generate_subscripts(string_split(text2, chr(10)), 1) AS i,
+                            unnest(string_split(text2, chr(10))) AS par
+                     FROM d2)
+               WHERE trim(par) <> ''),
+      freq AS (SELECT par, COUNT(DISTINCT doc_id) AS df FROM pars GROUP BY par),
+      flagged AS (SELECT p.doc_id, p.i, p.par, f.df > 1 AS dup
+                  FROM pars p JOIN freq f USING (par)),
+      fintext0 AS (SELECT doc_id,
+                          coalesce(string_agg(CASE WHEN NOT dup THEN par END, chr(10) ORDER BY i), '') AS clean_text
+                   FROM flagged GROUP BY doc_id),
+      fintext AS (SELECT d.doc_id, d.source, f.clean_text
+                  FROM d2 d JOIN fintext0 f USING (doc_id)
+                  WHERE f.clean_text <> ''),
+      ftoks AS (SELECT source, len(list_filter(string_split_regex(lower(clean_text), '\W+'), x -> x <> '')) AS ntok
+                FROM fintext),
+      ps AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM ftoks GROUP BY source),
+      sq AS (SELECT source, CAST(sqrt(n_tokens) AS DECIMAL(38,6)) AS sq FROM ps),
+      wts AS (SELECT source,
+                     CAST(sq AS DOUBLE) / CAST((SELECT SUM(sq) FROM sq) AS DOUBLE) AS weight
+              FROM sq),
+      quota AS (SELECT w.source,
+                       CAST(floor(w.weight * 500) AS BIGINT) AS target,
+                       c.n_docs
+                FROM wts w JOIN (SELECT source, COUNT(*) AS n_docs
+                                 FROM fintext GROUP BY source) c
+                  ON w.source = c.source),
+      ranked AS (SELECT doc_id, source,
+                        ROW_NUMBER() OVER (PARTITION BY source
+                                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                 FROM fintext)
+      SELECT r.doc_id, r.source,
+             CAST(target // n_docs + CASE WHEN rk <= target % n_docs THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+      FROM ranked r JOIN quota q ON r.source = q.source
+      ORDER BY r.doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q93)
+}

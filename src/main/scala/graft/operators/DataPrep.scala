@@ -219,7 +219,7 @@ object DataPrep {
   /** (id, gramHash) rows: 64-bit hashes of the word `n`-grams of
     * `textCol` (8-byte shuffle/join keys, never gram strings).
     */
-  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
+  private[operators] def gramHashes(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.select(col(idCol).as("__id"), tokens(col(textCol)).as("t"))
       .select(col("__id"),

@@ -30,7 +30,8 @@ class SparkEntrySpec extends AnyFunSuite {
       graft.operators.Dedup.all, graft.operators.Similarity.all,
       graft.operators.Multimodal.all, graft.operators.Sketches.all,
       graft.operators.MapReduceParity.all, graft.operators.Windows.all,
-      graft.operators.Curation.all, graft.operators.SqlSurface.all,
+      graft.operators.Curation.all, graft.operators.CurationChain.all,
+      graft.operators.SqlSurface.all,
       graft.plans.ScaleOps.all, graft.plans.TopKPerKey.all,
       graft.operators.DataPrep.all).flatten
     assert(static.map(_.name).toSet == declared, "registry drift vs SparkEntry")
@@ -54,7 +55,8 @@ class SparkEntrySpec extends AnyFunSuite {
       graft.operators.Dedup.all, graft.operators.Similarity.all,
       graft.operators.Multimodal.all, graft.operators.Sketches.all,
       graft.operators.MapReduceParity.all, graft.operators.Windows.all,
-      graft.operators.Curation.all, graft.operators.SqlSurface.all,
+      graft.operators.Curation.all, graft.operators.CurationChain.all,
+      graft.operators.SqlSurface.all,
       graft.plans.ScaleOps.all, graft.plans.TopKPerKey.all,
       graft.operators.DataPrep.all).flatten
     val spark = SparkSpec.session
