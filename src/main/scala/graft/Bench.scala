@@ -7,6 +7,18 @@ import org.apache.spark.sql.SparkSession
   * session/codegen/file-index startup cost isn't charged to whichever
   * query happens to run first; queries run in name order.
   *
+  * Timed action (round 7): a `noop`-sink write, NOT `.count()`. Counting
+  * lets the optimizer prune everything the count doesn't need — for a
+  * query whose tail is an aggregation, that deletes the aggregate
+  * expressions themselves (q92's GK summaries degenerated to a DISTINCT
+  * over the group keys; q01/q43/q55 lost their aggregate arithmetic) and
+  * EliminateSorts drops terminal ORDER BYs. The noop sink materializes
+  * every output row and column through the unmodified physical plan —
+  * the honest end-to-end cost. Bench JSONs carry `"action":"noop"` so
+  * rounds measured under the old pruned action (r2–r6) are
+  * distinguishable from r7+ — compare r7 numbers against the r7-
+  * regenerated BENCH_BASELINE.txt, not against r6 artifacts.
+  *
   * Self-validation (VERDICT r5 #1 — three rounds of committed bench JSONs
   * carried contention-inflated entries that were indistinguishable from
   * regressions after the fact):
@@ -131,7 +143,8 @@ object Bench {
     val ivfBuild: Option[Double] = if (!selected("q41b_ann_ivf")) None else {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries("q41b_ann_ivf")(spark, sfDir).count()
+        SparkEntry.queries("q41b_ann_ivf")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         failures += "q41b_ann_ivf_build" // a bogus build time must not pass silently
@@ -160,7 +173,8 @@ object Bench {
         val c0 = processCpuNanos()
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // full materialization — see the scaladoc's noop-vs-count note
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           // only successful reps count toward the median: a fast exception
           // must not make a broken query look fast (ADVICE r3)
           val dt = System.nanoTime() - t0
@@ -249,7 +263,7 @@ object Bench {
     // (r2 single-shot vs r3 median-of-3 was silently incomparable);
     // loadavg/cpu_wall/suspect make a contaminated run distinguishable
     // from a regression AFTER the fact (VERDICT r3/r4/r5)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup":$warmedUp,"build_keys":["q41b_ann_ivf_build"],"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","baseline_entries":${baseline.size},"rerun":$rr,"suspect":$sus,"cpu_wall":$ratios,"queries":$qs,"failed":$fq,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup":$warmedUp,"action":"noop","build_keys":["q41b_ann_ivf_build"],"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","baseline_entries":${baseline.size},"rerun":$rr,"suspect":$sus,"cpu_wall":$ratios,"queries":$qs,"failed":$fq,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

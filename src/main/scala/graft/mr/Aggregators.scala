@@ -238,4 +238,85 @@ object Aggregators {
     def outputEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
+
+  /** Folds STORED CMS states (the `array<long>` a [[CmsStateAggregator]]
+    * emitted, read back from parquet shards/days) into one state without
+    * touching the underlying data — the incremental-refresh aggregation:
+    * N sketch rows in, one sketch out, element-wise exact sum. Geometry
+    * mismatches fail loudly via [[Cms.merge]]'s length check; an all-NULL
+    * input yields the empty state (estimates 0 — no data, no counts).
+    */
+  class CmsMergeAggregator(d: Int = 7, w: Int = 2048)
+      extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
+    def zero: Array[Long] = Cms.zero(d, w)
+    def reduce(b: Array[Long], st: Seq[Long]): Array[Long] =
+      if (st == null) b else Cms.merge(b, st.toArray)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = Cms.merge(a, b)
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** GK summary (de)serialization: the summary is a plain Serializable
+    * class, so the exportable form is its java serialization of the
+    * COMPRESSED summary — a few KB at ε = 0.01, independent of the data
+    * size it summarizes.
+    */
+  object Gk {
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+    def serialize(s: QuantileSummaries): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      try { oos.writeObject(s.compress()); oos.flush() } finally oos.close()
+      bos.toByteArray
+    }
+    def deserialize(bytes: Array[Byte]): QuantileSummaries = {
+      val ois = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try ois.readObject().asInstanceOf[QuantileSummaries] finally ois.close()
+    }
+  }
+
+  /** GK aggregator whose OUTPUT is the serialized summary (`binary`) —
+    * the storable per-shard/per-day form of [[GkQuantileAggregator]],
+    * parquet-persistable like [[HllStateAggregator]]'s registers and
+    * [[CmsStateAggregator]]'s counters. Complete the triad's stored
+    * path with [[GkMergeAggregator]] to fold shards later.
+    */
+  class GkStateAggregator(relErr: Double = 0.01)
+      extends Aggregator[Double, org.apache.spark.sql.catalyst.util.QuantileSummaries, Array[Byte]] {
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+    def zero: QuantileSummaries =
+      new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, relErr)
+    def reduce(b: QuantileSummaries, v: Double): QuantileSummaries = b.insert(v)
+    def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
+      a.compress().merge(b.compress())
+    def finish(b: QuantileSummaries): Array[Byte] = Gk.serialize(b)
+    def bufferEncoder: Encoder[QuantileSummaries] = Encoders.kryo[QuantileSummaries]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Folds STORED GK summaries (the `binary` a [[GkStateAggregator]]
+    * emitted) into one and reports quantile `q` of the merged summary —
+    * the incremental-refresh read path: N KB-sized summary rows in, one
+    * quantile out, history never re-scanned. Merging keeps the bounded
+    * (summed-ε) GK guarantee; NULL shard rows are skipped.
+    */
+  class GkMergeAggregator(q: Double, relErr: Double = 0.01)
+      extends Aggregator[Array[Byte], org.apache.spark.sql.catalyst.util.QuantileSummaries, Double] {
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
+    def zero: QuantileSummaries =
+      new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, relErr)
+    def reduce(b: QuantileSummaries, bytes: Array[Byte]): QuantileSummaries =
+      if (bytes == null) b else b.compress().merge(Gk.deserialize(bytes))
+    def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
+      a.compress().merge(b.compress())
+    def finish(b: QuantileSummaries): Double =
+      b.compress().query(Seq(q)).map(_.head).getOrElse(Double.NaN)
+    def bufferEncoder: Encoder[QuantileSummaries] = Encoders.kryo[QuantileSummaries]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
 }

@@ -20,12 +20,24 @@ import graft.sources.Tables
   */
 object Sketches {
 
+  // Plan note (round 7, found when the bench action stopped count-pruning
+  // aggregates): mixing the two countDistincts with the object-aggregate
+  // percentile/HLL family in ONE agg makes RewriteDistinctAggregates
+  // Expand every row 3× and forces the whole thing onto the slow
+  // object/sort aggregation path — 29 s at sf0.1 vs ~11 s split. The
+  // distinct pair and the non-distinct sketch family now aggregate
+  // separately over the same scan and join on the 3-row group keys
+  // (AQE broadcasts); output is value-identical, oracle unchanged.
   private val q43 = GraftQuery(
     "q43_approx_sketches",
     (s, dir) => {
       val p = col("l_extendedprice").cast("double")
-      Tables.lineitemWide(s, dir)
-        .groupBy(col("l_returnflag"))
+      val base = Tables.lineitemWide(s, dir)
+      val exact = base.groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+      val sketch = base.groupBy(col("l_returnflag"))
         .agg(
           // rsd = 1%: the default 5% rsd makes a 5%-error law a coin flip
           // (one sigma); at 1% the law holds with ~5-sigma headroom while
@@ -34,19 +46,18 @@ object Sketches {
           approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
           percentile_approx(p, lit(0.5), lit(1000)).as("p50a"),
           percentile_approx(p, lit(0.95), lit(1000)).as("p95a"),
-          countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5d)").as("p50e"),
-          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.95d)").as("p95e"))
+          // one exact-percentile collection for both bounds, not two
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.5D, 0.95D))").as("pe"))
+      exact.join(sketch, Seq("l_returnflag"))
         .select(
           col("l_returnflag"), col("n_parts"), col("n_orders"),
           (abs(col("ap") - col("n_parts")) <= col("n_parts") * lit(0.05))
             .as("parts_within_5pct"),
           (abs(col("ao") - col("n_orders")) <= col("n_orders") * lit(0.05))
             .as("orders_within_5pct"),
-          (abs(col("p50a") - col("p50e")) <= col("p50e") * lit(0.05))
+          (abs(col("p50a") - element_at(col("pe"), 1)) <= element_at(col("pe"), 1) * lit(0.05))
             .as("p50_within_5pct"),
-          (abs(col("p95a") - col("p95e")) <= col("p95e") * lit(0.05))
+          (abs(col("p95a") - element_at(col("pe"), 2)) <= element_at(col("pe"), 2) * lit(0.05))
             .as("p95_within_5pct"))
         .orderBy(col("l_returnflag"))
     },
@@ -201,17 +212,21 @@ object Sketches {
       val gk95 = udaf(new graft.mr.Aggregators.GkQuantileAggregator(0.95),
         org.apache.spark.sql.Encoders.scalaDouble)
       val p = col("l_extendedprice").cast("double")
-      def exact(q: Double) = expr(s"percentile(CAST(l_extendedprice AS DOUBLE), ${q}d)")
       Tables.lineitemWide(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
           gk50(p).as("g50"), gk95(p).as("g95"),
-          exact(0.48).as("lo50"), exact(0.52).as("hi50"),
-          exact(0.93).as("lo95"), exact(0.97).as("hi95"))
+          // ONE exact-percentile collection for all four bounds — four
+          // separate percentile() calls each collected the group's full
+          // value set again (r7 plan audit under the honest bench action)
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.48D, 0.52D, 0.93D, 0.97D))")
+            .as("pe"))
         .select(col("l_returnflag"), col("n"),
-          col("g50").between(col("lo50"), col("hi50")).as("p50_within_eps"),
-          col("g95").between(col("lo95"), col("hi95")).as("p95_within_eps"))
+          col("g50").between(element_at(col("pe"), 1), element_at(col("pe"), 2))
+            .as("p50_within_eps"),
+          col("g95").between(element_at(col("pe"), 3), element_at(col("pe"), 4))
+            .as("p95_within_eps"))
         .orderBy(col("l_returnflag"))
     },
     Some("""

@@ -148,4 +148,43 @@ class AggregatorsSpec extends SparkSpec {
     val agg = new Aggregators.GkQuantileAggregator(0.5)
     assert(agg.finish(agg.zero).isNaN)
   }
+
+  test("GK stored form: serialize -> parquet-shaped bytes -> merge equals direct") {
+    val state = new Aggregators.GkStateAggregator(relErr = 0.01)
+    val xs = (0 until 12000).map(i => (i * 37 % 10007) * 1.0)
+    // shard summaries exported as bytes (what a parquet round-trip carries)
+    val shardBytes = xs.grouped(3000)
+      .map(sh => state.finish(sh.foldLeft(state.zero)(state.reduce))).toSeq
+    assert(shardBytes.forall(b => b.length > 0 && b.length < 64 * 1024),
+      s"summary blobs must stay KB-sized, got ${shardBytes.map(_.length)}")
+    val mergeAgg = new Aggregators.GkMergeAggregator(0.95, relErr = 0.01)
+    val est = mergeAgg.finish(shardBytes.foldLeft(mergeAgg.zero)(mergeAgg.reduce))
+    // same bounded-error law as the direct merged aggregation
+    val sorted = xs.sorted
+    val lo = sorted((0.92 * xs.size).toInt)
+    val hi = sorted(math.min(xs.size - 1, (0.98 * xs.size).toInt))
+    assert(est >= lo && est <= hi, s"stored-form p95 est $est outside [$lo, $hi]")
+    // null shard rows (empty parquet partitions) are skipped, not fatal:
+    // only-null input leaves the summary empty (NaN), real bytes still merge
+    assert(mergeAgg.finish(mergeAgg.reduce(mergeAgg.zero, null)).isNaN)
+    val withNull = mergeAgg.reduce(
+      shardBytes.foldLeft(mergeAgg.zero)(mergeAgg.reduce), null)
+    assert(!mergeAgg.finish(withNull).isNaN)
+  }
+
+  test("CMS stored form: CmsMergeAggregator over state rows equals one global sketch") {
+    val d = 5; val w = 256
+    val state = new Aggregators.CmsStateAggregator(d, w)
+    val hashes = (0 until 20000).map(i => (i * 2654435761L) % 500)
+    val global = hashes.foldLeft(state.zero)(state.reduce)
+    val shardStates: Seq[Seq[Long]] = hashes.grouped(5000)
+      .map(sh => sh.foldLeft(state.zero)(state.reduce).toSeq).toSeq
+    val mergeAgg = new Aggregators.CmsMergeAggregator(d, w)
+    val folded = shardStates.foldLeft(mergeAgg.zero)(mergeAgg.reduce)
+    assert(folded.toSeq == global.toSeq,
+      "folding stored shard states must be counter-for-counter exact")
+    // geometry mismatch fails loudly
+    val bad = new Aggregators.CmsStateAggregator(d, w * 2).zero.toSeq
+    intercept[IllegalArgumentException](mergeAgg.reduce(mergeAgg.zero, bad))
+  }
 }
