@@ -236,6 +236,33 @@ object ScaleProbe {
         bf.unpersist()
         println(s"""{"metric":"ann_recall_clustered","copies":$copies,"n_vecs":$nVecs,"n_clusters":$nClusters,"k":5,"lsh":{"recall":$recLsh,"sec":$tLsh,"planes":8,"multiprobe":"hamming-1"},"ivf":{"recall":$recIvf,"build_probe_sec":$tIvfBuild,"nlist":16,"nprobe":4},"bruteforce_sec":$tBf,"src":"synthetic-clustered"}""")
 
+      case "lshcurve" =>
+        // VERDICT r6 stretch #7: recall@5 vs nPlanes at scaled
+        // uniform-random vectors, fixed hamming-1 multiprobe — the knob
+        // guidance behind SCALE.md's documented recall floor. Fewer
+        // planes = coarser buckets = more candidates = higher recall.
+        val out = scaledEmbeddingsDir(spark, src, copies)
+        val emb = graft.sources.Tables.embeddings(spark, out)
+        val nVecs = emb.count()
+        val ((bf, nTruth), tBf) = timed {
+          val df = SparkEntry.queries("q40_ann_bruteforce")(spark, out)
+            .select(col("qid"), col("nn_id")).cache()
+          (df, df.count())
+        }
+        val points = Seq(4, 6, 8, 10, 12).map { planes =>
+          val (hit, t) = timed {
+            graft.operators.Similarity
+              .lshTopK(emb, col("vec_id") < 20, k = 5, nPlanes = planes)
+              .select(col("qid"), col("nn_id"))
+              .join(bf, Seq("qid", "nn_id")).count()
+          }
+          val r = hit.toDouble / nTruth
+          System.err.println(s"[lshcurve] planes=$planes recall=$r sec=$t")
+          s"""{"planes":$planes,"recall":$r,"sec":$t}"""
+        }
+        bf.unpersist()
+        println(s"""{"metric":"lsh_recall_curve","copies":$copies,"n_vecs":$nVecs,"k":5,"multiprobe":"hamming-1","bruteforce_sec":$tBf,"points":[${points.mkString(",")}],"src":"$src"}""")
+
       case "sketches" =>
         // VERDICT r6 missing #2: (a) a lineitem-replication decade for
         // q92 (the doc-replication probe can't scale the lineitem-family
