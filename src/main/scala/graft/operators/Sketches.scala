@@ -237,5 +237,57 @@ object Sketches {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
-  val all: Seq[GraftQuery] = Seq(q43, q44, q67, q90, q92)
+  // ---------------------------------------------------------------- q94
+  // The STORED-shard GK path as a declared query (round 7): per-
+  // (group, shard) summaries exported as serialized bytes — exactly what
+  // a per-day parquet shard table carries — then folded per group by the
+  // merge aggregator WITHOUT re-touching rows. The law is q92's, but it
+  // now pins the serialize → bytes → merge path end to end: the merged
+  // estimate must land between the exact (q∓2ε) percentiles, with a
+  // second ε for the summed-ε merge guarantee (16 shards × GK merge).
+  // Shards are md5-deterministic, so the estimate — and the hash — are
+  // stable under any partitioning.
+  private val q94 = GraftQuery(
+    "q94_gk_stored_shards",
+    (s, dir) => {
+      val gkState = udaf(new graft.mr.Aggregators.GkStateAggregator(0.01),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val gk50m = udaf(new graft.mr.Aggregators.GkMergeAggregator(0.50, 0.01),
+        org.apache.spark.sql.Encoders.BINARY)
+      val gk95m = udaf(new graft.mr.Aggregators.GkMergeAggregator(0.95, 0.01),
+        org.apache.spark.sql.Encoders.BINARY)
+      val p = col("l_extendedprice").cast("double")
+      val li = Tables.lineitemWide(s, dir)
+      // 16 deterministic shards per group — the per-day/per-partition
+      // summary table a real deployment persists
+      val shards = li
+        .withColumn("shard",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16)))
+        .groupBy(col("l_returnflag"), col("shard"))
+        .agg(gkState(p).as("st"), count(lit(1)).as("n"))
+      val merged = shards.groupBy(col("l_returnflag"))
+        .agg(gk50m(col("st")).as("g50"), gk95m(col("st")).as("g95"),
+          sum(col("n")).as("n"), count(lit(1)).as("n_shards"))
+      val bounds = li.groupBy(col("l_returnflag"))
+        .agg(expr(
+          "percentile(CAST(l_extendedprice AS DOUBLE), array(0.47D, 0.53D, 0.92D, 0.98D))")
+          .as("pe"))
+      merged.join(bounds, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"), col("n_shards"),
+          col("g50").between(element_at(col("pe"), 1), element_at(col("pe"), 2))
+            .as("p50_within_eps"),
+          col("g95").between(element_at(col("pe"), 3), element_at(col("pe"), 4))
+            .as("p95_within_eps"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(16 AS BIGINT) AS n_shards,
+             TRUE AS p50_within_eps,
+             TRUE AS p95_within_eps
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  val all: Seq[GraftQuery] = Seq(q43, q44, q67, q90, q92, q94)
 }

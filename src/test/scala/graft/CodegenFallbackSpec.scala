@@ -39,7 +39,7 @@ class CodegenFallbackSpec extends SparkSpec {
     ctx.updateLoggers()
     try {
       Seq("q43_approx_sketches", "q67_hll_mergeable", "q89_decontaminate_bloom",
-          "q90_cms_heavy_hitters", "q92_gk_quantiles").foreach { name =>
+          "q90_cms_heavy_hitters", "q92_gk_quantiles", "q94_gk_stored_shards").foreach { name =>
         SparkEntry.queries(name)(spark, sf001).collect()
       }
       val msgs = cap.messages.toArray.mkString("\n")
