@@ -26,10 +26,17 @@ import org.apache.spark.sql.functions._
   *        multiprobe) and IVF (q41b: nlist=16, nprobe=4) against the
   *        brute-force top-5 (q40) over the scaled embeddings, plus
   *        timings (VERDICT r5 #6);
+  *   mode "annc"    — clustered variant of "ann": measures the recall
+  *        CEILING where "ann" measures the floor;
+  *   mode "lshcurve" — recall@5 vs nPlanes (4..12) at fixed hamming-1
+  *        multiprobe over the scaled embeddings (VERDICT r6 #7);
+  *   mode "sketches" — lineitem-replication decade for q92/q43 plus the
+  *        1,024-shard CMS/GK state fold (VERDICT r6 #5);
   *   mode "cc"      — the full dedup pipeline with driverEdgeLimit=0 so
   *        connected components runs the DISTRIBUTED label-propagation
   *        path; reports wall time and rounds-to-converge (VERDICT r5 #7).
-  * Prints one JSON line per run.
+  * Prints one JSON line per run. All timed full-query runs materialize
+  * via the noop sink (see Bench scaladoc — .count() prunes agg tails).
   */
 object ScaleProbe {
 
@@ -333,7 +340,8 @@ object ScaleProbe {
         println(s"""{"metric":"distributed_cc","copies":$copies,"n_docs":$nDocs,"labels":$n,"rounds":$rounds,"sec":$t,"src":"$src"}""")
 
       case other =>
-        System.err.println(s"unknown mode: $other (expected queries|ann|cc)")
+        System.err.println(
+          s"unknown mode: $other (expected queries|ann|annc|lshcurve|sketches|cc)")
         sys.exit(2)
     }
     spark.stop()
