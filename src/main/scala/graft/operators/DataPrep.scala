@@ -462,7 +462,10 @@ object DataPrep {
     *
     * Output = input plus `rankAs` (1-based LongType). Identical values to
     * the naive window for every row, so oracles pinned to the (md5, id)
-    * order are unchanged.
+    * order are unchanged. `idCol` must be non-null: a null id hashes to a
+    * null bucket and would be DROPPED by the offsets equi-join (the naive
+    * window would instead rank it first) — every current caller ranks
+    * primary-key ids, which are non-null by construction.
     */
   def md5BucketRank(df: DataFrame, groupCol: String, idCol: String,
       rankAs: String, hexChars: Int = 3): DataFrame = {

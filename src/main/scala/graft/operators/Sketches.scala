@@ -247,6 +247,14 @@ object Sketches {
   // second ε for the summed-ε merge guarantee (16 shards × GK merge).
   // Shards are md5-deterministic, so the estimate — and the hash — are
   // stable under any partitioning.
+  //
+  // PIN NOTE (q90-style): the oracle's `n_shards` is the literal 16,
+  // which assumes every (group, shard) cell is populated — safe while
+  // each l_returnflag group has ≳100 rows (P(empty shard) ≈
+  // groups·16·(15/16)^rows ≈ 0 at both SFs, ~2k+ rows/group). If a
+  // future testdata regeneration shrinks lineitem enough to flip it,
+  // re-pin by replacing the literal with the replayed
+  // COUNT(DISTINCT shard) over the same md5 arithmetic.
   private val q94 = GraftQuery(
     "q94_gk_stored_shards",
     (s, dir) => {
