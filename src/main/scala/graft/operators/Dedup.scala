@@ -434,5 +434,124 @@ object Dedup {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70, q81, q88)
+  /** Exact repeated-SUBSTRING dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): remove every token
+    * span of length `k` that occurs more than once in the corpus,
+    * KEEPING the corpus-wide first occurrence (minimum (doc, position)).
+    * Unlike [[paragraphDedup]], repeated spans need not align to any
+    * paragraph/line boundary — this catches templated boilerplate,
+    * quoted reuse, and within-document repetition that line dedup
+    * misses. Output: (id, n_tokens, n_kept, n_dropped, clean_md5) — the
+    * md5 of the surviving tokens joined by spaces proves byte-identical
+    * reconstruction across engines without emitting text.
+    *
+    * Scale design, stage by stage: positional k-gram hashes are one
+    * projection (8-byte hash + two longs per token position — the gram
+    * STRINGS never shuffle); duplicate-span detection is one hash-agg on
+    * the gram hash (partial-agged count + min-(doc,pos) struct);
+    * flagged-span coverage is a DIFFERENCE ARRAY — +1 at span start, −1
+    * past span end, one cumulative-sum window per document ordered by
+    * position — so overlap resolution is O(tokens) with per-DOC windows
+    * that parallelize across the corpus (a document is KBs; no global or
+    * per-group sort anywhere). Reassembly is the same inherent
+    * per-document groupBy as q88. Spark joins spans on xxhash64 (the
+    * q79 pattern: a collision can only FALSE-POSITIVE a drop, ~1e-9 at
+    * corpus gram counts, never leak a duplicate through); the oracle
+    * replays df over the raw gram strings.
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    val toked = docs
+      .select(col(idCol), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 1)
+    // positional k-grams: pos 1 .. n-k+1 (docs shorter than k emit none)
+    val occ = toked
+      .select(col(idCol), col("t"),
+        explode(when(size(col("t")) >= k,
+            sequence(lit(1), size(col("t")) - lit(k - 1)))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col(idCol), col("pos"),
+        xxhash64(concat_ws(" ", slice(col("t"), col("pos"), lit(k)))).as("gh"))
+    val firstOcc = occ.groupBy(col("gh"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col(idCol), col("pos"))).as("f"))
+      .filter(col("c") > 1)
+      .select(col("gh"), col("f")(idCol).as("__fid"), col("f")("pos").as("__fpos"))
+    val flagged = occ.join(firstOcc, Seq("gh"))
+      .filter(!(col(idCol) === col("__fid") && col("pos") === col("__fpos")))
+      .select(col(idCol), col("pos"))
+    // difference array: +1 at start, -1 one past span end; token index i
+    // is covered iff the cumulative sum through i is positive
+    val deltas = flagged.select(col(idCol), col("pos").as("p"), lit(1).as("d"))
+      .union(flagged.select(col(idCol), (col("pos") + k).as("p"), lit(-1).as("d")))
+      .groupBy(col(idCol), col("p")).agg(sum(col("d")).as("d"))
+    val tokPos = toked
+      .select(col(idCol), posexplode(col("t")).as(Seq("i0", "tok")))
+      .select(col(idCol), (col("i0") + 1).as("p"), col("tok"))
+    val covW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("p"))
+    val covered = tokPos.join(deltas, Seq(idCol, "p"), "left")
+      .withColumn("cum", sum(coalesce(col("d"), lit(0L))).over(covW))
+    covered.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("cum") <= 0, 1)).as("n_kept"),
+        count(when(col("cum") > 0, 1)).as("n_dropped"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("cum") <= 0,
+            struct(col("p"), col("tok"))))),
+          x => x("tok")))).as("clean_md5"))
+  }
+
+  // ---------------------------------------------------------------- q95
+  // Substring dedup as a declared query: k = 20 token spans over the
+  // corpus. The planted near-dup pairs share long runs, so the flagged
+  // set is substantial; keep-first means exactly one copy of every
+  // repeated span survives corpus-wide. The oracle replays positional
+  // grams over RAW strings, keep-first by (doc_id, pos), the difference-
+  // array coverage cumsum, and the md5 of the reassembled survivors.
+  private val q95 = {
+    val K = 20
+    GraftQuery(
+      "q95_substring_dedup",
+      (s, dir) => substringDedup(Tables.documents(s, dir), "doc_id", "text", k = K)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH toked AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+                                                  x -> x <> '') AS t
+                       FROM documents),
+        nonempty AS (SELECT doc_id, t FROM toked WHERE len(t) >= 1),
+        occ AS (SELECT doc_id, i AS pos,
+                       array_to_string(t[i:i+$K-1], ' ') AS g
+                FROM (SELECT doc_id, t, unnest(range(1, len(t) - $K + 2)) AS i
+                      FROM nonempty WHERE len(t) >= $K)),
+        occ2 AS (SELECT doc_id, pos,
+                        COUNT(*) OVER (PARTITION BY g) AS c,
+                        ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+                 FROM occ),
+        flagged AS (SELECT doc_id, pos FROM occ2 WHERE c > 1 AND rn > 1),
+        deltas AS (SELECT doc_id, p, SUM(d) AS d FROM (
+                     SELECT doc_id, pos AS p, 1 AS d FROM flagged
+                     UNION ALL
+                     SELECT doc_id, pos + $K AS p, -1 AS d FROM flagged)
+                   GROUP BY doc_id, p),
+        tokpos AS (SELECT doc_id, generate_subscripts(t, 1) AS p, unnest(t) AS tok
+                   FROM nonempty),
+        covered AS (SELECT tp.doc_id, tp.p, tp.tok,
+                           SUM(COALESCE(dl.d, 0)) OVER (PARTITION BY tp.doc_id
+                                                        ORDER BY tp.p) AS cum
+                    FROM tokpos tp LEFT JOIN deltas dl
+                      ON tp.doc_id = dl.doc_id AND tp.p = dl.p)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (WHERE cum <= 0) AS BIGINT) AS n_kept,
+               CAST(COUNT(*) FILTER (WHERE cum > 0) AS BIGINT) AS n_dropped,
+               md5(COALESCE(string_agg(CASE WHEN cum <= 0 THEN tok END, ' ' ORDER BY p), '')) AS clean_md5
+        FROM covered
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70, q81, q88, q95)
 }

@@ -103,4 +103,43 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got === Seq((1L, "x\ny", 2L, 0L), (2L, "z\nw", 2L, 0L)))
   }
+
+  test("substring dedup: keep-first span semantics, coverage union, short docs untouched") {
+    import spark.implicits._
+    val k = 4
+    val shared = (1 to 6).map(i => s"s$i").mkString(" ")        // 6-token shared run
+    val docs = Seq(
+      // doc 1 holds the corpus-wide FIRST occurrence of the shared run
+      (1L, s"a1 a2 $shared a3 a4"),
+      // doc 2 repeats it mid-document → its copy must vanish entirely
+      (2L, s"b1 b2 b3 $shared b4"),
+      // doc 3: within-document repetition — second copy dropped, first kept
+      (3L, s"c1 r1 r2 r3 r4 c2 r1 r2 r3 r4 c3"),
+      // doc 4: shorter than k → no spans, fully kept
+      (4L, "tiny doc here")).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "doc_id", "text", k = k)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toMap2
+    // doc 1: first occurrence — nothing dropped
+    assert(got(1L) == (10L, 10L, 0L))
+    // doc 2: exactly the 6 shared tokens dropped (coverage union of the
+    // three overlapping flagged 4-grams), 4 of its own kept
+    assert(got(2L) == (10L, 4L, 6L))
+    // doc 3: the second r1..r4 run dropped, first kept
+    assert(got(3L) == (11L, 7L, 4L))
+    // doc 4: < k tokens, untouched
+    assert(got(4L) == (3L, 3L, 0L))
+    // md5 reconstruction: doc 2's survivors are its non-shared tokens
+    val m = Dedup.substringDedup(docs, "doc_id", "text", k = k)
+      .filter(col("doc_id") === 2L).select("clean_md5").head().getString(0)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("b1 b2 b3 b4".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(m == expected)
+  }
+
+  private implicit class RowsToMap(rows: Array[(Long, Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long, Long)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
 }
