@@ -102,6 +102,21 @@ object Pipeline {
       delim: String, maxDf: Long): DataFrame =
     operators.Dedup.paragraphDedup(docs, idCol, textCol, delim, maxDf)
 
+  /** Exact repeated-substring dedup (Lee et al. 2021): remove every
+    * repeated k-token span corpus-wide, keep the first occurrence →
+    * (id, n_tokens, n_kept, n_dropped, clean_md5).
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    operators.Dedup.substringDedup(docs, idCol, textCol, k)
+
+  /** The full curation chain in one call: quality gate → two-phase
+    * (bloom + exact-confirm) decontamination → exact+near dedup →
+    * paragraph dedup → epoch mix → (id, group, n_copies).
+    */
+  def curationChain(docs: DataFrame, targetDocs: Long): DataFrame =
+    operators.CurationChain.curationChain(docs, targetDocs)
+
   /** Gopher-style repetition signals per document. */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
     operators.TextAnalysis.repetitionSignals(df, idCol, textCol)
@@ -120,6 +135,14 @@ object Pipeline {
   def epochMix(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, targetDocs: Long): DataFrame =
     operators.DataPrep.epochMix(docs, idCol, textCol, groupCol, targetDocs)
+
+  /** Distributed deterministic per-group rank by (md5(id), id) — the
+    * scale-safe replacement for a per-group row_number window (no
+    * single-task-per-group sort; identical values).
+    */
+  def md5BucketRank(df: DataFrame, groupCol: String, idCol: String,
+      rankAs: String, hexChars: Int = 3): DataFrame =
+    operators.DataPrep.md5BucketRank(df, groupCol, idCol, rankAs, hexChars)
 
   /** Overlapping character chunks for context-window preprocessing. */
   def chunkDocs(df: DataFrame, idCol: String, textCol: String,
