@@ -125,6 +125,12 @@ object Pipeline {
   def rarityScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
     operators.TextAnalysis.rarityScores(df, idCol, textCol)
 
+  /** Mean smoothed bigram transition probability per document under the
+    * corpus's own bigram LM (the statistical LM quality filter).
+    */
+  def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    operators.TextAnalysis.bigramLmScores(df, idCol, textCol)
+
   /** sqrt-temperature sampling weights per group. */
   def mixWeights(df: DataFrame, groupCol: String, textCol: String): DataFrame =
     operators.DataPrep.mixWeights(df, groupCol, textCol)

@@ -139,7 +139,7 @@ object ScaleProbe {
           "q78_repetition_signals", "q79_decontaminate", "q82_rarity_scoring",
           "q85_prep_pipeline", "q87_heavy_hitters", "q88_paragraph_dedup",
           "q89_decontaminate_bloom", "q90_cms_heavy_hitters", "q91_epoch_mix",
-          "q93_curation_chain", "q95_substring_dedup")
+          "q93_curation_chain", "q95_substring_dedup", "q96_bigram_lm_score")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           // noop write, not count(): count prunes aggregate tails (see

@@ -312,5 +312,90 @@ object TextAnalysis {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82)
+  // ---------------------------------------------------------------- q96
+  // Statistical bigram-LM quality scoring (the CCNet-shaped LM filter,
+  // round 7): score each document by its mean smoothed bigram transition
+  // probability under a language model fit on the corpus itself —
+  // term(w1 w2) = (c(w1 w2) + 1) / (c(w1) + V), add-one smoothing over
+  // vocabulary V. Predictable prose scores high; token soup, boilerplate
+  // fragments, and wrong-language text score low. This is q82's rarity
+  // family upgraded from unigram statistics to CONDITIONAL structure —
+  // and like q82 it is formulated without transcendentals (mean
+  // probability, not mean log-prob): every term is one IEEE division of
+  // exact integer counts, and per-doc sums are sequential folds over
+  // position-sorted lists, so Spark and DuckDB produce bit-identical
+  // doubles at any parallelism.
+  //
+  // Shape at 100 TB: the unigram table is vocabulary-sized (broadcast,
+  // pinned — q82's reasoning); the bigram count table is larger (Heaps-
+  // law-ish, still ≪ corpus) and joins on an 8-byte xxhash64 key via
+  // shuffle with partial-agged counts — never on gram strings. One
+  // posexplode + two count aggs + two joins + one per-doc bounded
+  // collect. Collisions on the 64-bit bigram key could only nudge a
+  // count (~1e-9), the q79 trade, and the oracle joins raw strings.
+  /** Per-document mean smoothed bigram transition probability under the
+    * corpus's own bigram LM — the statistical LM quality filter. Output:
+    * (id, n_bigrams, lm_score); documents with < 2 tokens emit no row.
+    */
+  def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = base
+      .select(col("__id"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("pos"),
+        col("t"))
+      .select(col("__id"), col("pos"),
+        xxhash64(element_at(col("t"), col("pos"))).as("w1h"),
+        xxhash64(concat_ws(" ",
+          element_at(col("t"), col("pos")),
+          element_at(col("t"), col("pos") + 1))).as("bh"))
+    val uni = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(xxhash64(col("w")).as("w1h")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = bi.groupBy(col("bh")).agg(count(lit(1)).as("c2"))
+    bi.join(big, "bh")
+      .join(broadcast(uni), "w1h")
+      .crossJoin(broadcast(vocab))
+      .select(col("__id"), col("pos"),
+        ((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
+          .as("term"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (aggregate(array_sort(collect_list(struct(col("pos"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")) / count(lit(1)))
+          .as("lm_score"))
+      .withColumnRenamed("__id", idCol)
+  }
+
+  private val q96 = GraftQuery(
+    "q96_bigram_lm_score",
+    (s, dir) => bigramLmScores(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH tk AS (SELECT doc_id, t
+                  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                        FROM documents) d),
+      uni AS (SELECT w, COUNT(*) AS c1
+              FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+      vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      bi AS (SELECT doc_id, i AS pos, t[i] AS w1, t[i] || ' ' || t[i+1] AS b
+             FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                   FROM tk WHERE len(t) >= 2)),
+      big AS (SELECT b, COUNT(*) AS c2 FROM bi GROUP BY b),
+      scored AS (SELECT doc_id, pos,
+                        CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE) AS term
+                 FROM bi JOIN big USING (b)
+                         JOIN uni ON bi.w1 = uni.w
+                         CROSS JOIN vocab)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY pos)),
+                         (s, x) -> s + x) / COUNT(*) AS lm_score
+      FROM scored
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96)
 }

@@ -185,6 +185,45 @@ class OperatorsSpec extends SparkSpec {
       s"avg_p $avgP0 vs $avgP, avg_rarity $avgR0 vs $avgR")
   }
 
+  test("bigram LM scoring: predictable text outranks token soup; hand-check one doc") {
+    import spark.implicits._
+    // planted corpus: doc 1 repeats one transition (high conditional
+    // probability); doc 2 uses each transition once over a wide vocab
+    val repeatA = (1 to 20).map(_ => "alpha beta").mkString(" ")
+    val soup = (1 to 40).map(i => s"w$i").mkString(" ")
+    val planted = Seq((1L, repeatA), (2L, soup), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScores(planted, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toMap2
+    assert(!got.contains(3L), "a <2-token doc must emit no row")
+    assert(got(1L)._1 == 39 && got(2L)._1 == 39)
+    assert(got(1L)._2 > got(2L)._2 * 5,
+      s"repetitive text must far outrank token soup: ${got(1L)._2} vs ${got(2L)._2}")
+    // hand-computed smoothed terms on the real corpus for one document
+    val rows = graft.SparkEntry.queries("q96_bigram_lm_score")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val texts = graft.sources.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    def toks(t: String) = "\\W+".r.split(t.toLowerCase).filter(_.nonEmpty).toSeq
+    val uni = texts.flatMap { case (_, t) => toks(t) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = texts.flatMap { case (_, t) => toks(t).sliding(2).filter(_.size == 2).map(_.mkString(" ")) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = uni.size.toLong
+    val (id0, nb0, s0) = rows.head
+    val t0 = toks(texts.toMap.apply(id0))
+    assert(nb0 == t0.size - 1)
+    val expect = t0.sliding(2).filter(_.size == 2).map { p =>
+      (big(p.mkString(" ")) + 1).toDouble / (uni(p.head) + v)
+    }.sum / (t0.size - 1)
+    assert(math.abs(s0 - expect) < 1e-12, s"lm_score $s0 vs $expect")
+  }
+
+  private implicit class PairRows(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[Long, (Long, Double)] =
+      rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
   test("histogram rank selection equals the single-task window form") {
     val got = graft.SparkEntry.queries("q69_exact_percentile_rank")(spark, sf001)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
