@@ -199,6 +199,24 @@ class DataPrepSpec extends SparkSpec {
     assert(fine === naive)
   }
 
+  test("md5BucketRank under skew: one giant group + singletons still equals the naive window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 5,000-row hot group, 50 singleton groups, plus an empty-ish group of 2
+    val rows = (1L to 5000L).map(i => (i, "hot")) ++
+      (6000L to 6050L).map(i => (i, s"cold$i")) ++ Seq((7000L, "pair"), (7001L, "pair"))
+    val df = rows.toDF("id", "grp").repartition(13)
+    val naiveW = Window.partitionBy(col("grp"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    val naive = df.withColumn("rk", row_number().over(naiveW).cast("long"))
+      .select("id", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    Seq(1, 2, 3).foreach { hx =>
+      val got = DataPrep.md5BucketRank(df, "grp", "id", "rk", hexChars = hx)
+        .select("id", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === naive, s"hexChars=$hx")
+    }
+  }
+
   test("q91 plan: no raw-row window partitioned by group alone (two-level ranking)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = graft.SparkEntry.queries("q91_epoch_mix")(spark, sf001)
