@@ -94,6 +94,15 @@ object Pipeline {
     operators.DataPrep.decontaminateBloom(train, eval_, idCol, textCol, n,
       expectedItems, numBits)
 
+  /** Two-phase decontamination: bloom prefilter → exact confirm on the
+    * suspects only. Kept set == [[decontaminate]] exactly (no false
+    * negatives), at the bloom's scan cost plus a suspect-sized gram join.
+    */
+  def decontaminateTwoPhase(train: DataFrame, eval_ : DataFrame, idCol: String,
+      textCol: String, n: Int, expectedItems: Long, numBits: Long): DataFrame =
+    operators.DataPrep.decontaminateTwoPhase(train, eval_, idCol, textCol, n,
+      expectedItems, numBits)
+
   /** Paragraph-level exact dedup (RefinedWeb/CCNet line dedup): remove
     * paragraphs appearing in more than `maxDf` documents, reassemble
     * survivors in order → (id, clean_text, n_kept, n_dropped).

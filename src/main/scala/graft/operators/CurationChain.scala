@@ -56,16 +56,8 @@ object CurationChain {
     // exact confirm on suspects only; net kept set == exact semantics
     val evalSet = docs.filter(col("doc_id") % 97 === 0)
     val train = gated.filter(col("doc_id") % 97 =!= 0)
-    val suspects = DataPrep.bloomContaminatedIds(train, evalSet, "doc_id",
-      "text", n = 4, expectedItems = 100000L, numBits = 1600000L)
-    val evalGrams = DataPrep.gramHashes(evalSet, "doc_id", "text", 4)
-      .select(col("gh")).distinct()
-    val confirmed = DataPrep
-      .gramHashes(train.join(suspects, Seq("doc_id"), "left_semi"),
-        "doc_id", "text", 4)
-      .join(broadcast(evalGrams), Seq("gh"), "left_semi")
-      .select(col("__id").as("doc_id")).distinct()
-    val clean = train.join(confirmed, Seq("doc_id"), "left_anti").persist()
+    val clean = DataPrep.decontaminateTwoPhase(train, evalSet, "doc_id",
+      "text", n = 4, expectedItems = 100000L, numBits = 1600000L).persist()
     // stage 3 — exact + near dedup, the q51 path (exact dups collapse to
     // the cluster minimum inside clusterAssignments, so reps cover both)
     val reps = Curation.clusterAssignments(clean.select("doc_id", "text"),

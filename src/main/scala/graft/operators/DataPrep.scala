@@ -308,6 +308,29 @@ object DataPrep {
     train.join(bloomContaminatedIds(train, eval_, idCol, textCol, n,
       expectedItems, numBits), Seq(idCol), "left_anti")
 
+  /** Two-phase decontamination — the 100 TB production form: the
+    * constant-size bloom literal prefilters the corpus to SUSPECTS
+    * (stateless scan, no shuffle), and the exact gram join confirms only
+    * those. Because the bloom has no false negatives, the kept set is
+    * EXACTLY [[decontaminate]]'s (bloom false positives are weeded by
+    * the confirm), while the expensive corpus-wide gram join shrinks to
+    * the suspect set — true contaminated docs plus FPs at the sized
+    * rate, ≪ corpus. Equivalence is spec-asserted (DataPrepSpec) and
+    * oracle-pinned through the q93 chain.
+    */
+  def decontaminateTwoPhase(train: DataFrame, eval_ : DataFrame, idCol: String,
+      textCol: String, n: Int, expectedItems: Long, numBits: Long): DataFrame = {
+    val suspects = bloomContaminatedIds(train, eval_, idCol, textCol, n,
+      expectedItems, numBits)
+    val evalGrams = gramHashes(eval_, idCol, textCol, n)
+      .select(col("gh")).distinct()
+    val confirmed = gramHashes(
+        train.join(suspects, Seq(idCol), "left_semi"), idCol, textCol, n)
+      .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+      .select(col("__id").as(idCol)).distinct()
+    train.join(confirmed, Seq(idCol), "left_anti")
+  }
+
   /** The ids [[decontaminateBloom]] would drop (exposed for the q89
     * no-miss audit query).
     */

@@ -199,6 +199,26 @@ class DataPrepSpec extends SparkSpec {
     assert(fine === naive)
   }
 
+  test("two-phase decontamination keeps exactly the exact-form set, incl. undersized bloom") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    val exact = DataPrep.decontaminate(train, evalSet, "doc_id", "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // generous sizing: FPs are possible, misses are not → sets equal
+    val two = DataPrep.decontaminateTwoPhase(train, evalSet, "doc_id", "text",
+        n = 4, expectedItems = 100000L, numBits = 1600000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(two == exact)
+    // DELIBERATELY undersized bloom: many false positives → many suspects
+    // → the exact confirm must still weed every one of them
+    val tiny = DataPrep.decontaminateTwoPhase(train, evalSet, "doc_id", "text",
+        n = 4, expectedItems = 50L, numBits = 512L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tiny == exact, "confirm stage must cancel bloom false positives")
+  }
+
   test("md5BucketRank under skew: one giant group + singletons still equals the naive window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
