@@ -140,6 +140,18 @@ object Pipeline {
   def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
     operators.TextAnalysis.bigramLmScores(df, idCol, textCol)
 
+  /** Positional k-gram index rows (persist bucketed by `gh`). */
+  def gramIndex(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    operators.TextAnalysis.gramIndex(docs, idCol, textCol, k)
+
+  /** Every (phrase, id, pos) exact-phrase occurrence via a [[gramIndex]]
+    * (contamination forensics; phrase side broadcast, candidate-only
+    * verification).
+    */
+  def phraseHits(docs: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, phrases: Seq[String], k: Int): DataFrame =
+    operators.TextAnalysis.phraseHits(docs, index, idCol, textCol, phrases, k)
+
   /** sqrt-temperature sampling weights per group. */
   def mixWeights(df: DataFrame, groupCol: String, textCol: String): DataFrame =
     operators.DataPrep.mixWeights(df, groupCol, textCol)

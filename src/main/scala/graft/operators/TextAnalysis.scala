@@ -397,5 +397,85 @@ object TextAnalysis {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96)
+  // ---------------------------------------------------------------- q97
+  // Phrase provenance search (round 7): find every (doc, position) where
+  // an exact token phrase occurs — the contamination-forensics query
+  // ("which training documents contain this benchmark sentence, and
+  // where") that decontamination's set-level drop cannot answer.
+  //
+  // Shape at 100 TB: [[gramIndex]] is the stored artifact — positional
+  // k-gram hashes, one row per token position, persistable bucketed by
+  // hash for zero-exchange probes (the q81/ivfAssignments stored-index
+  // split). A probe broadcasts the PHRASE side (first-k-gram hash per
+  // phrase), candidates come from the index equi-join, and full-phrase
+  // verification joins token arrays for CANDIDATE docs only — the
+  // corpus is never re-scanned per query. Phrases shorter than k are
+  // rejected loudly (they have no index key).
+  /** (gh, id, pos) positional k-gram index rows — persist bucketed by
+    * `gh` and probe with [[phraseHits]].
+    */
+  def gramIndex(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("t")) - lit(k - 1))).as("pos"),
+        col("t"))
+      .select(col(idCol), col("pos"),
+        xxhash64(concat_ws(" ", slice(col("t"), col("pos"), lit(k)))).as("gh"))
+
+  /** Every (phrase, id, pos) occurrence of each phrase, via a positional
+    * gram `index` built by [[gramIndex]] with the same `k`. Candidates
+    * come from the phrase's first k-gram; occurrences are confirmed by
+    * slice equality against the candidate docs' tokens.
+    */
+  def phraseHits(docs: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, phrases: Seq[String], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ptoks = phrases.map(p => p -> p.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq)
+    ptoks.foreach { case (p, t) =>
+      require(t.size >= k, s"phrase '$p' has ${t.size} tokens; index key needs >= $k")
+    }
+    val pdf = ptoks.map { case (p, t) => (p, t, t.take(k).mkString(" ")) }
+      .toDF("phrase", "ptoks", "firstGram")
+      .select(col("phrase"), col("ptoks"), size(col("ptoks")).as("m"),
+        xxhash64(col("firstGram")).as("gh"))
+    val cands = index.join(broadcast(pdf), "gh")
+    cands
+      .join(docs.select(col(idCol), tokens(col(textCol)).as("t")), idCol)
+      .filter(col("pos") + col("m") - 1 <= size(col("t")) &&
+        expr("slice(t, pos, m)") === col("ptoks"))
+      .select(col("phrase"), col(idCol), col("pos").cast("int").as("pos"))
+  }
+
+  private val q97 = {
+    // one k-length phrase (pure index hit), one longer phrase (exercises
+    // the continuation verification), one absent phrase (must emit zero
+    // rows in both engines) — all from the driver corpus's vocabulary
+    val phrases = Seq("join part filter", "the vector customer spark", "sort merge join")
+    GraftQuery(
+      "q97_phrase_search",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        phraseHits(docs, gramIndex(docs, "doc_id", "text", k = 3),
+            "doc_id", "text", phrases, k = 3)
+          .orderBy(col("phrase"), col("doc_id"), col("pos"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                   FROM documents),
+        phrases(phrase) AS (VALUES ('join part filter'), ('the vector customer spark'), ('sort merge join')),
+        pt AS (SELECT phrase, list_filter(string_split_regex(lower(phrase), '\W+'), x -> x <> '') AS p
+               FROM phrases),
+        occ AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM t),
+        hits AS (SELECT ph.phrase, o.doc_id, o.i AS pos
+                 FROM occ o CROSS JOIN pt ph
+                 WHERE o.i + len(ph.p) - 1 <= len(o.t)
+                   AND o.t[o.i : o.i + len(ph.p) - 1] = ph.p)
+        SELECT phrase, doc_id, CAST(pos AS INT) AS pos
+        FROM hits
+        ORDER BY phrase, doc_id, pos"""))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97)
 }

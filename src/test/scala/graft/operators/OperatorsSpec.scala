@@ -224,6 +224,33 @@ class OperatorsSpec extends SparkSpec {
       rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
 
+  test("phrase search: planted overlaps + zero-hit phrases + stored-index round-trip") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha beta gamma"), // phrase twice, overlapping tail
+      (2L, "beta gamma delta"),                        // phrase absent (no alpha)
+      (3L, "alpha beta")                               // shorter than the phrase
+    ).toDF("doc_id", "text")
+    val k = 2
+    val phrase = Seq("alpha beta gamma")
+    val idx = TextAnalysis.gramIndex(docs, "doc_id", "text", k)
+    val hits = TextAnalysis.phraseHits(docs, idx, "doc_id", "text", phrase, k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(hits == Set(("alpha beta gamma", 1L, 1), ("alpha beta gamma", 1L, 5)))
+    // zero-hit phrase emits nothing; sub-k phrase is rejected loudly
+    assert(TextAnalysis.phraseHits(docs, idx, "doc_id", "text",
+      Seq("delta delta delta"), k).count() == 0)
+    intercept[IllegalArgumentException](
+      TextAnalysis.phraseHits(docs, idx, "doc_id", "text", Seq("alpha"), k))
+    // the index survives a parquet round-trip (the stored-artifact path)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gramidx").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val stored = TextAnalysis.phraseHits(docs, spark.read.parquet(dir),
+        "doc_id", "text", phrase, k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(stored == hits)
+  }
+
   test("histogram rank selection equals the single-task window form") {
     val got = graft.SparkEntry.queries("q69_exact_percentile_rank")(spark, sf001)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
