@@ -34,7 +34,11 @@ import org.apache.spark.sql.functions._
   *        1,024-shard CMS/GK state fold (VERDICT r6 #5);
   *   mode "cc"      — the full dedup pipeline with driverEdgeLimit=0 so
   *        connected components runs the DISTRIBUTED label-propagation
-  *        path; reports wall time and rounds-to-converge (VERDICT r5 #7).
+  *        path; reports wall time and rounds-to-converge (VERDICT r5 #7);
+  *   mode "phrase"  — q97's stored-artifact probe: builds the bucketed
+  *        gram index + token table once, then times phraseHitsStored
+  *        alone — probe latency must stay ~flat as copies grow
+  *        (VERDICT r7 #1).
   * Prints one JSON line per run. All timed full-query runs materialize
   * via the noop sink (see Bench scaladoc — .count() prunes agg tails).
   */
@@ -339,9 +343,41 @@ object ScaleProbe {
         val rounds = graft.operators.Curation.lastDistributedCCRounds
         println(s"""{"metric":"distributed_cc","copies":$copies,"n_docs":$nDocs,"labels":$n,"rounds":$rounds,"sec":$t,"src":"$src"}""")
 
+      case "phrase" =>
+        // q97's stored-probe decade (VERDICT r7 #1): build the two
+        // persisted artifacts once (index bucketed by gh, token table
+        // bucketed by doc_id), then time the probe alone. The probe's
+        // phrases live in copy 0 (the affine cipher's a=1,b=0 identity
+        // permutation), so the HIT count is constant while the corpus
+        // grows copies× — exactly the O(candidates) claim under test.
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val out = scaledDocsDir(spark, src, copies)
+        val docs = graft.sources.Tables.load(spark, out, "documents")
+        val nDocs = docs.count()
+        val idxTbl = s"phrase_probe_idx_x$copies"
+        val tokTbl = s"phrase_probe_tok_x$copies"
+        val (_, tBuild) = timed {
+          graft.plans.ScaleOps.writeBucketed(
+            graft.operators.TextAnalysis.gramIndex(docs, "doc_id", "text", 3),
+            "gh", 64, idxTbl)
+          graft.plans.ScaleOps.writeBucketed(
+            graft.operators.TextAnalysis.tokenTable(docs, "doc_id", "text"),
+            "doc_id", 64, tokTbl)
+        }
+        val phrases = Seq("join part filter", "the vector customer spark",
+          "sort merge join")
+        def probe(): Long = graft.operators.TextAnalysis
+          .phraseHitsStored(spark, idxTbl, tokTbl, "doc_id", phrases, 3)
+          .count() // result is a handful of rows; count == materialize here
+        val nHits = probe() // warm (file listing, code cache)
+        val probeTimes = (1 to 3).map(_ => timed(probe())._2)
+        spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
+        spark.sql(s"DROP TABLE IF EXISTS $tokTbl")
+        println(s"""{"metric":"phrase_probe","copies":$copies,"n_docs":$nDocs,"n_hits":$nHits,"build_sec":$tBuild,"probe_sec":[${probeTimes.map(t => f"$t%.3f").mkString(",")}],"src":"$src"}""")
+
       case other =>
         System.err.println(
-          s"unknown mode: $other (expected queries|ann|annc|lshcurve|sketches|cc)")
+          s"unknown mode: $other (expected queries|ann|annc|lshcurve|sketches|cc|phrase)")
         sys.exit(2)
     }
     spark.stop()
