@@ -170,11 +170,15 @@ object Curation {
     // bucket-level connectivity never regresses below star-only routing.
     // chainHexChars: 3 → 4096 sub-chains (default), 0 → one chain (test
     // scale), < 0 → star-only routing (the measured-coverage baseline).
+    // Positive widths go through the shared validated long-typed bucket
+    // helper (ADVICE r7: an unvalidated int cast overflowed past 7 hex
+    // digits to NULL, silently collapsing every overflowed row into one
+    // null sub-bucket — the single-task sort sub-chaining exists to avoid).
     if (chainHexChars < 0) pairs.union(star).distinct()
     else {
       val subB =
         if (chainHexChars == 0) lit(0)
-        else conv(substring(col("hh"), 1, chainHexChars), 16, 10).cast("int")
+        else DataPrep.hexPrefixBucket(col("hh"), chainHexChars)
       val chainW = Window.partitionBy(col("band"), col("sig"), col("sb"))
         .orderBy(col("hh"), col("doc_id"))
       val chain = hot

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -490,12 +490,24 @@ object DataPrep {
     * window would instead rank it first) — every current caller ranks
     * primary-key ids, which are non-null by construction.
     */
+  /** md5-hex-prefix bucket id as a LONG column, shared by [[md5BucketRank]]
+    * and Curation's hot-bucket sub-chaining. Long, not int: 8 hex digits
+    * reach 0xFFFFFFFF, which overflows Int and (non-ANSI) casts to NULL —
+    * downstream that is silent row loss (an equi-join drops null keys) or
+    * a collapsed single window partition (ADVICE r7). 15 hex digits is the
+    * last width that cannot overflow a signed long.
+    */
+  private[graft] def hexPrefixBucket(hexCol: Column, hexChars: Int): Column = {
+    require(hexChars >= 1 && hexChars <= 15, s"hexChars in [1,15], got $hexChars")
+    conv(substring(hexCol, 1, hexChars), 16, 10).cast("long")
+  }
+
   def md5BucketRank(df: DataFrame, groupCol: String, idCol: String,
       rankAs: String, hexChars: Int = 3): DataFrame = {
     require(hexChars >= 1 && hexChars <= 8, s"hexChars in [1,8], got $hexChars")
     val withKey = df
       .withColumn("__h", md5(col(idCol).cast("string")))
-      .withColumn("__b", conv(substring(col("__h"), 1, hexChars), 16, 10).cast("int"))
+      .withColumn("__b", hexPrefixBucket(col("__h"), hexChars))
     val localW = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol), col("__b"))
       .orderBy(col("__h"), col(idCol))

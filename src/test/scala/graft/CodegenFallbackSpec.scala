@@ -38,6 +38,20 @@ class CodegenFallbackSpec extends SparkSpec {
     config.getRootLogger.addAppender(cap, Level.WARN, null)
     ctx.updateLoggers()
     try {
+      // Plumbing self-check (ADVICE r7): if a future log4j2 config raises
+      // the root level above WARN or routes Spark's codegen loggers through
+      // a dedicated non-additive LoggerConfig, fallback warnings would
+      // bypass the appender and this test would pass vacuously. Emit a
+      // sentinel WARN through the exact logger the real warning uses and
+      // require it to arrive before trusting emptiness below.
+      val sentinel = "graft-sentinel: falling back to interpreter mode (self-check)"
+      ctx.getLogger(
+        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
+        .warn(sentinel)
+      assert(cap.messages.toArray.exists(_.toString.contains("graft-sentinel")),
+        "log-capture plumbing is broken: sentinel WARN through Spark's " +
+          "CodeGenerator logger never reached the capture appender")
+      cap.messages.clear()
       Seq("q43_approx_sketches", "q67_hll_mergeable", "q89_decontaminate_bloom",
           "q90_cms_heavy_hitters", "q92_gk_quantiles", "q94_gk_stored_shards").foreach { name =>
         SparkEntry.queries(name)(spark, sf001).collect()

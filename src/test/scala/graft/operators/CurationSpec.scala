@@ -181,6 +181,18 @@ class CurationSpec extends SparkSpec {
       s"chain routing recovered nothing: covered=$chainCov reps=$bReps")
     info(s"planted hot bucket coverage: truth=72 pairs, star-only=6, " +
       s"star+chain=$chainCov (B clique in ${bReps.size} components)")
+
+    // ADVICE r7 regression: chainHexChars=8 used to overflow the int-typed
+    // sub-bucket to NULL, collapsing ~half the rows into one null window
+    // partition (spurious non-adjacent chain edges + the single-task sort
+    // the sub-chaining exists to prevent). With the shared long-typed
+    // bucket, width 8 gives these 16 fixed doc ids 16 distinct sub-buckets
+    // — every chain partition is a singleton, so zero chain edges and the
+    // result deterministically equals star-only routing.
+    assert(clusters(limit = 10, chain = 8) == starOnly,
+      "chainHexChars=8 (all-singleton sub-buckets) must equal star-only")
+    // out-of-range widths fail loudly via the shared validated helper
+    intercept[IllegalArgumentException] { clusters(limit = 10, chain = 16) }
   }
 
   test("connectedComponents distributed label propagation matches union-find") {

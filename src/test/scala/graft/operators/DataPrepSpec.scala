@@ -230,10 +230,31 @@ class DataPrepSpec extends SparkSpec {
       .orderBy(md5(col("id").cast("string")), col("id"))
     val naive = df.withColumn("rk", row_number().over(naiveW).cast("long"))
       .select("id", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    Seq(1, 2, 3).foreach { hx =>
+    // hexChars=8 is the ADVICE r7 regression: an int-typed bucket cast
+    // overflows at 0x80000000+ to NULL and the offsets equi-join silently
+    // dropped ~half the rows — the long-typed bucket must lose none
+    Seq(1, 2, 3, 8).foreach { hx =>
       val got = DataPrep.md5BucketRank(df, "grp", "id", "rk", hexChars = hx)
         .select("id", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(got === naive, s"hexChars=$hx")
+    }
+  }
+
+  test("hexPrefixBucket: long-typed, never null, validated width") {
+    import spark.implicits._
+    // md5 prefixes at width 8 are uniform over [0, 2^32): ~half exceed
+    // Int.MaxValue; none may become null and all must be in range
+    val b = (1L to 2000L).toDF("id")
+      .select(DataPrep.hexPrefixBucket(md5(col("id").cast("string")), 8).as("b"))
+    assert(b.filter(col("b").isNull).count() == 0)
+    assert(b.filter(col("b") > Int.MaxValue.toLong).count() > 0,
+      "sample must actually exercise the int-overflow range")
+    assert(b.filter(col("b") < 0 || col("b") >= (1L << 32)).count() == 0)
+    intercept[IllegalArgumentException] {
+      DataPrep.hexPrefixBucket(col("x"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      DataPrep.hexPrefixBucket(col("x"), 16)
     }
   }
 
