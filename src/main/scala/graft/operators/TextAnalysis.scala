@@ -270,10 +270,21 @@ object TextAnalysis {
     * and mean inverse frequency (idf-like). Per-doc sums are sequential
     * folds over position-sorted lists — deterministic at any parallelism.
     */
-  def rarityScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def rarityScores(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     val toks = df
       .select(col(idCol).as("__id"), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    // minCount > 1 is the documented broadcast-cliff mitigation (VERDICT
+    // r7): on a Heaps-law-exploded vocabulary (code/URL-heavy corpora) the
+    // pinned broadcast below would OOM; pre-pruning drops tokens with
+    // corpus frequency < minCount BEFORE the broadcast and renormalizes
+    // probabilities over the pruned universe (p = c/n with n = Σ pruned c;
+    // tokens outside it are excluded from scoring, and a document with no
+    // surviving tokens drops out). The declared q82 pins minCount=1 —
+    // identical to the historical behavior, so its oracle is unchanged.
     val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
     val tot = freq.agg(sum(col("c")).as("n"))
     toks.join(broadcast(freq), "w").crossJoin(broadcast(tot))
       .select(col("__id"), col("pos"),
@@ -337,7 +348,9 @@ object TextAnalysis {
     * corpus's own bigram LM — the statistical LM quality filter. Output:
     * (id, n_bigrams, lm_score); documents with < 2 tokens emit no row.
     */
-  def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramLmScores(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     val base = df
       .select(col(idCol).as("__id"), tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 2)
@@ -350,9 +363,16 @@ object TextAnalysis {
         xxhash64(concat_ws(" ",
           element_at(col("t"), col("pos")),
           element_at(col("t"), col("pos") + 1))).as("bh"))
+    // minCount > 1 prunes the pinned unigram broadcast BEFORE it ships
+    // (the documented vocab-explosion mitigation — VERDICT r7): bigrams
+    // whose history word falls below minCount are excluded from scoring,
+    // and the add-one smoothing denominator uses the PRUNED vocabulary
+    // size V consistently. The declared q96 pins minCount=1 — identical to
+    // the historical behavior, so its oracle is unchanged.
     val uni = df
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy(xxhash64(col("w")).as("w1h")).agg(count(lit(1)).as("c1"))
+      .filter(col("c1") >= minCount)
     val vocab = uni.agg(count(lit(1)).as("v"))
     val big = bi.groupBy(col("bh")).agg(count(lit(1)).as("c2"))
     bi.join(big, "bh")

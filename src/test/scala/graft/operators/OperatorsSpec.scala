@@ -185,6 +185,63 @@ class OperatorsSpec extends SparkSpec {
       s"avg_p $avgP0 vs $avgP, avg_rarity $avgR0 vs $avgR")
   }
 
+  test("minCount vocab pre-prune: pruned vocabulary still scores, consistently (VERDICT r7)") {
+    import spark.implicits._
+    // 'rare*' words occur once each (pruned at minCount=2); the rest
+    // repeat. Both scorers must keep scoring with the PRUNED tables used
+    // consistently: renormalized p=c/n for rarity, pruned V in the
+    // add-one smoothing denominator for the bigram LM.
+    val docs = Seq(
+      (1L, "alpha beta alpha beta rareone"),
+      (2L, "alpha gamma raretwo gamma beta"),
+      (3L, "rarethree rarefour")).toDF("doc_id", "text")
+    def toks(t: String) = "\\W+".r.split(t.toLowerCase).filter(_.nonEmpty).toSeq
+    val texts = Seq(1L -> "alpha beta alpha beta rareone",
+      2L -> "alpha gamma raretwo gamma beta", 3L -> "rarethree rarefour")
+    val freqAll = texts.flatMap(t => toks(t._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val m = 2L
+    val freqP = freqAll.filter(_._2 >= m)
+    val nP = freqP.values.sum
+
+    val rar = TextAnalysis.rarityScores(docs, "doc_id", "text", minCount = m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(!rar.contains(3L), "a doc with no surviving tokens must drop out")
+    texts.take(2).foreach { case (id, t) =>
+      val kept = toks(t).filter(freqP.contains)
+      val (nt, avgP, avgR) = rar(id)
+      assert(nt == kept.size)
+      val eP = kept.map(w => freqP(w).toDouble / nP).sum / kept.size
+      val eR = kept.map(w => nP.toDouble / freqP(w)).sum / kept.size
+      assert(math.abs(avgP - eP) < 1e-12 && math.abs(avgR - eR) < 1e-9,
+        s"doc $id: avg_p $avgP vs $eP, avg_rarity $avgR vs $eR")
+    }
+
+    val bigAll = texts.flatMap(t => toks(t._2).sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vP = freqP.size.toLong
+    val lm = TextAnalysis.bigramLmScores(docs, "doc_id", "text", minCount = m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    texts.take(2).foreach { case (id, t) =>
+      // bigrams whose HISTORY word survives the prune are scored; the
+      // smoothing denominator is c1 + V over the pruned vocabulary
+      val terms = toks(t).sliding(2).filter(_.size == 2).toSeq
+        .filter(p => freqP.contains(p.head))
+        .map(p => (bigAll(p.mkString(" ")) + 1).toDouble / (freqP(p.head) + vP))
+      val (nb, score) = lm(id)
+      assert(nb == terms.size)
+      assert(math.abs(score - terms.sum / terms.size) < 1e-12,
+        s"doc $id: lm_score $score vs ${terms.sum / terms.size}")
+    }
+
+    intercept[IllegalArgumentException] {
+      TextAnalysis.rarityScores(docs, "doc_id", "text", minCount = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bigramLmScores(docs, "doc_id", "text", minCount = -1L)
+    }
+  }
+
   test("bigram LM scoring: predictable text outranks token soup; hand-check one doc") {
     import spark.implicits._
     // planted corpus: doc 1 repeats one transition (high conditional
