@@ -407,6 +407,37 @@ object DataPrep {
       WHERE doc_id % 97 <> 0
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q98
+  // The two-phase composition as its OWN declared row (VERDICT r7 #5):
+  // until now its only oracle coverage was inside q93's chain. The bloom
+  // pass has no false negatives and the exact pass confirms every
+  // suspect, so [[decontaminateTwoPhase]] is spec-equal to
+  // [[decontaminate]] — the oracle IS q79's exact semantics, pinned here
+  // independently of any chain refactor.
+  private val q98 = GraftQuery(
+    "q98_decontaminate_two_phase",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      decontaminateTwoPhase(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 4, expectedItems = 100000L, numBits = 1600000L)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                    FROM documents),
+      grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g
+                FROM toks WHERE len(t) >= 4),
+      eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+      contaminated AS (SELECT DISTINCT doc_id FROM grams
+                       WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM eval_grams))
+      SELECT d.doc_id, d.source, d.lang, d.n_chars
+      FROM documents d
+      WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      ORDER BY d.doc_id"""))
+
   // ---------------------------------------------------------------- q80
   /** Per-group token totals and sqrt-temperature sampling weights over
     * `textCol`, grouped by `groupCol` — the multilingual/multi-source
@@ -725,5 +756,5 @@ object DataPrep {
             FROM documents) t
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84, q85, q86, q89, q91)
+  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84, q85, q86, q89, q91, q98)
 }
