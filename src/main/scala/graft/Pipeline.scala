@@ -119,26 +119,40 @@ object Pipeline {
       k: Int): DataFrame =
     operators.Dedup.substringDedup(docs, idCol, textCol, k)
 
+  /** [[substringDedup]] emitting the surviving text itself →
+    * (id, clean_text, n_tokens, n_kept, n_dropped).
+    */
+  def substringDedupText(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    operators.Dedup.substringDedupText(docs, idCol, textCol, k)
+
   /** The full curation chain in one call: quality gate → two-phase
     * (bloom + exact-confirm) decontamination → exact+near dedup →
-    * paragraph dedup → epoch mix → (id, group, n_copies).
+    * paragraph dedup → optional repeated-span dedup (`spanK` > 0) →
+    * epoch mix → (id, group, n_copies).
     */
-  def curationChain(docs: DataFrame, targetDocs: Long): DataFrame =
-    operators.CurationChain.curationChain(docs, targetDocs)
+  def curationChain(docs: DataFrame, targetDocs: Long,
+      spanK: Int = 0): DataFrame =
+    operators.CurationChain.curationChain(docs, targetDocs, spanK)
 
   /** Gopher-style repetition signals per document. */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
     operators.TextAnalysis.repetitionSignals(df, idCol, textCol)
 
-  /** Corpus-statistics rarity scores per document. */
-  def rarityScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    operators.TextAnalysis.rarityScores(df, idCol, textCol)
+  /** Corpus-statistics rarity scores per document. `minCount` > 1
+    * pre-prunes the broadcast vocabulary (the Heaps-law OOM mitigation).
+    */
+  def rarityScores(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 1L): DataFrame =
+    operators.TextAnalysis.rarityScores(df, idCol, textCol, minCount)
 
   /** Mean smoothed bigram transition probability per document under the
     * corpus's own bigram LM (the statistical LM quality filter).
+    * `minCount` > 1 pre-prunes the broadcast unigram vocabulary.
     */
-  def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    operators.TextAnalysis.bigramLmScores(df, idCol, textCol)
+  def bigramLmScores(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 1L): DataFrame =
+    operators.TextAnalysis.bigramLmScores(df, idCol, textCol, minCount)
 
   /** Positional k-gram index rows (persist bucketed by `gh`). */
   def gramIndex(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
@@ -151,6 +165,22 @@ object Pipeline {
   def phraseHits(docs: DataFrame, index: DataFrame, idCol: String,
       textCol: String, phrases: Seq[String], k: Int): DataFrame =
     operators.TextAnalysis.phraseHits(docs, index, idCol, textCol, phrases, k)
+
+  /** (id, tokens) verification artifact for [[phraseHitsStored]]
+    * (persist bucketed+sorted by id next to the gram index).
+    */
+  def tokenTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    operators.TextAnalysis.tokenTable(docs, idCol, textCol)
+
+  /** Phrase probe against STORED bucketed artifacts: phrase-gram hashes
+    * pushed as literal filters (bucket pruning + row-group skipping),
+    * verification reads candidate buckets only — O(candidates) per query.
+    */
+  def phraseHitsStored(spark: org.apache.spark.sql.SparkSession,
+      indexTable: String, tokensTable: String, idCol: String,
+      phrases: Seq[String], k: Int, maxCandidateDocs: Int = 1000000): DataFrame =
+    operators.TextAnalysis.phraseHitsStored(spark, indexTable, tokensTable,
+      idCol, phrases, k, maxCandidateDocs)
 
   /** sqrt-temperature sampling weights per group. */
   def mixWeights(df: DataFrame, groupCol: String, textCol: String): DataFrame =

@@ -460,7 +460,44 @@ object Dedup {
     * replays df over the raw gram strings.
     */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    substringCoverage(docs, idCol, textCol, k).groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("cum") <= 0, 1)).as("n_kept"),
+        count(when(col("cum") > 0, 1)).as("n_dropped"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("cum") <= 0,
+            struct(col("p"), col("tok"))))),
+          x => x("tok")))).as("clean_md5"))
+
+  /** [[substringDedup]] emitting the surviving TEXT (tokens joined by
+    * single spaces), not just its md5 — the product form a training
+    * pipeline feeds downstream (VERDICT r7 #4); `clean_md5` over the same
+    * rows is exactly `md5(clean_text)`. Same coverage semantics,
+    * reassembly, and costs; the only difference is that the reassembled
+    * string ships instead of its digest. Output: (id, clean_text,
+    * n_tokens, n_kept, n_dropped).
+    */
+  def substringDedupText(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    substringCoverage(docs, idCol, textCol, k).groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("cum") <= 0,
+            struct(col("p"), col("tok"))))),
+          x => x("tok"))).as("clean_text"),
+        count(lit(1)).as("n_tokens"),
+        count(when(col("cum") <= 0, 1)).as("n_kept"),
+        count(when(col("cum") > 0, 1)).as("n_dropped"))
+
+  /** Shared span-coverage core of [[substringDedup]] /
+    * [[substringDedupText]]: one row per (id, token position) with the
+    * token and its duplicated-span coverage cumsum (`cum` > 0 ⇔ the
+    * token sits inside some non-first occurrence of a repeated k-span).
+    */
+  private def substringCoverage(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"span length k must be >= 2, got $k")
     val toked = docs
       .select(col(idCol), tokens(col(textCol)).as("t"))
@@ -491,17 +528,8 @@ object Dedup {
       .select(col(idCol), (col("i0") + 1).as("p"), col("tok"))
     val covW = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("p"))
-    val covered = tokPos.join(deltas, Seq(idCol, "p"), "left")
+    tokPos.join(deltas, Seq(idCol, "p"), "left")
       .withColumn("cum", sum(coalesce(col("d"), lit(0L))).over(covW))
-    covered.groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        count(when(col("cum") <= 0, 1)).as("n_kept"),
-        count(when(col("cum") > 0, 1)).as("n_dropped"),
-        md5(concat_ws(" ", transform(
-          array_sort(collect_list(when(col("cum") <= 0,
-            struct(col("p"), col("tok"))))),
-          x => x("tok")))).as("clean_md5"))
   }
 
   // ---------------------------------------------------------------- q95

@@ -138,6 +138,23 @@ class DedupSpec extends SparkSpec {
     assert(m == expected)
   }
 
+  test("substringDedupText emits the text whose md5 substringDedup reports") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+    val digests = Dedup.substringDedup(docs, "doc_id", "text", k = 4)
+    val texts = Dedup.substringDedupText(docs, "doc_id", "text", k = 4)
+    val joined = digests.join(texts, "doc_id")
+    assert(joined.count() == docs.count())
+    // same coverage stats and clean_md5 == md5(clean_text), row for row
+    val bad = joined.filter(
+      digests("n_kept") =!= texts("n_kept") ||
+      digests("n_dropped") =!= texts("n_dropped") ||
+      col("clean_md5") =!= md5(col("clean_text")))
+    assert(bad.count() == 0, bad.limit(5).collect().mkString("\n"))
+    // the corpus actually exercises dropping at k=4 (q93b's pin)
+    assert(texts.filter(col("n_dropped") > 0).count() > 0)
+  }
+
   private implicit class RowsToMap(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
