@@ -331,6 +331,42 @@ object DataPrep {
     train.join(confirmed, Seq(idCol), "left_anti")
   }
 
+  /** Fold the eval set's n-gram hashes into one bloom blob (the constant
+    * plan literal both decontamination forms probe). None iff the eval
+    * set has no n-grams — which cannot contaminate anything.
+    */
+  def evalGramBloom(eval_ : DataFrame, idCol: String, textCol: String,
+      n: Int, expectedItems: Long, numBits: Long): Option[Array[Byte]] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
+    Option(gramHashes(eval_, idCol, textCol, n)
+      .agg(columnOf(new BloomFilterAggregate(
+        expressionOf(col("gh")), Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf"))
+  }
+
+  /** Per-ROW bloom admission predicate: TRUE iff no word n-gram of
+    * `textCol` might be in the eval bloom `bf`. A pure column expression
+    * over one row — no explode, no distinct, no state — so it is legal
+    * and IDENTICAL in batch and Structured Streaming plans: the curation
+    * chain's streaming admission gate is `stream.filter(bloomAdmit(...))`
+    * against the blob built in batch by [[evalGramBloom]]
+    * (batch/stream parity asserted in StreamingSpec). Drop-direction
+    * parity with [[decontaminateBloom]] is exact: both probe the same
+    * xxhash64 gram hashes against the same blob.
+    */
+  def bloomAdmit(textCol: Column, bf: Array[Byte], n: Int): Column = {
+    require(bf != null, "bf must be a bloom blob from evalGramBloom")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
+    val bfLit = Literal(bf, org.apache.spark.sql.types.BinaryType)
+    !exists(graft.functions.WordNGrams(tokens(textCol), n),
+      g => columnOf(BloomFilterMightContain(bfLit, expressionOf(xxhash64(g)))))
+  }
+
   /** The ids [[decontaminateBloom]] would drop (exposed for the q89
     * no-miss audit query).
     */
@@ -338,23 +374,19 @@ object DataPrep {
       textCol: String, n: Int, expectedItems: Long, numBits: Long): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
-    val bf = gramHashes(eval_, idCol, textCol, n)
-      .agg(columnOf(new BloomFilterAggregate(
-        expressionOf(col("gh")), Literal(expectedItems), Literal(numBits))
-        .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
-    if (bf == null)
-      // an eval set with no n-grams cannot contaminate anything — match
-      // the exact operator's no-op semantics instead of erroring
-      train.select(col(idCol)).limit(0)
-    else
-      gramHashes(train, idCol, textCol, n)
-        .filter(columnOf(BloomFilterMightContain(
-          Literal(bf, org.apache.spark.sql.types.BinaryType),
-          expressionOf(col("gh")))))
-        .select(col("__id").as(idCol)).distinct()
+    evalGramBloom(eval_, idCol, textCol, n, expectedItems, numBits) match {
+      case None =>
+        // an eval set with no n-grams cannot contaminate anything — match
+        // the exact operator's no-op semantics instead of erroring
+        train.select(col(idCol)).limit(0)
+      case Some(bf) =>
+        gramHashes(train, idCol, textCol, n)
+          .filter(columnOf(BloomFilterMightContain(
+            Literal(bf, org.apache.spark.sql.types.BinaryType),
+            expressionOf(col("gh")))))
+          .select(col("__id").as(idCol)).distinct()
+    }
   }
 
   // ---------------------------------------------------------------- q89

@@ -224,6 +224,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bloom decontamination: stateless admit gate == batch kept set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // eval split and sizing exactly as q89; the blob is built in BATCH
+    // and enters the streaming plan as a constant literal
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    val bf = graft.operators.DataPrep.evalGramBloom(evalSet, "doc_id", "text",
+      n = 4, expectedItems = 100000L, numBits = 1600000L).get
+    val batchKept = graft.operators.DataPrep.decontaminateBloom(train, evalSet,
+        "doc_id", "text", n = 4, expectedItems = 100000L, numBits = 1600000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the per-row predicate equals the explode/distinct batch form
+    val predKept = train
+      .filter(graft.operators.DataPrep.bloomAdmit(col("text"), bf, n = 4))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(predKept == batchKept)
+    assert(batchKept.size < train.count(), "the gate must actually drop docs")
+    // the same predicate over a STREAM, fed across two triggers
+    val rows = train.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .filter(graft.operators.DataPrep.bloomAdmit(col("text"), bf, n = 4))
+      .select("doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(s"bloom_gate_${System.nanoTime()}")
+      .start()
+    try {
+      val (first, second) = rows.splitAt(rows.size / 2)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*) // arrival order must not change any fate
+      q.processAllAvailable()
+      val streamed = spark.table(q.name).collect().map(_.getLong(0)).toSet
+      assert(streamed == batchKept,
+        s"stream/batch diverge: only-stream=${streamed -- batchKept} only-batch=${batchKept -- streamed}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchase within 20min of click joins, later one does not") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
