@@ -15,7 +15,8 @@ object PlanDump {
     "q82_rarity_scoring", "q51_dedup_pipeline", "q88_paragraph_dedup",
     "q89_decontaminate_bloom", "q90_cms_heavy_hitters",
     "q91_epoch_mix", "q92_gk_quantiles", "q62_source_quota",
-    "q93_curation_chain")
+    "q93_curation_chain", "q94_gk_stored_shards", "q95_substring_dedup",
+    "q96_bigram_lm_score", "q97_phrase_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -23,6 +24,8 @@ object PlanDump {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft_plandump_wh_${System.nanoTime()}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -32,6 +35,34 @@ object PlanDump {
         org.apache.spark.sql.execution.SimpleMode))
       println()
     }
+    dumpStoredPhraseProbe(spark, sfDir)
     spark.stop()
+  }
+
+  /** The q97 PRODUCTION path (stored bucketed gram index + token table,
+    * `phraseHitsStored`) — the declared q97 is the inline oracle form, so
+    * the plan PLANS.md actually audits for the 100 TB story is this one:
+    * it must show SelectedBucketsCount pruning on both stored scans and
+    * no third (corpus) scan. Executed (not just explained) because bucket
+    * pruning is only visible in the AQE-finalized plan.
+    */
+  private def dumpStoredPhraseProbe(spark: SparkSession, sfDir: String): Unit = {
+    println("===== q97_phrase_search_stored (production probe) =====")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val docs = sources.Tables.load(spark, sfDir, "documents")
+    plans.ScaleOps.writeBucketed(
+      operators.TextAnalysis.gramIndex(docs, "doc_id", "text", k = 3),
+      "gh", 8, "plandump_gram_idx")
+    plans.ScaleOps.writeBucketed(
+      operators.TextAnalysis.tokenTable(docs, "doc_id", "text"),
+      "doc_id", 8, "plandump_tokens")
+    val probe = operators.TextAnalysis.phraseHitsStored(
+      spark, "plandump_gram_idx", "plandump_tokens", "doc_id",
+      Seq("join part filter", "the vector customer spark", "sort merge join"), k = 3)
+    probe.collect() // finalize AQE so SelectedBucketsCount is visible
+    println(probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head)
+    spark.sql("DROP TABLE IF EXISTS plandump_gram_idx")
+    spark.sql("DROP TABLE IF EXISTS plandump_tokens")
   }
 }
