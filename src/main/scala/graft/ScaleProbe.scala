@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * structure and recall difficulty — is preserved exactly, while copies
   * occupy distinct directions.
   *
-  * Usage: runMain graft.ScaleProbe [srcDir] [copies] [mode]
+  * Usage: runMain graft.ScaleProbe [srcDir] [copies] [mode] [queries]
   *   mode "queries" (default) — per-query seconds for the dedup/text
-  *        family over the scaled documents table;
+  *        family over the scaled documents table; optional 4th arg is a
+  *        comma-separated subset of the query names (e.g. the x1000
+  *        decade runs only "q95_substring_dedup,q96_bigram_lm_score");
   *   mode "ann"     — recall@5 of LSH (q41: 8 planes, hamming-1
   *        multiprobe) and IVF (q41b: nlist=16, nprobe=4) against the
   *        brute-force top-5 (q40) over the scaled embeddings, plus
@@ -60,11 +62,30 @@ object ScaleProbe {
       // duplicate structure instead of preserving it). a=1 reproduces the
       // old rotation, so copies < 26 generate byte-identical corpora.
       val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-      require(copies <= coprimes.size * 26, s"affine alphabet space exhausted at $copies copies")
       def perm(c: Int): String = {
-        val a = coprimes(c / 26); val b = c % 26
-        (0 until 26).map(i => alphabet((a * i + b) % 26)).mkString
+        if (c < coprimes.size * 26) {
+          val a = coprimes(c / 26); val b = c % 26
+          (0 until 26).map(i => alphabet((a * i + b) % 26)).mkString
+        } else {
+          // past the 312 affine maps (needed for the x1000 third decade):
+          // a Fisher-Yates permutation driven by a deterministic LCG on
+          // the copy index — same guarantee class as the affine family
+          // (two distinct letter permutations agree on O(1) letters, so
+          // no multi-token span survives across copies; single-letter
+          // token collisions already occur between affine pairs).
+          // Pairwise distinctness of ALL maps is require'd below.
+          val arr = alphabet.toCharArray
+          var s = c.toLong * 6364136223846793005L + 1442695040888963407L
+          for (i <- 25 to 1 by -1) {
+            s = s * 6364136223846793005L + 1442695040888963407L
+            val j = ((s >>> 33) % (i + 1)).toInt
+            val t = arr(i); arr(i) = arr(j); arr(j) = t
+          }
+          new String(arr)
+        }
       }
+      require((0 until copies).map(perm).distinct.size == copies,
+        s"alphabet permutations must be pairwise distinct at $copies copies")
       val scaled = (0 until copies).map { c =>
         docs.select(
           (col("doc_id") + lit(c.toLong * 100000000L)).as("doc_id"),
@@ -138,12 +159,23 @@ object ScaleProbe {
     mode match {
       case "queries" =>
         val out = scaledDocsDir(spark, src, copies)
-        val names = Seq("q35_dedup_exact", "q36_dedup_ngram_jaccard",
+        val all = Seq("q35_dedup_exact", "q36_dedup_ngram_jaccard",
           "q37_dedup_minhash", "q38_dedup_simhash", "q51_dedup_pipeline",
           "q78_repetition_signals", "q79_decontaminate", "q82_rarity_scoring",
           "q85_prep_pipeline", "q87_heavy_hitters", "q88_paragraph_dedup",
           "q89_decontaminate_bloom", "q90_cms_heavy_hitters", "q91_epoch_mix",
           "q93_curation_chain", "q95_substring_dedup", "q96_bigram_lm_score")
+        // optional 4th arg: comma-separated subset (the x1000 decade runs
+        // only its target queries — a full 17-query sweep at 5M docs is
+        // hours of probe time for rows nobody reads)
+        val names = args.lift(3) match {
+          case Some(filter) =>
+            val want = filter.split(",").map(_.trim).filter(_.nonEmpty).toSet
+            val unknown = want -- all.toSet
+            require(unknown.isEmpty, s"unknown probe queries: ${unknown.mkString(",")}")
+            all.filter(want)
+          case None => all
+        }
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           // noop write, not count(): count prunes aggregate tails (see
