@@ -103,6 +103,31 @@ object Pipeline {
     operators.DataPrep.decontaminateTwoPhase(train, eval_, idCol, textCol, n,
       expectedItems, numBits)
 
+  /** Fuzzy (near-duplicate) decontamination: drop train docs whose LSH
+    * band signature collides with an eval doc's AND whose exact shingle
+    * Jaccard confirms ≥ `threshold` — catches paraphrased eval leakage
+    * the verbatim-gram forms miss.
+    */
+  def decontaminateFuzzy(train: DataFrame, eval_ : DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.5): DataFrame =
+    operators.Dedup.decontaminateFuzzy(train, eval_, idCol, textCol, threshold)
+
+  /** The audit/report form of [[decontaminateFuzzy]]: confirmed
+    * (doc_id, eval_id, jaccard) contamination pairs.
+    */
+  def fuzzyContaminatedPairs(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame =
+    operators.Dedup.fuzzyContaminatedPairs(train, eval_, idCol, textCol, threshold)
+
+  /** Per-row bloom admission predicate over the blob from
+    * [[operators.DataPrep.evalGramBloom]] — stateless, so legal and
+    * identical in batch and Structured Streaming plans (the streaming
+    * admission gate of the curation chain).
+    */
+  def bloomAdmit(textCol: org.apache.spark.sql.Column, bf: Array[Byte],
+      n: Int): org.apache.spark.sql.Column =
+    operators.DataPrep.bloomAdmit(textCol, bf, n)
+
   /** Paragraph-level exact dedup (RefinedWeb/CCNet line dedup): remove
     * paragraphs appearing in more than `maxDf` documents, reassemble
     * survivors in order → (id, clean_text, n_kept, n_dropped).

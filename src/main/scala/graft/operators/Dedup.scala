@@ -346,6 +346,105 @@ object Dedup {
         AND doc_id NOT IN (SELECT doc_id FROM near_reject)
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q99
+  // Fuzzy (near-duplicate) decontamination: the fourth member of the
+  // decontamination family (exact q79, bloom q89, two-phase q98 — all in
+  // DataPrep). Exact-gram overlap misses PARAPHRASED leakage — an eval
+  // item lightly reworded into a training doc shares near-identical
+  // shingle sets but not necessarily any verbatim n-gram run — so
+  // production pipelines pair the exact pass with a near-dup pass
+  // against the eval suite. A train doc drops when (a) any of its 4 LSH
+  // band signatures collides with an eval doc's (the q37 banding, so
+  // ~Jaccard ≥ 0.5 candidates surface) AND (b) exact shingle Jaccard
+  // against that eval doc confirms ≥ `threshold` (banding alone
+  // over-drops at its collision-probability tail; the confirm is
+  // UNCAPPED, the q51 discipline — a df-capped confirm would silently
+  // admit heavily-duplicated leakage).
+  //
+  // Shape at 100 TB: eval band signatures broadcast (eval suites are
+  // small by definition); candidate pairs are band-bucket collisions,
+  // never a train×eval cross; the exact-Jaccard confirm touches only
+  // candidate docs' shingles — the eval side shrinks to candidate eval
+  // docs before its broadcast, the train side is a semi-join-confined
+  // scan. The corpus text is never reshuffled; shingle strings cross
+  // the wire only inside the candidate-confined confirm broadcast.
+  /** The contaminated train ids with their best-matching eval doc and
+    * exact Jaccard (the audit/report form; [[decontaminateFuzzy]] is the
+    * corpus-filter form). `threshold` compares against exact shingle
+    * Jaccard computed over ALL shingles of the candidate docs.
+    */
+  def fuzzyContaminatedPairs(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val trainD = train.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val evalD = eval_.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val cands = bandSigs(trainD)
+      .join(broadcast(bandSigs(evalD)
+        .select(col("doc_id").as("eval_id"), col("band"), col("sig"))),
+        Seq("band", "sig"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    val trainSh = shingleRows(trainD)
+      .join(cands.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+    val evalSh = shingleRows(evalD)
+      .select(col("doc_id").as("eval_id"), col("s"))
+      .join(cands.select("eval_id").distinct(), Seq("eval_id"), "left_semi")
+    val na = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    val nb = evalSh.groupBy(col("eval_id")).agg(count(lit(1)).as("nb"))
+    trainSh.join(broadcast(evalSh), "s")
+      .groupBy(col("doc_id"), col("eval_id")).agg(count(lit(1)).as("c"))
+      .join(cands, Seq("doc_id", "eval_id"), "left_semi")
+      .join(na, "doc_id").join(broadcast(nb), "eval_id")
+      .select(col("doc_id"), col("eval_id"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-duplicate decontamination — [[fuzzyContaminatedPairs]] as a
+    * corpus filter: the kept training rows. Complements DataPrep's
+    * verbatim-overlap forms; a complete admission gate runs both (the
+    * exact pass catches short verbatim quotes below banding's Jaccard
+    * floor, this pass catches paraphrases with no verbatim 4-gram).
+    */
+  def decontaminateFuzzy(train: DataFrame, eval_ : DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.5): DataFrame =
+    train.join(
+      fuzzyContaminatedPairs(train, eval_, idCol, textCol, threshold)
+        .select(col("doc_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  private val q99 = GraftQuery(
+    "q99_decontaminate_fuzzy",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      decontaminateFuzzy(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $shingleSql,
+      $bandSql,
+      cands AS (SELECT DISTINCT tb.doc_id, eb.doc_id AS eval_id
+                FROM bands tb JOIN bands eb ON tb.band = eb.band AND tb.sig = eb.sig
+                WHERE tb.doc_id % 97 <> 0 AND eb.doc_id % 97 = 0),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (SELECT cd.doc_id, cd.eval_id, COUNT(*) AS c
+                 FROM cands cd
+                 JOIN sh a ON a.doc_id = cd.doc_id
+                 JOIN sh b ON b.doc_id = cd.eval_id AND b.s = a.s
+                 GROUP BY cd.doc_id, cd.eval_id),
+      dropped AS (SELECT DISTINCT common.doc_id
+                  FROM common
+                  JOIN sizes sa ON sa.doc_id = common.doc_id
+                  JOIN sizes sb ON sb.doc_id = common.eval_id
+                  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5)
+      SELECT doc_id, source, lang, n_chars
+      FROM documents
+      WHERE doc_id % 97 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM dropped)
+      ORDER BY doc_id"""))
+
   /** Paragraph-level exact dedup (the RefinedWeb/CCNet "line dedup"
     * curation step): remove every paragraph whose document frequency
     * exceeds `maxDf` — boilerplate (nav bars, licence headers, cookie
@@ -581,5 +680,5 @@ object Dedup {
         ORDER BY doc_id"""))
   }
 
-  val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70, q81, q88, q95)
+  val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70, q81, q88, q95, q99)
 }

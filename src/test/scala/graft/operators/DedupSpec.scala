@@ -155,6 +155,59 @@ class DedupSpec extends SparkSpec {
     assert(texts.filter(col("n_dropped") > 0).count() > 0)
   }
 
+  test("fuzzy decontamination: exact eval copy drops, disjoint and tiny docs survive") {
+    import spark.implicits._
+    val evalText = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val evalSet = Seq((970L, evalText)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, evalText),                                  // exact copy: all bands collide, J=1.0
+      (2L, "nothing in common with anything at all here"), // disjoint
+      (3L, "tiny doc")                                 // < 3 tokens: no shingles, no bands
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminateFuzzy(train, evalSet, "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    val pairs = Dedup.fuzzyContaminatedPairs(train, evalSet, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 970L, 1.0)))
+  }
+
+  test("fuzzy decontamination: the exact-Jaccard confirm rejects sub-threshold band collisions") {
+    import spark.implicits._
+    val evalText = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val evalSet = Seq((970L, evalText)).toDF("doc_id", "text")
+    // a strict near-dup: eval text minus its last token → J = 7/8 < 1.0.
+    // Whether its bands collide is fixed by the pinned md5 hash family
+    // (q37 oracle), but EITHER path must keep it at threshold 1.0 —
+    // no candidate, or candidate rejected by the confirm.
+    val near = Seq((5L, "alpha bravo charlie delta echo foxtrot golf hotel india"))
+      .toDF("doc_id", "text")
+    val keptStrict = Dedup.decontaminateFuzzy(near, evalSet, "doc_id", "text", 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptStrict == Set(5L))
+    // at 0.5 the same doc IS a confirmed near-dup (J = 0.875): this pins
+    // that banding actually surfaces it as a candidate
+    val pairs = Dedup.fuzzyContaminatedPairs(near, evalSet, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((5L, 970L, 0.875)))
+  }
+
+  test("fuzzy decontamination on the corpus: every reported pair meets the threshold") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    val pairs = Dedup.fuzzyContaminatedPairs(train, evalSet, "doc_id", "text", 0.5)
+      .collect()
+    assert(pairs.nonEmpty, "the sf0.001 corpus must contain near-dups of eval docs")
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+    val droppedIds = pairs.map(_.getLong(0)).toSet
+    val kept = Dedup.decontaminateFuzzy(train, evalSet, "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val trainIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == trainIds -- droppedIds)
+  }
+
   private implicit class RowsToMap(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
