@@ -76,6 +76,15 @@ object Bench {
   val SUSPECT_FACTOR = 2.0
   val SUSPECT_MIN_ABS_SEC = 0.3
   val COOLDOWN_MS = 8000
+  // Escalating-cooldown retries for inflated entries. Round 8's driver
+  // bench failed on three queries that re-measured fine on an idle
+  // machine (q67 16.0s under load, 4.3s idle — code unchanged since
+  // round 7): a single 8s cooldown is shorter than typical co-tenant
+  // bursts, so one loaded minute turned into a red round. Three retries
+  // at 8s/24s/72s give ~100s for transient load to drain while a real
+  // plan regression still fails every attempt and exits nonzero.
+  val MAX_RETRIES = 3
+  val COOLDOWN_ESCALATION = 3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,17 +149,39 @@ object Bench {
     // query latency: run q41b once up front so the fitted model lands in
     // Similarity's index cache, report that as *_build, and let the timed
     // loop below measure the probe-only path like any other query.
+    // Median-of-reps isn't available for the build (the fit caches), so
+    // its contention defense is the retry loop: clear the quantizer cache
+    // and re-fit after an escalating cooldown while the single-shot time
+    // stays over the suspect threshold (round 8: 11.2s under co-tenant
+    // load vs 5.4s baseline with nothing in the build path changed).
     val ivfBuild: Option[Double] = if (!selected("q41b_ann_ivf")) None else {
-      val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries("q41b_ann_ivf")(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        Some((System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable =>
-        failures += "q41b_ann_ivf_build" // a bogus build time must not pass silently
-        System.err.println(s"[bench] q41b index build FAILED: ${e.getMessage}")
-        None
+      def buildOnce(): Option[Double] = {
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries("q41b_ann_ivf")(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          failures += "q41b_ann_ivf_build" // a bogus build time must not pass silently
+          System.err.println(s"[bench] q41b index build FAILED: ${e.getMessage}")
+          None
+        }
       }
+      var best = buildOnce()
+      var attempt = 0
+      var cooldown = COOLDOWN_MS.toLong
+      while (best.exists(t => isSuspect(t, baseline.get("q41b_ann_ivf_build"),
+          SUSPECT_FACTOR, SUSPECT_MIN_ABS_SEC)) && attempt < MAX_RETRIES) {
+        attempt += 1
+        System.err.println(s"[bench] q41b build inflated vs baseline, " +
+          s"retry $attempt/$MAX_RETRIES after ${cooldown / 1000}s cooldown")
+        Thread.sleep(cooldown)
+        cooldown *= COOLDOWN_ESCALATION
+        graft.operators.Similarity.clearIvfIndexCache()
+        best = (best.toSeq ++ buildOnce().toSeq).minOption
+      }
+      best // the cache is warm again after the last re-fit: the timed
+           // loop below still measures the probe-only path
     }
 
     // median of 3 runs per query: single-shot timing can't separate a
@@ -200,23 +231,36 @@ object Bench {
       }
 
     // contention defense: anything >SUSPECT_FACTOR× its quiet baseline is
-    // re-measured once after a cooldown; keep the BETTER median (external
-    // load only ever inflates wall time, so min is the honest estimate)
+    // re-measured after an escalating cooldown (up to MAX_RETRIES times);
+    // keep the BEST median seen (external load only ever inflates wall
+    // time, so min is the honest estimate). A query that recovers below
+    // the threshold on any attempt stops retrying.
     val inflated = firstPass.collect {
       case (name, (med, _)) if isSuspect(med, baseline.get(name),
         SUSPECT_FACTOR, SUSPECT_MIN_ABS_SEC) => name
     }
-    val reruns: Map[String, (Double, Double)] =
-      if (inflated.isEmpty) Map.empty
-      else {
-        System.err.println(s"[bench] ${inflated.size} inflated vs baseline, " +
-          s"re-running after cooldown: ${inflated.mkString(",")}")
-        Thread.sleep(COOLDOWN_MS)
-        inflated.flatMap { name =>
-          measure(name, SparkEntry.queries(name), recordFailure = false)
-            .map(name -> _)
-        }.toMap
+    val reruns = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    var pending = inflated.toSeq
+    var attempt = 0
+    var cooldown = COOLDOWN_MS.toLong
+    while (pending.nonEmpty && attempt < MAX_RETRIES) {
+      attempt += 1
+      System.err.println(s"[bench] ${pending.size} inflated vs baseline, " +
+        s"retry $attempt/$MAX_RETRIES after ${cooldown / 1000}s cooldown: " +
+        pending.mkString(","))
+      Thread.sleep(cooldown)
+      cooldown *= COOLDOWN_ESCALATION
+      pending = pending.filter { name =>
+        measure(name, SparkEntry.queries(name), recordFailure = false) match {
+          case Some(r @ (med, _)) =>
+            if (reruns.get(name).forall(_._1 > med)) reruns(name) = r
+            // retry again only while still over the threshold
+            isSuspect(reruns(name)._1, baseline.get(name),
+              SUSPECT_FACTOR, SUSPECT_MIN_ABS_SEC)
+          case None => false // measurement failure already reported
+        }
       }
+    }
 
     val results = firstPass.map { case (name, (med, ratio)) =>
       reruns.get(name) match {

@@ -590,6 +590,95 @@ object DataPrep {
       .drop("__h", "__b", "__lr", "__off")
   }
 
+  /** Distributed deterministic running sum: SUM(weightCol) over
+    * `PARTITION BY groupCol ORDER BY md5(idCol), idCol ROWS UNBOUNDED
+    * PRECEDING`, computed with the same two-level trick as
+    * [[md5BucketRank]] (local cumsum within (group, md5-prefix bucket) +
+    * broadcast exclusive-prefix-summed bucket totals) — a plain
+    * partitioned window would pull every row of a group through ONE task.
+    * `weightCol` is summed as LONG (exact at any corpus size; a double
+    * running sum would drift with partial ordering); `idCol` must be
+    * non-null (same precondition and reason as md5BucketRank).
+    */
+  def md5BucketCumsum(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, cumAs: String, hexChars: Int = 3): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8, s"hexChars in [1,8], got $hexChars")
+    val withKey = df
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__b", hexPrefixBucket(col("__h"), hexChars))
+      .withColumn("__w", col(weightCol).cast("long"))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = withKey.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("__w")).as("__c"))
+    val offW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
+      .select(col(groupCol), col("__b"), col("__off"))
+    withKey
+      .withColumn("__lc", sum(col("__w")).over(localW))
+      .join(broadcast(offsets), Seq(groupCol, "__b"))
+      .withColumn(cumAs, col("__off") + col("__lc"))
+      .drop("__h", "__b", "__w", "__lc", "__off")
+  }
+
+  /** Weighted systematic sampling (probability-proportional-to-size): lay
+    * every row of a group along a line in deterministic (md5(id), id)
+    * order, each row occupying `weightCol` units, and keep the rows whose
+    * span crosses a multiple of `step` — classic systematic PPS sampling
+    * with the hash order standing in for the random permutation. Each row
+    * is kept with probability ≈ weight/step (exactly 1 for weight ≥
+    * step), the sample size is tightly concentrated at
+    * total_weight/step, and — like every sampler in this file — the
+    * decision is rerun-stable and engine-reproducible: no RNG state,
+    * identical output on any partitioning.
+    *
+    * All arithmetic is integer (LONG cumsum, integer DIV), so an oracle
+    * replaying the same formula matches bit-for-bit — no transcendental
+    * key (the exponential-variate weighted-sampling trick needs pow/log,
+    * whose last-ulp differs across engines). Weights must be ≥ 0;
+    * zero-weight rows are never selected (their span is empty).
+    *
+    * Scale: one [[md5BucketCumsum]] (parallel within md5-prefix buckets,
+    * broadcast offsets) + a stateless row-local predicate — no global
+    * sort, no per-group single-task window, nothing driver-sided.
+    */
+  def weightedSystematicSample(df: DataFrame, groupCol: String,
+      idCol: String, weightCol: String, step: Long): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    md5BucketCumsum(df, groupCol, idCol, weightCol, "__cw")
+      .filter(expr(s"__cw DIV $step") >
+        expr(s"(__cw - CAST($weightCol AS LONG)) DIV $step"))
+      .drop("__cw")
+  }
+
+  // --------------------------------------------------------------- q101
+  // Declared weighted-sampling query: one document per ~2k chars of each
+  // source, proportional to document length. The oracle replays the exact
+  // integer arithmetic over the same (md5, id) order — selection is
+  // hash-pinned, not just count-checked.
+  private val q101 = GraftQuery(
+    "q101_weighted_sample",
+    (s, dir) => weightedSystematicSample(Tables.documents(s, dir),
+        "source", "doc_id", "n_chars", step = 2000L)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH c AS (
+        SELECT doc_id, source, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cw
+        FROM documents)
+      SELECT doc_id, source, n_chars FROM c
+      WHERE cw // 2000 > (cw - n_chars) // 2000
+      ORDER BY doc_id"""))
+
   def epochMix(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, targetDocs: Long): DataFrame = {
     require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")
@@ -788,5 +877,5 @@ object DataPrep {
             FROM documents) t
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84, q85, q86, q89, q91, q98)
+  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84, q85, q86, q89, q91, q98, q101)
 }

@@ -242,6 +242,13 @@ object Similarity {
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.clustering.KMeansModel]
 
+  /** Drop every cached quantizer so the next `ivfModel` call re-fits.
+    * For measurement harnesses only (Bench retries an inflated build
+    * time — without this the retry would hit the cache and time the
+    * probe, not the build); never needed for correctness, since the
+    * cache key already includes a data fingerprint. */
+  private[graft] def clearIvfIndexCache(): Unit = ivfIndexCache.clear()
+
   private def dataFingerprint(df: DataFrame): String =
     df.inputFiles.sorted.map { f =>
       try {
@@ -579,5 +586,112 @@ object Similarity {
     None,
     oracleGen = Some(() => semanticDedupOracleSql))
 
-  val all: Seq[GraftQuery] = Seq(q39, q40, q41, q41c, q41d, q42b, q53, q83)
+  // --------------------------------------------------------------- q103
+  // Lloyd's k-means as PURE engine operators — the clustering loop
+  // without spark.ml: deterministic hash-order seeding, assignment as
+  // sequential folds over centroid literals (the q41d machinery), and
+  // the mean update through q53's exact 2^40 integer scaling. One
+  // iteration = one broadcast (k×dim literals in the plan), one corpus
+  // scan, one (cell, dim)-keyed partial agg — k×dim output rows. At
+  // 100 TB each iteration shuffles k×dim×tasks partial rows, nothing
+  // else; the driver holds only k×dim doubles between iterations.
+  // spark.ml's KMeans does the same dance with more machinery — having
+  // the step as a first-class operator makes the arithmetic oracle-able
+  // and lets pipelines fuse it (e.g. assignment reuse for SemDeDup).
+
+  /** Deterministic seeds: the k vectors ranking first by (md5(vec_id),
+    * vec_id) — rerun-stable, engine-reproducible (same hash order as the
+    * sampling family), and a bounded driver collect (k×dim doubles).
+    * TakeOrderedAndProject does the global top-k without a full sort.
+    */
+  def kmeansInit(embeddings: DataFrame, k: Int): Array[Array[Double]] = {
+    require(k >= 1, s"k must be positive, got $k")
+    vecs(embeddings)
+      .withColumn("__h", md5(col("vec_id").cast("string")))
+      .orderBy(col("__h"), col("vec_id"))
+      .limit(k)
+      .select(col("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+  }
+
+  /** One Lloyd iteration against centroid literals: assign every vector
+    * to its nearest centroid (sequential-fold squared distance, smallest
+    * index on ties — bit-identical to the q41d oracle arithmetic), then
+    * emit each cell's element-wise mean. Exactness: scaling a
+    * float-origin double by 2^40 is lossless, so sums are exact BIGINTs
+    * and the mean is aggregation-order-independent (the q53 scheme).
+    * Output: (cell, dim, n, c_new); empty cells emit no rows (their
+    * centroid is unchanged — callers keep the old one, the standard
+    * Lloyd treatment).
+    */
+  def kmeansStep(embeddings: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val scale = 1099511627776.0 // 2^40
+    withCells(vecs(embeddings), cents)
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("sx", floor(col("x") * lit(scale)).cast("long"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("sx")).as("ssum"), count(lit(1)).as("n"))
+      .select(col("cell"), col("dim").cast("int").as("dim"), col("n"),
+        (col("ssum").cast("double") / lit(scale) / col("n")).as("c_new"))
+  }
+
+  /** Full trainer: `iters` Lloyd iterations from the hash-order seeds.
+    * Between iterations only k×dim doubles cross the driver; every
+    * data-touching step is [[kmeansStep]]'s single scan. Empty cells
+    * keep their previous centroid. */
+  def kmeansFit(embeddings: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    var cents = kmeansInit(embeddings, k)
+    for (_ <- 0 until iters) {
+      val updated = kmeansStep(embeddings, cents)
+        .select(col("cell"), col("dim"), col("c_new")).collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  // Declared query: one k=8 step from the deterministic seeds. The
+  // oracle needs NO generated literals — the seeds are data-derived by
+  // the same (md5, id) ranking, so DuckDB re-derives them and replays
+  // assignment + exact-scaled means end to end. (A second step would
+  // need centroid literals — covered for the fitted-model family by
+  // q41b/q41d's generated oracles; the arithmetic is identical.)
+  private val q103 = GraftQuery(
+    "q103_kmeans_step",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      kmeansStep(emb, kmeansInit(emb, k = 8))
+        .orderBy(col("cell"), col("dim"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      r AS (SELECT vec_id, v,
+                   ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+            FROM e),
+      init AS (SELECT CAST(rk - 1 AS INT) AS cid, v AS cv FROM r WHERE rk <= 8),
+      d AS (SELECT e.vec_id, i.cid,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(list_zip(i.cv, e.v), p -> (p[1]-p[2])*(p[1]-p[2]))),
+                     (s, x) -> s + x) AS dist
+            FROM e CROSS JOIN init i),
+      a AS (SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d),
+      asg AS (SELECT vec_id, cid AS cell FROM a WHERE rn = 1),
+      u AS (SELECT a.cell, generate_subscripts(e.v, 1) AS i,
+                   CAST(floor(unnest(e.v) * 1099511627776.0) AS BIGINT) AS sx
+            FROM e JOIN asg a USING (vec_id))
+      SELECT cell, CAST(i - 1 AS INT) AS dim, COUNT(*) AS n,
+             CAST(SUM(sx) AS DOUBLE) / 1099511627776.0 / COUNT(*) AS c_new
+      FROM u
+      GROUP BY cell, i
+      ORDER BY cell, dim"""))
+
+  val all: Seq[GraftQuery] = Seq(q39, q40, q41, q41c, q41d, q42b, q53, q83, q103)
 }

@@ -46,17 +46,30 @@ object Tables {
     }
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads via the
-    * nanosAsLong legacy conf; normalize to TimestampType (µs) here so every
-    * downstream operator sees a plain timestamp column.
+  /** Canonicalizes `ts` to plain TimestampType (µs) whatever the parquet
+    * writer emitted. The driver's generator has produced two shapes:
+    * TIMESTAMP(NANOS), which Spark 4 only reads via the nanosAsLong
+    * legacy conf (→ LongType here), and un-adjusted TIMESTAMP(MICROS),
+    * which infers as TIMESTAMP_NTZ — valid for batch but rejected by a
+    * streaming watermark (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The NTZ
+    * cast is wall-clock-preserving under the engine's pinned UTC session
+    * timezone, so batch results (and their oracles) are unchanged.
+    * Shared by the batch accessor and the streaming source, so both see
+    * the SAME column type — the batch/stream parity tests depend on it.
     */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   def eventsNormalized(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else raw
+    normalizeTs(load(spark, dir, "events"))
   }
 
   /** Registers every driver table as a temp view so the engine is fully

@@ -155,8 +155,9 @@ object Streams {
       .schema(graft.sources.Tables.load(spark, dir, "events").schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    // same ts canonicalization as the batch accessor (NANOS-as-long and
+    // TIMESTAMP_NTZ shapes both land on TimestampType) — a watermark
+    // requires TimestampType, and batch/stream parity requires sameness
+    graft.sources.Tables.normalizeTs(raw)
   }
 }
