@@ -288,4 +288,50 @@ class DataPrepSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
       s"expected partial rank-limit pushdown:\n$plan")
   }
+
+  test("md5BucketCumsum equals the naive per-group window at every hexChars") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // adversarial-ish: one hot group, two tiny ones, weights incl. zeros
+    val rows = (1 to 400).map(i =>
+      (i.toLong, if (i <= 360) "hot" else if (i <= 380) "warm" else "cold",
+        if (i % 7 == 0) 0L else rnd.nextInt(1000).toLong))
+    val df = rows.toDF("id", "g", "w")
+    val naive = df.withColumn("cw",
+      sum(col("w")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g"))
+        .orderBy(md5(col("id").cast("string")), col("id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select("id", "cw").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (hexChars <- Seq(1, 2, 3, 8)) {
+      val got = DataPrep.md5BucketCumsum(df, "g", "id", "w", "cw", hexChars)
+        .select("id", "cw").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naive, s"hexChars=$hexChars")
+    }
+  }
+
+  test("weighted systematic sample: PPS selection laws + rerun stability") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(i =>
+      (i.toLong, s"s${i % 4}", rnd.nextInt(400).toLong)) ++
+      Seq((501L, "s0", 0L), (502L, "s1", 5000L)) // zero-weight + giant
+    val df = rows.toDF("id", "g", "w")
+    val step = 1000L
+    val picked = DataPrep.weightedSystematicSample(df, "g", "id", "w", step)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // a zero-weight row is never selected; a row with weight >= step always is
+    assert(!picked.contains(501L))
+    assert(picked.contains(502L))
+    // sample size concentrates at total/step: off by at most one per group
+    val totals = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val expected = totals.values.map(_ / step).sum
+    assert(math.abs(picked.size - expected) <= totals.size,
+      s"got ${picked.size}, expected ~$expected")
+    // partitioning-independent: same selection from a different layout
+    val repicked = DataPrep.weightedSystematicSample(
+      df.repartition(13, col("w")), "g", "id", "w", step)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(repicked == picked)
+  }
 }

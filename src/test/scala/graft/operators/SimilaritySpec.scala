@@ -137,4 +137,58 @@ class SimilaritySpec extends SparkSpec {
     assert(survivors == ids.toSet -- dropped,
       s"survivors=${survivors.size} total=${ids.size} dropped=${dropped.size}")
   }
+
+  test("kmeansStep matches a driver-side replay of the same arithmetic") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val cents = Similarity.kmeansInit(emb, 4)
+    val got = Similarity.kmeansStep(emb, cents)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // naive replay: same sequential fold distances, smallest-index argmin,
+    // same 2^40 integer-scaled means
+    val vs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dist(c: Array[Double], v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = c(i) - v(i); s += d * d; i += 1 }
+      s
+    }
+    val scale = 1099511627776.0
+    val assign = vs.view.mapValues { v =>
+      val ds = cents.map(dist(_, v)); ds.indexOf(ds.min)
+    }.toMap
+    val expected = (for {
+      cell <- cents.indices
+      members = vs.collect { case (id, v) if assign(id) == cell => v }.toSeq
+      if members.nonEmpty
+      dim <- members.head.indices
+    } yield {
+      val ssum = members.map(v => math.floor(v(dim) * scale).toLong).sum
+      (cell, dim) -> (members.size.toLong, ssum.toDouble / scale / members.size)
+    }).toMap
+    assert(got == expected)
+  }
+
+  test("kmeansFit: deterministic across partitioning, SSE non-increasing") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val f1 = Similarity.kmeansFit(emb, k = 4, iters = 2)
+    val f2 = Similarity.kmeansFit(emb.repartition(7), k = 4, iters = 2)
+    assert(f1.map(_.toSeq).toSeq == f2.map(_.toSeq).toSeq)
+    // Lloyd monotonicity: total within-cluster SSE never goes up
+    val vs = emb.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    def sse(cents: Array[Array[Double]]): Double =
+      vs.map { v =>
+        cents.map { c =>
+          var s = 0.0; var i = 0
+          while (i < c.length) { val d = c(i) - v(i); s += d * d; i += 1 }
+          s
+        }.min
+      }.sum
+    val s0 = sse(Similarity.kmeansInit(emb, 4))
+    val s1 = sse(Similarity.kmeansFit(emb, 4, 1))
+    val s2 = sse(f1)
+    assert(s1 <= s0 * (1 + 1e-9) && s2 <= s1 * (1 + 1e-9), s"$s0 -> $s1 -> $s2")
+  }
 }
