@@ -40,7 +40,10 @@ import org.apache.spark.sql.functions._
   *   mode "phrase"  — q97's stored-artifact probe: builds the bucketed
   *        gram index + token table once, then times phraseHitsStored
   *        alone — probe latency must stay ~flat as copies grow
-  *        (VERDICT r7 #1).
+  *        (VERDICT r7 #1);
+  *   mode "zorder"  — 2-dim box scan over a z-ordered vs 1-dim-sorted
+  *        lineitem layout: rows delivered by the pruned parquet scans
+  *        and wall times, at growing corpus size (round 9).
   * Prints one JSON line per run. All timed full-query runs materialize
   * via the noop sink (see Bench scaladoc — .count() prunes agg tails).
   */
@@ -407,9 +410,77 @@ object ScaleProbe {
         spark.sql(s"DROP TABLE IF EXISTS $tokTbl")
         println(s"""{"metric":"phrase_probe","copies":$copies,"n_docs":$nDocs,"n_hits":$nHits,"build_sec":$tBuild,"probe_sec":[${probeTimes.map(t => f"$t%.3f").mkString(",")}],"src":"$src"}""")
 
+      case "zorder" =>
+        // Measured 2-dim pruning decade: the same box predicate against a
+        // z-ordered layout vs a 1-dim-sorted layout of the same rows, at
+        // growing corpus size. The claim under test: the 1-dim layout's
+        // scan cost tracks ITS dimension's selectivity (25% here) while
+        // the z-layout's tracks the box volume (25% × 10% = 2.5%) — a
+        // constant-factor gap that WIDENS in absolute terms with corpus
+        // size, which is why layout is a 100 TB concern at all.
+        val out = s"/root/repo/target/tmp/scaleprobe_li_x$copies"
+        val liPath = s"$out/lineitem.parquet"
+        if (!new java.io.File(s"$liPath/_SUCCESS").exists) {
+          val li = graft.sources.Tables.load(spark, src, "lineitem")
+          val scaled = (0 until copies).map { c =>
+            li.withColumn("l_orderkey",
+              col("l_orderkey") + lit(c.toLong * 10000000000L))
+          }.reduce(_ unionByName _)
+          scaled.repartition(spark.sparkContext.defaultParallelism)
+            .write.mode("overwrite").parquet(liPath)
+        }
+        val li = graft.sources.Tables.load(spark, out, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"))
+        // linear min/max normalization of both dims into 16 bits — the
+        // caller-side bucketing zorder16's scaladoc prescribes (rank
+        // bucketing would serve skewed keys; these are uniform)
+        val mm = li.agg(min("l_partkey"), max("l_partkey"),
+          min("l_suppkey"), max("l_suppkey")).head()
+        val (pLo, pHi) = (mm.getLong(0), mm.getLong(1))
+        val (sLo, sHi) = (mm.getLong(2), mm.getLong(3))
+        def to16(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+          ((c - lit(lo)) * lit(65535L) / lit(math.max(1L, hi - lo))).cast("long")
+        val keyed = li
+          .withColumn("x16", to16(col("l_partkey"), pLo, pHi))
+          .withColumn("y16", to16(col("l_suppkey"), sLo, sHi))
+        val nRows = keyed.count()
+        val zDir = s"$out/z_layout"
+        val linDir = s"$out/lin_layout"
+        val filesN = 64
+        val rpf = math.max(4096L, nRows / 256)
+        val (_, tZw) = timed(graft.plans.ScaleOps.writeZOrdered(
+          keyed, "x16", "y16", zDir, filesN, rpf))
+        val (_, tLw) = timed(keyed
+          .repartitionByRange(filesN, col("x16")).sortWithinPartitions(col("x16"))
+          .write.mode("overwrite").option("maxRecordsPerFile", rpf).parquet(linDir))
+        val pred = col("x16") < lit(16384) && col("y16") < lit(6554)
+        def scanRows(dir: String): (Long, Long, Double) = {
+          val df = spark.read.parquet(dir).filter(pred)
+          // collect (not count/noop): those build a separate
+          // QueryExecution, leaving THIS plan's scan metrics at zero
+          val (n, t) = timed(df.collect().length.toLong)
+          val plan = df.queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case p => p
+          }
+          val read = plan.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+              s.metrics("numOutputRows").value
+          }.sum
+          (n, read, t)
+        }
+        val (nBoxZ, zRead, _) = scanRows(zDir) // warm file listing
+        val zReps = (1 to 3).map(_ => scanRows(zDir)._3)
+        val (nBoxL, lRead, _) = scanRows(linDir)
+        val lReps = (1 to 3).map(_ => scanRows(linDir)._3)
+        require(nBoxZ == nBoxL, s"layouts disagree: $nBoxZ vs $nBoxL")
+        println(s"""{"metric":"zorder_probe","copies":$copies,"n_rows":$nRows,"box_rows":$nBoxZ,"z_scan_rows":$zRead,"lin_scan_rows":$lRead,"z_write_sec":$tZw,"lin_write_sec":$tLw,"z_sec":[${zReps.map(t => f"$t%.3f").mkString(",")}],"lin_sec":[${lReps.map(t => f"$t%.3f").mkString(",")}],"src":"$src"}""")
+
       case other =>
         System.err.println(
-          s"unknown mode: $other (expected queries|ann|annc|lshcurve|sketches|cc|phrase)")
+          s"unknown mode: $other (expected queries|ann|annc|lshcurve|sketches|cc|phrase|zorder)")
         sys.exit(2)
     }
     spark.stop()

@@ -94,7 +94,11 @@ object Profiler {
   private val q100 = GraftQuery(
     "q100_profile",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // RAW accessor, not Tables.documents: the widening repartition
+      // exists for CPU-heavy per-row pipelines; a profiler is scan-bound,
+      // and paying the full-text exchange once per sub-scan (the main
+      // pass + five exact-distinct scans) tripled the measured cost
+      val docs = Tables.load(s, dir, "documents")
       profile(docs, docCols)
         .join(exactDistincts(docs, docCols), Seq("col_name"))
         .select(
