@@ -319,4 +319,76 @@ object Aggregators {
     def bufferEncoder: Encoder[QuantileSummaries] = Encoders.kryo[QuantileSummaries]
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** Exact-integer first/second moments of a dim-dimensional embedding
+    * column — the input to a covariance matrix, as ONE mergeable buffer.
+    *
+    * Every accumulated term is `floor(value × 2^40)` as a BIGINT:
+    * float-origin doubles multiply exactly (24-bit × 24-bit mantissas fit
+    * a double), the 2^40 scale is a lossless exponent shift, and integer
+    * sums are aggregation-order-independent — so the finished moments are
+    * bit-identical at any parallelism AND replayable by an external
+    * engine (the q53/q103 exactness scheme, extended to products).
+    *
+    * Buffer/output layout (flat LONG array, driver-side consumers index
+    * it): `[ n | Sx(0..d-1) | upper-triangle ΣSxy row-major (d(d+1)/2) ]`.
+    * The aggregator does d(d+1)/2 multiply-adds per row; state is
+    * ~8·(1+d+d(d+1)/2) bytes (17 KB at d=64) per partition — partial
+    * aggregation applies, the shuffle carries one buffer per task, and
+    * per-shard states can be persisted and folded later by summing
+    * element-wise (same merge the triad sketches use).
+    */
+  class MomentsAggregator(dim: Int)
+      extends Aggregator[Seq[Double], Array[Long], Seq[Long]] {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    private val nPairs = dim * (dim + 1) / 2
+    private val scale = 1099511627776.0 // 2^40
+    def zero: Array[Long] = new Array[Long](1 + dim + nPairs)
+    def reduce(b: Array[Long], v: Seq[Double]): Array[Long] = {
+      require(v.length == dim, s"expected $dim dims, got ${v.length}")
+      val a = v.toArray
+      b(0) += 1L
+      var i = 0
+      var t = 1 + dim
+      while (i < dim) {
+        b(1 + i) += math.floor(a(i) * scale).toLong
+        var j = i
+        while (j < dim) {
+          b(t) += math.floor(a(i) * a(j) * scale).toLong
+          t += 1; j += 1
+        }
+        i += 1
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    /** Output expands the triangle to the FULL row-major d×d matrix:
+      * `[ n | Sx(d) | Sxy(d*d) ]` — then a consumer derives (i, j) from a
+      * flat position with pure integer arithmetic (p DIV d, p MOD d),
+      * which an oracle can replay without inverting triangle indexing. */
+    def finish(b: Array[Long]): Seq[Long] = {
+      val out = new Array[Long](1 + dim + dim * dim)
+      System.arraycopy(b, 0, out, 0, 1 + dim)
+      var i = 0
+      var t = 1 + dim
+      while (i < dim) {
+        var j = i
+        while (j < dim) {
+          out(1 + dim + i * dim + j) = b(t)
+          out(1 + dim + j * dim + i) = b(t)
+          t += 1; j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
 }

@@ -693,5 +693,123 @@ object Similarity {
       GROUP BY cell, i
       ORDER BY cell, dim"""))
 
-  val all: Seq[GraftQuery] = Seq(q39, q40, q41, q41c, q41d, q42b, q53, q83, q103)
+  // --------------------------------------------------------------- q104
+  // Embedding covariance + PCA — the embedding-hygiene pass (whitening,
+  // anisotropy checks, dominant-direction removal à la all-but-the-top)
+  // a pipeline runs before indexing or clustering. One mergeable
+  // MomentsAggregator buffer holds every first/second moment as exact
+  // floor-scaled BIGINTs, so the full d×d covariance costs ONE scan +
+  // one ~17 KB buffer per task — no d²-keyed shuffle, no per-pair pass —
+  // and the arithmetic is bit-replayable by the oracle. Eigen-extraction
+  // is a driver-side power iteration over the d×d matrix (4 KB at d=64):
+  // the data-scale work is the moment pass; the O(d²) tail is not a
+  // distributed problem.
+
+  /** (i, j, n, cov) for the upper triangle (j ≥ i) of the d×d covariance
+    * of the embedding column: cov = E[xy] − E[x]E[y] over the exact
+    * scaled sums. The flat→(i,j) mapping is integer DIV/MOD over the
+    * full-matrix layout the aggregator emits.
+    */
+  def covariance(embeddings: DataFrame, dim: Int): DataFrame = {
+    val scale = 1099511627776.0 // 2^40
+    val mom = udaf(new graft.mr.Aggregators.MomentsAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    embeddings.select(col("embedding").cast("array<double>").as("v"))
+      .agg(mom(col("v")).as("m"))
+      .select(col("m"),
+        posexplode(slice(col("m"), dim + 2, dim * dim)).as(Seq("p", "sxy")))
+      .select(
+        expr(s"CAST(p DIV $dim AS INT)").as("i"),
+        expr(s"CAST(p % $dim AS INT)").as("j"),
+        element_at(col("m"), 1).as("n"),
+        col("sxy"), col("m"))
+      .filter(col("j") >= col("i"))
+      .select(col("i"), col("j"), col("n"),
+        (col("sxy").cast("double") / lit(scale) / col("n") -
+          (element_at(col("m"), col("i") + 2).cast("double") / lit(scale) / col("n")) *
+          (element_at(col("m"), col("j") + 2).cast("double") / lit(scale) / col("n")))
+          .as("cov"))
+  }
+
+  /** The covariance as a driver-side d×d array (one collect of the d(d+1)/2
+    * triangle — bounded, 17 KB at d=64). */
+  def covarianceMatrix(embeddings: DataFrame, dim: Int): Array[Array[Double]] = {
+    val m = Array.ofDim[Double](dim, dim)
+    covariance(embeddings, dim).select("i", "j", "cov").collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    m
+  }
+
+  /** Dominant eigenpair by power iteration from the deterministic
+    * all-ones start — a driver-side O(d² · iters) loop over the tiny
+    * matrix; returns (unit eigenvector, eigenvalue as Rayleigh quotient).
+    * Sign convention: first nonzero component positive, so the direction
+    * is reproducible run to run.
+    */
+  def pcaTopComponent(cov: Array[Array[Double]], iters: Int = 10000,
+      tol: Double = 1e-14): (Array[Double], Double) = {
+    val d = cov.length
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    var it = 0
+    var delta = Double.MaxValue
+    // iterate to TOLERANCE, not a fixed count: convergence rate is
+    // (λ2/λ1)^k, so a near-isotropic spectrum (synthetic embeddings,
+    // whitened corpora) needs far more rounds than a spiked one — the
+    // loop is O(d²) per round on the driver, so over-iterating is free
+    while (it < iters && delta > tol) {
+      val w = Array.tabulate(d)(i => {
+        var s = 0.0; var j = 0
+        while (j < d) { s += cov(i)(j) * v(j); j += 1 }
+        s
+      })
+      val n = math.sqrt(w.map(x => x * x).sum)
+      if (n > 0) {
+        val nv = w.map(_ / n)
+        delta = nv.zip(v).map { case (a, b) => math.abs(a - b) }.max
+        v = nv
+      } else { delta = 0.0 }
+      it += 1
+    }
+    val av = Array.tabulate(d)(i => {
+      var s = 0.0; var j = 0
+      while (j < d) { s += cov(i)(j) * v(j); j += 1 }
+      s
+    })
+    val lambda = v.zip(av).map { case (a, b) => a * b }.sum
+    val flip = v.find(_ != 0.0).exists(_ < 0)
+    (if (flip) v.map(-_) else v, lambda)
+  }
+
+  // Declared covariance query: all 2080 upper-triangle entries at d=64,
+  // hash-pinned — the oracle replays the floor-scaled integer sums and
+  // the identical division/subtraction order over the raw embeddings.
+  private val q104 = GraftQuery(
+    "q104_embed_covariance",
+    (s, dir) => covariance(Tables.embeddings(s, dir), dim = 64)
+      .orderBy(col("i"), col("j")),
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      x AS (SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS INT) AS i,
+                   unnest(v) AS xi
+            FROM e),
+      s AS (SELECT i, CAST(SUM(CAST(floor(xi * 1099511627776.0) AS BIGINT)) AS BIGINT) AS sx
+            FROM x GROUP BY i),
+      cnt AS (SELECT COUNT(*) AS n FROM e),
+      p AS (SELECT a.i AS i, b.i AS j,
+                   CAST(SUM(CAST(floor(a.xi * b.xi * 1099511627776.0) AS BIGINT)) AS BIGINT) AS sxy
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+            GROUP BY a.i, b.i)
+      SELECT p.i, p.j, cnt.n,
+             CAST(p.sxy AS DOUBLE) / 1099511627776.0 / cnt.n
+             - (CAST(sa.sx AS DOUBLE) / 1099511627776.0 / cnt.n)
+               * (CAST(sb.sx AS DOUBLE) / 1099511627776.0 / cnt.n) AS cov
+      FROM p
+      CROSS JOIN cnt
+      JOIN s sa ON sa.i = p.i
+      JOIN s sb ON sb.i = p.j
+      ORDER BY p.i, p.j"""))
+
+  val all: Seq[GraftQuery] = Seq(q39, q40, q41, q41c, q41d, q42b, q53, q83, q103, q104)
 }

@@ -191,4 +191,44 @@ class SimilaritySpec extends SparkSpec {
     val s2 = sse(f1)
     assert(s1 <= s0 * (1 + 1e-9) && s2 <= s1 * (1 + 1e-9), s"$s0 -> $s1 -> $s2")
   }
+
+  test("covariance matches a driver-side replay; partitioning-independent") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val dim = 64
+    val got = Similarity.covariance(emb, dim)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(got.size == dim * (dim + 1) / 2)
+    val vs = emb.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val scale = 1099511627776.0
+    val n = vs.length.toLong
+    def sx(i: Int) = vs.map(v => math.floor(v(i) * scale).toLong).sum
+    for ((i, j) <- Seq((0, 0), (0, 1), (5, 40), (63, 63), (31, 32))) {
+      val sxy = vs.map(v => math.floor(v(i) * v(j) * scale).toLong).sum
+      val expected = sxy.toDouble / scale / n -
+        (sx(i).toDouble / scale / n) * (sx(j).toDouble / scale / n)
+      assert(got((i, j)) == expected, s"($i,$j)")
+    }
+    val re = Similarity.covariance(emb.repartition(7), dim)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(re == got) // exact integer sums: identical at any parallelism
+  }
+
+  test("pcaTopComponent returns a dominant eigenpair (Av = lambda*v)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val cov = Similarity.covarianceMatrix(emb, 64)
+    val (v, lambda) = Similarity.pcaTopComponent(cov)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-9)
+    val av = cov.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    val resid = math.sqrt(av.zip(v).map { case (a, b) =>
+      val d = a - lambda * b; d * d
+    }.sum)
+    assert(resid < 1e-8 * math.max(1.0, math.abs(lambda)),
+      s"residual $resid for lambda $lambda")
+    // dominance: lambda at least the largest diagonal entry (Rayleigh max)
+    val maxDiag = (0 until 64).map(i => cov(i)(i)).max
+    assert(lambda >= maxDiag - 1e-12)
+  }
 }
