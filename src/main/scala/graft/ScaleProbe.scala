@@ -295,17 +295,21 @@ object ScaleProbe {
             .select(col("qid"), col("nn_id")).cache()
           (df, df.count())
         }
-        val points = Seq(4, 6, 8, 10, 12).map { planes =>
+        val points = (for {
+          planes <- Seq(4, 6, 8, 10, 12)
+          radius <- Seq(1, 2)
+        } yield {
           val (hit, t) = timed {
             graft.operators.Similarity
-              .lshTopK(emb, col("vec_id") < 20, k = 5, nPlanes = planes)
+              .lshTopK(emb, col("vec_id") < 20, k = 5, nPlanes = planes,
+                probeRadius = radius)
               .select(col("qid"), col("nn_id"))
               .join(bf, Seq("qid", "nn_id")).count()
           }
           val r = hit.toDouble / nTruth
-          System.err.println(s"[lshcurve] planes=$planes recall=$r sec=$t")
-          s"""{"planes":$planes,"recall":$r,"sec":$t}"""
-        }
+          System.err.println(s"[lshcurve] planes=$planes radius=$radius recall=$r sec=$t")
+          s"""{"planes":$planes,"radius":$radius,"recall":$r,"sec":$t}"""
+        })
         bf.unpersist()
         println(s"""{"metric":"lsh_recall_curve","copies":$copies,"n_vecs":$nVecs,"k":5,"multiprobe":"hamming-1","bruteforce_sec":$tBf,"points":[${points.mkString(",")}],"src":"$src"}""")
 

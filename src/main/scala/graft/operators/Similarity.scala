@@ -166,12 +166,28 @@ object Similarity {
     * distinct probe values), so the join introduces no duplicate pairs on
     * either engine.
     */
-  private def lshTopKOracle(nPlanes: Int, dim: Int, k: Int): String = {
+  /** The xor masks visited by multiprobe at `radius`: 0 (own bucket),
+    * every single bit, and — at radius 2 — every two-bit combination.
+    * Shared by the Spark probe list and the generated oracle so both
+    * engines visit the identical bucket set.
+    */
+  private[operators] def probeMasks(nPlanes: Int, radius: Int): Seq[Long] = {
+    require(radius >= 1 && radius <= 2, s"probeRadius must be 1 or 2, got $radius")
+    val one = (0 until nPlanes).map(p => 1L << p)
+    val two = if (radius < 2) Seq.empty else
+      for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
+        yield (1L << i) | (1L << j)
+    0L +: (one ++ two)
+  }
+
+  private def lshTopKOracle(nPlanes: Int, dim: Int, k: Int,
+      probeRadius: Int = 1): String = {
     val terms = hyperplanes(nPlanes, dim).zipWithIndex.map { case (plane, p) =>
       val arr = plane.map(d => s"CAST($d AS DOUBLE)").mkString("[", ", ", "]")
       s"CASE WHEN ${sqlDot(arr, "v")} > 0 THEN ${1L << p} ELSE 0 END"
     }
-    val probes = ("bucket" +: (0 until nPlanes).map(p => s"xor(bucket, ${1L << p})"))
+    val probes = probeMasks(nPlanes, probeRadius)
+      .map(m => if (m == 0L) "bucket" else s"xor(bucket, $m)")
       .mkString("[", ", ", "]")
     s"""WITH $sqlVecs,
        |b AS (SELECT vec_id, v, norm, CAST(${terms.mkString(" + ")} AS BIGINT) AS bucket FROM e),
@@ -196,14 +212,19 @@ object Similarity {
     * are deterministic md5-derived hyperplanes, so runs reproduce.
     */
   def lshTopK(embeddings: DataFrame, isQuery: Column, k: Int,
-      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 8, dim: Int = 64, probeRadius: Int = 1): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 62, s"nPlanes must be in [1, 62], got $nPlanes")
     val e = withLshBucket(vecs(embeddings), nPlanes, dim)
-    // multiprobe: the query's own bucket plus every hamming-1 neighbor
-    // bucket, exploded so candidate lookup stays an equi-join on bucket
-    val probes = array(
-      col("bucket") +: (0 until nPlanes).map(p =>
-        expr(s"bucket ^ ${1L << p}")): _*)
+    // multiprobe: the query's own bucket plus every bucket within
+    // `probeRadius` bit flips, exploded so candidate lookup stays an
+    // equi-join on bucket. Radius 2 visits 1+n+n(n-1)/2 buckets (37 of
+    // 256 at n=8) — the recall lever when the corpus has no cluster
+    // structure for radius 1 to exploit; cost grows with the probed
+    // fraction, still an equi-join, still broadcast on the query side.
+    val probes = array(probeMasks(nPlanes, probeRadius).map {
+      case 0L => col("bucket")
+      case m => expr(s"bucket ^ $m")
+    }: _*)
     val q = e.filter(isQuery)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("norm").as("qn"), explode(probes).as("qbucket"))
@@ -223,6 +244,18 @@ object Similarity {
       lshTopK(Tables.embeddings(s, dir), col("vec_id") < 20, k = 5)
         .orderBy(col("qid"), col("rank")),
     Some(lshTopKOracle(nPlanes = 8, dim = 64, k = 5)))
+
+  // Radius-2 multiprobe as its own declared query: same planes, same
+  // re-rank, 37/256 buckets probed instead of 9/256 — the measured
+  // recall lever for unclustered corpora (SCALE.md lshcurve table).
+  // Oracle = the same generated SQL with the two-bit xor probes.
+  private val q41e = GraftQuery(
+    "q41e_ann_lsh_multiprobe2",
+    (s, dir) =>
+      lshTopK(Tables.embeddings(s, dir), col("vec_id") < 20, k = 5,
+        probeRadius = 2)
+        .orderBy(col("qid"), col("rank")),
+    Some(lshTopKOracle(nPlanes = 8, dim = 64, k = 5, probeRadius = 2)))
 
   /** IVF-style ANN (the other classic scale path next to LSH): a KMeans
     * coarse quantizer (spark.ml, fixed seed) assigns every vector to one
@@ -811,5 +844,5 @@ object Similarity {
       JOIN s sb ON sb.i = p.j
       ORDER BY p.i, p.j"""))
 
-  val all: Seq[GraftQuery] = Seq(q39, q40, q41, q41c, q41d, q42b, q53, q83, q103, q104)
+  val all: Seq[GraftQuery] = Seq(q39, q40, q41, q41c, q41d, q41e, q42b, q53, q83, q103, q104)
 }

@@ -192,6 +192,27 @@ class SimilaritySpec extends SparkSpec {
     assert(s1 <= s0 * (1 + 1e-9) && s2 <= s1 * (1 + 1e-9), s"$s0 -> $s1 -> $s2")
   }
 
+  test("radius-2 multiprobe recall dominates radius-1 at equal planes") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val truth = graft.SparkEntry.queries("q40_ann_bruteforce")(spark, sf001)
+      .select("qid", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(radius: Int): Double = {
+      val got = Similarity.lshTopK(emb, col("vec_id") < 20, k = 5,
+        probeRadius = radius)
+        .select("qid", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    // radius 2 probes a strict superset of radius 1's buckets, so its
+    // candidate set — and with exact re-ranking, its recall — dominates
+    assert(r2 >= r1, s"r1=$r1 r2=$r2")
+    assert(r2 > 0.3, s"radius-2 recall unexpectedly low: $r2")
+  }
+
   test("covariance matches a driver-side replay; partitioning-independent") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables.embeddings(spark, sf001)
