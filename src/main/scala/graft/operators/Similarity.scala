@@ -844,5 +844,92 @@ object Similarity {
       JOIN s sb ON sb.i = p.j
       ORDER BY p.i, p.j"""))
 
-  val all: Seq[GraftQuery] = Seq(q39, q40, q41, q41c, q41d, q41e, q42b, q53, q83, q103, q104)
+  // --------------------------------------------------------------- q105
+  // All-but-the-top (Mu & Viswanath 2018 shape): subtract the corpus
+  // mean, then remove the dominant principal direction — the standard
+  // post-processing that fixes embedding anisotropy (a handful of
+  // directions dominating every cosine) before similarity search or
+  // clustering. The mean comes from the exact moments buffer, the
+  // direction from pcaTopComponent over q104's covariance; both are
+  // derived ONCE (driver-side, bounded) and applied as plan literals —
+  // a stateless elementwise scan, no shuffle, stream-safe.
+
+  /** Corpus mean vector from the exact moments buffer (one scan, one
+    * bounded collect): mean_i = Sx_i / 2^40 / n — the identical
+    * arithmetic the covariance and the oracle use. */
+  def meanVector(embeddings: DataFrame, dim: Int): Array[Double] = {
+    val scale = 1099511627776.0
+    val mom = udaf(new graft.mr.Aggregators.MomentsAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    val m = embeddings.select(col("embedding").cast("array<double>").as("v"))
+      .agg(mom(col("v")).as("m")).head().getSeq[Long](0)
+    val n = m(0).toDouble
+    Array.tabulate(dim)(i => m(1 + i).toDouble / scale / n)
+  }
+
+  /** centered = v − mean; out = centered − ⟨centered, u⟩·u, all as plan
+    * literals + sequential-fold dot — bit-replayable. Output:
+    * (vec_id, dim, val). */
+  def allButTheTop(embeddings: DataFrame, mean: Array[Double],
+      u: Array[Double]): DataFrame = {
+    val mCol = array(mean.map(lit).toIndexedSeq: _*)
+    val uCol = array(u.map(lit).toIndexedSeq: _*)
+    vecs(embeddings)
+      .withColumn("c", zip_with(col("v"), mCol, (a, b) => a - b))
+      .withColumn("proj", dot(col("c"), uCol))
+      .select(col("vec_id"),
+        posexplode(zip_with(col("c"), uCol, (a, b) => a - col("proj") * b))
+          .as(Seq("dim", "val")))
+      .select(col("vec_id"), col("dim").cast("int").as("dim"), col("val"))
+  }
+
+  @volatile private var abttOracleSql: Option[String] = None
+
+  private def abttOracle(mean: Array[Double], u: Array[Double]): String = {
+    // QUOTED-string casts, not bare numeric literals: DuckDB 1.0 parses a
+    // bare decimal as DECIMAL first and then casts — a double-rounding
+    // that lands 1 ulp off the JVM's value for some digit patterns
+    // (measured: '-0.12443208269492143'). A quoted string takes the
+    // correctly-rounded strtod path. The older literal oracles
+    // (q41/q41d/q83) survive the bare form because their literals feed
+    // only sign tests and argmins, which absorb 1 ulp; q105 is the first
+    // to hash-pin literal-DERIVED continuous values.
+    def arr(a: Array[Double]) =
+      a.map(d => s"CAST('$d' AS DOUBLE)").mkString("[", ", ", "]")
+    // `p[1] - proj * p[2]` in ONE lambda lets DuckDB's compiled backend
+    // contract the multiply-subtract into an FMA — a 1-ulp divergence on
+    // ~14% of entries vs the JVM, which never fuses. (The dot-product
+    // oracles don't hit this: float-origin products are exact, so fusion
+    // changes nothing there.) Materializing proj*u as its OWN list forces
+    // the product to round separately, matching Java's semantics.
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id,
+       |             list_transform(list_zip(v, ${arr(mean)}), p -> p[1] - p[2]) AS c
+       |      FROM e),
+       |pr AS (SELECT vec_id, c, ${sqlDot("c", arr(u))} AS proj FROM c),
+       |pu AS (SELECT vec_id, c,
+       |             list_transform(${arr(u)}, x -> proj * x) AS pu
+       |       FROM pr),
+       |o AS (SELECT vec_id,
+       |             CAST(generate_subscripts(c, 1) - 1 AS INT) AS dim,
+       |             unnest(list_transform(list_zip(c, pu), p -> p[1] - p[2])) AS val
+       |      FROM pu)
+       |SELECT vec_id, dim, val FROM o
+       |ORDER BY vec_id, dim""".stripMargin
+  }
+
+  private val q105 = GraftQuery(
+    "q105_embed_abtt",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val mean = meanVector(emb, 64)
+      val (u, _) = pcaTopComponent(covarianceMatrix(emb, 64))
+      abttOracleSql = Some(abttOracle(mean, u))
+      allButTheTop(emb, mean, u).orderBy(col("vec_id"), col("dim"))
+    },
+    None,
+    oracleGen = Some(() => abttOracleSql))
+
+  val all: Seq[GraftQuery] =
+    Seq(q39, q40, q41, q41c, q41d, q41e, q42b, q53, q83, q103, q104, q105)
 }
