@@ -43,7 +43,9 @@ import org.apache.spark.sql.functions._
   *        (VERDICT r7 #1);
   *   mode "zorder"  — 2-dim box scan over a z-ordered vs 1-dim-sorted
   *        lineitem layout: rows delivered by the pruned parquet scans
-  *        and wall times, at growing corpus size (round 9).
+  *        and wall times, at growing corpus size (round 9);
+  *   mode "embedops" — q103/q104/q105 wall times over the scaled
+  *        embeddings (round 9).
   * Prints one JSON line per run. All timed full-query runs materialize
   * via the noop sink (see Bench scaladoc — .count() prunes agg tails).
   */
@@ -414,6 +416,24 @@ object ScaleProbe {
         spark.sql(s"DROP TABLE IF EXISTS $tokTbl")
         println(s"""{"metric":"phrase_probe","copies":$copies,"n_docs":$nDocs,"n_hits":$nHits,"build_sec":$tBuild,"probe_sec":[${probeTimes.map(t => f"$t%.3f").mkString(",")}],"src":"$src"}""")
 
+      case "embedops" =>
+        // Decade probe for the round-9 embedding operators: k-means step
+        // (q103), covariance (q104), all-but-the-top (q105) over the
+        // scaled embeddings. Each is designed to be scan-bound with
+        // O(k·dim)/O(dim²) state — the decade ratio is the check.
+        val out = scaledEmbeddingsDir(spark, src, copies)
+        val nVecs = graft.sources.Tables.load(spark, out, "embeddings").count()
+        val times = Seq("q103_kmeans_step", "q104_embed_covariance",
+          "q105_embed_abtt").map { name =>
+          val (_, t) = timed(SparkEntry.queries(name)(spark, out)
+            .write.format("noop").mode("overwrite").save())
+          System.err.println(s"[embedops] $name sec=$t")
+          name -> t
+        }
+        val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"embedops_probe","copies":$copies,"n_vecs":$nVecs,"queries":$qs,"src":"$src"}""")
+
       case "zorder" =>
         // Measured 2-dim pruning decade: the same box predicate against a
         // z-ordered layout vs a 1-dim-sorted layout of the same rows, at
@@ -484,7 +504,7 @@ object ScaleProbe {
 
       case other =>
         System.err.println(
-          s"unknown mode: $other (expected queries|ann|annc|lshcurve|sketches|cc|phrase|zorder)")
+          s"unknown mode: $other (expected queries|ann|annc|lshcurve|sketches|cc|phrase|zorder|embedops)")
         sys.exit(2)
     }
     spark.stop()
