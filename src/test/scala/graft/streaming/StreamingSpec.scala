@@ -266,6 +266,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("all-but-the-top is stateless: identical values over a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    // mean + direction derived in BATCH (driver artifacts), applied as
+    // plan literals — the q105 claim under test is that the corpus pass
+    // itself carries no state and so applies unchanged to a stream
+    val mean = graft.operators.Similarity.meanVector(emb, 64)
+    val (u, _) = graft.operators.Similarity.pcaTopComponent(
+      graft.operators.Similarity.covarianceMatrix(emb, 64))
+    val batch = graft.operators.Similarity.allButTheTop(emb, mean, u)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.operators.Similarity.allButTheTop(
+        mem.toDF().toDF("vec_id", "embedding"), mean, u)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(s"abtt_${System.nanoTime()}")
+      .start()
+    try {
+      val (first, second) = rows.splitAt(rows.size / 2)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+      val streamed = spark.table(q.name).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(streamed == batch, "stream/batch values diverge")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchase within 20min of click joins, later one does not") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
