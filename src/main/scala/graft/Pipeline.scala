@@ -56,8 +56,8 @@ object Pipeline {
     * side.
     */
   def lshTopK(embeddings: DataFrame, isQuery: Column, k: Int,
-      nPlanes: Int = 8, dim: Int = 64): DataFrame =
-    operators.Similarity.lshTopK(embeddings, isQuery, k, nPlanes, dim)
+      nPlanes: Int = 8, dim: Int = 64, probeRadius: Int = 1): DataFrame =
+    operators.Similarity.lshTopK(embeddings, isQuery, k, nPlanes, dim, probeRadius)
 
   /** IVF approximate top-k cosine neighbors for the `isQuery` rows. */
   def ivfTopK(embeddings: DataFrame, isQuery: Column, k: Int,
@@ -222,6 +222,76 @@ object Pipeline {
     * scale-safe replacement for a per-group row_number window (no
     * single-task-per-group sort; identical values).
     */
+  /** Distributed running weight sum in (md5(id), id) order per group —
+    * the two-level no-single-task-sort cumsum behind PPS sampling. */
+  def md5BucketCumsum(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, cumAs: String, hexChars: Int = 3): DataFrame =
+    operators.DataPrep.md5BucketCumsum(df, groupCol, idCol, weightCol, cumAs, hexChars)
+
+  /** Weighted systematic (probability-proportional-to-size) sample: keep
+    * rows whose cumulative-weight span crosses a multiple of `step`;
+    * deterministic, RNG-free, selection oracle-pinned (q101). */
+  def weightedSystematicSample(df: DataFrame, groupCol: String,
+      idCol: String, weightCol: String, step: Long): DataFrame =
+    operators.DataPrep.weightedSystematicSample(df, groupCol, idCol, weightCol, step)
+
+  /** One-pass per-column profile (q100): counts, nulls, HLL cardinality
+    * estimates, min/max, mean formatted length — no DISTINCT Expand. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    operators.Profiler.profile(df, cols)
+
+  /** Exact per-column distincts (one pruned scan per column) — the
+    * measurement harness for profile's estimate law. */
+  def exactDistincts(df: DataFrame, cols: Seq[String]): DataFrame =
+    operators.Profiler.exactDistincts(df, cols)
+
+  /** Morton/z-order key over two 16-bit-bucketed dimensions (q102). */
+  def zorder16(x: Column, y: Column): Column = plans.ScaleOps.zorder16(x, y)
+
+  /** Write z-order-clustered parquet: 2-dim box predicates prune row
+    * groups by box volume (measured 7-8x vs a 1-dim sort, SCALE.md). */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String,
+      files: Int = 32, rowsPerFile: Long = 4096): Unit =
+    plans.ScaleOps.writeZOrdered(df, xCol, yCol, path, files, rowsPerFile)
+
+  /** Deterministic k-means seeds: first k vectors by (md5(id), id). */
+  def kmeansInit(embeddings: DataFrame, k: Int): Array[Array[Double]] =
+    operators.Similarity.kmeansInit(embeddings, k)
+
+  /** One Lloyd iteration against centroid literals (q103): exact
+    * 2^40-scaled means, (cell, dim, n, c_new) out. */
+  def kmeansStep(embeddings: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    operators.Similarity.kmeansStep(embeddings, cents)
+
+  /** Full k-means trainer: `iters` Lloyd rounds, k x dim driver state. */
+  def kmeansFit(embeddings: DataFrame, k: Int, iters: Int): Array[Array[Double]] =
+    operators.Similarity.kmeansFit(embeddings, k, iters)
+
+  /** Upper-triangle covariance of the embedding column (q104): one scan,
+    * one mergeable exact-moments buffer, no d2-keyed shuffle. */
+  def covariance(embeddings: DataFrame, dim: Int): DataFrame =
+    operators.Similarity.covariance(embeddings, dim)
+
+  /** Covariance as a driver-side d x d array (bounded collect). */
+  def covarianceMatrix(embeddings: DataFrame, dim: Int): Array[Array[Double]] =
+    operators.Similarity.covarianceMatrix(embeddings, dim)
+
+  /** Dominant eigenpair of a small matrix (tolerance-driven power
+    * iteration, deterministic sign). */
+  def pcaTopComponent(cov: Array[Array[Double]], iters: Int = 10000,
+      tol: Double = 1e-14): (Array[Double], Double) =
+    operators.Similarity.pcaTopComponent(cov, iters, tol)
+
+  /** Corpus mean vector from the exact moments buffer. */
+  def meanVector(embeddings: DataFrame, dim: Int): Array[Double] =
+    operators.Similarity.meanVector(embeddings, dim)
+
+  /** All-but-the-top postprocess (q105): center on the mean, remove the
+    * dominant direction; stateless literal-driven scan, stream-safe. */
+  def allButTheTop(embeddings: DataFrame, mean: Array[Double],
+      u: Array[Double]): DataFrame =
+    operators.Similarity.allButTheTop(embeddings, mean, u)
+
   def md5BucketRank(df: DataFrame, groupCol: String, idCol: String,
       rankAs: String, hexChars: Int = 3): DataFrame =
     operators.DataPrep.md5BucketRank(df, groupCol, idCol, rankAs, hexChars)

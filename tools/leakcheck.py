@@ -96,6 +96,10 @@ def main():
     n_bytes = 0
     n_scanned = 0
     for path in files:
+        # the scanner's own artifacts quote prior hits — scanning them
+        # would echo every URL forever
+        if path.split("/")[-1].startswith("LEAKCHECK"):
+            continue
         try:
             with open(path, "rb") as fh:
                 raw = fh.read()
