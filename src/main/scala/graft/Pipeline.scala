@@ -50,6 +50,15 @@ object Pipeline {
   def semanticDedup(embeddings: DataFrame, thr: Double, nlist: Int): DataFrame =
     operators.Similarity.semanticDedup(embeddings, thr, nlist)
 
+  /** One corpus's shingle-set HLL registers (serialized, mergeable). */
+  def shingleHllState(docs: DataFrame, p: Int = 14): Array[Byte] =
+    operators.Dedup.shingleHllState(docs, p)
+
+  /** (estA, estB, estUnion) from two serialized states — overlap triage
+    * before launching a cross-corpus dedup (q106). */
+  def overlapEstimates(a: Array[Byte], b: Array[Byte]): (Long, Long, Long) =
+    operators.Dedup.overlapEstimates(a, b)
+
   // ---- similarity search ------------------------------------------------
   /** Hyperplane-LSH approximate top-k cosine neighbors (recall knobs =
     * nPlanes + hamming-1 multiprobe); bucket equi-joins, broadcast query

@@ -680,5 +680,92 @@ object Dedup {
         ORDER BY doc_id"""))
   }
 
-  val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70, q81, q88, q95, q99)
+  // --------------------------------------------------------------- q106
+  // Cross-corpus overlap triage: BEFORE running a full cross-corpus
+  // dedup between two 100 TB crawls, estimate how much their shingle
+  // sets overlap from two constant-size mergeable HLL states (the q67
+  // sketch family applied to the dedup question). Each corpus is
+  // sketched once — per-shard states persist and fold, so refreshing a
+  // crawl's sketch after an append never re-reads history — and the
+  // union estimate comes from a register-wise max on the driver;
+  // intersection/Jaccard by inclusion-exclusion. The decision this
+  // feeds ("skip the cross-dedup / run it / run it banded") needs ~%
+  // accuracy, exactly what p=14 (0.8% rsd) gives for KB of state.
+
+  /** One corpus's shingle-set HLL registers (serialized). */
+  def shingleHllState(docs: DataFrame, p: Int = 14): Array[Byte] = {
+    val st = org.apache.spark.sql.functions.udaf(
+      new graft.mr.Aggregators.HllStateAggregator(p),
+      org.apache.spark.sql.Encoders.scalaLong)
+    shingleRows(docs).select(xxhash64(col("s")).as("h"))
+      .agg(st(col("h")).as("state")).head().getAs[Array[Byte]](0)
+  }
+
+  /** (estA, estB, estUnion) from two serialized states — driver-side
+    * register math, no data touched. */
+  def overlapEstimates(a: Array[Byte], b: Array[Byte]): (Long, Long, Long) = {
+    import graft.mr.Aggregators.Hll
+    val ra = Hll.deserialize(a)
+    val rb = Hll.deserialize(b)
+    val union = Hll.merge(ra.clone(), rb) // merge mutates its first arg
+    (Hll.estimate(ra), Hll.estimate(rb), Hll.estimate(union))
+  }
+
+  // Declared query: two overlapping splits of the documents table
+  // (A = ids not divisible by 3, B = odd ids — sharing every id ∤6).
+  // Exact distinct-shingle counts and the exact Jaccard compare
+  // value-for-value; the HLL estimates (deterministic registers) are
+  // pinned as error-law booleans: counts within 5% (6σ at 0.8% rsd),
+  // the inclusion-exclusion Jaccard within 0.05 absolute.
+  private val q106 = GraftQuery(
+    "q106_corpus_overlap",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val aDocs = docs.filter(col("doc_id") % 3 =!= 0)
+      val bDocs = docs.filter(col("doc_id") % 2 =!= 0)
+      val (ea, eb, eu) = overlapEstimates(
+        shingleHllState(aDocs), shingleHllState(bDocs))
+      val ei = ea + eb - eu
+      val nA = shingleRows(aDocs).agg(countDistinct(col("s")).as("n_a"))
+      val nB = shingleRows(bDocs).agg(countDistinct(col("s")).as("n_b"))
+      val nU = shingleRows(aDocs).select(col("s"))
+        .union(shingleRows(bDocs).select(col("s")))
+        .agg(countDistinct(col("s")).as("n_union"))
+      nA.crossJoin(nB).crossJoin(nU)
+        .select(
+          col("n_a"), col("n_b"), col("n_union"),
+          (col("n_a") + col("n_b") - col("n_union")).as("n_inter"),
+          ((col("n_a") + col("n_b") - col("n_union")).cast("double") /
+            col("n_union").cast("double")).as("jaccard"),
+          (abs(lit(ea) - col("n_a")) <= col("n_a") * lit(0.05)).as("a_within_5pct"),
+          (abs(lit(eb) - col("n_b")) <= col("n_b") * lit(0.05)).as("b_within_5pct"),
+          (abs(lit(eu) - col("n_union")) <= col("n_union") * lit(0.05)).as("union_within_5pct"),
+          (abs(lit(ei.toDouble / eu.toDouble) -
+            (col("n_a") + col("n_b") - col("n_union")).cast("double") /
+              col("n_union").cast("double")) <= lit(0.05)).as("jaccard_within_05"))
+    },
+    Some(s"""
+      WITH tt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+                                             x -> x <> '') AS t
+                  FROM documents),
+      sh AS (SELECT doc_id, unnest(
+               list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+             FROM tt WHERE len(t) >= 3),
+      a AS (SELECT DISTINCT s FROM sh WHERE doc_id % 3 <> 0),
+      b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 <> 0),
+      u AS (SELECT s FROM a UNION SELECT s FROM b),
+      c AS (SELECT (SELECT COUNT(*) FROM a) AS n_a,
+                   (SELECT COUNT(*) FROM b) AS n_b,
+                   (SELECT COUNT(*) FROM u) AS n_union)
+      SELECT n_a, n_b, n_union,
+             CAST(n_a + n_b - n_union AS BIGINT) AS n_inter,
+             CAST(n_a + n_b - n_union AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard,
+             TRUE AS a_within_5pct,
+             TRUE AS b_within_5pct,
+             TRUE AS union_within_5pct,
+             TRUE AS jaccard_within_05
+      FROM c"""))
+
+  val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70, q81, q88, q95, q99, q106)
 }

@@ -208,6 +208,32 @@ class DedupSpec extends SparkSpec {
     assert(kept == trainIds -- droppedIds)
   }
 
+  test("corpus overlap: shard-merged HLL state == whole-corpus state; laws hold") {
+    import org.apache.spark.sql.functions._
+    import graft.mr.Aggregators.Hll
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    // mergeability: sketching a disjoint split and folding the states is
+    // REGISTER-IDENTICAL to sketching the whole corpus (max is
+    // associative/commutative/idempotent) — the property that lets
+    // per-shard sketches persist and refresh incrementally
+    val whole = Dedup.shingleHllState(docs)
+    val merged = Hll.serialize(Hll.merge(
+      Hll.deserialize(Dedup.shingleHllState(a)),
+      Hll.deserialize(Dedup.shingleHllState(b))))
+    assert(merged.sameElements(whole))
+    // estimate law on the union path used by q106
+    val (ea, eb, eu) = Dedup.overlapEstimates(
+      Dedup.shingleHllState(a), Dedup.shingleHllState(b))
+    val exact = docs
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .select(explode(graft.functions.TextFunctions.shingles(col("t"))).as("s"))
+      .agg(countDistinct(col("s"))).head().getLong(0)
+    assert(math.abs(eu - exact) <= exact * 0.05, s"est=$eu exact=$exact")
+    assert(ea <= eu + 1 && eb <= eu + 1) // union dominates (register max)
+  }
+
   private implicit class RowsToMap(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
