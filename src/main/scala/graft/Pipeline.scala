@@ -257,6 +257,15 @@ object Pipeline {
   /** Morton/z-order key over two 16-bit-bucketed dimensions (q102). */
   def zorder16(x: Column, y: Column): Column = plans.ScaleOps.zorder16(x, y)
 
+  /** Approx-percentile boundaries for rank-bucketing a skewed dimension
+    * into equal-population cells (q107). */
+  def rankBoundaries(df: DataFrame, c: String, buckets: Int = 256): Array[Double] =
+    plans.ScaleOps.rankBoundaries(df, c, buckets)
+
+  /** Rank bucket = boundaries strictly below the value (literal fold). */
+  def rankBucket(c: Column, boundaries: Array[Double]): Column =
+    plans.ScaleOps.rankBucket(c, boundaries)
+
   /** Write z-order-clustered parquet: 2-dim box predicates prune row
     * groups by box volume (measured 7-8x vs a 1-dim sort, SCALE.md). */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String,

@@ -105,6 +105,86 @@ object ScaleOps {
       .option("maxRecordsPerFile", rowsPerFile)
       .parquet(path)
 
+  /** Approx-percentile boundaries for rank-bucketing `c` into `buckets`
+    * equal-POPULATION cells — the z-order normalization for SKEWED keys,
+    * where the linear min/max scaling collapses (a Zipf column maps
+    * almost every row into a handful of low cells, and the dimension
+    * stops discriminating). One aggregate pass (Spark's
+    * approx_percentile, bounded state), boundaries collected once
+    * (buckets−1 doubles) and applied as literals.
+    */
+  def rankBoundaries(df: DataFrame, c: String, buckets: Int = 256): Array[Double] = {
+    require(buckets >= 2 && buckets <= 65536, s"buckets in [2, 65536], got $buckets")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets).mkString(", ")
+    df.agg(expr(s"approx_percentile(CAST($c AS DOUBLE), array($qs), 10000)"))
+      .head().getSeq[Double](0).toArray
+  }
+
+  /** Rank bucket = how many boundaries lie strictly below the value;
+    * with `buckets`−1 boundaries from [[rankBoundaries]] the result is
+    * in [0, buckets). Delegates to the native codegen'd
+    * [[graft.functions.BoundaryBucket]] binary search — see its scaladoc
+    * for why both builtin spellings (interpreted HOF fold, chained-when
+    * binary count) fail at 255 boundaries.
+    */
+  def rankBucket(c: Column, boundaries: Array[Double]): Column =
+    graft.functions.BoundaryBucket(c, boundaries)
+
+  // --------------------------------------------------------------- q107
+  // Rank-bucketed z-values as a declared query: boundaries are
+  // data-derived (approx_percentile is deterministic for a given input),
+  // so the oracle is GENERATED with the boundary literals baked in —
+  // DuckDB replays the count-below fold and the same interleave chain.
+  // 8-bit buckets per dimension interleave into a 16-bit z key; the
+  // LAYOUT effect on skewed keys is measured in ScaleOpsSpec (a
+  // lognormal-ish column defeats min/max scaling, rank buckets keep the
+  // box-volume pruning).
+  @volatile private var zorderRankOracleSql: Option[String] = None
+
+  private def zorderRankOracle(bx: Array[Double], by: Array[Double]): String = {
+    def arr(a: Array[Double]) =
+      // quoted-string casts — DuckDB double-rounds bare decimal literals
+      // (the q105 finding); comparisons here are exact double compares
+      a.map(d => s"CAST('$d' AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH b AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |         len(list_filter(${arr(bx)}, b -> CAST(l_extendedprice AS DOUBLE) > b)) AS bx,
+       |         len(list_filter(${arr(by)}, b -> CAST(l_partkey AS DOUBLE) > b)) AS by
+       |  FROM lineitem),
+       |base AS (SELECT l_orderkey, l_linenumber,
+       |                CAST(bx AS BIGINT) AS x, CAST(by AS BIGINT) AS y FROM b),
+       |s1 AS (SELECT *, (x | (x << 8)) & 16711935 AS x1,
+       |                 (y | (y << 8)) & 16711935 AS y1 FROM base),
+       |s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+       |                 (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+       |s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+       |                 (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+       |s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+       |                 (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+       |SELECT l_orderkey, l_linenumber,
+       |       CAST(x AS INT) AS bx, CAST(y AS INT) AS by,
+       |       x4 | (y4 << 1) AS zval
+       |FROM s4
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
+  private val q107 = GraftQuery(
+    "q107_zorder_rank",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val bx = rankBoundaries(li, "l_extendedprice", 256)
+      val by = rankBoundaries(li, "l_partkey", 256)
+      zorderRankOracleSql = Some(zorderRankOracle(bx, by))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          rankBucket(col("l_extendedprice"), bx).as("bx"),
+          rankBucket(col("l_partkey"), by).as("by"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("bx"), col("by"),
+          zorder16(col("bx"), col("by")).as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    None,
+    oracleGen = Some(() => zorderRankOracleSql))
+
   // --------------------------------------------------------------- q102
   // z-values as a DECLARED query so the interleave arithmetic itself is
   // hash-pinned: every lineitem row with its Morton key over
@@ -166,7 +246,7 @@ object ScaleOps {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
-  val all: Seq[GraftQuery] = Seq(q60, q102)
+  val all: Seq[GraftQuery] = Seq(q60, q102, q107)
 
   /** True if the executed plan of `df` contains a shuffle exchange of any
     * partitioning (hash, range, round-robin, single-partition). Broadcast

@@ -104,4 +104,26 @@ class NativeExprPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("BoundaryBucket == interpreted strictly-below fold, incl. ties/duplicates") {
+    import spark.implicits._
+    val bGen: Gen[List[Double]] = for {
+      base <- Gen.nonEmptyListOf(Gen.chooseNum(-500, 500).map(_ / 7.3))
+      dups <- Gen.someOf(base) // force duplicate boundaries (hot quantiles)
+    } yield (base ++ dups).sorted
+    samples(bGen, 25).zipWithIndex.foreach { case (bs, i) =>
+      val boundaries = bs.toArray
+      // probe values: the boundaries themselves (exact ties), midpoints,
+      // and out-of-range extremes
+      val probes = (boundaries ++ boundaries.map(_ + 0.01) ++
+        boundaries.map(_ - 0.01) ++ Array(-1e9, 1e9)).toSeq
+      val got = probes.toDF("v").select(
+        BoundaryBucket(col("v"), boundaries).as("nb"),
+        aggregate(array(boundaries.map(lit).toIndexedSeq: _*), lit(0),
+          (acc, b) => acc + when(col("v").cast("double") > b, 1).otherwise(0))
+          .as("fb"))
+        .collect()
+      got.foreach(r => assert(r.getInt(0) == r.getInt(1), s"sample $i"))
+    }
+  }
 }

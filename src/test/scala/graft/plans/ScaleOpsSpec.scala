@@ -205,4 +205,60 @@ class ScaleOpsSpec extends SparkSpec {
     assert(zRows * 2 <= linRows,
       s"z-order read $zRows rows, 1-dim sort read $linRows — expected ≤ half")
   }
+
+  test("rank-bucketed z-order keeps pruning on skewed keys where min/max collapses") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect { case s: FileSourceScanExec =>
+        s.metrics("numOutputRows").value
+      }.sum
+    }
+    // 80% of rows sit on ONE hot x value; the rest spread over [2, 1e6].
+    // A box on a mid-population x band + 10% of y.
+    val df = (0 until 60000).map { i =>
+      val x = if (i % 10 < 8) 1L else {
+        val r = (i.toLong * 2641) % 1000; r * r + 2
+      }
+      (i.toLong, x, (i % 1000).toLong)
+    }.toDF("id", "x", "y")
+    val pred = col("x") >= 10000L && col("x") <= 250000L && col("y") < 100L
+    val nBox = df.filter(pred).count()
+    assert(nBox > 300, s"test geometry broke: $nBox box rows")
+    // min/max scaling: the hot value drags ~every row into the lowest
+    // cells, so files mix hot rows with band rows and their x-stats
+    // span the box — x stops pruning
+    val mm = df.agg(min("x"), max("x")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val mmDf = df
+      .withColumn("x16", ((col("x") - lit(lo)) * 65535L / lit(hi - lo)).cast("long"))
+      .withColumn("y16", (col("y") * 65535L / lit(999)).cast("long"))
+    // rank bucketing: the hot value collapses into its own bucket, the
+    // band occupies distinct buckets → tight per-file x-stats again
+    val bx = ScaleOps.rankBoundaries(df, "x", 256)
+    val by = ScaleOps.rankBoundaries(df, "y", 256)
+    val rkDf = df
+      .withColumn("x16", ScaleOps.rankBucket(col("x"), bx).cast("long"))
+      .withColumn("y16", ScaleOps.rankBucket(col("y"), by).cast("long"))
+    val mmDir = java.nio.file.Files.createTempDirectory("graft_zmm").toString
+    val rkDir = java.nio.file.Files.createTempDirectory("graft_zrk").toString
+    ScaleOps.writeZOrdered(mmDf, "x16", "y16", mmDir,
+      files = 16, rowsPerFile = 1024)
+    ScaleOps.writeZOrdered(rkDf, "x16", "y16", rkDir,
+      files = 16, rowsPerFile = 1024)
+    val mmScan = spark.read.parquet(mmDir).filter(pred)
+    val rkScan = spark.read.parquet(rkDir).filter(pred)
+    val mmRows = scanRows(mmScan)
+    val rkRows = scanRows(rkScan)
+    assert(mmScan.count() == nBox && rkScan.count() == nBox)
+    System.err.println(s"[zorder-skew] box=$nBox minmax_scan=$mmRows rank_scan=$rkRows")
+    assert(rkRows * 2 <= mmRows,
+      s"rank-bucketed read $rkRows rows, min/max read $mmRows — expected ≤ half")
+  }
 }
