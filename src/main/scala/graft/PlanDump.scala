@@ -18,7 +18,8 @@ object PlanDump {
     "q93_curation_chain", "q94_gk_stored_shards", "q95_substring_dedup",
     "q96_bigram_lm_score", "q97_phrase_search", "q100_profile",
     "q101_weighted_sample", "q102_zorder_values", "q103_kmeans_step",
-    "q104_embed_covariance", "q105_embed_abtt")
+    "q104_embed_covariance", "q105_embed_abtt", "q106_corpus_overlap",
+    "q107_zorder_rank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
