@@ -162,7 +162,6 @@ object Bench {
             .write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
-          failures += "q41b_ann_ivf_build" // a bogus build time must not pass silently
           System.err.println(s"[bench] q41b index build FAILED: ${e.getMessage}")
           None
         }
@@ -180,6 +179,10 @@ object Bench {
         graft.operators.Similarity.clearIvfIndexCache()
         best = (best.toSeq ++ buildOnce().toSeq).minOption
       }
+      // the round is a failure only when NO attempt produced a valid
+      // measurement: a retry attempt that throws transiently must not red
+      // a run whose initial (merely inflated) build succeeded (ADVICE r9)
+      if (best.isEmpty) failures += "q41b_ann_ivf_build"
       best // the cache is warm again after the last re-fit: the timed
            // loop below still measures the probe-only path
     }
@@ -307,7 +310,22 @@ object Bench {
     // (r2 single-shot vs r3 median-of-3 was silently incomparable);
     // loadavg/cpu_wall/suspect make a contaminated run distinguishable
     // from a regression AFTER the fact (VERDICT r3/r4/r5)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup":$warmedUp,"action":"noop","build_keys":["q41b_ann_ivf_build"],"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","baseline_entries":${baseline.size},"rerun":$rr,"suspect":$sus,"suspect_fail":${suspect.nonEmpty},"cpu_wall":$ratios,"queries":$qs,"failed":$fq,"sf":"$sfDir"}""")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup":$warmedUp,"action":"noop","build_keys":["q41b_ann_ivf_build"],"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","baseline_entries":${baseline.size},"rerun":$rr,"suspect":$sus,"suspect_fail":${suspect.nonEmpty},"cpu_wall":$ratios,"queries":$qs,"failed":$fq,"sf":"$sfDir"}"""
+    println(jsonLine)
+    // also persist the full line: the driver's committed BENCH_r{N}.json
+    // truncates to a ~2KB tail, which dropped the per-query history for
+    // the alphabetic head of the suite from every round artifact
+    // (VERDICT r9 what's-wrong #1) — BENCH_FULL.json is overwritten per
+    // run and committed each round so the complete map survives.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (new java.io.File("/root/repo").isDirectory) "/root/repo/BENCH_FULL.json"
+      else "BENCH_FULL.json")
+    try {
+      val w = new java.io.PrintWriter(fullPath)
+      try w.println(jsonLine) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
     spark.stop()
     // a query still >SUSPECT_FACTOR× its quiet baseline AFTER the cooldown
     // re-run is a red bench, not a footnote (VERDICT r7 #8): with the

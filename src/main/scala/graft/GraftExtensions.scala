@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, Md5Hash60, SquaredDistance, WordNGrams, WordShingles, YamrPartition}
+import graft.functions.{DotProduct, ImageHeader, Md5Hash60, SquaredDistance, WordNGrams, WordShingles, YamrPartition}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst functions for SQL use, the TopKPerKey planner strategy, and
@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "md5_hash60(s) takes 1 argument")
         Md5Hash60(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("image_header"),
+      new ExpressionInfo(classOf[ImageHeader].getName, "image_header"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "image_header(payload) takes 1 argument")
+        ImageHeader(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),

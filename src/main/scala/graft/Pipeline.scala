@@ -227,19 +227,19 @@ object Pipeline {
       groupCol: String, targetDocs: Long): DataFrame =
     operators.DataPrep.epochMix(docs, idCol, textCol, groupCol, targetDocs)
 
-  /** Distributed deterministic per-group rank by (md5(id), id) — the
-    * scale-safe replacement for a per-group row_number window (no
-    * single-task-per-group sort; identical values).
-    */
   /** Distributed running weight sum in (md5(id), id) order per group —
-    * the two-level no-single-task-sort cumsum behind PPS sampling. */
+    * the two-level no-single-task-sort cumsum behind PPS sampling.
+    * `weightCol` must be integral (refused loudly otherwise): sums are
+    * exact LONGs, so fractional weights would be truncated per row —
+    * pre-scale to integer units (e.g. micro-weights) first. */
   def md5BucketCumsum(df: DataFrame, groupCol: String, idCol: String,
       weightCol: String, cumAs: String, hexChars: Int = 3): DataFrame =
     operators.DataPrep.md5BucketCumsum(df, groupCol, idCol, weightCol, cumAs, hexChars)
 
   /** Weighted systematic (probability-proportional-to-size) sample: keep
     * rows whose cumulative-weight span crosses a multiple of `step`;
-    * deterministic, RNG-free, selection oracle-pinned (q101). */
+    * deterministic, RNG-free, selection oracle-pinned (q101). Integral
+    * weights only — see [[md5BucketCumsum]]. */
   def weightedSystematicSample(df: DataFrame, groupCol: String,
       idCol: String, weightCol: String, step: Long): DataFrame =
     operators.DataPrep.weightedSystematicSample(df, groupCol, idCol, weightCol, step)

@@ -26,6 +26,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
 case class BoundaryBucket(child: Expression, boundaries: Array[Double])
     extends UnaryExpression {
   require(boundaries.nonEmpty, "boundaries must be non-empty")
+  // binary search is only correct over a sorted array; an unsorted input
+  // would silently violate the "count strictly below" contract (ADVICE r9)
+  require(boundaries.indices.drop(1).forall(i => boundaries(i - 1) <= boundaries(i)),
+    "boundaries must be non-decreasing")
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "boundary_bucket"

@@ -603,6 +603,19 @@ object DataPrep {
   def md5BucketCumsum(df: DataFrame, groupCol: String, idCol: String,
       weightCol: String, cumAs: String, hexChars: Int = 3): DataFrame = {
     require(hexChars >= 1 && hexChars <= 8, s"hexChars in [1,8], got $hexChars")
+    // exact-LONG summation is the whole point (order-independent, oracle-
+    // replayable); a fractional weight column would be silently truncated
+    // per row by the cast, so refuse it loudly (ADVICE r9)
+    df.schema.find(_.name == weightCol).foreach { f =>
+      require(f.dataType match {
+        case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+             _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+        case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+        case _ => false
+      }, s"weightCol '$weightCol' must be integral (got ${f.dataType.simpleString}): " +
+        "fractional weights would be truncated per row before summation — " +
+        "pre-scale to integer units (e.g. micro-weights) instead")
+    }
     val withKey = df
       .withColumn("__h", md5(col(idCol).cast("string")))
       .withColumn("__b", hexPrefixBucket(col("__h"), hexChars))

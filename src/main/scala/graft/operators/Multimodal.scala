@@ -1,77 +1,235 @@
 package graft.operators
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
+import graft.functions.ImageHeader
 import graft.sources.Tables
 
 /** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
-  * with decode / feature-extraction as per-partition batch functions.
+  * with a REAL dependency-free container decoder.
   *
   * The reference's whole data model is opaque blobs handed to user code
-  * (one chunk string per map task, yamr mapper.py:74-84); this module is
-  * the typed, columnar version of that contract: payloads stay opaque
-  * `BinaryType` columns, metadata rides in typed columns, and the only
-  * imperative step (the media decoder) runs as `mapPartitions` over a
-  * `Dataset` — Spark's per-partition batch boundary, the Scala analog of
-  * `mapInPandas`.
+  * (one chunk string per map task, yamr mapper.py:74-84) and cannot
+  * represent binary at all (SURVEY §1.2 — JSON-encodable types only);
+  * this module is the typed, columnar version of that contract: payloads
+  * stay opaque `BinaryType` columns, metadata rides in typed columns, and
+  * decoding runs two ways —
   *
-  * The decoder itself is STUBBED (no image/audio libs in this
-  * environment): `decodeStub` derives deterministic fake features from the
-  * payload bytes. The Spark-side plumbing — schema, binary columns,
-  * partitioning, batch shape — is real and oracle-tested.
+  *   - as a native codegen'd scalar ([[graft.functions.ImageHeader]],
+  *     also SQL-registered as `image_header`) for header-only extraction
+  *     that stays inside whole-stage codegen (q108), and
+  *   - as `mapPartitions` over a typed `Dataset` — Spark's per-partition
+  *     batch boundary, the Scala analog of `mapInPandas`, the shape a
+  *     real pixel decoder (heavyweight per-batch library init) would use
+  *     (q42).
+  *
+  * Both share one kernel: `ImageHeader.compute`, which parses PNG IHDR /
+  * JPEG SOF / GIF logical-screen headers from raw bytes (pure
+  * public-spec byte arithmetic — no image library exists in this
+  * environment and none is needed for header decode; a PIXEL decoder
+  * would slot into `extractFeatures`'s mapPartitions body). The test
+  * corpus embeds real spec-conformant headers built from the documents
+  * table, so the oracle can replay both the construction arithmetic and
+  * the parse offsets byte for byte.
   */
 object Multimodal {
 
   /** A multimodal record: payload is an opaque byte blob. */
   final case class MediaRecord(doc_id: Long, mime: String, payload: Array[Byte])
 
-  /** Extracted features (decode stub output). */
+  /** Decoded features: container format + parsed dimensions + size. */
   final case class MediaFeatures(
-      doc_id: Long, mime: String, n_bytes: Long, head_byte: Int, checksum: Long)
-
-  /** STUB decoder: a real implementation would decode the image/audio
-    * payload here (e.g. JPEG → pixels → embedding). Deterministic fake:
-    * byte length, first byte, and a little-endian additive checksum.
-    */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
-    val sum = r.payload.foldLeft(0L)((a, b) => (a + (b & 0xff)) % 1000000007L)
-    MediaFeatures(r.doc_id, r.mime,
-      r.payload.length.toLong,
-      if (r.payload.nonEmpty) r.payload(0) & 0xff else -1,
-      sum)
-  }
+      doc_id: Long, mime: String, n_bytes: Long,
+      format: String, width: Int, height: Int, valid: Boolean)
 
   /** The per-partition decode pipeline: batch-shaped like mapInPandas —
-    * one iterator in, one iterator out, no per-row task overhead.
+    * one iterator in, one iterator out, no per-row task overhead. Calls
+    * the same parse kernel the codegen'd expression uses.
     */
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.map(decodeStub))
+    ds.mapPartitions(_.map { r =>
+      val (fmt, w, h, ok) = ImageHeader.parse(r.payload)
+      MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, fmt, w, h, ok)
+    })
   }
 
-  /** Builds a media table from `documents`: payload = UTF-8 bytes of the
-    * text (the deterministic stand-in for real image bytes).
-    */
-  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+  // ------------------------------------------------------- synthetic corpus
+  // Real spec-conformant image headers, built deterministically from
+  // documents: dims from doc_id arithmetic, a body from the text's first
+  // bytes, format cycling png/jpeg/gif/raw, and a truncation case that
+  // exercises every decoder bail-out path. Construction goes through a
+  // HEX string (lpad(hex(n))) so DuckDB can rebuild the identical layout
+  // and parse the dims back out of the hex at the public-spec byte
+  // offsets — the construction and the parse pin each other.
+  //
+  // Per-format layout (all offsets are the container specs'):
+  //   png  = sig(8) | len=13(4BE) | "IHDR" | w(4BE) | h(4BE) |
+  //          depth8 color6 comp0 filt0 inter0 | crc(4, zeros) | body
+  //   jpeg = SOI | COM(len=2+k, k 'A's) | SOF0(len=17, prec8, h(2BE),
+  //          w(2BE), 3 components) | EOI | body
+  //   gif  = "GIF89a" | w(2LE) | h(2LE) | packed F7, bg 0, aspect 0 | body
+  //   raw  = 0x00 | body                      (no magic → "unknown")
+  // Truncation (doc_id % 13 == 0): payload cut to 7 bytes — shorter than
+  // the PNG signature (format falls to "unknown"), mid-COM for JPEG,
+  // mid-screen-descriptor for GIF; every case must decode as invalid.
+
+  private def hexW4(c: Column) = lpad(hex(c), 4, "0")
+  private def hexW8(c: Column) = lpad(hex(c), 8, "0")
+  private def le16(hex4: Column): Column =
+    concat(substring(hex4, 3, 2), substring(hex4, 1, 2))
+
+  /** documents → (doc_id, mime, payload) with real embedded headers. */
+  def imageTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"), lit("text/plain").as("mime"),
-        col("text").cast("binary").as("payload"))
+    val d = Tables.documents(s, dir)
+      .withColumn("fmt", pmod(col("doc_id"), lit(4)).cast("int"))
+      .withColumn("w", (pmod(col("doc_id"), lit(1021)) + 1).cast("int"))
+      .withColumn("h", (pmod(col("doc_id"), lit(763)) + 1).cast("int"))
+      .withColumn("k", pmod(col("doc_id"), lit(7)).cast("int"))
+      .withColumn("bodyhex", hex(substring(col("text").cast("binary"), 1, 32)))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+      hexW8(col("w")), hexW8(col("h")), lit("0806000000"), lit("00000000"),
+      col("bodyhex"))
+    val jpegHex = concat(
+      lit("FFD8"), lit("FFFE"), hexW4(col("k") + 2), expr("repeat('41', k)"),
+      lit("FFC0"), lit("0011"), lit("08"), hexW4(col("h")), hexW4(col("w")),
+      lit("03"), lit("011100"), lit("021101"), lit("031101"),
+      lit("FFD9"), col("bodyhex"))
+    val gifHex = concat(
+      lit("474946383961"), le16(hexW4(col("w"))), le16(hexW4(col("h"))),
+      lit("F70000"), col("bodyhex"))
+    val rawHex = concat(lit("00"), col("bodyhex"))
+    val full = unhex(
+      when(col("fmt") === 0, pngHex)
+        .when(col("fmt") === 1, jpegHex)
+        .when(col("fmt") === 2, gifHex)
+        .otherwise(rawHex))
+    d.select(col("doc_id"),
+        when(col("fmt") === 0, lit("image/png"))
+          .when(col("fmt") === 1, lit("image/jpeg"))
+          .when(col("fmt") === 2, lit("image/gif"))
+          .otherwise(lit("application/octet-stream")).as("mime"),
+        when(pmod(col("doc_id"), lit(13)) === 0, substring(full, 1, 7))
+          .otherwise(full).as("payload"))
       .as[MediaRecord]
   }
 
-  /** One sampled "frame" of a media payload. A real implementation would
-    * decode video and emit every k-th frame; the stub slices the payload
-    * into fixed windows so the 1-record→N-frames dataflow (flatMap), frame
-    * metadata, and downstream partitioning are all real.
+  /** The shared oracle truth table: rebuilds the header hex in DuckDB and
+    * parses width/height back out of it at the SPEC byte offsets (PNG
+    * w at bytes 16–19 BE → hex chars 33–40; JPEG SOF height at byte
+    * 11+k BE → chars 23+2k; GIF w at bytes 6–7 LE → chars 13–16
+    * byte-swapped), so a decoder reading the wrong offsets or endianness
+    * cannot hash-match. `cols` picks the projected output columns.
+    */
+  private def oracleSql(cols: String): String =
+    s"""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(doc_id % 4 AS INT) AS fmt,
+               CAST(doc_id % 1021 + 1 AS INT) AS w,
+               CAST(doc_id % 763 + 1 AS INT) AS h,
+               CAST(doc_id % 7 AS INT) AS k,
+               (doc_id % 13 = 0) AS trunc,
+               least(32, octet_length(encode(text))) AS body_n
+        FROM documents),
+      hx AS (
+        SELECT *,
+               '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+                 lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0') ||
+                 '0806000000' || '00000000' AS png_hex,
+               'FFD8' || 'FFFE' || lpad(hex(k + 2), 4, '0') || repeat('41', k) ||
+                 'FFC0' || '0011' || '08' || lpad(hex(h), 4, '0') ||
+                 lpad(hex(w), 4, '0') ||
+                 '03' || '011100' || '021101' || '031101' || 'FFD9' AS jpeg_hex,
+               '474946383961' ||
+                 substr(lpad(hex(w), 4, '0'), 3, 2) || substr(lpad(hex(w), 4, '0'), 1, 2) ||
+                 substr(lpad(hex(h), 4, '0'), 3, 2) || substr(lpad(hex(h), 4, '0'), 1, 2) ||
+                 'F70000' AS gif_hex
+        FROM base),
+      parsed AS (
+        SELECT *,
+               CASE fmt
+                 WHEN 0 THEN ('0x' || substr(png_hex, 33, 8))::BIGINT
+                 WHEN 1 THEN ('0x' || substr(jpeg_hex, 27 + 2*k, 4))::BIGINT
+                 WHEN 2 THEN ('0x' || substr(gif_hex, 15, 2) || substr(gif_hex, 13, 2))::BIGINT
+               END AS pw,
+               CASE fmt
+                 WHEN 0 THEN ('0x' || substr(png_hex, 41, 8))::BIGINT
+                 WHEN 1 THEN ('0x' || substr(jpeg_hex, 23 + 2*k, 4))::BIGINT
+                 WHEN 2 THEN ('0x' || substr(gif_hex, 19, 2) || substr(gif_hex, 17, 2))::BIGINT
+               END AS ph
+        FROM hx),
+      o AS (
+        SELECT doc_id,
+               CASE WHEN fmt = 0 THEN 'image/png' WHEN fmt = 1 THEN 'image/jpeg'
+                    WHEN fmt = 2 THEN 'image/gif'
+                    ELSE 'application/octet-stream' END AS mime,
+               CASE WHEN trunc THEN least(CASE fmt WHEN 0 THEN 33 + body_n
+                                                   WHEN 1 THEN 27 + k + body_n
+                                                   WHEN 2 THEN 13 + body_n
+                                                   ELSE 1 + body_n END, 7)
+                    ELSE CASE fmt WHEN 0 THEN 33 + body_n
+                                  WHEN 1 THEN 27 + k + body_n
+                                  WHEN 2 THEN 13 + body_n
+                                  ELSE 1 + body_n END
+               END AS n_bytes,
+               -- a 7-byte truncation beheads the 8-byte PNG signature, so
+               -- the decoder can only call it "unknown"; JPEG/GIF magics
+               -- survive 7 bytes and keep their format label
+               CASE WHEN fmt = 3 OR (trunc AND fmt = 0) THEN 'unknown'
+                    WHEN fmt = 0 THEN 'png' WHEN fmt = 1 THEN 'jpeg'
+                    ELSE 'gif' END AS format,
+               CAST(CASE WHEN trunc OR fmt = 3 THEN -1 ELSE pw END AS INT) AS width,
+               CAST(CASE WHEN trunc OR fmt = 3 THEN -1 ELSE ph END AS INT) AS height,
+               (NOT trunc AND fmt <> 3) AS valid
+        FROM parsed)
+      SELECT $cols FROM o ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q108
+  // The codegen'd-expression decode path: image_header(payload) as a
+  // single projected scalar — header extraction over a 100 TB binary
+  // column as one WholeStageCodegen'd scan, no UDF, no partition-batch
+  // boundary. The oracle rebuilds every header per spec and re-parses it
+  // from the hex at the spec offsets (construction ⊗ parse cross-pin).
+  private val q108 = GraftQuery(
+    "q108_image_header",
+    (s, dir) =>
+      imageTable(s, dir).toDF()
+        .select(col("doc_id"), ImageHeader(col("payload")).as("ih"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .select(col("doc_id"), col("ih.format").as("format"),
+          col("ih.width").as("width"), col("ih.height").as("height"),
+          col("ih.valid").as("valid"), col("n_bytes"))
+        .orderBy(col("doc_id")),
+    Some(oracleSql("doc_id, format, width, height, valid, CAST(n_bytes AS BIGINT) AS n_bytes")))
+
+  // ---------------------------------------------------------------- q42
+  // The typed mapPartitions decode path (the mapInPandas analog a pixel
+  // decoder would use), same kernel, plus the mime metadata column —
+  // migrated off the old deterministic stub to the real decoder (r10).
+  private val q42 = GraftQuery(
+    "q42_multimodal_features",
+    (s, dir) => {
+      extractFeatures(imageTable(s, dir)).toDF()
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+          col("format"), col("width"), col("height"), col("valid"))
+        .orderBy(col("doc_id"))
+    },
+    Some(oracleSql(
+      "doc_id, mime, CAST(n_bytes AS BIGINT) AS n_bytes, format, width, height, valid")))
+
+  /** One sampled "frame" of a media payload: every `stride`-th
+    * `frameBytes`-sized window — the 1-record→N-frames dataflow (flatMap)
+    * for video/audio, with per-frame metadata and downstream
+    * partitioning all real. (A codec would replace `grouped` with real
+    * frame boundaries; the dataflow shape is identical.)
     */
   final case class Frame(doc_id: Long, frame_no: Int, offset: Long, frame: Array[Byte])
 
-  /** Frame sampling: emits every `stride`-th `frameBytes`-sized window of
-    * the payload — the mapInPandas-shaped 1→N expansion for video/audio.
-    */
   def sampleFrames(ds: Dataset[MediaRecord], frameBytes: Int, stride: Int): Dataset[Frame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
@@ -81,64 +239,52 @@ object Multimodal {
     }
   }
 
-  /** "Resize" stub: a real decoder would scale pixels; the stub truncates
-    * or zero-pads the payload to `targetBytes`, preserving the
-    * fixed-output-size contract real resize has.
-    */
-  def resizeStub(r: MediaRecord, targetBytes: Int): MediaRecord =
-    r.copy(payload = r.payload.padTo(targetBytes, 0.toByte).take(targetBytes))
-
-  // ---------------------------------------------------------------- q42
-  // Full multimodal path: binary column → repartitioned decode batches →
-  // typed features, oracle-mirrored via byte arithmetic on the UTF-8
-  // payload in DuckDB.
-  private val q42 = GraftQuery(
-    "q42_multimodal_features",
-    (s, dir) => {
-      val features = extractFeatures(mediaTable(s, dir))
-      features.toDF()
-        .select(col("doc_id"), col("mime"), col("n_bytes"),
-          col("head_byte"), col("checksum"))
-        .orderBy(col("doc_id"))
-    },
-    Some("""
-      -- byte-exact: fold over the hex pairs of the UTF-8 encoding, so
-      -- multi-byte characters and empty payloads match the byte-level
-      -- stub (per-character ascii() would diverge on non-ASCII text)
-      WITH b AS (SELECT doc_id, hex(encode(text)) AS h FROM documents)
-      SELECT doc_id, 'text/plain' AS mime,
-             CAST(length(h) // 2 AS BIGINT) AS n_bytes,
-             CAST(CASE WHEN length(h) = 0 THEN -1
-                       ELSE ('0x' || substr(h, 1, 2))::BIGINT END AS INT) AS head_byte,
-             CAST(list_reduce(
-               list_prepend(0::BIGINT,
-                 list_transform(range(1, length(h) // 2 + 1),
-                   i -> ('0x' || substr(h, CAST(i*2-1 AS INT), 2))::BIGINT)),
-               (a, b) -> (a + b) % 1000000007) AS BIGINT) AS checksum
-      FROM b
-      ORDER BY doc_id"""))
-
-  // ---------------------------------------------------------------- q43b
-  // Frame sampling over the media table: every 2nd 64-byte window, with
-  // per-frame metadata — oracle mirrors the slicing arithmetic on the
-  // UTF-8 text (ASCII corpus ⇒ byte == char).
-  private val q43b = GraftQuery(
+  // ---------------------------------------------------------------- q42b
+  // Frame sampling over the image corpus: every 2nd 64-byte window with
+  // per-frame metadata — the oracle derives each payload's exact byte
+  // length from the construction arithmetic and replays the slicing.
+  private val q42b = GraftQuery(
     "q42b_multimodal_frames",
     (s, dir) =>
-      sampleFrames(mediaTable(s, dir), frameBytes = 64, stride = 2).toDF()
+      sampleFrames(imageTable(s, dir), frameBytes = 64, stride = 2).toDF()
         .select(col("doc_id"), col("frame_no"), col("offset"),
           length(col("frame")).as("frame_bytes"))
         .orderBy(col("doc_id"), col("frame_no")),
     Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(doc_id % 4 AS INT) AS fmt,
+               CAST(doc_id % 7 AS INT) AS k,
+               (doc_id % 13 = 0) AS trunc,
+               least(32, octet_length(encode(text))) AS body_n
+        FROM documents),
+      sized AS (
+        SELECT doc_id,
+               CASE WHEN trunc
+                    THEN least(CASE fmt WHEN 0 THEN 33 + body_n
+                                        WHEN 1 THEN 27 + k + body_n
+                                        WHEN 2 THEN 13 + body_n
+                                        ELSE 1 + body_n END, 7)
+                    ELSE CASE fmt WHEN 0 THEN 33 + body_n
+                                  WHEN 1 THEN 27 + k + body_n
+                                  WHEN 2 THEN 13 + body_n
+                                  ELSE 1 + body_n END
+               END AS n
+        FROM base)
       SELECT doc_id,
              CAST(i AS INT) AS frame_no,
              CAST(i * 64 AS BIGINT) AS offset,
              CAST(least(64, n - i * 64) AS INT) AS frame_bytes
-      FROM (SELECT doc_id, octet_length(encode(text)) AS n,
-                   unnest(range(0, (octet_length(encode(text)) + 63) // 64)) AS i
-            FROM documents) t
+      FROM (SELECT doc_id, n, unnest(range(0, (n + 63) // 64)) AS i FROM sized) t
       WHERE i % 2 = 0
       ORDER BY doc_id, frame_no"""))
 
-  val all: Seq[GraftQuery] = Seq(q42, q43b)
+  /** "Resize" to a fixed output size: truncate or zero-pad the payload to
+    * `targetBytes` — the fixed-output-size contract real resize has (a
+    * pixel implementation would scale instead of pad; same column shape).
+    */
+  def resizeFixed(r: MediaRecord, targetBytes: Int): MediaRecord =
+    r.copy(payload = r.payload.padTo(targetBytes, 0.toByte).take(targetBytes))
+
+  val all: Seq[GraftQuery] = Seq(q42, q42b, q108)
 }

@@ -53,7 +53,8 @@ class CodegenFallbackSpec extends SparkSpec {
           "CodeGenerator logger never reached the capture appender")
       cap.messages.clear()
       Seq("q43_approx_sketches", "q67_hll_mergeable", "q89_decontaminate_bloom",
-          "q90_cms_heavy_hitters", "q92_gk_quantiles", "q94_gk_stored_shards").foreach { name =>
+          "q90_cms_heavy_hitters", "q92_gk_quantiles", "q94_gk_stored_shards",
+          "q108_image_header").foreach { name =>
         SparkEntry.queries(name)(spark, sf001).collect()
       }
       val msgs = cap.messages.toArray.mkString("\n")

@@ -44,6 +44,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect()(0)
       assert(t.getSeq[String](0) == Seq("a b", "b a"), t.toString)
       assert(t.getSeq[String](1) == Seq("a b", "b a", "a b"), t.toString)
+      // image_header parses real container headers from SQL (GIF fixture:
+      // 'GIF89a' + w=7 LE + h=3 LE)
+      val ih = s.sql(
+        "SELECT image_header(unhex('474946383961070003000000')).format AS f, " +
+          "image_header(unhex('474946383961070003000000')).width AS w, " +
+          "image_header(unhex('474946383961070003000000')).height AS h, " +
+          "image_header(unhex('00')).valid AS inv")
+        .collect()(0)
+      assert(ih.getString(0) == "gif" && ih.getInt(1) == 7 && ih.getInt(2) == 3
+        && !ih.getBoolean(3), ih.toString)
       // bloom_filter_agg + might_contain: the scalar-subquery SQL form of
       // bloom decontamination. Membership is guaranteed true (a bloom has
       // no false negatives); '9999' at 8192 bits / 100 items is a

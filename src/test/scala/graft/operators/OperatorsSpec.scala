@@ -122,12 +122,27 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
   }
 
-  test("multimodal decode stub: deterministic features from payload bytes") {
-    val r = Multimodal.MediaRecord(7L, "text/plain", "abc".getBytes("UTF-8"))
-    val f = Multimodal.decodeStub(r)
-    assert(f.n_bytes == 3 && f.head_byte == 'a'.toInt && f.checksum == 97L + 98 + 99)
-    val empty = Multimodal.decodeStub(Multimodal.MediaRecord(8L, "x", Array.empty))
-    assert(empty.n_bytes == 0 && empty.head_byte == -1 && empty.checksum == 0L)
+  test("multimodal imageTable embeds real headers the decoder round-trips") {
+    import spark.implicits._
+    val media = Multimodal.imageTable(spark, sf001)
+    val feats = Multimodal.extractFeatures(media)
+      .filter(col("doc_id") < 60 && pmod(col("doc_id"), lit(13)) =!= 0)
+      .collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val fmtIdx = (f.doc_id % 4).toInt
+      val expected = Seq("png", "jpeg", "gif", "unknown")(fmtIdx)
+      assert(f.format == expected, s"doc ${f.doc_id}: $f")
+      if (fmtIdx < 3) {
+        assert(f.valid, s"doc ${f.doc_id} should decode: $f")
+        assert(f.width == 1 + (f.doc_id % 1021).toInt)
+        assert(f.height == 1 + (f.doc_id % 763).toInt)
+      } else assert(!f.valid && f.width == -1 && f.height == -1)
+    }
+    // the truncation case breaks every container mid-header
+    val trunc = Multimodal.extractFeatures(
+      media.filter(pmod(col("doc_id"), lit(13)) === 0).limit(8)).collect()
+    trunc.foreach(f => assert(!f.valid && f.n_bytes <= 7, s"$f"))
   }
 
   test("exact dedup: planted duplicates collapse to one representative") {

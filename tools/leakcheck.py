@@ -43,7 +43,11 @@ URL_ALLOW = re.compile(
     r"commoncrawl\.org|huggingface\.co|"
     r"www\.w3\.org|json\.org|parquet\.apache\.org|"
     r"localhost(:\d+)?|127\.0\.0\.1(:\d+)?|example\.(com|org)"
-    r")([/\s\"')\]>,.]|$)")
+    # terminator: the allowlisted domain must be the WHOLE host — a '.'
+    # counts only as a sentence-final dot (followed by whitespace/end),
+    # never as another hostname label (github.com.evil.example must not
+    # pass) (ADVICE r9)
+    r")([/:\s\"')\]>,]|\.(?=\s|$)|$)")
 
 # Only package-rooted imports are candidates (value imports like
 # `spark.implicits._` start at a local identifier, not a root package).
@@ -60,7 +64,10 @@ ENV_ALLOW = re.compile(
     r"TZ|LANG|LC_[A-Z]+|COURSIER_[A-Z_]+|SBT_[A-Z_]+)$")
 
 PATTERNS = {
-    "bucket": re.compile(r"\b(s3a?|gs|abfss?|wasbs?)://[^\s\"']+"
+    # non-capturing scheme group: findall must return the WHOLE URI so the
+    # artifact's hit fragments carry the actual path, not just "s3" (and
+    # not "" for hdfs matches) (ADVICE r9)
+    "bucket": re.compile(r"\b(?:s3a?|gs|abfss?|wasbs?)://[^\s\"']+"
                          r"|\bhdfs://[a-z0-9][^\s\"']*"),
     "api-key": re.compile(r"\bAKIA[0-9A-Z]{16}\b|\bsk-[A-Za-z0-9]{20,}\b"
                           r"|\bxox[baprs]-[A-Za-z0-9-]{10,}"
