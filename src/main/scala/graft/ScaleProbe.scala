@@ -430,7 +430,23 @@ object ScaleProbe {
           System.err.println(s"[embedops] $name sec=$t")
           name -> t
         }
-        val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
+        // stored-shard moments fold (q109's production read path): the
+        // build cost scales with rows, but the FOLD reads only the 64
+        // constant-size state rows — its time must stay flat across
+        // decades while n_vecs grows 10× (the incremental-refresh claim).
+        val statesDir = s"$out/moment_states.parquet"
+        val emb = graft.sources.Tables.load(spark, out, "embeddings")
+        val (_, tBuild) = timed(
+          graft.operators.Similarity.momentShardStates(emb, 64, shards = 64)
+            .write.mode("overwrite").parquet(statesDir))
+        val (_, tFold) = timed(
+          graft.operators.Similarity.covarianceFromStates(
+            spark.read.parquet(statesDir), 64)
+            .write.format("noop").mode("overwrite").save())
+        System.err.println(s"[embedops] moments_build sec=$tBuild fold sec=$tFold")
+        val qs = (times ++ Seq("moments_states_build" -> tBuild,
+          "moments_stored_fold" -> tFold))
+          .map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
         println(s"""{"metric":"embedops_probe","copies":$copies,"n_vecs":$nVecs,"queries":$qs,"src":"$src"}""")
 

@@ -391,4 +391,41 @@ object Aggregators {
     def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
+
+  /** Folds STORED moment states (the flat `array<long>` a
+    * [[MomentsAggregator]] emitted, full-matrix layout
+    * `[ n | Sx(d) | Sxy(d·d) ]`) into one by element-wise sum — the
+    * incremental-refresh read path that completes the triad discipline
+    * (HLL/CMS/GK) for covariance: N ~33 KB state rows in, one combined
+    * state out, history never re-scanned. Element-wise BIGINT addition
+    * is EXACTLY the partial-merge the live aggregator performs, so a
+    * fold of persisted shards is bit-identical to a single pass over
+    * the union of their rows (SimilaritySpec pins this; q109 pins it
+    * against q104's oracle). NULL shard rows are skipped.
+    */
+  class MomentsMergeAggregator(dim: Int)
+      extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    private val len = 1 + dim + dim * dim
+    def zero: Array[Long] = new Array[Long](len)
+    def reduce(b: Array[Long], v: Seq[Long]): Array[Long] = {
+      if (v == null) return b
+      require(v.length == len,
+        s"stored moments state must have ${len} entries (dim=$dim), got ${v.length}")
+      val a = v.toArray
+      var i = 0
+      while (i < len) { b(i) += a(i); i += 1 }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < len) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
 }

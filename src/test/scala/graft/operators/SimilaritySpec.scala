@@ -236,6 +236,33 @@ class SimilaritySpec extends SparkSpec {
     assert(re == got) // exact integer sums: identical at any parallelism
   }
 
+  test("moments stored-shard fold: parquet round trip is bit-identical to inline") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val dim = 64
+    val inline = Similarity.covariance(emb, dim)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // serialize → store → read back → fold: the production refresh path
+    val dir = java.nio.file.Files.createTempDirectory("graft_moments_").toString
+    Similarity.momentShardStates(emb, dim, shards = 8)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    assert(stored.count() == 8)
+    // each state row is the flat [n | Sx(d) | Sxy(d*d)] layout
+    assert(stored.select(size(col("m"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(1 + dim + dim * dim))
+    val folded = Similarity.covarianceFromStates(stored, dim)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(folded == inline,
+      "stored-shard fold diverged from the single-pass covariance")
+    // and a different shard count folds to the same matrix (the merge
+    // is associative/commutative integer addition)
+    val folded17 = Similarity.covarianceFromStates(
+      Similarity.momentShardStates(emb.repartition(5), dim, shards = 17), dim)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(folded17 == inline)
+  }
+
   test("pcaTopComponent returns a dominant eigenpair (Av = lambda*v)") {
     val emb = graft.sources.Tables.embeddings(spark, sf001)
     val cov = Similarity.covarianceMatrix(emb, 64)
