@@ -105,6 +105,46 @@ object ScaleOps {
       .option("maxRecordsPerFile", rowsPerFile)
       .parquet(path)
 
+  /** N-dimensional Morton interleave: bit `i` of `dims(d)` lands at
+    * position `i·n + d` — `dims(0)` in the lowest slot, so
+    * `zorderN(Seq(x, y), 16) == zorder16(x, y)` bit for bit. Values are
+    * masked to the low `bitsPerDim` bits; callers coarsen (mask, scale,
+    * or [[rankBucket]]) exactly as for the 2-dim form. Built as per-bit
+    * shift/mask/or over builtin LONG ops: the expression is LINEAR in
+    * n·bits (no doubling-chain per-stride magic masks to maintain per
+    * arity, no when-chain blowup), whole-stage-codegen'd, and an oracle
+    * replays it as a sum of non-overlapping shifted bits. Real layout
+    * tuning wants 3–4 dims (source × length × date); past ~4 dims each
+    * dimension keeps too few bits to discriminate row groups.
+    */
+  def zorderN(dims: Seq[Column], bitsPerDim: Int): Column = {
+    val n = dims.length
+    require(n >= 2 && n <= 8, s"zorderN takes 2..8 dimensions, got $n")
+    require(bitsPerDim >= 1 && n * bitsPerDim <= 63,
+      s"n·bitsPerDim must fit a positive LONG, got $n × $bitsPerDim")
+    dims.zipWithIndex.map { case (c, d) =>
+      val m = c.cast("long").bitwiseAND(lit((1L << bitsPerDim) - 1))
+      (0 until bitsPerDim).map { i =>
+        shiftleft(shiftright(m, i).bitwiseAND(lit(1L)), i * n + d)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** N-dim z-order-clustered write: ⌊32/n⌋ bits per dimension (16/10/8
+    * at n = 2/3/4), same range-partition + local-sort shape as the
+    * 2-dim writer. Box predicates over any subset of the interleaved
+    * dimensions prune row groups via the files' tight min/max stats.
+    */
+  def writeZOrdered(df: DataFrame, dims: Seq[Column], path: String,
+      files: Int, rowsPerFile: Long): Unit =
+    df.withColumn("__z", zorderN(dims, 32 / dims.length))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile)
+      .parquet(path)
+
   /** Approx-percentile boundaries for rank-bucketing `c` into `buckets`
     * equal-POPULATION cells — the z-order normalization for SKEWED keys,
     * where the linear min/max scaling collapses (a Zipf column maps
@@ -129,6 +169,50 @@ object ScaleOps {
     */
   def rankBucket(c: Column, boundaries: Array[Double]): Column =
     graft.functions.BoundaryBucket(c, boundaries)
+
+  /** One-call skew-safe z-order write (the q107 technique as a single
+    * operation): derives equal-population rank boundaries for both
+    * columns, bucket-encodes, writes z-order-clustered, and persists the
+    * boundaries alongside the data (`_graft_rank_boundaries.json` — the
+    * leading underscore keeps parquet readers from treating it as data)
+    * so a later writer can bucket NEW batches identically without
+    * re-deriving quantiles. Returns the (x, y) boundary arrays.
+    */
+  def writeZOrderedRank(df: DataFrame, xCol: String, yCol: String,
+      path: String, buckets: Int = 256, files: Int = 32,
+      rowsPerFile: Long = 4096): (Array[Double], Array[Double]) = {
+    val bx = rankBoundaries(df, xCol, buckets)
+    val by = rankBoundaries(df, yCol, buckets)
+    df.withColumn("__bx", rankBucket(col(xCol), bx).cast("long"))
+      .withColumn("__by", rankBucket(col(yCol), by).cast("long"))
+      .withColumn("__z", zorder16(col("__bx"), col("__by")))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__bx", "__by", "__z")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile)
+      .parquet(path)
+    val json = {
+      def arr(a: Array[Double]) = a.mkString("[", ",", "]")
+      s"""{"xCol":"$xCol","yCol":"$yCol","buckets":$buckets,""" +
+        s""""bx":${arr(bx)},"by":${arr(by)}}"""
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_rank_boundaries.json"), json)
+    (bx, by)
+  }
+
+  /** Reads back the boundaries [[writeZOrderedRank]] persisted. */
+  def readRankBoundaries(path: String): (Array[Double], Array[Double]) = {
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_graft_rank_boundaries.json"))
+    def arr(key: String): Array[Double] = {
+      val m = ("\"" + key + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(json)
+        .getOrElse(throw new IllegalArgumentException(s"no $key in $json"))
+      m.group(1).split(",").filter(_.nonEmpty).map(_.toDouble)
+    }
+    (arr("bx"), arr("by"))
+  }
 
   // --------------------------------------------------------------- q107
   // Rank-bucketed z-values as a declared query: boundaries are
@@ -220,6 +304,34 @@ object ScaleOps {
       FROM s4
       ORDER BY l_orderkey, l_linenumber"""))
 
+  // --------------------------------------------------------------- q110
+  // 3-dim Morton keys as a DECLARED query: every lineitem row with the
+  // 30-bit interleave of (l_partkey, l_suppkey, l_orderkey) at 10 bits
+  // each. The oracle replays the per-bit arithmetic as a sum of
+  // non-overlapping shifted bits — integer-exact. Layout/pruning effect
+  // measured in ScaleOpsSpec (3-dim box vs 1-dim sort).
+  private val q110 = GraftQuery(
+    "q110_zorder3_values",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          zorderN(Seq(col("l_partkey"), col("l_suppkey"), col("l_orderkey")), 10)
+            .as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(
+               list_sum(list_transform(range(0, 10), i -> ((x >> i) & 1) << (3*i)))
+             + list_sum(list_transform(range(0, 10), i -> ((y >> i) & 1) << (3*i + 1)))
+             + list_sum(list_transform(range(0, 10), i -> ((w >> i) & 1) << (3*i + 2)))
+             AS BIGINT) AS zval
+      FROM (SELECT l_orderkey, l_linenumber,
+                   CAST(l_partkey AS BIGINT) & 1023 AS x,
+                   CAST(l_suppkey AS BIGINT) & 1023 AS y,
+                   CAST(l_orderkey AS BIGINT) & 1023 AS w
+            FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber"""))
+
   // ---------------------------------------------------------------- q60
   // The skew path as a DECLARED, oracle-checked operator (VERDICT r2
   // missing #3): lineitem⋈orders through `saltedJoin`, aggregated per
@@ -246,7 +358,7 @@ object ScaleOps {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
-  val all: Seq[GraftQuery] = Seq(q60, q102, q107)
+  val all: Seq[GraftQuery] = Seq(q60, q102, q107, q110)
 
   /** True if the executed plan of `df` contains a shuffle exchange of any
     * partitioning (hash, range, round-robin, single-partition). Broadcast

@@ -261,4 +261,114 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rkRows * 2 <= mmRows,
       s"rank-bucketed read $rkRows rows, min/max read $mmRows — expected ≤ half")
   }
+
+  test("zorderN matches a bit-by-bit reference for 2, 3 and 4 dims") {
+    import spark.implicits._
+    def ref(vals: Seq[Long], bits: Int): Long = {
+      val n = vals.length
+      var z = 0L
+      for (d <- 0 until n; i <- 0 until bits)
+        z |= (((vals(d) & ((1L << bits) - 1)) >> i) & 1L) << (i * n + d)
+      z
+    }
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(256)(_ =>
+      (rnd.nextInt(1 << 20).toLong, rnd.nextInt(1 << 20).toLong,
+        rnd.nextInt(1 << 20).toLong, rnd.nextInt(1 << 20).toLong)) ++
+      Seq((0L, 0L, 0L, 0L), (1023L, 1023L, 1023L, 1023L), (1024L, 1L, 0L, 255L))
+    val df = rows.toDF("a", "b", "c", "d")
+    // n=2 at 16 bits must reproduce zorder16 exactly
+    val two = df.select(col("a"), col("b"),
+      ScaleOps.zorderN(Seq(col("a"), col("b")), 16).as("zn"),
+      ScaleOps.zorder16(col("a"), col("b")).as("z16")).collect()
+    two.foreach(r => assert(r.getLong(2) == r.getLong(3),
+      s"a=${r.getLong(0)} b=${r.getLong(1)}"))
+    // n=3 at 10 bits and n=4 at 8 bits against the reference loop
+    val three = df.select(col("a"), col("b"), col("c"),
+      ScaleOps.zorderN(Seq(col("a"), col("b"), col("c")), 10).as("z")).collect()
+    three.foreach(r => assert(r.getLong(3) ==
+      ref(Seq(r.getLong(0), r.getLong(1), r.getLong(2)), 10), r.toString))
+    val four = df.select(col("a"), col("b"), col("c"), col("d"),
+      ScaleOps.zorderN(Seq(col("a"), col("b"), col("c"), col("d")), 8).as("z")).collect()
+    four.foreach(r => assert(r.getLong(4) ==
+      ref(Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)), 8), r.toString))
+  }
+
+  test("3-dim z-order prunes a 3-dim box at least 2x better than a 1-dim sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect { case s: FileSourceScanExec =>
+        s.metrics("numOutputRows").value
+      }.sum
+    }
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 60000).map(i =>
+      (i.toLong, rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong,
+        rnd.nextInt(1024).toLong)).toDF("id", "x", "y", "w")
+    // 25% × 25% × 25% box = ~1.6% volume; a 1-dim sort only prunes x
+    val pred = col("x") < 256L && col("y") < 256L && col("w") < 256L
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z3").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft_lin3").toString
+    ScaleOps.writeZOrdered(df, Seq(col("x"), col("y"), col("w")), zDir,
+      files = 16, rowsPerFile = 1024)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 1024).parquet(linDir)
+    val zScan = spark.read.parquet(zDir).filter(pred)
+    val linScan = spark.read.parquet(linDir).filter(pred)
+    val zRows = scanRows(zScan)
+    val linRows = scanRows(linScan)
+    val key = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("id").collect().map(_.getLong(0)).toSet
+    assert(key(zScan) == key(linScan) && key(zScan).nonEmpty)
+    System.err.println(s"[zorder-3d] box=${key(zScan).size} z_scan=$zRows lin_scan=$linRows")
+    assert(zRows * 2 <= linRows,
+      s"3-dim z-order read $zRows rows, 1-dim sort read $linRows — expected ≤ half")
+  }
+
+  test("writeZOrderedRank: one-call skew-safe layout round-trips and prunes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect { case s: FileSourceScanExec =>
+        s.metrics("numOutputRows").value
+      }.sum
+    }
+    // same skew shape as the q107 measurement: one hot x value + a band
+    val df = (0 until 40000).map { i =>
+      val x = if (i % 10 < 8) 1L else { val r = (i.toLong * 2641) % 1000; r * r + 2 }
+      (i.toLong, x, (i % 1000).toLong)
+    }.toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zrank1").toString
+    val (bx, by) = ScaleOps.writeZOrderedRank(df, "x", "y", dir,
+      buckets = 256, files = 16, rowsPerFile = 1024)
+    // boundaries persist alongside the data and read back identically
+    val (rbx, rby) = ScaleOps.readRankBoundaries(dir)
+    assert(rbx.toSeq == bx.toSeq && rby.toSeq == by.toSeq)
+    assert(bx.length == 255 && by.length == 255)
+    // the boundaries file must be invisible to the parquet reader
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 40000 && back.columns.toSet == Set("id", "x", "y"))
+    // box on a mid-population x band + 10% of y: prunes via per-file
+    // min/max stats on the ORIGINAL columns
+    val pred = col("x") >= 10000L && col("x") <= 250000L && col("y") < 100L
+    val nBox = df.filter(pred).count()
+    val got = back.filter(pred)
+    assert(got.count() == nBox)
+    val rows = scanRows(got)
+    System.err.println(s"[zorder-rank-write] box=$nBox scan=$rows of 40000")
+    assert(rows * 2 <= 40000, s"scan read $rows of 40000 — layout not pruning")
+  }
 }
