@@ -272,6 +272,24 @@ object Pipeline {
       files: Int = 32, rowsPerFile: Long = 4096): Unit =
     plans.ScaleOps.writeZOrdered(df, xCol, yCol, path, files, rowsPerFile)
 
+  /** N-dim Morton key, floor(32/n) bits per dimension at write time via
+    * the Seq overload; bit-compatible with zorder16 at n=2 (q110). */
+  def zorderN(dims: Seq[Column], bitsPerDim: Int): Column =
+    plans.ScaleOps.zorderN(dims, bitsPerDim)
+
+  /** N-dim z-order-clustered write (3-dim box measured 5x over a 1-dim
+    * sort, ScaleOpsSpec). */
+  def writeZOrdered(df: DataFrame, dims: Seq[Column], path: String,
+      files: Int, rowsPerFile: Long): Unit =
+    plans.ScaleOps.writeZOrdered(df, dims, path, files, rowsPerFile)
+
+  /** One-call skew-safe layout: rank boundaries + bucketing + z-ordered
+    * write, boundaries persisted beside the data for batch-side reuse. */
+  def writeZOrderedRank(df: DataFrame, xCol: String, yCol: String,
+      path: String, buckets: Int = 256, files: Int = 32,
+      rowsPerFile: Long = 4096): (Array[Double], Array[Double]) =
+    plans.ScaleOps.writeZOrderedRank(df, xCol, yCol, path, buckets, files, rowsPerFile)
+
   /** Deterministic k-means seeds: first k vectors by (md5(id), id). */
   def kmeansInit(embeddings: DataFrame, k: Int): Array[Array[Double]] =
     operators.Similarity.kmeansInit(embeddings, k)
@@ -309,6 +327,25 @@ object Pipeline {
   def allButTheTop(embeddings: DataFrame, mean: Array[Double],
       u: Array[Double]): DataFrame =
     operators.Similarity.allButTheTop(embeddings, mean, u)
+
+  /** Persistable per-shard moment states (~33 KB each at d=64), q109. */
+  def momentShardStates(embeddings: DataFrame, dim: Int, shards: Int): DataFrame =
+    operators.Similarity.momentShardStates(embeddings, dim, shards)
+
+  /** Covariance from stored moment states: element-wise fold, history
+    * never re-scanned; bit-identical to the single pass (q109). */
+  def covarianceFromStates(states: DataFrame, dim: Int): DataFrame =
+    operators.Similarity.covarianceFromStates(states, dim)
+
+  /** Assign a new batch against frozen IVF centroids and append to the
+    * stored assignment table — no refit, no history touch (q111). */
+  def ivfAppend(newBatch: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    operators.Similarity.ivfAppend(newBatch, cents)
+
+  /** Container header decode over a binary column: (format, width,
+    * height, valid) from PNG/JPEG/GIF headers, codegen'd (q108). */
+  def imageHeader(payload: Column): Column =
+    graft.functions.ImageHeader(payload)
 
   def md5BucketRank(df: DataFrame, groupCol: String, idCol: String,
       rankAs: String, hexChars: Int = 3): DataFrame =

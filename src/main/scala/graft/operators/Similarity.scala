@@ -415,6 +415,48 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nn_id"), col("cos"))
   }
 
+  /** Incremental IVF append: assign a NEW batch against FIXED stored
+    * centroids — NO refit, no touch of the existing assignment table.
+    * Output schema matches [[ivfAssignments]], so the batch appends
+    * straight into the bucketed assignment table (the q81
+    * stored-signature discipline applied to ANN). Because cell
+    * assignment is a pure per-row function of (vector, centroid
+    * literals), append-then-probe is value-identical to assigning the
+    * combined corpus in one pass under the same centroids — q111
+    * hash-pins that law end to end, SimilaritySpec asserts the
+    * Spark-side identity. Refit guidance: see SCALE.md §Similarity —
+    * append while the batch is drawn from the indexed distribution;
+    * refit (and re-assign history once) when cell occupancy skews.
+    */
+  def ivfAppend(newBatch: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    withCells(vecs(newBatch), cents)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+
+  // --------------------------------------------------------------- q111
+  // The append path as a declared query: fit on the 80% base, append the
+  // 20% batch against the FIXED centroids, probe the combined table. The
+  // generated oracle replays assignment + probe over the FULL corpus
+  // with the base-fitted centroid literals — exactly what a refit-free
+  // one-pass assignment of the combined corpus computes — so a hash
+  // match proves append-then-probe ≡ one-pass on the union.
+  @volatile private var ivfAppendOracleSql: Option[String] = None
+
+  private val q111 = GraftQuery(
+    "q111_ivf_append",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(pmod(col("vec_id"), lit(10)) < 8)
+      val batch = emb.filter(pmod(col("vec_id"), lit(10)) >= 8)
+      val model = ivfModel(base, nlist = 16, cacheKey = Some(s"$dir#append-base"))
+      val cents = model.clusterCenters.map(_.toArray)
+      val combined = ivfAppend(base, cents).unionByName(ivfAppend(batch, cents))
+      ivfAppendOracleSql = Some(ivfTopKOracle(cents, nprobe = 4, k = 5))
+      ivfTopKStored(combined, col("vec_id") < 20, cents, k = 5, nprobe = 4)
+        .orderBy(col("qid"), col("rank"))
+    },
+    None,
+    oracleGen = Some(() => ivfAppendOracleSql))
+
   // ---------------------------------------------------------------- q41b
   // IVF ANN over the driver embeddings. Like q41: recall is approximate
   // by construction, but once the seed-42 KMeans centroids are fitted the
@@ -1004,5 +1046,5 @@ object Similarity {
     oracleGen = Some(() => abttOracleSql))
 
   val all: Seq[GraftQuery] =
-    Seq(q39, q40, q41, q41c, q41d, q41e, q42b, q53, q83, q103, q104, q105, q109)
+    Seq(q39, q40, q41, q41c, q41d, q41e, q42b, q53, q83, q103, q104, q105, q109, q111)
 }

@@ -236,6 +236,29 @@ class SimilaritySpec extends SparkSpec {
     assert(re == got) // exact integer sums: identical at any parallelism
   }
 
+  test("ivfAppend: append-then-probe equals one-pass assignment of the union") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val base = emb.filter(pmod(col("vec_id"), lit(10)) < 8)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10)) >= 8)
+    // centroids fitted on the BASE only, then frozen
+    val cents = Similarity.ivfModel(base, nlist = 8).clusterCenters.map(_.toArray)
+    val appended = Similarity.ivfAppend(base, cents)
+      .unionByName(Similarity.ivfAppend(batch, cents))
+    val onePass = Similarity.ivfAppend(emb, cents)
+    def probe(assigned: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKStored(assigned, col("vec_id") < 20, cents, k = 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val a = probe(appended)
+    assert(a == probe(onePass) && a.nonEmpty,
+      "append path diverged from one-pass assignment under fixed centroids")
+    // the appended batch lands in the cells the fixed centroids dictate —
+    // cell ids are within range and batch rows are present
+    val cells = appended.select("cell").distinct().collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 8))
+    assert(appended.count() == emb.count())
+  }
+
   test("moments stored-shard fold: parquet round trip is bit-identical to inline") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables.embeddings(spark, sf001)
