@@ -244,6 +244,15 @@ object Pipeline {
       idCol: String, weightCol: String, step: Long): DataFrame =
     operators.DataPrep.weightedSystematicSample(df, groupCol, idCol, weightCol, step)
 
+  /** PPS admission of a NEW batch laid after a frozen per-group
+    * consumed-weight line — the incremental form of
+    * [[weightedSystematicSample]]; chaining batches equals one systematic
+    * pass over the concatenated line (law pinned in DataPrepSpec). For
+    * the streaming wrapper see [[streaming.Streams.PpsAdmission]]. */
+  def ppsAdmitBatch(batch: DataFrame, baseTotals: Map[String, Long],
+      groupCol: String, idCol: String, weightCol: String, step: Long): DataFrame =
+    operators.DataPrep.ppsAdmitBatch(batch, baseTotals, groupCol, idCol, weightCol, step)
+
   /** One-pass per-column profile (q100): counts, nulls, HLL cardinality
     * estimates, min/max, mean formatted length — no DISTINCT Expand. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame =

@@ -692,6 +692,49 @@ object DataPrep {
       WHERE cw // 2000 > (cw - n_chars) // 2000
       ORDER BY doc_id"""))
 
+  /** PPS admission of a NEW batch of rows laid AFTER a frozen per-group
+    * consumed-weight line — the incremental/streaming form of
+    * [[weightedSystematicSample]] (the q111/q81 stored-artifact
+    * discipline applied to sampling). `baseTotals` maps group → weight
+    * units already laid down by every previously admitted-from batch
+    * (missing groups start at 0); the batch's rows are placed along the
+    * line in (md5(id), id) order starting at that base, and a row is
+    * kept iff its span crosses a multiple of `step` — so chaining
+    * batches b1..bk IS one systematic pass over the concatenated line
+    * (law pinned in DataPrepSpec: chained ≡ one-shot over (batch, md5,
+    * id) order), with each row still kept w.p. ≈ weight/step and no RNG.
+    *
+    * `baseTotals` is a driver-side map because groups here are SOURCES
+    * (bounded, like [[mixWeights]]'s groups): it enters the plan as a
+    * broadcast literal, not a join. Scale: one [[md5BucketCumsum]] per
+    * batch + a stateless predicate — nothing global, nothing sorted.
+    * Advance the line with [[ppsGroupTotals]] after each batch.
+    */
+  def ppsAdmitBatch(batch: DataFrame, baseTotals: Map[String, Long],
+      groupCol: String, idCol: String, weightCol: String, step: Long): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    val base =
+      if (baseTotals.isEmpty) lit(0L)
+      else coalesce(
+        element_at(typedLit(baseTotals), col(groupCol).cast("string")), lit(0L))
+    md5BucketCumsum(batch, groupCol, idCol, weightCol, "__cw")
+      .withColumn("__acw", base + col("__cw"))
+      .filter(expr(s"__acw DIV $step") >
+        expr(s"(__acw - CAST($weightCol AS LONG)) DIV $step"))
+      .drop("__cw", "__acw")
+  }
+
+  /** Per-group total weight of a batch — the increment to fold into the
+    * [[ppsAdmitBatch]] base line after the batch is admitted. Driver
+    * result is O(groups) (bounded, see ppsAdmitBatch). */
+  def ppsGroupTotals(batch: DataFrame, groupCol: String,
+      weightCol: String): Map[String, Long] =
+    batch.groupBy(col(groupCol))
+      .agg(sum(col(weightCol).cast("long")).as("__t"))
+      .collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .toMap
+
   def epochMix(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, targetDocs: Long): DataFrame = {
     require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")

@@ -144,6 +144,40 @@ object Streams {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("h")
 
+  /** Streaming PPS admission: admit ~1 row per `step` weight units at
+    * ingest, weight-proportionally, by laying each micro-batch along the
+    * per-group systematic-sampling line where the previous batch ended —
+    * the streaming form of batch `weightedSystematicSample` (q101), built
+    * on [[graft.operators.DataPrep.ppsAdmitBatch]] the way the bloom gate
+    * wraps batch decontamination. Deterministic (md5 order, integer
+    * arithmetic, no RNG), so replaying the same batches admits the same
+    * rows.
+    *
+    * The consumed-weight line is O(groups) driver state (groups are
+    * sources — bounded); at scale it would persist in a small table
+    * updated transactionally with the sink inside the same foreachBatch
+    * (exactly-once for idempotent sinks, the standard foreachBatch
+    * contract). Batch/stream parity + cross-batch line continuity are
+    * pinned in StreamingSpec.
+    */
+  final class PpsAdmission(groupCol: String, idCol: String,
+      weightCol: String, step: Long) extends Serializable {
+    @volatile private var line: Map[String, Long] = Map.empty
+    /** Current per-group consumed-weight line (for persistence/tests). */
+    def totals: Map[String, Long] = line
+    /** Admit one micro-batch and advance the line; call from
+      * foreachBatch, passing the admitted rows on to the sink. */
+    def admit(batch: DataFrame): DataFrame = synchronized {
+      val admitted = graft.operators.DataPrep.ppsAdmitBatch(
+        batch, line, groupCol, idCol, weightCol, step)
+      val inc = graft.operators.DataPrep.ppsGroupTotals(batch, groupCol, weightCol)
+      line = inc.foldLeft(line) { case (m, (g, w)) =>
+        m.updated(g, m.getOrElse(g, 0L) + w)
+      }
+      admitted
+    }
+  }
+
   /** Reads the parquet events table as a bounded stream (file source) —
     * used by tests and as the template for a production file/Kafka source.
     */

@@ -334,4 +334,61 @@ class DataPrepSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(repicked == picked)
   }
+
+  test("PPS admission: chained batches == one-shot over the concatenated line") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val batches = (0 until 3).map { b =>
+      ((1 to 160).map(i =>
+        (b * 1000L + i, s"s${i % 3}", rnd.nextInt(700).toLong)))
+    }
+    val step = 1000L
+
+    // chained: each batch laid after the line the previous ones consumed
+    var line = Map.empty[String, Long]
+    val chained = scala.collection.mutable.Set.empty[Long]
+    batches.foreach { rows =>
+      val df = rows.toDF("id", "g", "w")
+      chained ++= DataPrep.ppsAdmitBatch(df, line, "g", "id", "w", step)
+        .select("id").collect().map(_.getLong(0))
+      val inc = DataPrep.ppsGroupTotals(df, "g", "w")
+      line = inc.foldLeft(line) { case (m, (g, w)) =>
+        m.updated(g, m.getOrElse(g, 0L) + w) }
+    }
+
+    // one-shot reference: driver-side replay of the exact line — rows in
+    // (batch, md5(id), id) order, keep iff the span crosses a step multiple
+    val md5hex = (id: Long) => {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val oneShot = batches.zipWithIndex
+      .flatMap { case (rows, b) => rows.map { case (id, g, w) => (b, id, g, w) } }
+      .groupBy(_._3)
+      .flatMap { case (_, rows) =>
+        var cw = 0L
+        rows.sortBy { case (b, id, _, _) => (b, md5hex(id), id) }.flatMap {
+          case (_, id, _, w) =>
+            val before = cw; cw += w
+            if (cw / step > before / step) Some(id) else None
+        }
+      }.toSet
+    assert(chained.toSet == oneShot)
+
+    // continuity really exercised: some admitted row must cross a step
+    // boundary that its OWN batch-local cumsum does not cross (i.e. the
+    // base line mattered), otherwise the law degenerates to 3 independent
+    // samples
+    val independent = batches.flatMap { rows =>
+      DataPrep.ppsAdmitBatch(rows.toDF("id", "g", "w"),
+        Map.empty, "g", "id", "w", step)
+        .select("id").collect().map(_.getLong(0))
+    }.toSet
+    assert(chained.toSet != independent, "test data too easy: base line never mattered")
+
+    // the line equals the full totals after all batches
+    val full = batches.flatten.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(line == full)
+  }
 }

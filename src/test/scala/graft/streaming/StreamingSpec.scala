@@ -266,6 +266,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PPS admission: foreachBatch gate == chained batch replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val batches = (0 until 3).map { b =>
+      (1 to 120).map(i => (b * 1000L + i, s"s${i % 3}", rnd.nextInt(600).toLong))
+    }
+    val step = 1000L
+
+    // reference: the batch operator chained by hand over the same split
+    var line = Map.empty[String, Long]
+    val replay = scala.collection.mutable.Set.empty[Long]
+    batches.foreach { rows =>
+      val df = rows.toDF("doc_id", "source", "n_chars")
+      replay ++= graft.operators.DataPrep.ppsAdmitBatch(df, line,
+        "source", "doc_id", "n_chars", step)
+        .select("doc_id").collect().map(_.getLong(0))
+      val inc = graft.operators.DataPrep.ppsGroupTotals(df, "source", "n_chars")
+      line = inc.foldLeft(line) { case (m, (g, w)) =>
+        m.updated(g, m.getOrElse(g, 0L) + w) }
+    }
+
+    val pps = new Streams.PpsAdmission("source", "doc_id", "n_chars", step)
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = mem.toDF().toDF("doc_id", "source", "n_chars")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        admitted ++= pps.admit(batch).select("doc_id")
+          .collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { rows => // one micro-batch per arrival wave
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+      }
+      assert(admitted.toSet == replay.toSet,
+        s"only-stream=${admitted -- replay} only-replay=${replay -- admitted}")
+      assert(pps.totals == line, "consumed-weight line diverged")
+      assert(admitted.nonEmpty && admitted.size < batches.map(_.size).sum,
+        "a strict weight-proportional sample")
+    } finally q.stop()
+  }
+
   test("all-but-the-top is stateless: identical values over a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
