@@ -1045,6 +1045,159 @@ object Similarity {
     None,
     oracleGen = Some(() => abttOracleSql))
 
+  // ------------------------------------------------------------ q112 PQ
+  // Product quantization (Jégou, Douze & Schmid 2011, "Product
+  // quantization for nearest neighbor search"): split each d-dim vector
+  // into m subvectors, k-means each subspace independently, and store a
+  // vector as m small codes — here m=8 × ksub=16 over dim 64, i.e. 8
+  // argmin nibbles instead of 256 bytes of floats (32× smaller). Queries
+  // score candidates by ADC (asymmetric distance computation): the
+  // query's exact per-subspace distances to every codebook centroid form
+  // an m×ksub lookup table, and a candidate's approximate distance is
+  // the sum of m table entries selected by its codes — the scan reads
+  // CODES ONLY, never the original vectors.
+  //
+  // 100 TB: this is the standard scale path for ANN re-ranking —
+  // codebooks are trained on a hash SAMPLE (they are m tiny k-means
+  // problems; pass a `hashSample`d frame), encode is one stateless
+  // linear scan emitting m bytes/row, and ADC scoring moves only codes
+  // through the plan (the dtab enters as plan literals per query, the
+  // same no-join trick as kmeansStep/q105). Everything downstream of
+  // fit is deterministic fold arithmetic, so the declared query is
+  // hash-match-oracled end to end (the q41b/q41d generated-literal
+  // discipline): encode argmins AND ADC sums replay bit-identically in
+  // DuckDB from the codebook literals.
+
+  /** Per-subspace exact-Lloyd codebooks: m × ksub × (dim/m). Engine-own
+    * [[kmeansFit]] per subvector slice (hash-order seeds, exact scaled
+    * sums) — deterministic, no RNG, oracle-replayable. */
+  def pqFit(embeddings: DataFrame, m: Int, dim: Int, ksub: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"m must divide dim, got m=$m dim=$dim")
+    val dsub = dim / m
+    (0 until m).toArray.map { j =>
+      kmeansFit(embeddings.select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), j * dsub + 1, dsub)
+          .as("embedding")), ksub, iters)
+    }
+  }
+
+  /** Encode every vector as its m per-subspace argmin codes (smallest
+    * index on ties — the withCells tie-break). Output (vec_id, v, codes:
+    * array<int>); at scale persist (vec_id, codes) and drop v. */
+  def pqEncode(embeddings: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val codes = array((0 until m).map { j =>
+      val dists = array(books(j).map { c =>
+        graft.functions.SquaredDistance(array(c.map(lit).toIndexedSeq: _*),
+          slice(col("v"), j * dsub + 1, dsub))
+      }.toIndexedSeq: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    vecs(embeddings).select(col("vec_id"), col("v"), codes.as("codes"))
+  }
+
+  /** ADC top-k: queries chosen by `isQuery` keep their exact vector; the
+    * m×ksub distance table is computed on the (tiny, broadcast) query
+    * branch and each candidate's approximate distance is a left-assoc
+    * sum of m `element_at` lookups over its codes — identical fold order
+    * to the generated oracle. Self-pairs excluded. */
+  def pqAdcTopK(encoded: DataFrame, isQuery: Column, k: Int,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    // per-query lookup table: dtab[j] = array of ksub exact subspace
+    // distances — folds over codebook literals, planned once on the
+    // query branch (ksub×m expressions over dsub elements, rows = few)
+    val dtab = array((0 until m).map { j =>
+      array(books(j).map { c =>
+        graft.functions.SquaredDistance(array(c.map(lit).toIndexedSeq: _*),
+          slice(col("qv"), j * dsub + 1, dsub))
+      }.toIndexedSeq: _*)
+    }: _*)
+    val queries = encoded.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .withColumn("dtab", dtab)
+      .select(col("qid"), col("dtab"))
+    val adc = (0 until m).map { j =>
+      element_at(element_at(col("dtab"), j + 1),
+        element_at(col("codes"), j + 1) + 1)
+    }.reduceLeft(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    encoded.select(col("vec_id"), col("codes"))
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("nn_id"), col("adc"))
+  }
+
+  @volatile private var pqOracleSql: Option[String] = None
+
+  private def pqOracle(books: Array[Array[Array[Double]]], k: Int): String = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    def fold(cLit: String, vExpr: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($cLit, $vExpr), p -> (p[1]-p[2])*(p[1]-p[2]))), (s, x) -> s + x)"
+    // QUOTED literals (the q105 lesson): adc is a hash-compared
+    // continuous value, and a bare numeric goes through DuckDB DECIMAL
+    // (double rounding, 1 ulp off for some digit patterns); the quoted
+    // form takes correctly-rounded strtod of Double.toString
+    def arr(c: Array[Double]) =
+      c.map(d => s"CAST('$d' AS DOUBLE)").mkString("[", ", ", "]")
+    // encode: per subspace, argmin over the ksub folds (smallest index on
+    // ties — first-match CASE, the q41d discipline)
+    val codeCols = (0 until m).map { j =>
+      val ds = books(j).indices.map(c =>
+        fold(arr(books(j)(c)), s"list_slice(v, ${j * dsub + 1}, ${(j + 1) * dsub})"))
+      val named = ds.zipWithIndex.map { case (d, c) => s"$d AS d${j}_$c" }
+      (named, s"least(${books(j).indices.map(c => s"d${j}_$c").mkString(", ")}) AS md$j",
+        s"CAST(CASE ${books(j).indices.map(c => s"WHEN d${j}_$c = md$j THEN $c").mkString(" ")} END AS INT) AS code$j")
+    }
+    // ADC: per query, the same folds over the QUERY vector feed a list
+    // literal per subspace; candidate distance = left-assoc sum of m
+    // list_extract lookups — the exact Spark fold order
+    val dtabCols = (0 until m).map { j =>
+      val ds = books(j).indices.map(c =>
+        fold(arr(books(j)(c)), s"list_slice(qv, ${j * dsub + 1}, ${(j + 1) * dsub})"))
+      s"[${ds.mkString(", ")}] AS dtab$j"
+    }
+    val adcExpr = (0 until m)
+      .map(j => s"list_extract(dtab$j, code$j + 1)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT vec_id, v, ${codeCols.flatMap(_._1).mkString(", ")} FROM e),
+       |mm AS (SELECT *, ${codeCols.map(_._2).mkString(", ")} FROM d),
+       |enc AS (SELECT vec_id, v, ${codeCols.map(_._3).mkString(", ")} FROM mm),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM enc WHERE vec_id < 10),
+       |qt AS (SELECT qid, ${dtabCols.mkString(", ")} FROM (SELECT qid, qv FROM q)),
+       |cand AS (SELECT qt.qid, enc.vec_id AS nn_id, $adcExpr AS adc
+       |         FROM enc CROSS JOIN qt WHERE enc.vec_id <> qt.qid),
+       |ranked AS (SELECT qid, nn_id, adc,
+       |                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS rank
+       |           FROM cand)
+       |SELECT qid, CAST(rank AS INT) AS rank, nn_id, adc FROM ranked
+       |WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  private val q112 = GraftQuery(
+    "q112_pq_adc",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val books = pqFit(emb, m = 8, dim = 64, ksub = 16, iters = 2)
+      pqOracleSql = Some(pqOracle(books, k = 5))
+      pqAdcTopK(pqEncode(emb, books), col("vec_id") < 10, k = 5, books)
+        .orderBy(col("qid"), col("rank"))
+    },
+    None,
+    oracleGen = Some(() => pqOracleSql))
+
   val all: Seq[GraftQuery] =
-    Seq(q39, q40, q41, q41c, q41d, q41e, q42b, q53, q83, q103, q104, q105, q109, q111)
+    Seq(q39, q40, q41, q41c, q41d, q41e, q42b, q53, q83, q103, q104, q105,
+      q109, q111, q112)
 }

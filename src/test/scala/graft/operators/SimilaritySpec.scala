@@ -286,6 +286,44 @@ class SimilaritySpec extends SparkSpec {
     assert(folded17 == inline)
   }
 
+  test("PQ/ADC: high recall vs exact L2 on clustered vectors; codes are m small ints") {
+    val df = clustered()
+    val books = Similarity.pqFit(df, m = 8, dim = 64, ksub = 16, iters = 2)
+    val enc = Similarity.pqEncode(df, books)
+    // codes really are the compressed representation: m entries in [0, ksub)
+    val codeRows = enc.select(col("codes")).collect().map(_.getSeq[Int](0))
+    assert(codeRows.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // ADC is a SHORTLIST generator (Jégou et al. §5: ADC prunes, exact
+    // re-rank on the shortlist picks final) — at 0.05-sigma cluster noise
+    // the within-cluster gaps sit below quantization resolution, so the
+    // right contract is recall@R for a shortlist R > k, not ADC@k alone
+    val adc = Similarity.pqAdcTopK(enc, col("vec_id") < 20, k = 20, books)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+    // exact L2 ground truth (ADC approximates squared euclidean, so the
+    // truth metric is L2, not cosine)
+    val e = df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        graft.functions.SquaredDistance(col("qv"), col("v")).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2"), col("nn_id"))
+    val bf = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val recall = (adc & bf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"PQ/ADC shortlist recall@20 $recall < 0.8")
+
+    // and the shortlist is cluster-faithful: a cluster has exactly 19
+    // siblings, so a 20-wide shortlist admits at most 1 outsider per query
+    adc.groupBy(_._1).foreach { case (qid, nns) =>
+      val cross = nns.count { case (q, nn) => nn / 20 != q / 20 }
+      assert(cross <= 1, s"query $qid: $cross cross-cluster shortlist entries")
+    }
+  }
+
   test("pcaTopComponent returns a dominant eigenpair (Av = lambda*v)") {
     val emb = graft.sources.Tables.embeddings(spark, sf001)
     val cov = Similarity.covarianceMatrix(emb, 64)
