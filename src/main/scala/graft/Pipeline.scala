@@ -216,6 +216,38 @@ object Pipeline {
     operators.TextAnalysis.phraseHitsStored(spark, indexTable, tokensTable,
       idCol, phrases, k, maxCandidateDocs)
 
+  /** BM25 top-k ranked retrieval, inline form — index derived in-plan;
+    * scores hash-oracled (q113). Idf/avgdl enter the plan as driver
+    * literals (no transcendental in either engine). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    operators.TextAnalysis.bm25TopK(docs, idCol, textCol, terms, k, k1, b)
+
+  /** BM25 probe against STORED bucketed postings/lengths: query-term
+    * literals prune the postings read, candidate ids prune the lengths
+    * read — O(postings of the query terms) per probe (Bm25Spec). */
+  def bm25TopKStored(spark: org.apache.spark.sql.SparkSession,
+      postingsTable: String, lengthsTable: String, idCol: String,
+      terms: Seq[String], stats: operators.TextAnalysis.Bm25Stats, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxCandidateDocs: Int = 1000000): DataFrame =
+    operators.TextAnalysis.bm25TopKStored(spark, postingsTable, lengthsTable,
+      idCol, terms, stats, k, k1, b, maxCandidateDocs)
+
+  /** PQ codebooks / encode / ADC shortlist top-k (q112): vectors as m
+    * nibble codes (32x smaller), candidates scored by m table lookups —
+    * the scan reads codes only. Train on a [[hashSample]] at scale. */
+  def pqFit(embeddings: DataFrame, m: Int, dim: Int, ksub: Int,
+      iters: Int): Array[Array[Array[Double]]] =
+    operators.Similarity.pqFit(embeddings, m, dim, ksub, iters)
+
+  def pqEncode(embeddings: DataFrame, books: Array[Array[Array[Double]]]): DataFrame =
+    operators.Similarity.pqEncode(embeddings, books)
+
+  def pqAdcTopK(encoded: DataFrame, isQuery: Column, k: Int,
+      books: Array[Array[Array[Double]]]): DataFrame =
+    operators.Similarity.pqAdcTopK(encoded, isQuery, k, books)
+
   /** sqrt-temperature sampling weights per group. */
   def mixWeights(df: DataFrame, groupCol: String, textCol: String): DataFrame =
     operators.DataPrep.mixWeights(df, groupCol, textCol)

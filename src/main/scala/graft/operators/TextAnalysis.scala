@@ -579,5 +579,182 @@ object TextAnalysis {
         ORDER BY phrase, doc_id, pos"""))
   }
 
-  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97)
+  // ----------------------------------------------------------- q113 BM25
+  // BM25 ranked retrieval (Robertson & Walker 1994; the Okapi weighting,
+  // public formula) — quality-weighted lookup over a training corpus:
+  // "which documents best match these terms" for curation triage,
+  // targeted decontamination, and eval-set provenance. Same architecture
+  // as q97's phrase search: postings are a STORED term-bucketed artifact;
+  // a probe touches only the query terms' buckets, never the corpus.
+  //
+  // Oracle parity without ln() drift: idf/avgdl and the k1/b constants
+  // are computed ON THE DRIVER (bounded: one 2-long stats row + one df
+  // row per query term) and injected as QUOTED double literals into both
+  // the Spark plan and the generated DuckDB SQL — no transcendental is
+  // evaluated by either engine. Per-doc scoring then pivots the (bounded,
+  // fixed) query terms into columns and sums them LEFT-ASSOC, so the
+  // score double is bit-identical across engines (a SUM over terms would
+  // be aggregation-order-dependent). Scores are hash-compared, not just
+  // rank-compared.
+
+  /** (term, id, tf) postings — persist bucketed+sorted by `term`
+    * ([[graft.plans.ScaleOps.writeBucketed]]) so a probe's literal IN
+    * prunes to the query terms' buckets. */
+  def bm25Postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenTable(docs, idCol, textCol)
+      .select(col(idCol), explode(col("t")).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (id, dl) document lengths — persist bucketed by `idCol` (the q97
+    * token-table discipline) so candidate-id pushdown prunes the read. */
+  def bm25DocLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenTable(docs, idCol, textCol)
+      .select(col(idCol), size(col("t")).cast("long").as("dl"))
+
+  /** Corpus constants a production deployment persists beside the index:
+    * doc count, total token count, and per-query-term document
+    * frequencies (df only for the probe's terms — O(terms) driver state).
+    */
+  final case class Bm25Stats(n: Long, sumDl: Long, df: Map[String, Long]) {
+    def avgdl: Double = sumDl.toDouble / n
+    def idf(term: String): Double = {
+      val d = df.getOrElse(term, 0L).toDouble
+      math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+    }
+  }
+
+  /** Derive [[Bm25Stats]] from lengths + postings frames (stored or
+    * inline). The df scan is pruned to the term literals when `postings`
+    * is the bucketed stored table. */
+  def bm25Stats(lengths: DataFrame, postings: DataFrame,
+      terms: Seq[String]): Bm25Stats = {
+    val s = lengths.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val df = postings.filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Bm25Stats(s.getLong(0), s.getLong(1), df)
+  }
+
+  /** Score candidates (docs holding >= 1 query term) and keep the global
+    * top-k by (score DESC, id) — candidates come from the postings only,
+    * so the work is O(postings of the query terms), not O(corpus). */
+  private def bm25Rank(postings: DataFrame, lengths: DataFrame, idCol: String,
+      terms: Seq[String], stats: Bm25Stats, k: Int, k1: Double, b: Double): DataFrame = {
+    val pivoted = postings.filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol))
+      .agg(max(when(col("term") === terms.head, col("tf"))).as("tf0"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          max(when(col("term") === t, col("tf"))).as(s"tf${i + 1}")
+        }: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      coalesce(lit(stats.idf(terms(i))) * ((tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / lit(stats.avgdl))))),
+        lit(0.0))
+    }.reduceLeft(_ + _)
+    // global top-k via sort+limit (TakeOrderedAndProject: per-partition
+    // heaps, never a single-task full sort); the rank window then runs
+    // over k rows only
+    val topk = pivoted.join(lengths, idCol)
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(idCol))
+    topk.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col(idCol), col("rank"), col("score"))
+  }
+
+  /** INLINE BM25 top-k (index derived in-plan; the oracle-checked
+    * declared form). Production path: [[bm25TopKStored]]. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32,
+      s"1..32 query terms (got ${terms.size}): terms pivot to columns")
+    val postings = bm25Postings(docs, idCol, textCol)
+    val lengths = bm25DocLengths(docs, idCol, textCol)
+    bm25Rank(postings, lengths, idCol, terms,
+      bm25Stats(lengths, postings, terms), k, k1, b)
+  }
+
+  /** BM25 probe against STORED artifacts: `postingsTable` =
+    * [[bm25Postings]] bucketed+sorted by term, `lengthsTable` =
+    * [[bm25DocLengths]] bucketed by id, `stats` persisted (or re-derived
+    * via [[bm25Stats]] — df's scan prunes to the term buckets). Term
+    * literals prune the postings read; candidate ids (bounded, loudly
+    * guarded — same premise as phraseHitsStored) prune the lengths read.
+    * Value-identical to [[bm25TopK]] over the same corpus (Bm25Spec).
+    * Set `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` in
+    * probe sessions — see [[phraseHitsStored]]'s caveat.
+    */
+  def bm25TopKStored(spark: SparkSession, postingsTable: String,
+      lengthsTable: String, idCol: String, terms: Seq[String], stats: Bm25Stats,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxCandidateDocs: Int = 1000000): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32,
+      s"1..32 query terms (got ${terms.size}): terms pivot to columns")
+    val postings = spark.table(postingsTable).filter(col("term").isin(terms: _*))
+    val candIds = postings.select(col(idCol)).distinct()
+      .limit(maxCandidateDocs + 1).collect().map(_.get(0))
+    require(candIds.length <= maxCandidateDocs,
+      s"BM25 probe found > $maxCandidateDocs candidate docs — a query " +
+        "term this common breaks the O(postings) premise; drop stopword-" +
+        "frequency terms or raise maxCandidateDocs")
+    val lengths =
+      if (candIds.isEmpty) spark.table(lengthsTable).limit(0)
+      else spark.table(lengthsTable).filter(col(idCol).isin(candIds: _*))
+    bm25Rank(postings, lengths, idCol, terms, stats, k, k1, b)
+  }
+
+  @volatile private var bm25OracleSql: Option[String] = None
+
+  private def bm25Oracle(terms: Seq[String], stats: Bm25Stats, k: Int,
+      k1: Double, b: Double): String = {
+    def q(d: Double) = s"CAST('$d' AS DOUBLE)" // quoted — the q105 lesson
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"MAX(CASE WHEN term = '$t' THEN tf END) AS tf$i" }
+    val scoreExpr = terms.indices.map { i =>
+      s"COALESCE(${q(stats.idf(terms(i)))} * ((CAST(tf$i AS DOUBLE) * ${q(k1 + 1.0)}) / " +
+        s"(CAST(tf$i AS DOUBLE) + ${q(k1)} * (${q(1.0 - b)} + ${q(b)} * (CAST(dl AS DOUBLE) / ${q(stats.avgdl)})))), CAST('0.0' AS DOUBLE))"
+    }.reduceLeft((a, b2) => s"($a + $b2)")
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS t
+       |           FROM documents),
+       |l AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM t),
+       |tok AS (SELECT doc_id, unnest(t) AS term FROM t),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       |       WHERE term IN (${terms.map(t => s"'$t'").mkString(", ")})
+       |       GROUP BY doc_id, term),
+       |piv AS (SELECT doc_id, ${tfCols.mkString(", ")} FROM tf GROUP BY doc_id),
+       |sc AS (SELECT piv.doc_id, $scoreExpr AS score
+       |       FROM piv JOIN l ON piv.doc_id = l.doc_id),
+       |ranked AS (SELECT doc_id, score,
+       |                  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+       |           FROM sc)
+       |SELECT doc_id, CAST(rank AS INT) AS rank, score FROM ranked
+       |WHERE rank <= $k
+       |ORDER BY rank""".stripMargin
+  }
+
+  private val q113 = {
+    // mixed-df terms from the driver vocabulary: common, mid, rare — the
+    // shape a real triage probe has
+    val terms = Seq("spark", "vector", "customer", "partition")
+    GraftQuery(
+      "q113_bm25_topk",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val postings = bm25Postings(docs, "doc_id", "text")
+        val lengths = bm25DocLengths(docs, "doc_id", "text")
+        val stats = bm25Stats(lengths, postings, terms)
+        bm25OracleSql = Some(bm25Oracle(terms, stats, k = 20, k1 = 1.2, b = 0.75))
+        bm25Rank(postings, lengths, "doc_id", terms, stats,
+          k = 20, k1 = 1.2, b = 0.75)
+          .orderBy(col("rank"))
+      },
+      None,
+      oracleGen = Some(() => bm25OracleSql))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97, q113)
 }

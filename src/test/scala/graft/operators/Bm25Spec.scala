@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** q113's stored-probe contract (the PhraseIndexSpec discipline applied
+  * to BM25): the probe against persisted bucketed postings/lengths must
+  * (a) return exactly what the inline form returns, (b) prune both
+  * stored scans to the touched buckets, (c) never scan or re-tokenize
+  * the raw corpus; plus classic BM25 ranking properties on micro-data.
+  */
+class Bm25Spec extends SparkSpec {
+
+  private val terms = Seq("spark", "vector", "customer", "partition")
+
+  test("stored BM25 probe is value-identical to the inline form; both scans prune") {
+    try {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val docs = Tables.load(spark, sf001, "documents")
+      graft.plans.ScaleOps.writeBucketed(
+        TextAnalysis.bm25Postings(docs, "doc_id", "text"), "term", 8, "b_postings")
+      graft.plans.ScaleOps.writeBucketed(
+        TextAnalysis.bm25DocLengths(docs, "doc_id", "text"), "doc_id", 8, "b_lengths")
+      // corpus constants persist beside the index in production; here we
+      // re-derive them from the FULL stored lengths table (allowed: stats
+      // derivation is index-build-time, not probe-time)
+      val stats = TextAnalysis.bm25Stats(
+        spark.table("b_lengths"), spark.table("b_postings"), terms)
+
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getInt(1), r.getDouble(2))
+      val inline = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, k = 20)
+        .collect().map(key).toSeq
+      val stored = TextAnalysis.bm25TopKStored(spark, "b_postings", "b_lengths",
+        "doc_id", terms, stats, k = 20)
+      val storedRows = stored.collect().map(key).toSeq
+      assert(storedRows == inline, s"stored=$storedRows inline=$inline")
+      assert(inline.size == 20 && inline.forall(_._3 > 0.0))
+
+      // plan contract on the AQE-finalized executed plan (the collect
+      // above): both stored scans prune buckets, corpus never read
+      val plan = stored.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val pruned = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findAllMatchIn(plan)
+        .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+      assert(pruned.size == 2,
+        s"both stored scans must be bucketed reads, got ${pruned.size}:\n$plan")
+      // the term scan prunes strictly (4 terms -> <= 4 of 8 buckets); the
+      // lengths scan's candidate ids span all buckets on THIS corpus
+      // (every query term sits in ~75% of docs) — strict both-sides
+      // pruning is asserted on the needle micro-corpus below; here the
+      // guarantee is that the candidate-id IN list reaches the scan
+      val (sel0, tot0) = pruned.head
+      assert(sel0 < tot0, s"postings pruning must drop buckets ($sel0 of $tot0):\n$plan")
+      assert(plan.contains("In(doc_id, ["),
+        s"candidate ids must be pushed into the lengths scan:\n$plan")
+      assert(!plan.contains("documents.parquet"), s"probe must not touch the corpus:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS b_postings")
+      spark.sql("DROP TABLE IF EXISTS b_lengths")
+    }
+  }
+
+  test("needle probe prunes BOTH stored scans strictly") {
+    import spark.implicits._
+    try {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val docs = (1L to 64L).map { i =>
+        (i, if (i <= 2) "needle in the haystack corpus"
+            else "plain haystack corpus text row")
+      }.toDF("doc_id", "text")
+      graft.plans.ScaleOps.writeBucketed(
+        TextAnalysis.bm25Postings(docs, "doc_id", "text"), "term", 8, "b_needle_p")
+      graft.plans.ScaleOps.writeBucketed(
+        TextAnalysis.bm25DocLengths(docs, "doc_id", "text"), "doc_id", 8, "b_needle_l")
+      val stats = TextAnalysis.bm25Stats(
+        spark.table("b_needle_l"), spark.table("b_needle_p"), Seq("needle"))
+      val probe = TextAnalysis.bm25TopKStored(spark, "b_needle_p", "b_needle_l",
+        "doc_id", Seq("needle"), stats, k = 5)
+      val rows = probe.collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L))
+      val plan = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val pruned = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findAllMatchIn(plan)
+        .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+      assert(pruned.size == 2 && pruned.forall { case (s, t) => s < t },
+        s"both scans must prune strictly, got $pruned:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS b_needle_p")
+      spark.sql("DROP TABLE IF EXISTS b_needle_l")
+    }
+  }
+
+  test("BM25 ranking properties: tf saturation, idf ordering, length normalization") {
+    import spark.implicits._
+    // rare term appears in 1 doc, common in 4 of 6; equal lengths except doc 6
+    val docs = Seq(
+      (1L, "rare alpha beta gamma"),
+      (2L, "common alpha beta gamma"),
+      (3L, "common common alpha beta"),
+      (4L, "common alpha alpha beta"),
+      (5L, "common beta beta gamma"),
+      (6L, "common " + Seq.fill(40)("filler").mkString(" "))
+    ).toDF("doc_id", "text")
+
+    def top(ts: Seq[String]) =
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", ts, k = 6)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2))
+
+    // idf: the rare-term doc outscores any common-term doc on a joint query
+    val joint = top(Seq("rare", "common")).toMap
+    assert(joint(1L) > joint.filterKeys(_ != 1L).values.max,
+      s"rare-term doc must rank first: $joint")
+
+    // length normalization: same single occurrence, longer doc scores lower
+    val lnorm = top(Seq("common")).toMap
+    assert(lnorm(6L) < lnorm(2L), s"longer doc must score lower: $lnorm")
+
+    // tf saturation: two occurrences beat one, but by less than 2x (k1 caps it)
+    val sat = top(Seq("common")).toMap
+    assert(sat(3L) > sat(2L) && sat(3L) < 2.0 * sat(2L),
+      s"tf must saturate: one=${sat(2L)} two=${sat(3L)}")
+
+    // docs without any query term never appear
+    assert(!top(Seq("rare")).exists(_._1 == 5L))
+  }
+}
