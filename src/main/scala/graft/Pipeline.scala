@@ -248,6 +248,20 @@ object Pipeline {
       books: Array[Array[Array[Double]]]): DataFrame =
     operators.Similarity.pqAdcTopK(encoded, isQuery, k, books)
 
+  /** Weighted PageRank over an edge list (src, dst, w): per-iteration
+    * incoming mass summed as exact floor-scaled LONGs, so ranks are
+    * bit-identical across partitionings and replayable by the unrolled
+    * q114 oracle. Symmetric edges for undirected graphs; directed sinks
+    * are the caller's concern (see [[operators.Graph.pageRank]]). */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double, nNodes: Long): DataFrame =
+    operators.Graph.pageRank(edges, iters, damping, nNodes)
+
+  /** TextRank keyword extraction (PageRank over the word co-occurrence
+    * graph) — corpus-level keyword/centrality signal (q114). */
+  def textRank(docs: DataFrame, textCol: String, iters: Int,
+      damping: Double, k: Int): DataFrame =
+    operators.Graph.textRank(docs, textCol, iters, damping, k)
+
   /** sqrt-temperature sampling weights per group. */
   def mixWeights(df: DataFrame, groupCol: String, textCol: String): DataFrame =
     operators.DataPrep.mixWeights(df, groupCol, textCol)
