@@ -411,6 +411,13 @@ object Pipeline {
       chunkLen: Int, step: Int): DataFrame =
     operators.DataPrep.chunkDocs(df, idCol, textCol, chunkLen, step)
 
+  /** Snapshot diff between two corpus versions: added / removed /
+    * changed / unchanged per id by content hash (q115). Zero-exchange
+    * when both snapshots are stored bucketed by id. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    operators.DataPrep.corpusDiff(oldDf, newDf, idCol, textCol)
+
   /** Deterministic hash-based train/val/test assignment. */
   def splitAssign(df: DataFrame, idCol: String,
       trainPct: Int = 80, valPct: Int = 10): DataFrame =

@@ -933,5 +933,57 @@ object DataPrep {
             FROM documents) t
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84, q85, q86, q89, q91, q98, q101)
+  // ---------------------------------------------------------------- q115
+  // Corpus snapshot diff: between two versions of a corpus, classify
+  // every id as added / removed / changed / unchanged by content hash —
+  // the version-triage primitive before an incremental rebuild (what
+  // must re-embed, re-dedup, re-score after a crawl refresh; the q81/
+  // q111 incremental discipline needs exactly this delta as its input).
+  //
+  // Scale: one full-outer equi-join of two (id, 16-byte-digest) frames —
+  // the text never shuffles. Persist both snapshot digest tables
+  // bucketed by id (ScaleOps.writeBucketed) and the join is
+  // zero-exchange; AQE handles the skewless id key either way.
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def digests(df: DataFrame, h: String) =
+      df.select(col(idCol), md5(col(textCol)).as(h))
+    digests(oldDf, "h1").join(digests(newDf, "h2"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  // Declared query: two deterministic snapshot views of the documents
+  // table (v1 misses the %11 ids — "added" later; v2 misses the %13 ids
+  // — "removed" — and rewrites the %5 texts — "changed"), so the oracle
+  // replays both snapshots and the full-outer classification from the
+  // same parquet with no generated state.
+  private val q115 = GraftQuery(
+    "q115_corpus_diff",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.filter(col("doc_id") % 11 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      corpusDiff(v1, v2, "doc_id", "text").orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 11 <> 0),
+      v2 AS (SELECT doc_id,
+                    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h2
+             FROM documents WHERE doc_id % 13 <> 0)
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.h1 <> v2.h2 THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84,
+    q85, q86, q89, q91, q98, q101, q115)
 }

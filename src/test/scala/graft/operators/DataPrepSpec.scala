@@ -335,6 +335,36 @@ class DataPrepSpec extends SparkSpec {
     assert(repicked == picked)
   }
 
+  test("corpusDiff classifies all four statuses; bucketed snapshots join with zero exchange") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = DataPrep.corpusDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+
+    // stored-snapshot form: both sides bucketed by id -> no shuffle
+    try {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val docs = graft.sources.Tables.load(spark, sf001, "documents")
+      graft.plans.ScaleOps.writeBucketed(
+        docs.filter(col("doc_id") % 11 =!= 0), "doc_id", 8, "snap_v1")
+      graft.plans.ScaleOps.writeBucketed(
+        docs.filter(col("doc_id") % 13 =!= 0), "doc_id", 8, "snap_v2")
+      val diff = DataPrep.corpusDiff(
+        spark.table("snap_v1"), spark.table("snap_v2"), "doc_id", "text")
+      diff.collect()
+      val plan = diff.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange"),
+        s"bucketed snapshot diff must be zero-exchange:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS snap_v1")
+      spark.sql("DROP TABLE IF EXISTS snap_v2")
+    }
+  }
+
   test("PPS admission: chained batches == one-shot over the concatenated line") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
