@@ -19,7 +19,9 @@ object PlanDump {
     "q96_bigram_lm_score", "q97_phrase_search", "q100_profile",
     "q101_weighted_sample", "q102_zorder_values", "q103_kmeans_step",
     "q104_embed_covariance", "q105_embed_abtt", "q106_corpus_overlap",
-    "q107_zorder_rank", "q108_image_header")
+    "q107_zorder_rank", "q108_image_header", "q109_moments_stored_shards",
+    "q110_zorder3_values", "q111_ivf_append", "q112_pq_adc",
+    "q113_bm25_topk", "q114_textrank", "q115_corpus_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

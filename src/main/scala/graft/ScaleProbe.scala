@@ -518,9 +518,75 @@ object ScaleProbe {
         require(nBoxZ == nBoxL, s"layouts disagree: $nBoxZ vs $nBoxL")
         println(s"""{"metric":"zorder_probe","copies":$copies,"n_rows":$nRows,"box_rows":$nBoxZ,"z_scan_rows":$zRead,"lin_scan_rows":$lRead,"z_write_sec":$tZw,"lin_write_sec":$tLw,"z_sec":[${zReps.map(t => f"$t%.3f").mkString(",")}],"lin_sec":[${lReps.map(t => f"$t%.3f").mkString(",")}],"src":"$src"}""")
 
+      case "r10ops" =>
+        // Decade probe for the round-10 families.
+        //  - bm25: stored-artifact probe (the q97 claim shape — the query
+        //    terms live only in copy 0's vocabulary, so candidate postings
+        //    stay constant while the corpus grows copies×; probe must be
+        //    ~flat). Build cost reported separately.
+        //  - textrank: 3 PageRank iterations; vocab AND edges grow with
+        //    copies (each copy brings its own alphabet-permuted vocab), so
+        //    the check is ~linear-in-edges per decade, not flatness.
+        //  - corpus diff: one digest join, ~linear in rows.
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val out = scaledDocsDir(spark, src, copies)
+        val docs = graft.sources.Tables.load(spark, out, "documents")
+        val nDocs = docs.count()
+        val terms = Seq("spark", "vector", "customer", "partition")
+        val pTbl = s"bm25_probe_p_x$copies"
+        val lTbl = s"bm25_probe_l_x$copies"
+        val (_, tBuild) = timed {
+          graft.plans.ScaleOps.writeBucketed(
+            graft.operators.TextAnalysis.bm25Postings(docs, "doc_id", "text"),
+            "term", 64, pTbl)
+          graft.plans.ScaleOps.writeBucketed(
+            graft.operators.TextAnalysis.bm25DocLengths(docs, "doc_id", "text"),
+            "doc_id", 64, lTbl)
+        }
+        // stats persist beside the index in production: derive once at
+        // build time, excluded from the probe timing
+        val stats = graft.operators.TextAnalysis.bm25Stats(
+          spark.table(lTbl), spark.table(pTbl), terms)
+        def bm25Probe(): Long = graft.operators.TextAnalysis.bm25TopKStored(
+          spark, pTbl, lTbl, "doc_id", terms, stats, k = 20).count()
+        val nTop = bm25Probe() // warm
+        val bmTimes = (1 to 3).map(_ => timed(bm25Probe())._2)
+        spark.sql(s"DROP TABLE IF EXISTS $pTbl")
+        spark.sql(s"DROP TABLE IF EXISTS $lTbl")
+        val (_, tRank) = timed(
+          graft.operators.Graph.textRank(docs, "text", iters = 3,
+            damping = 0.85, k = 20).collect())
+        val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        val (_, tDiff) = timed(
+          graft.operators.DataPrep.corpusDiff(
+            docs.filter(col("doc_id") % 11 =!= 0), v2, "doc_id", "text")
+            .write.format("noop").mode("overwrite").save())
+        println(s"""{"metric":"r10ops_probe","copies":$copies,"n_docs":$nDocs,"bm25_top":$nTop,"bm25_build_sec":$tBuild,"bm25_probe_sec":[${bmTimes.map(t => f"$t%.3f").mkString(",")}],"textrank_sec":$tRank,"diff_sec":$tDiff,"src":"$src"}""")
+
+      case "pq" =>
+        // PQ decade over the scaled embeddings: fit is sample-scoped by
+        // design (reported as build); ENCODE is the full linear scan and
+        // the ADC probe is codes-only — encode should track rows ~linearly
+        // per fixed-core decade, probe likewise (it scans all codes).
+        val out = scaledEmbeddingsDir(spark, src, copies)
+        val emb = graft.sources.Tables.load(spark, out, "embeddings")
+        val nVecs = emb.count()
+        // codebooks from copy 0 only — the "train on a hash sample" path
+        val (books, tFit) = timed(graft.operators.Similarity.pqFit(
+          emb.filter(col("vec_id") < 100000000L), m = 8, dim = 64, ksub = 16, iters = 2))
+        val (_, tEnc) = timed(graft.operators.Similarity.pqEncode(emb, books)
+          .write.format("noop").mode("overwrite").save())
+        val enc = graft.operators.Similarity.pqEncode(emb, books)
+        val (_, tAdc) = timed(graft.operators.Similarity.pqAdcTopK(
+          enc, col("vec_id") < 10, k = 5, books)
+          .write.format("noop").mode("overwrite").save())
+        println(s"""{"metric":"pq_probe","copies":$copies,"n_vecs":$nVecs,"fit_sec":$tFit,"encode_sec":$tEnc,"adc_sec":$tAdc,"src":"$src"}""")
+
       case other =>
         System.err.println(
-          s"unknown mode: $other (expected queries|ann|annc|lshcurve|sketches|cc|phrase|zorder|embedops)")
+          s"unknown mode: $other (expected queries|ann|annc|lshcurve|sketches|cc|phrase|zorder|embedops|r10ops|pq)")
         sys.exit(2)
     }
     spark.stop()

@@ -45,13 +45,26 @@ object Graph {
       nNodes: Long): DataFrame = {
     require(iters >= 0 && damping > 0.0 && damping < 1.0 && nNodes > 0,
       s"need iters >= 0, 0 < damping < 1, nNodes > 0; got $iters, $damping, $nNodes")
-    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst"))).distinct()
+    // Materialize the loop-invariant frames ONCE and cut lineage at every
+    // iteration (forced by the node-sized count) — without this each
+    // iteration re-derives the edge list from its upstream lineage and
+    // the final plan re-scans the corpus ~10× per iteration (caught in
+    // the round-10 PLANS.md audit: 28 file scans for 3 iterations). This
+    // is the standard Spark iterative shape: per-iteration state is one
+    // node-sized cached frame, previous iterations are dropped as soon
+    // as the next is materialized. In a production run the caches land
+    // in MEMORY_AND_DISK; edges at 100 TB-corpus vocab scale are the
+    // co-occurrence aggregate, orders smaller than the corpus itself.
+    val e = edges.select(col("src"), col("dst"), col("w")).persist()
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val withOw = e.join(outW, "src").persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().persist()
     var ranks = nodes.withColumn("rank", lit(1.0 / nNodes))
+    var prev: Option[DataFrame] = None
     val base = lit((1.0 - damping) / nNodes)
     for (_ <- 0 until iters) {
-      val contrib = edges.join(outW, "src")
+      val contrib = withOw
         .join(ranks.withColumnRenamed("node", "src"), "src")
         // fixed op order: ((rank * w) / ow) scaled to an exact LONG, so
         // the incoming-mass sum is order-independent
@@ -59,11 +72,19 @@ object Graph {
           floor(((col("rank") * col("w").cast("double")) /
             col("ow").cast("double")) * lit(SCALE)).cast("long").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("cs"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (base + lit(damping) * (coalesce(col("cs"), lit(0L)).cast("double") / lit(SCALE)))
             .as("rank"))
+        .persist()
+      next.count() // force: lineage cut, predecessor safe to drop
+      prev.foreach(_.unpersist())
+      prev = Some(next)
+      ranks = next
     }
+    // loop-invariant caches are no longer needed once the final ranks
+    // frame is materialized; the returned (cached) frame is self-contained
+    e.unpersist(); withOw.unpersist(); nodes.unpersist()
     ranks
   }
 
