@@ -1212,7 +1212,167 @@ object Similarity {
     None,
     oracleGen = Some(() => pqOracleSql))
 
+  // --------------------------------------------------------- q116 IVFADC
+  // The full FAISS-shaped ANN composition (Jégou et al. 2011 §IV):
+  // coarse-quantize into IVF cells, PQ-encode the RESIDUAL (v − cell
+  // centroid) — residuals are smaller and better-centered than raw
+  // vectors, so the same code budget quantizes finer — and answer
+  // queries by probing nprobe cells with a PER-CELL ADC table built
+  // from the query's residual against that cell. 100 TB shape: the
+  // stored artifact is (vec_id, cell, codes) — m bytes + a cell id per
+  // vector, bucketed by cell; a probe touches nprobe cells' codes only,
+  // builds |Q|×nprobe distance tables (driver-free, in-plan from
+  // literals), and never reads a float vector of the corpus.
+  //
+  // Determinism: every stage is folds/argmins over (centroid, codebook)
+  // literals — the generated oracle replays cells, residuals, encode
+  // argmins, per-cell tables, and the left-assoc ADC sums bit-for-bit.
+
+  /** Element-wise v − cents[cell] via one nested-literal lookup. */
+  private def residual(vCol: Column, cellCol: Column,
+      cents: Array[Array[Double]]): Column = {
+    val centArr = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    zip_with(vCol, element_at(centArr, cellCol + 1), (a, b) => a - b)
+  }
+
+  /** Residual PQ codebooks: [[pqFit]] over (v − centroid(cell)). */
+  def ivfadcFit(embeddings: DataFrame, cents: Array[Array[Double]], m: Int,
+      ksub: Int, iters: Int, cacheKey: Option[String] = None): Array[Array[Array[Double]]] = {
+    val res = withCells(vecs(embeddings), cents)
+      .select(col("vec_id"), residual(col("v"), col("cell"), cents).as("embedding"))
+    pqFit(res, m, cents(0).length, ksub, iters, cacheKey)
+  }
+
+  /** The stored IVFADC index: (vec_id, cell, codes) — residual PQ codes
+    * under the frozen centroids/codebooks; persist bucketed by cell. */
+  def ivfadcEncode(embeddings: DataFrame, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val assigned = withCells(vecs(embeddings), cents)
+      .select(col("vec_id"), col("v"), col("cell"))
+    pqEncode(assigned.select(col("vec_id"),
+        residual(col("v"), col("cell"), cents).as("embedding")), books)
+      .select(col("vec_id"), col("codes"))
+      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+  }
+
+  /** IVFADC probe: nprobe nearest cells per query (the q41b ranking),
+    * one ADC table per (query, probed cell) from the query's residual,
+    * shortlist top-k by approximate squared L2 (adc ASC, id). Queries
+    * keep exact vectors; the corpus side contributes codes only. */
+  def ivfadcTopK(encoded: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val q0 = withCells(queries.select(col("vec_id"), col("v")), cents)
+    val probed = q0.select(col("vec_id").as("qid"), col("v").as("qv"),
+      posexplode(col("dists")).as(Seq("cell2", "dist")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cell2"))
+    val qres = residual(col("qv"), col("cell2"), cents)
+    val dtab = array((0 until m).map { j =>
+      array(books(j).map { c =>
+        graft.functions.SquaredDistance(array(c.map(lit).toIndexedSeq: _*),
+          slice(qres, j * dsub + 1, dsub))
+      }.toIndexedSeq: _*)
+    }: _*)
+    val probeCells = probed.withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("cell2"), dtab.as("dtab"))
+    val adc = (0 until m).map { j =>
+      element_at(element_at(col("dtab"), j + 1),
+        element_at(col("codes"), j + 1) + 1)
+    }.reduceLeft(_ + _)
+    val wr = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nn_id"))
+    encoded.join(broadcast(probeCells),
+        col("cell") === col("cell2") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"), adc.as("adc"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+        col("nn_id"), col("adc"))
+  }
+
+  @volatile private var ivfadcOracleSql: Option[String] = None
+
+  private def ivfadcOracle(cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], nprobe: Int, k: Int): String = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    def qd(d: Double) = s"CAST('$d' AS DOUBLE)"
+    def arr(c: Array[Double]) = c.map(qd).mkString("[", ", ", "]")
+    def fold(cLit: String, vExpr: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($cLit, $vExpr), p -> (p[1]-p[2])*(p[1]-p[2]))), (s, x) -> s + x)"
+    // cell assignment (the q41d folds over RAW vectors)
+    val cellD = cents.zipWithIndex.map { case (c, i) => s"${fold(arr(c), "v")} AS d$i" }
+    val cIdx = cents.indices
+    // residual = v - cents[cell] via a CASE over cell (literal per cell)
+    def resExpr(vE: String, cellE: String) =
+      s"(CASE ${cIdx.map(i => s"WHEN $cellE = $i THEN list_transform(list_zip($vE, ${arr(cents(i))}), p -> p[1] - p[2])").mkString(" ")} END)"
+    // encode argmins over residual slices
+    val codeCols = (0 until m).map { j =>
+      val ds = books(j).indices.map(c =>
+        fold(arr(books(j)(c)), s"list_slice(res, ${j * dsub + 1}, ${(j + 1) * dsub})"))
+      val named = ds.zipWithIndex.map { case (d, c) => s"$d AS e${j}_$c" }
+      (named,
+        s"least(${books(j).indices.map(c => s"e${j}_$c").mkString(", ")}) AS em$j",
+        s"CAST(CASE ${books(j).indices.map(c => s"WHEN e${j}_$c = em$j THEN $c").mkString(" ")} END AS INT) AS code$j")
+    }
+    // per-(query, probed cell) ADC table over the QUERY residual
+    val dtabCols = (0 until m).map { j =>
+      val ds = books(j).indices.map(c =>
+        fold(arr(books(j)(c)), s"list_slice(qres, ${j * dsub + 1}, ${(j + 1) * dsub})"))
+      s"[${ds.mkString(", ")}] AS dtab$j"
+    }
+    val adcExpr = (0 until m)
+      .map(j => s"list_extract(dtab$j, code$j + 1)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT vec_id, v, ${cellD.mkString(", ")} FROM e),
+       |mm AS (SELECT *, least(${cIdx.map(i => s"d$i").mkString(", ")}) AS md FROM d),
+       |a AS (SELECT vec_id, v,
+       |             CAST(CASE ${cIdx.map(i => s"WHEN d$i = md THEN $i").mkString(" ")} END AS INT) AS cell
+       |      FROM mm),
+       |r AS (SELECT vec_id, v, cell, ${resExpr("v", "cell")} AS res FROM a),
+       |encd AS (SELECT vec_id, cell, ${codeCols.flatMap(_._1).mkString(", ")} FROM r),
+       |encm AS (SELECT *, ${codeCols.map(_._2).mkString(", ")} FROM encd),
+       |enc AS (SELECT vec_id, cell, ${codeCols.map(_._3).mkString(", ")} FROM encm),
+       |qp AS (SELECT vec_id AS qid, v AS qv,
+       |              unnest([${cIdx.map(i => s"d$i").mkString(", ")}]) AS dist,
+       |              unnest([${cIdx.mkString(", ")}]) AS cell2
+       |       FROM mm WHERE vec_id < 10),
+       |pc AS (SELECT qid, qv, cell2,
+       |              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cell2) AS pr
+       |       FROM qp),
+       |pt0 AS (SELECT qid, cell2, ${resExpr("qv", "cell2")} AS qres
+       |        FROM pc WHERE pr <= $nprobe),
+       |pt AS (SELECT qid, cell2, ${dtabCols.mkString(", ")} FROM pt0),
+       |cand AS (SELECT pt.qid, enc.vec_id AS nn_id, $adcExpr AS adc
+       |         FROM enc JOIN pt ON enc.cell = pt.cell2 AND enc.vec_id <> pt.qid),
+       |ranked AS (SELECT qid, nn_id, adc,
+       |                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS rank
+       |           FROM cand)
+       |SELECT qid, CAST(rank AS INT) AS rank, nn_id, adc FROM ranked
+       |WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  private val q116 = GraftQuery(
+    "q116_ivfadc",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = ivfModel(emb, nlist = 16, cacheKey = Some(dir))
+      val cents = model.clusterCenters.map(_.toArray)
+      val books = ivfadcFit(emb, cents, m = 8, ksub = 16, iters = 2,
+        cacheKey = Some(s"$dir#ivfadc"))
+      ivfadcOracleSql = Some(ivfadcOracle(cents, books, nprobe = 4, k = 5))
+      val enc = ivfadcEncode(emb, cents, books)
+      ivfadcTopK(enc, vecs(emb).filter(col("vec_id") < 10), k = 5,
+        nprobe = 4, cents, books)
+        .orderBy(col("qid"), col("rank"))
+    },
+    None,
+    oracleGen = Some(() => ivfadcOracleSql))
+
   val all: Seq[GraftQuery] =
     Seq(q39, q40, q41, q41c, q41d, q41e, q42b, q53, q83, q103, q104, q105,
-      q109, q111, q112)
+      q109, q111, q112, q116)
 }

@@ -324,6 +324,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVFADC: residual-PQ probe reaches high recall vs exact L2; codes-only corpus side") {
+    val df = clustered()
+    val model = Similarity.ivfModel(df, nlist = 16)
+    val cents = model.clusterCenters.map(_.toArray)
+    val books = Similarity.ivfadcFit(df, cents, m = 8, ksub = 16, iters = 2)
+    val enc = Similarity.ivfadcEncode(df, cents, books)
+    // stored-artifact shape: m codes + a cell id per vector, no floats
+    assert(enc.columns.toSet == Set("vec_id", "codes", "cell"))
+    val qs = df.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")).filter(col("vec_id") < 20)
+    val got = Similarity.ivfadcTopK(enc, qs, k = 20, nprobe = 4, cents, books)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+    val e = df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        graft.functions.SquaredDistance(col("qv"), col("v")).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2"), col("nn_id"))
+    val bf = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // true top-5 recovered from the 20-wide shortlist (the ADC contract)
+    val recall = (got & bf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"IVFADC shortlist recall $recall < 0.8")
+  }
+
   test("pcaTopComponent returns a dominant eigenpair (Av = lambda*v)") {
     val emb = graft.sources.Tables.embeddings(spark, sf001)
     val cov = Similarity.covarianceMatrix(emb, 64)
