@@ -1372,7 +1372,91 @@ object Similarity {
     None,
     oracleGen = Some(() => ivfadcOracleSql))
 
+  // ---------------------------------------------------- q117 linear probe
+  // Linear-probe evaluation as engine ops — the standard "how much signal
+  // does this embedding carry" check (fit a linear head, read its
+  // quality) and the supervised sibling of q103's k-means: full-batch
+  // gradient descent on SQUARE loss (no sigmoid — a transcendental would
+  // break cross-engine bit parity; the square-loss linear probe is the
+  // textbook linear readout). Per iteration: residual r_i = fold-dot(v_i,
+  // w) − y_i with the weights as plan literals, gradient g_j =
+  // (Σ_i r_i·v_ij as floor-scaled exact LONGs) / n — ONE posexplode
+  // hash-agg per iteration, d driver-side doubles of state, shuffle =
+  // d×tasks partial rows (the q103 shape). Deterministic end to end, so
+  // the declared query hash-matches an UNROLLED DuckDB oracle that
+  // carries the weights across iterations as an ordered list rebuilt
+  // with the identical arithmetic — no generated literals.
+
+  /** One GD step on square loss: returns the updated weight vector.
+    * `labelExpr` must be a 0/1 (or ±1) DOUBLE column expression. */
+  def linearProbeStep(embeddings: DataFrame, labelExpr: Column,
+      w: Array[Double], lr: Double, n: Long): Array[Double] = {
+    val scale = 1099511627776.0 // 2^40
+    val wLit = array(w.map(lit).toIndexedSeq: _*)
+    val g = embeddings
+      .select(col("embedding").cast("array<double>").as("v"), labelExpr.as("y"))
+      .withColumn("r", dot(col("v"), wLit) - col("y"))
+      .select(posexplode(col("v")).as(Seq("dim", "x")), col("r"))
+      .withColumn("sg", floor(col("r") * col("x") * lit(scale)).cast("long"))
+      .groupBy(col("dim")).agg(sum(col("sg")).as("s"))
+      .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+    w.indices.map { j =>
+      w(j) - lr * ((g.getOrElse(j, 0L).toDouble / scale) / n)
+    }.toArray
+  }
+
+  /** Full trainer from w = 0: `iters` steps; only d doubles cross the
+    * driver per iteration. */
+  def linearProbeFit(embeddings: DataFrame, labelExpr: Column, dim: Int,
+      iters: Int, lr: Double): Array[Double] = {
+    val n = embeddings.count()
+    var w = new Array[Double](dim)
+    for (_ <- 0 until iters) w = linearProbeStep(embeddings, labelExpr, w, lr, n)
+    w
+  }
+
+  private val q117 = GraftQuery(
+    "q117_linear_probe",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col => c}
+      val emb = Tables.embeddings(s, dir)
+      val w = linearProbeFit(emb,
+        when(c("label") === 0, 1.0).otherwise(0.0), dim = 64, iters = 3, lr = 0.1)
+      import s.implicits._
+      w.zipWithIndex.map { case (x, j) => (j, x) }.toSeq
+        .toDF("dim", "w").orderBy(c("dim"))
+    },
+    Some {
+      // unrolled 3-iteration replay: weights carried as an ordered list,
+      // residuals via the identical left-fold dot, gradients as exact
+      // floor-scaled BIGINT sums — w starts at 0 so iteration 1's
+      // residual is just -y
+      val S = "1099511627776.0"
+      val foldDot =
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(%s, %s), p -> p[1] * p[2])), (s, x) -> s + x)"
+      def iter(i: Int): String = {
+        val prevW = s"(SELECT list(w ORDER BY dim) FROM it${i - 1})"
+        s"""g$i AS (
+           |  SELECT dim, SUM(CAST(FLOOR((r * v[dim]) * $S) AS BIGINT)) AS s
+           |  FROM (SELECT r, v, unnest(range(1, len(v) + 1)) AS dim
+           |        FROM (SELECT ${foldDot.format(prevW, "v")} - y AS r, v FROM e))
+           |  GROUP BY dim),
+           |it$i AS (
+           |  SELECT it${i - 1}.dim,
+           |         it${i - 1}.w - CAST('0.1' AS DOUBLE) * ((CAST(COALESCE(g$i.s, 0) AS DOUBLE) / $S) / nn.n) AS w
+           |  FROM it${i - 1} CROSS JOIN nn LEFT JOIN g$i ON it${i - 1}.dim = g$i.dim)""".stripMargin
+      }
+      s"""WITH e AS (SELECT embedding::DOUBLE[] AS v,
+         |                  CASE WHEN label = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+         |           FROM embeddings),
+         |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |it0 AS (SELECT unnest(range(1, 65)) AS dim, CAST(0.0 AS DOUBLE) AS w),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT CAST(dim - 1 AS INT) AS dim, w FROM it3
+         |ORDER BY dim""".stripMargin
+    })
+
   val all: Seq[GraftQuery] =
     Seq(q39, q40, q41, q41c, q41d, q41e, q42b, q53, q83, q103, q104, q105,
-      q109, q111, q112, q116)
+      q109, q111, q112, q116, q117)
 }

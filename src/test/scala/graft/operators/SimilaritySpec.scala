@@ -353,6 +353,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVFADC shortlist recall $recall < 0.8")
   }
 
+  test("linear probe: square loss non-increasing over GD; learned head beats chance") {
+    val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
+    val y = when(col("label") === 0, 1.0).otherwise(0.0)
+    def mse(w: Array[Double]): Double = {
+      val wLit = array(w.map(lit).toIndexedSeq: _*)
+      emb.select(col("embedding").cast("array<double>").as("v"), y.as("y"))
+        .select(pow(Similarity.dot(col("v"), wLit) - col("y"), 2).as("e"))
+        .agg(avg(col("e"))).head.getDouble(0)
+    }
+    val n = emb.count()
+    var w = new Array[Double](64)
+    var losses = Seq(mse(w))
+    for (_ <- 0 until 3) {
+      w = Similarity.linearProbeStep(emb, y, w, lr = 0.1, n)
+      losses :+= mse(w)
+    }
+    assert(losses.zip(losses.tail).forall { case (a, b) => b <= a },
+      s"loss must be non-increasing: $losses")
+    assert(losses.last < losses.head, "training must actually reduce loss")
+
+    // the learned head carries label signal: it orders the classes —
+    // mean score of the positive class clearly above the negative class
+    // (3 full-batch steps can't beat an 89% majority rate, but a head
+    // with zero signal would give equal class means)
+    val wLit = array(w.map(lit).toIndexedSeq: _*)
+    val scored = emb.select(y.as("y"),
+      Similarity.dot(col("embedding").cast("array<double>"), wLit).as("s"))
+    val means = scored.groupBy(col("y")).agg(avg(col("s")).as("m"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(means(1.0) > 0 && means(1.0) > 5 * math.abs(means(0.0)),
+      s"positive-class mean score must separate: $means")
+
+    // partitioning-independence of the gradient (floor-scaled sums)
+    val w2 = Similarity.linearProbeStep(
+      emb.repartition(13, col("label")), y, new Array[Double](64), lr = 0.1, n)
+    val w1 = Similarity.linearProbeStep(emb, y, new Array[Double](64), lr = 0.1, n)
+    assert(w1.toSeq == w2.toSeq, "bit-identical step across partitionings")
+  }
+
   test("pcaTopComponent returns a dominant eigenpair (Av = lambda*v)") {
     val emb = graft.sources.Tables.embeddings(spark, sf001)
     val cov = Similarity.covarianceMatrix(emb, 64)
