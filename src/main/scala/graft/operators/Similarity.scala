@@ -1456,7 +1456,82 @@ object Similarity {
          |ORDER BY dim""".stripMargin
     })
 
+  // ------------------------------------------------- q118 IVF diagnostics
+  // Index health report for a stored IVF index — the operator that
+  // DECIDES the q111 refit question ("append while the batch matches the
+  // indexed distribution; refit when cell occupancy skews") from data
+  // instead of intuition. Per cell: occupancy, share, mean squared
+  // quantization error (distance to own centroid, the k-means objective
+  // per cell); global: imbalance factor max(share)·nlist (1 = perfectly
+  // balanced, nlist = everything in one cell — probe cost scales with
+  // the probed cells' occupancy, so this IS the probe-latency skew).
+  // One hash-agg over the assignment table; qerr via the exact
+  // floor-scaled sums so every value replays in the generated oracle.
+
+  /** Per-cell health of an assignment table (vec_id, v, cell) under its
+    * centroids: (cell, n, share, qerr_mean, imbalance). */
+  def ivfDiagnostics(assigned: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val scale = 1099511627776.0 // 2^40
+    val centArr = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val d2 = graft.functions.SquaredDistance(
+      element_at(centArr, col("cell") + 1), col("v"))
+    val per = assigned
+      .select(col("cell"), floor(d2 * lit(scale)).cast("long").as("sq"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("sq")).as("sqs"))
+    val tot = per.agg(sum(col("n")).as("total"),
+      max(col("n")).as("maxn"), count(lit(1)).as("cells"))
+    per.crossJoin(broadcast(tot)) // 1-row side: safe cross (the q106 class)
+      .select(col("cell"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"),
+        ((col("sqs").cast("double") / lit(scale)) / col("n").cast("double"))
+          .as("qerr_mean"),
+        ((col("maxn").cast("double") / col("total").cast("double")) *
+          col("cells").cast("double")).as("imbalance"))
+  }
+
+  @volatile private var ivfDiagOracleSql: Option[String] = None
+
+  private def ivfDiagOracle(cents: Array[Array[Double]]): String = {
+    def qd(d: Double) = s"CAST('$d' AS DOUBLE)"
+    def arr(c: Array[Double]) = c.map(qd).mkString("[", ", ", "]")
+    def fold(cLit: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($cLit, v), p -> (p[1]-p[2])*(p[1]-p[2]))), (s, x) -> s + x)"
+    val dCols = cents.zipWithIndex.map { case (c, i) => s"${fold(arr(c))} AS d$i" }
+    val idx = cents.indices
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT vec_id, v, ${dCols.mkString(", ")} FROM e),
+       |mm AS (SELECT *, least(${idx.map(i => s"d$i").mkString(", ")}) AS md FROM d),
+       |a AS (SELECT v, CAST(CASE ${idx.map(i => s"WHEN d$i = md THEN $i").mkString(" ")} END AS INT) AS cell,
+       |             CASE ${idx.map(i => s"WHEN d$i = md THEN d$i").mkString(" ")} END AS dd
+       |      FROM mm),
+       |per AS (SELECT cell, COUNT(*) AS n,
+       |               SUM(CAST(FLOOR(dd * 1099511627776.0) AS BIGINT)) AS sqs
+       |        FROM a GROUP BY cell),
+       |tot AS (SELECT SUM(n) AS total, MAX(n) AS maxn, COUNT(*) AS cells FROM per)
+       |SELECT cell, n,
+       |       (CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) AS share,
+       |       ((CAST(sqs AS DOUBLE) / 1099511627776.0) / CAST(n AS DOUBLE)) AS qerr_mean,
+       |       ((CAST(maxn AS DOUBLE) / CAST(total AS DOUBLE)) * CAST(cells AS DOUBLE)) AS imbalance
+       |FROM per CROSS JOIN tot
+       |ORDER BY cell""".stripMargin
+  }
+
+  private val q118 = GraftQuery(
+    "q118_ivf_diagnostics",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = ivfModel(emb, nlist = 16, cacheKey = Some(dir))
+      val cents = model.clusterCenters.map(_.toArray)
+      ivfDiagOracleSql = Some(ivfDiagOracle(cents))
+      ivfDiagnostics(ivfAssignments(emb, nlist = 16, cacheKey = Some(dir)), cents)
+        .orderBy(col("cell"))
+    },
+    None,
+    oracleGen = Some(() => ivfDiagOracleSql))
+
   val all: Seq[GraftQuery] =
     Seq(q39, q40, q41, q41c, q41d, q41e, q42b, q53, q83, q103, q104, q105,
-      q109, q111, q112, q116, q117)
+      q109, q111, q112, q116, q117, q118)
 }

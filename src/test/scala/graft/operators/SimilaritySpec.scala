@@ -392,6 +392,32 @@ class SimilaritySpec extends SparkSpec {
     assert(w1.toSeq == w2.toSeq, "bit-identical step across partitionings")
   }
 
+  test("ivfDiagnostics: flags skewed occupancy, near-1 on balanced cells") {
+    import spark.implicits._
+    val dim = 4
+    def mk(rows: Seq[(Long, Array[Double], Int)]) =
+      rows.map { case (id, v, c) => (id, v.toSeq, c) }.toDF("vec_id", "v", "cell")
+        .select(col("vec_id"), col("v").cast("array<double>").as("v"), col("cell"))
+    val cents = Array(Array(0.0, 0, 0, 0), Array(10.0, 0, 0, 0))
+    // balanced: 4 vectors per cell, all exactly on their centroid
+    val bal = mk((0 until 8).map(i =>
+      (i.toLong, cents(i % 2).clone(), i % 2)))
+    val dBal = Similarity.ivfDiagnostics(bal, cents).collect()
+    assert(dBal.forall(_.getDouble(4) == 1.0), "balanced index => imbalance 1")
+    assert(dBal.forall(_.getDouble(3) == 0.0), "on-centroid vectors => zero qerr")
+    // skewed: 7 in cell 0, 1 in cell 1, off-centroid by 1.0 in dim 0
+    val skew = mk((0 until 8).map { i =>
+      val c = if (i < 7) 0 else 1
+      val v = cents(c).clone(); v(0) += 1.0
+      (i.toLong, v, c)
+    })
+    val dSkew = Similarity.ivfDiagnostics(skew, cents).collect()
+    assert(dSkew.forall(r => math.abs(r.getDouble(4) - 1.75) < 1e-12),
+      s"7/8 in one of 2 cells => imbalance 1.75: ${dSkew.mkString}")
+    assert(dSkew.forall(r => math.abs(r.getDouble(3) - 1.0) < 1e-9),
+      "unit offset => qerr_mean 1.0")
+  }
+
   test("pcaTopComponent returns a dominant eigenpair (Av = lambda*v)") {
     val emb = graft.sources.Tables.embeddings(spark, sf001)
     val cov = Similarity.covarianceMatrix(emb, 64)
