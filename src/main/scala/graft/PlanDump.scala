@@ -21,7 +21,8 @@ object PlanDump {
     "q104_embed_covariance", "q105_embed_abtt", "q106_corpus_overlap",
     "q107_zorder_rank", "q108_image_header", "q109_moments_stored_shards",
     "q110_zorder3_values", "q111_ivf_append", "q112_pq_adc",
-    "q113_bm25_topk", "q114_textrank", "q115_corpus_diff")
+    "q113_bm25_topk", "q114_textrank", "q115_corpus_diff",
+    "q116_ivfadc", "q117_linear_probe", "q118_ivf_diagnostics")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
