@@ -756,5 +756,47 @@ object TextAnalysis {
       oracleGen = Some(() => bm25OracleSql))
   }
 
-  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97, q113)
+  // ------------------------------------------------------ q119 freq grams
+  // Frequent k-gram mining: the corpus-wide top-K repeated token spans
+  // with document frequency and occurrence counts — the TRIAGE step
+  // before substring dedup (q95): what boilerplate exists, how wide it
+  // spreads, and therefore what k/threshold the removal pass should use.
+  // Scale: explode k-grams → (gram, doc) hash-agg → gram hash-agg — both
+  // partial-aggregated, shuffle keyed by the gram string (the wordcount
+  // shape; heavy grams are exactly what partial agg absorbs) — then
+  // global top-K via sort+limit (TakeOrderedAndProject).
+  def frequentGrams(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, topK: Int): DataFrame = {
+    val grams = tokenTable(docs, idCol, textCol)
+      .filter(size(col("t")) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("t")) - lit(k - 1))).as("pos"), col("t"))
+      .select(col(idCol), concat_ws(" ", slice(col("t"), col("pos"), lit(k))).as("gram"))
+    grams.groupBy(col("gram"), col(idCol)).agg(count(lit(1)).as("occ"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("gram"))
+      .limit(topK)
+  }
+
+  private val q119 = GraftQuery(
+    "q119_frequent_grams",
+    (s, dir) => frequentGrams(Tables.documents(s, dir), "doc_id", "text",
+      k = 4, topK = 25),
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                 FROM documents),
+      occ AS (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+              FROM t WHERE len(t) >= 4),
+      g AS (SELECT doc_id, array_to_string(t[i : i + 3], ' ') AS gram FROM occ),
+      per AS (SELECT gram, doc_id, COUNT(*) AS occ FROM g GROUP BY gram, doc_id),
+      agg AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(occ) AS BIGINT) AS n_occ
+              FROM per GROUP BY gram)
+      SELECT gram, n_docs, n_occ FROM agg
+      ORDER BY n_occ DESC, gram
+      LIMIT 25"""))
+
+  val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
+    q113, q119)
 }
