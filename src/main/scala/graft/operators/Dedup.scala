@@ -767,5 +767,106 @@ object Dedup {
              TRUE AS jaccard_within_05
       FROM c"""))
 
-  val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70, q81, q88, q95, q99, q106)
+  // --------------------------------------------------------------- q120
+  // N-corpus overlap MATRIX — q106 generalized from one pair to every
+  // pair of sources in one pass: ONE scan builds a constant-size HLL
+  // shingle sketch PER SOURCE (grouped aggregation of the same state
+  // aggregator), then all N(N−1)/2 pairwise union/intersection/Jaccard
+  // estimates are driver-side register math on KB states. This is the
+  // planning input for a multi-source merge: which corpus PAIRS need a
+  // cross-dedup at all, before any O(pairs × corpus) work launches.
+  // The declared query carries the exact pairwise truth beside the
+  // estimates (exact side = one distinct-(source, shingle) frame + one
+  // self-join keyed by shingle), estimate quality pinned by the q106
+  // error laws per pair.
+
+  /** One serialized HLL shingle state per group — a single grouped scan. */
+  def shingleHllStatesByGroup(docs: DataFrame, groupCol: String,
+      p: Int = 14): Map[String, Array[Byte]] = {
+    val st = org.apache.spark.sql.functions.udaf(
+      new graft.mr.Aggregators.HllStateAggregator(p),
+      org.apache.spark.sql.Encoders.scalaLong)
+    docs.select(col(groupCol), tokens(col("text")).as("t"))
+      .select(col(groupCol), explode(shingles(col("t"))).as("s"))
+      .select(col(groupCol), xxhash64(col("s")).as("h"))
+      .groupBy(col(groupCol)).agg(st(col("h")).as("state"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+  }
+
+  /** Pairwise (a, b, estA, estB, estUnion) for every unordered group
+    * pair — driver register math over the per-group states. */
+  def overlapMatrix(states: Map[String, Array[Byte]]): Seq[(String, String, Long, Long, Long)] = {
+    val keys = states.keys.toSeq.sorted
+    for {
+      i <- keys.indices; j <- (i + 1) until keys.size
+    } yield {
+      val (a, b) = (keys(i), keys(j))
+      val (ea, eb, eu) = overlapEstimates(states(a), states(b))
+      (a, b, ea, eb, eu)
+    }
+  }
+
+  private val q120 = GraftQuery(
+    "q120_overlap_matrix",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val est = overlapMatrix(shingleHllStatesByGroup(docs, "source"))
+      import s.implicits._
+      val estDf = est.map { case (a, b, ea, eb, eu) =>
+        (a, b, ea, eb, eu, ea + eb - eu) }
+        .toDF("src_a", "src_b", "est_a", "est_b", "est_union", "est_inter")
+      // exact side: distinct (source, shingle) once, per-source counts +
+      // a shingle-keyed self-join for pairwise intersections
+      val ss = shingleRowsWithGroup(docs, "source").distinct()
+      val perSrc = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = ss.toDF("sa", "s").join(ss.toDF("sb", "s"), "s")
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(perSrc.select(col("source").as("sa"), col("n").as("n_a")), "sa")
+        .join(perSrc.select(col("source").as("sb"), col("n").as("n_b")), "sb")
+        .join(estDf, col("sa") === col("src_a") && col("sb") === col("src_b"))
+        .select(col("sa"), col("sb"), col("n_a"), col("n_b"), col("n_inter"),
+          (col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"),
+          (abs(col("est_a") - col("n_a")) <= col("n_a") * lit(0.05)).as("a_within_5pct"),
+          (abs(col("est_b") - col("n_b")) <= col("n_b") * lit(0.05)).as("b_within_5pct"),
+          (abs(col("est_union") - (col("n_a") + col("n_b") - col("n_inter")))
+            <= (col("n_a") + col("n_b") - col("n_inter")) * lit(0.05)).as("union_within_5pct"),
+          (abs(col("est_inter").cast("double") / col("est_union").cast("double")
+            - col("n_inter").cast("double") /
+              (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+            <= lit(0.05)).as("jaccard_within_05"))
+        .orderBy(col("sa"), col("sb"))
+    },
+    Some("""
+      WITH tt AS (SELECT source, list_filter(string_split_regex(lower(text), '\W+'),
+                                             x -> x <> '') AS t
+                  FROM documents),
+      sh AS (SELECT DISTINCT source, unnest(
+               list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+             FROM tt WHERE len(t) >= 3),
+      per AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+      inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+                GROUP BY a.source, b.source)
+      SELECT sa, sb, pa.n AS n_a, pb.n AS n_b, n_inter,
+             CAST(n_inter AS DOUBLE) / CAST(pa.n + pb.n - n_inter AS DOUBLE) AS jaccard,
+             TRUE AS a_within_5pct,
+             TRUE AS b_within_5pct,
+             TRUE AS union_within_5pct,
+             TRUE AS jaccard_within_05
+      FROM inter
+      JOIN per pa ON pa.source = sa
+      JOIN per pb ON pb.source = sb
+      ORDER BY sa, sb"""))
+
+  /** [[shingleRows]] with the grouping column carried through. */
+  private def shingleRowsWithGroup(docs: DataFrame, groupCol: String): DataFrame =
+    docs.select(col(groupCol), tokens(col("text")).as("t"))
+      .select(col(groupCol), explode(shingles(col("t"))).as("s"))
+
+  val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70, q81, q88, q95, q99,
+    q106, q120)
 }
