@@ -312,6 +312,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("image header decode is stateless: identical (format, w, h) over a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real headers, byte-built: a PNG IHDR, a GIF screen descriptor, junk
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    val gif = "GIF89a".getBytes ++ Array[Byte](0x40, 0x01, 0xF0.toByte, 0x00) ++ // 320x240 LE
+      Array[Byte](0x00, 0x00, 0x00)
+    val junk = Array[Byte](1, 2, 3, 4, 5)
+    val rows = Seq((1L, png), (2L, gif), (3L, junk))
+    def decode(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ih", graft.functions.ImageHeader(col("payload")))
+      .select(col("id"), col("ih.format"), col("ih.width"), col("ih.height"),
+        col("ih.valid"))
+    val batch = decode(rows.toDF("id", "payload"))
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = decode(mem.toDF().toDF("id", "payload"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(s"imghdr_${System.nanoTime()}")
+      .start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table(q.name).collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(batch.exists(r => r(1) == "png" && r(2) == 640 && r(3) == 480))
+      assert(batch.exists(r => r(1) == "gif" && r(2) == 320 && r(3) == 240))
+    } finally q.stop()
+  }
+
   test("all-but-the-top is stateless: identical values over a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
