@@ -797,6 +797,53 @@ object TextAnalysis {
       ORDER BY n_occ DESC, gram
       LIMIT 25"""))
 
+  // ------------------------------------------------------ q121 BM25 append
+  // Incremental BM25 index maintenance — the q111/q81 stored-artifact
+  // append discipline applied to retrieval: postings rows are a pure
+  // per-doc function, so indexing a NEW batch emits only the batch's
+  // (term, id, tf) rows (append straight into the bucketed postings
+  // table) and lengths likewise; the corpus constants fold ADDITIVELY
+  // (n and sumDl by sum, df by per-term sum). Append-then-probe is
+  // therefore EXACTLY rebuild-then-probe on the union — not an
+  // approximation law like ANN recall, an identity — which is what the
+  // declared query hash-pins: it scores the union via base + appended
+  // artifacts and the oracle recomputes the whole index from scratch.
+
+  /** Fold a new batch's constants into stored ones (additive). */
+  def bm25StatsMerge(base: Bm25Stats, inc: Bm25Stats): Bm25Stats =
+    Bm25Stats(base.n + inc.n, base.sumDl + inc.sumDl,
+      (base.df.keySet ++ inc.df.keySet).map(t =>
+        t -> (base.df.getOrElse(t, 0L) + inc.df.getOrElse(t, 0L))).toMap)
+
+  private val q121 = {
+    val terms = Seq("spark", "vector", "customer", "partition")
+    GraftQuery(
+      "q121_bm25_append",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.filter(col("doc_id") % 10 < 8)
+        val batch = docs.filter(col("doc_id") % 10 >= 8)
+        // index each side independently (what a stored table + an append
+        // write produce), union the ARTIFACTS, fold the constants
+        val postings = bm25Postings(base, "doc_id", "text")
+          .unionByName(bm25Postings(batch, "doc_id", "text"))
+        val lengths = bm25DocLengths(base, "doc_id", "text")
+          .unionByName(bm25DocLengths(batch, "doc_id", "text"))
+        val stats = bm25StatsMerge(
+          bm25Stats(bm25DocLengths(base, "doc_id", "text"),
+            bm25Postings(base, "doc_id", "text"), terms),
+          bm25Stats(bm25DocLengths(batch, "doc_id", "text"),
+            bm25Postings(batch, "doc_id", "text"), terms))
+        bm25OracleSqlAppend = Some(bm25Oracle(terms, stats, k = 20, 1.2, 0.75))
+        bm25Rank(postings, lengths, "doc_id", terms, stats, 20, 1.2, 0.75)
+          .orderBy(col("rank"))
+      },
+      None,
+      oracleGen = Some(() => bm25OracleSqlAppend))
+  }
+
+  @volatile private var bm25OracleSqlAppend: Option[String] = None
+
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
-    q113, q119)
+    q113, q119, q121)
 }
