@@ -239,6 +239,25 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** Folds STORED HLL states (the serialized registers a
+    * [[HllStateAggregator]] emitted, read back from parquet shards/days)
+    * into one ESTIMATE without touching the underlying data — the
+    * distinct-count leg of the stored-fold triad (GK/CMS already have
+    * merge forms): N sketch rows in, one register-wise max, one
+    * estimate out. An all-NULL input yields the empty state (estimate
+    * 0). Geometry mismatches fail loudly via [[Hll.merge]].
+    */
+  class HllMergeAggregator(p: Int = 14) extends Aggregator[Array[Byte], Array[Int], Long] {
+    def zero: Array[Int] = Hll.zero(p)
+    def reduce(b: Array[Int], st: Array[Byte]): Array[Int] =
+      if (st == null) b else Hll.merge(b, Hll.deserialize(st))
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = Hll.merge(a, b)
+    def finish(b: Array[Int]): Long = Hll.estimate(b)
+    def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   /** Folds STORED CMS states (the `array<long>` a [[CmsStateAggregator]]
     * emitted, read back from parquet shards/days) into one state without
     * touching the underlying data — the incremental-refresh aggregation:

@@ -307,5 +307,71 @@ object Sketches {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
-  val all: Seq[GraftQuery] = Seq(q43, q44, q67, q90, q92, q94)
+  // ---------------------------------------------------------------- q123
+  // Trailing-window distinct users from STORED daily HLL states — the
+  // time-series form of the stored-shard fold: one state per day
+  // persists at ingest, and "distinct users over the last 7 days, per
+  // day" folds 7 KB-sized register sets per output row instead of
+  // re-scanning a week of events. Window fold is distributed (each day's
+  // state explodes to the ≤7 windows it covers, then a register-max
+  // merge aggregator per window — [[graft.mr.Aggregators.HllMergeAggregator]],
+  // the distinct leg the GK/CMS stored folds already had). Oracle = the
+  // q43 error-law scheme: exact trailing distincts value-matched, the
+  // fold's estimate pinned within 5%.
+  def dailyUserStates(events: org.apache.spark.sql.DataFrame, p: Int = 14) = {
+    val st = org.apache.spark.sql.functions.udaf(
+      new graft.mr.Aggregators.HllStateAggregator(p),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .select(expr("CAST((unix_timestamp(ts) - pmod(unix_timestamp(ts), 86400)) / 86400 AS BIGINT)")
+        .as("day"), xxhash64(col("user_id")).as("h"))
+      .groupBy(col("day")).agg(st(col("h")).as("state"))
+  }
+
+  /** (day, est) trailing `windowDays`-day distinct estimate per present
+    * day, folded from stored daily states. */
+  def trailingDistinct(states: org.apache.spark.sql.DataFrame,
+      windowDays: Int, p: Int = 14): org.apache.spark.sql.DataFrame = {
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.mr.Aggregators.HllMergeAggregator(p),
+      org.apache.spark.sql.Encoders.BINARY)
+    val days = states.select(col("day").as("win_day"))
+    states
+      .select(col("day"), col("state"),
+        explode(sequence(col("day"), col("day") + lit(windowDays - 1))).as("win_day"))
+      .join(days.distinct(), "win_day") // only windows anchored on present days
+      .groupBy(col("win_day")).agg(mg(col("state")).as("est"))
+  }
+
+  private val q123 = GraftQuery(
+    "q123_trailing_distinct",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val est = trailingDistinct(dailyUserStates(ev), windowDays = 7)
+      // exact side: each day joins the events of its trailing week
+      val days = est.select(col("win_day"))
+      val exact = ev.select(
+          expr("CAST((unix_timestamp(ts) - pmod(unix_timestamp(ts), 86400)) / 86400 AS BIGINT)")
+            .as("day"), col("user_id"))
+        .join(broadcast(days),
+          col("day") <= col("win_day") && col("day") >= col("win_day") - 6)
+        .groupBy(col("win_day")).agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est, "win_day")
+        .select(col("win_day"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <= col("n_exact") * lit(0.05))
+            .as("within_5pct"))
+        .orderBy(col("win_day"))
+    },
+    Some("""
+      WITH sec AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+      ev AS (SELECT user_id, (e - ((e % 86400) + 86400) % 86400) // 86400 AS day FROM sec),
+      days AS (SELECT DISTINCT day AS win_day FROM ev)
+      SELECT win_day,
+             (SELECT COUNT(DISTINCT user_id) FROM ev
+              WHERE ev.day <= days.win_day AND ev.day >= days.win_day - 6) AS n_exact,
+             TRUE AS within_5pct
+      FROM days
+      ORDER BY win_day"""))
+
+  val all: Seq[GraftQuery] = Seq(q43, q44, q67, q90, q92, q94, q123)
 }

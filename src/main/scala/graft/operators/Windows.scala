@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -333,5 +334,66 @@ object Windows {
       GROUP BY cohort, wk - cohort
       ORDER BY cohort, wk_offset"""))
 
-  val all: Seq[GraftQuery] = Seq(q48, q49, q50, q52, q54, q68, q69, q73)
+  // ---------------------------------------------------------------- q122
+  // Ordered funnel (view → click → purchase within 24h of the first
+  // view): the classic product-analytics sequence query, shaped for
+  // scale as STAGED MIN-TIMESTAMP aggregations — per step one hash-agg
+  // of "earliest qualifying event per user" joined forward into the
+  // next step's filter — instead of per-user event-sequence windows (no
+  // per-user sort, no whole-history window; each stage's state is one
+  // timestamp per surviving user). Epoch-integer comparisons only, so
+  // both engines agree bit-for-bit; rates are exact-count divisions.
+  def funnel(events: DataFrame, steps: Seq[String],
+      windowSec: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    val ev = events.select(col("user_id"), col("event_type"),
+      expr("CAST(unix_timestamp(ts) AS BIGINT)").as("e"))
+    var reached = ev.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("e")).as("t0"))
+      .withColumn("t", col("t0"))
+    var counts = Seq(steps.head -> reached.count())
+    for (step <- steps.tail) {
+      reached = ev.filter(col("event_type") === step)
+        .join(reached, "user_id")
+        .filter(col("e") > col("t") && col("e") <= col("t0") + lit(windowSec))
+        .groupBy(col("user_id"), col("t0")).agg(min(col("e")).as("t"))
+      counts :+= (step -> reached.count())
+    }
+    val n1 = counts.head._2
+    import events.sparkSession.implicits._
+    counts.zipWithIndex.map { case ((name, n), i) =>
+      (i + 1, name, n, n.toDouble / n1)
+    }.toDF("step", "event_type", "n_users", "conv_from_first")
+      .orderBy(col("step"))
+  }
+
+  private val q122 = GraftQuery(
+    "q122_funnel",
+    (s, dir) => funnel(Tables.events(s, dir),
+      Seq("view", "click", "purchase"), windowSec = 86400L),
+    Some("""
+      WITH ev AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS e
+                  FROM events),
+      s1 AS (SELECT user_id, MIN(e) AS t0, MIN(e) AS t FROM ev
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT ev.user_id, s1.t0, MIN(ev.e) AS t
+             FROM ev JOIN s1 ON ev.user_id = s1.user_id
+             WHERE ev.event_type = 'click' AND ev.e > s1.t AND ev.e <= s1.t0 + 86400
+             GROUP BY ev.user_id, s1.t0),
+      s3 AS (SELECT ev.user_id, s2.t0, MIN(ev.e) AS t
+             FROM ev JOIN s2 ON ev.user_id = s2.user_id
+             WHERE ev.event_type = 'purchase' AND ev.e > s2.t AND ev.e <= s2.t0 + 86400
+             GROUP BY ev.user_id, s2.t0),
+      c AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+                   (SELECT COUNT(*) FROM s2) AS n2,
+                   (SELECT COUNT(*) FROM s3) AS n3)
+      SELECT 1 AS step, 'view' AS event_type, n1 AS n_users,
+             CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS conv_from_first FROM c
+      UNION ALL
+      SELECT 2, 'click', n2, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
+      UNION ALL
+      SELECT 3, 'purchase', n3, CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
+      ORDER BY step"""))
+
+  val all: Seq[GraftQuery] = Seq(q48, q49, q50, q52, q54, q68, q69, q73, q122)
 }

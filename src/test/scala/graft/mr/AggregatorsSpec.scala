@@ -69,6 +69,27 @@ class AggregatorsSpec extends SparkSpec {
     assert(err <= 0.05, s"est=${Aggregators.Hll.estimate(folded)} exact=$exact")
   }
 
+  test("HllMergeAggregator folds stored states distributed == driver fold") {
+    import spark.implicits._
+    val stateAgg = udaf(new Aggregators.HllStateAggregator(12),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val mergeAgg = udaf(new Aggregators.HllMergeAggregator(12),
+      org.apache.spark.sql.Encoders.BINARY)
+    val ev = graft.sources.Tables.events(spark, sf001)
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+    val states = ev.groupBy(col("event_type")).agg(stateAgg(col("h")).as("state"))
+    // distributed fold via the aggregator == driver-side register fold
+    val viaAgg = states.agg(mergeAgg(col("state")).as("est")).head.getLong(0)
+    val viaDriver = Aggregators.Hll.estimate(
+      states.collect().map(r => Aggregators.Hll.deserialize(r.getAs[Array[Byte]]("state")))
+        .reduce(Aggregators.Hll.merge))
+    assert(viaAgg == viaDriver)
+    // null states contribute nothing
+    val withNull = states.select(col("state"))
+      .unionByName(Seq(Tuple1(null: Array[Byte])).toDF("state"))
+    assert(withNull.agg(mergeAgg(col("state"))).head.getLong(0) == viaAgg)
+  }
+
   test("HLL merge rejects mixed-precision states loudly") {
     intercept[IllegalArgumentException] {
       Aggregators.Hll.merge(Aggregators.Hll.zero(12), Aggregators.Hll.zero(13))
