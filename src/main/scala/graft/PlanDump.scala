@@ -23,7 +23,8 @@ object PlanDump {
     "q110_zorder3_values", "q111_ivf_append", "q112_pq_adc",
     "q113_bm25_topk", "q114_textrank", "q115_corpus_diff",
     "q116_ivfadc", "q117_linear_probe", "q118_ivf_diagnostics",
-    "q119_frequent_grams", "q120_overlap_matrix", "q121_bm25_append")
+    "q119_frequent_grams", "q120_overlap_matrix", "q121_bm25_append",
+    "q122_funnel", "q123_trailing_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
