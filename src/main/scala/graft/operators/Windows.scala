@@ -348,17 +348,26 @@ object Windows {
     require(steps.size >= 2, "a funnel needs at least 2 steps")
     val ev = events.select(col("user_id"), col("event_type"),
       expr("CAST(unix_timestamp(ts) AS BIGINT)").as("e"))
+    // each stage persists and counts (the count doubles as the funnel
+    // metric AND the materialization barrier), then the predecessor
+    // drops — the q114 lesson: without the cut, stage s's action
+    // re-executes stages 1..s−1 and the lineage grows with S
     var reached = ev.filter(col("event_type") === steps.head)
       .groupBy(col("user_id")).agg(min(col("e")).as("t0"))
       .withColumn("t", col("t0"))
+      .persist()
     var counts = Seq(steps.head -> reached.count())
     for (step <- steps.tail) {
-      reached = ev.filter(col("event_type") === step)
+      val next = ev.filter(col("event_type") === step)
         .join(reached, "user_id")
         .filter(col("e") > col("t") && col("e") <= col("t0") + lit(windowSec))
         .groupBy(col("user_id"), col("t0")).agg(min(col("e")).as("t"))
-      counts :+= (step -> reached.count())
+        .persist()
+      counts :+= (step -> next.count())
+      reached.unpersist()
+      reached = next
     }
+    reached.unpersist()
     val n1 = counts.head._2
     import events.sparkSession.implicits._
     counts.zipWithIndex.map { case ((name, n), i) =>
