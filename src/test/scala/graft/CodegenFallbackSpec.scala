@@ -29,6 +29,11 @@ class CodegenFallbackSpec extends SparkSpec {
   }
 
   test("sketch + bloom queries run fully codegen'd — no interpreter fallback") {
+    // force SparkSession (and with it Spark's log4j re-initialization)
+    // BEFORE registering the capture appender: standalone runs otherwise
+    // install the appender into a context the session then replaces, and
+    // the sentinel self-check below fails spuriously
+    spark.sparkContext
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
     val config = ctx.getConfiguration
     val cap = new Capture
@@ -54,7 +59,11 @@ class CodegenFallbackSpec extends SparkSpec {
       cap.messages.clear()
       Seq("q43_approx_sketches", "q67_hll_mergeable", "q89_decontaminate_bloom",
           "q90_cms_heavy_hitters", "q92_gk_quantiles", "q94_gk_stored_shards",
-          "q108_image_header").foreach { name =>
+          "q108_image_header",
+          // round-10 expression-heavy paths: PQ argmin/ADC folds, IVFADC
+          // residual chains, BM25 pivot scoring, trailing-HLL fold
+          "q112_pq_adc", "q113_bm25_topk", "q116_ivfadc",
+          "q123_trailing_distinct").foreach { name =>
         SparkEntry.queries(name)(spark, sf001).collect()
       }
       val msgs = cap.messages.toArray.mkString("\n")
