@@ -73,6 +73,75 @@ object Streams {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+  final case class FunnelProgress(user_id: Long, reached: Int, t0: Long)
+
+  /** Streaming ordered funnel — the streaming form of the batch
+    * `Windows.funnel` (q122): per user, how far through `steps` within
+    * `windowSec` of the FIRST head-step event. Out-of-order-SAFE: state
+    * buffers the user's step-typed events (nothing else) and every
+    * trigger re-derives the earliest-chain from the buffered set, so the
+    * final answer is independent of arrival order — the same chain the
+    * batch operator computes. Update mode: each trigger emits the user's
+    * current `reached` (consumers keep the max / latest). State is
+    * bounded two ways: only step-typed events buffer (a funnel's steps,
+    * not the whole stream), and an event-time timeout `windowSec` past
+    * the newest buffered event drops the user once the watermark proves
+    * the funnel window closed.
+    */
+  def funnelStream(events: DataFrame, steps: Seq[String], windowSec: Long,
+      lateness: String = "30 minutes"): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    val stepSet = steps.toSet
+    events.select(col("user_id"), col("event_type"), col("ts"))
+      // `lateness` bounds how out-of-order arrival may be (events later
+      // than the watermark drop BEFORE reaching the state function —
+      // standard flatMapGroupsWithState late-data semantics); within the
+      // bound, the buffered-chain replay makes arrival order irrelevant
+      .withWatermark("ts", lateness)
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(String, Long)], FunnelProgress](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[FunnelEvent],
+         state: GroupState[List[(String, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val fresh = batch
+              .filter(e => stepSet.contains(e.event_type))
+              .map(e => (e.event_type, e.ts.getTime / 1000)).toList
+            val buf = (state.getOption.getOrElse(Nil) ++ fresh).distinct
+            if (buf.isEmpty) Iterator.empty
+            else {
+              state.update(buf)
+              // replay the batch operator's earliest-chain on the buffer
+              val byStep = steps.map(s =>
+                buf.collect { case (t, e) if t == s => e }.sorted)
+              val t0 = byStep.head.headOption
+              var reached = 0
+              var t = t0
+              if (t0.isDefined) {
+                reached = 1
+                var i = 1
+                var going = true
+                while (i < steps.size && going) {
+                  byStep(i).find(e => e > t.get && e <= t0.get + windowSec) match {
+                    case Some(e) => reached += 1; t = Some(e); i += 1
+                    case None => going = false
+                  }
+                }
+              }
+              val horizon = (buf.map(_._2).max + windowSec) * 1000L
+              state.setTimeoutTimestamp(
+                math.max(horizon, state.getCurrentWatermarkMs + 1000L))
+              if (t0.isDefined) Iterator.single(FunnelProgress(uid, reached, t0.get))
+              else Iterator.empty
+            }
+          }
+      }
+  }
+
   /** Stream-stream interval join: each click joined to the same user's
     * purchases within the following 20 minutes (conversion attribution).
     * Both sides carry watermarks so the join state is bounded — Spark

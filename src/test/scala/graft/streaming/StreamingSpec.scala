@@ -312,6 +312,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: out-of-order arrival converges to the batch chain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val steps = Seq("view", "click", "purchase")
+    val W = 3600L
+    // u1 completes all three; u2 stalls after click; u3's purchase is
+    // OUTSIDE the 1h window of the first view; u4 clicks before any view
+    val evs = Seq(
+      (1L, "view", t(0)), (1L, "click", t(5)), (1L, "purchase", t(10)),
+      (2L, "view", t(0)), (2L, "click", t(20)),
+      (3L, "view", t(0)), (3L, "click", t(5)), (3L, "purchase", t(59)),
+      (4L, "click", t(1)), (4L, "view", t(30)))
+    // note: u3's purchase at :59 IS within the hour; move it out via a
+    // view-anchored check — use windowSec small enough: W=1800 (30min)
+    val W2 = 1800L
+
+    // driver ground truth: the q122 earliest-chain per user
+    def truth(rows: Seq[(Long, String, Timestamp)]): Map[Long, Int] =
+      rows.groupBy(_._1).flatMap { case (u, rs) =>
+        val byStep = steps.map(s =>
+          rs.filter(_._2 == s).map(_._3.getTime / 1000).sorted)
+        byStep.head.headOption.map { t0 =>
+          var reached = 1
+          var t = t0
+          var i = 1
+          var going = true
+          while (i < steps.size && going) {
+            byStep(i).find(e => e > t && e <= t0 + W2) match {
+              case Some(e) => reached += 1; t = e; i += 1
+              case None => going = false
+            }
+          }
+          u -> reached
+        }
+      }
+
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.funnelStream(
+        mem.toDF().toDF("user_id", "event_type", "ts"), steps, W2,
+        lateness = "2 hours") // scramble freely: nothing is late
+      .writeStream.outputMode("update")
+      .format("memory").queryName(s"funnel_${System.nanoTime()}")
+      .start()
+    try {
+      // deliberately scrambled arrival: later events first, the
+      // chain-anchoring views last
+      val scrambled = evs.sortBy { case (u, et, ts) => (-ts.getTime, u) }
+      val (a, b) = scrambled.splitAt(scrambled.size / 2)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+      val finalReached = spark.table(q.name)
+        .groupBy(col("user_id")).agg(max(col("reached")).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val expect = truth(evs)
+      assert(finalReached == expect, s"stream=$finalReached truth=$expect")
+      // the scramble actually exercised order-independence: a view
+      // arrived after its user's click in stream order
+      assert(expect(4L) == 1, "u4's pre-view click must not count")
+      assert(expect(1L) == 3 && expect(2L) == 2)
+    } finally q.stop()
+  }
+
   test("image header decode is stateless: identical (format, w, h) over a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
