@@ -262,6 +262,59 @@ object Pipeline {
       damping: Double, k: Int): DataFrame =
     operators.Graph.textRank(docs, textCol, iters, damping, k)
 
+  /** IVFADC (q116): PQ codes of the residual per IVF cell; probes read
+    * codes only, with per-(query, cell) ADC tables from plan literals. */
+  def ivfadcEncode(embeddings: DataFrame, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame =
+    operators.Similarity.ivfadcEncode(embeddings, cents, books)
+
+  def ivfadcTopK(encoded: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]]): DataFrame =
+    operators.Similarity.ivfadcTopK(encoded, queries, k, nprobe, cents, books)
+
+  /** Square-loss linear probe on embeddings (q117): exact-scaled
+    * gradients, d doubles of driver state per iteration. */
+  def linearProbeFit(embeddings: DataFrame, labelExpr: Column, dim: Int,
+      iters: Int, lr: Double): Array[Double] =
+    operators.Similarity.linearProbeFit(embeddings, labelExpr, dim, iters, lr)
+
+  /** Stored-IVF health report (q118): occupancy, share, quantization
+    * error, imbalance factor — the data-driven refit trigger. */
+  def ivfDiagnostics(assigned: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    operators.Similarity.ivfDiagnostics(assigned, cents)
+
+  /** Corpus-wide top-K repeated token spans (q119) — the boilerplate
+    * triage before substring dedup picks its k/threshold. */
+  def frequentGrams(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, topK: Int): DataFrame =
+    operators.TextAnalysis.frequentGrams(docs, idCol, textCol, k, topK)
+
+  /** Per-source HLL shingle states + all-pairs overlap estimates (q120)
+    * — which corpus pairs need a cross-dedup, from KB-sized states. */
+  def shingleHllStatesByGroup(docs: DataFrame, groupCol: String,
+      p: Int = 14): Map[String, Array[Byte]] =
+    operators.Dedup.shingleHllStatesByGroup(docs, groupCol, p)
+
+  def overlapMatrix(states: Map[String, Array[Byte]]): Seq[(String, String, Long, Long, Long)] =
+    operators.Dedup.overlapMatrix(states)
+
+  /** Additive fold of BM25 corpus constants — the q121 append identity. */
+  def bm25StatsMerge(base: operators.TextAnalysis.Bm25Stats,
+      inc: operators.TextAnalysis.Bm25Stats): operators.TextAnalysis.Bm25Stats =
+    operators.TextAnalysis.bm25StatsMerge(base, inc)
+
+  /** Ordered funnel as staged min-timestamp aggregations (q122); the
+    * streaming form is [[streaming.Streams.funnelStream]]. */
+  def funnel(events: DataFrame, steps: Seq[String], windowSec: Long): DataFrame =
+    operators.Windows.funnel(events, steps, windowSec)
+
+  /** Trailing-window distinct from stored daily HLL states (q123). */
+  def trailingDistinct(states: DataFrame, windowDays: Int, p: Int = 14): DataFrame =
+    operators.Sketches.trailingDistinct(states, windowDays, p)
+
+  def dailyUserStates(events: DataFrame, p: Int = 14): DataFrame =
+    operators.Sketches.dailyUserStates(events, p)
+
   /** sqrt-temperature sampling weights per group. */
   def mixWeights(df: DataFrame, groupCol: String, textCol: String): DataFrame =
     operators.DataPrep.mixWeights(df, groupCol, textCol)
