@@ -142,6 +142,30 @@ object ScaleProbe {
     out
   }
 
+  /** Builds (once) a scaled events table into the probe dir: copy c
+    * shifts user_id/event_id into disjoint ranges and keeps timestamps —
+    * per-user event structure (and so funnel shape and the day grid) is
+    * preserved exactly while users and rows grow copies×. */
+  def scaledEventsDir(spark: SparkSession, src: String, copies: Int): String = {
+    val out = s"/root/repo/target/tmp/scaleprobe_x$copies"
+    val evPath = s"$out/events.parquet"
+    if (!new java.io.File(s"$evPath/_SUCCESS").exists) {
+      val ev = graft.sources.Tables.events(spark, src)
+      val scaled = (0 until copies).map { c =>
+        ev.select(
+          (org.apache.spark.sql.functions.col("event_id") + c.toLong * 1000000000L).as("event_id"),
+          org.apache.spark.sql.functions.col("ts"),
+          (org.apache.spark.sql.functions.col("user_id") + c.toLong * 1000000000L).as("user_id"),
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("value"),
+          org.apache.spark.sql.functions.col("props"))
+      }.reduce(_ unionByName _)
+      scaled.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(evPath)
+    }
+    out
+  }
+
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
@@ -564,6 +588,27 @@ object ScaleProbe {
             docs.filter(col("doc_id") % 11 =!= 0), v2, "doc_id", "text")
             .write.format("noop").mode("overwrite").save())
         println(s"""{"metric":"r10ops_probe","copies":$copies,"n_docs":$nDocs,"bm25_top":$nTop,"bm25_build_sec":$tBuild,"bm25_probe_sec":[${bmTimes.map(t => f"$t%.3f").mkString(",")}],"textrank_sec":$tRank,"diff_sec":$tDiff,"src":"$src"}""")
+
+      case "events" =>
+        // Decade probe for the round-10 event-analytics ops: funnel
+        // (q122 — staged hash-aggs, should track users ~linearly per
+        // fixed-core decade) and trailing distinct (q123 — the daily
+        // STATE BUILD scans events, but the window FOLD touches only the
+        // ~30 constant-size state rows and must stay flat).
+        val out = scaledEventsDir(spark, src, copies)
+        val ev = graft.sources.Tables.events(spark, out)
+        val nEv = ev.count()
+        val (_, tFunnel) = timed(graft.operators.Windows.funnel(
+          ev, Seq("view", "click", "purchase"), 86400L).collect())
+        val statesDir = s"$out/daily_states.parquet"
+        val (_, tStates) = timed(
+          graft.operators.Sketches.dailyUserStates(ev)
+            .write.mode("overwrite").parquet(statesDir))
+        val (_, tFold) = timed(
+          graft.operators.Sketches.trailingDistinct(
+            spark.read.parquet(statesDir), windowDays = 7)
+            .write.format("noop").mode("overwrite").save())
+        println(s"""{"metric":"events_probe","copies":$copies,"n_events":$nEv,"funnel_sec":$tFunnel,"states_build_sec":$tStates,"trailing_fold_sec":$tFold,"src":"$src"}""")
 
       case "pq" =>
         // PQ decade over the scaled embeddings: fit is sample-scoped by
