@@ -984,6 +984,61 @@ object DataPrep {
       FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q124
+  // Incremental curation PREFIX — the pipeline-level form of the q121
+  // append identity: the curation chain's per-document stages (quality
+  // gate + two-phase decontamination against a FIXED eval set) commute
+  // with batching, so prefix(base) ∪ prefix(batch) == prefix(base ∪
+  // batch) EXACTLY. That is the crawl-refresh contract: after q115's
+  // diff, only the added/changed docs run the prefix; the corpus-level
+  // stages downstream (dedup, mix) re-run over survivors (their own
+  // incremental forms are q81/q111/q120's territory). The declared query
+  // computes the split-and-union side; the oracle replays the whole
+  // train set from scratch — hash equality IS the identity.
+  def curationPrefix(docs: DataFrame, evalSet: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val en = Seq("the", "a", "and", "of", "to", "is", "in")
+    val stopCnt = size(filter(toks, t => array_contains(array(en.map(lit): _*), t)))
+    val gated = docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("sr", stopCnt.cast("double") / col("n_tokens"))
+      .filter(col("lang") === "en" && col("n_tokens").between(20, 1000) &&
+        col("sr") > 0.02)
+      .select(col("doc_id"), col("source"), col("text"))
+    decontaminateTwoPhase(gated, evalSet, "doc_id", "text",
+      n = 4, expectedItems = 100000L, numBits = 1600000L)
+  }
+
+  private val q124 = GraftQuery(
+    "q124_incremental_prefix",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val base = train.filter(col("doc_id") % 10 < 8)
+      val batch = train.filter(col("doc_id") % 10 >= 8)
+      curationPrefix(base, evalSet)
+        .unionByName(curationPrefix(batch, evalSet))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, source, lang, text,
+                          list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                   FROM documents),
+      kept AS (SELECT doc_id, source FROM tok
+               WHERE lang = 'en' AND len(t) BETWEEN 20 AND 1000
+                 AND CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS DOUBLE) / len(t) > 0.02),
+      grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g
+                FROM tok WHERE len(t) >= 4),
+      eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+      contaminated AS (SELECT DISTINCT doc_id FROM grams
+                       WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM eval_grams))
+      SELECT doc_id, source FROM kept
+      WHERE doc_id % 97 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84,
-    q85, q86, q89, q91, q98, q101, q115)
+    q85, q86, q89, q91, q98, q101, q115, q124)
 }
