@@ -24,7 +24,7 @@ object PlanDump {
     "q113_bm25_topk", "q114_textrank", "q115_corpus_diff",
     "q116_ivfadc", "q117_linear_probe", "q118_ivf_diagnostics",
     "q119_frequent_grams", "q120_overlap_matrix", "q121_bm25_append",
-    "q122_funnel", "q123_trailing_distinct")
+    "q122_funnel", "q123_trailing_distinct", "q124_incremental_prefix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
