@@ -339,6 +339,152 @@ object Aggregators {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Misra–Gries frequent-items summary (Misra & Gries 1982) with the
+    * mergeable-summaries merge (Agarwal, Cormode, Huang, Phillips, Wei &
+    * Yi, PODS 2012) — the CANDIDATE-DISCOVERY leg of the sketch family.
+    * CMS (q90) answers "how often does item x occur" but needs x up
+    * front; at 100 TB the exact top-k that supplies those candidates is
+    * itself a full token-keyed shuffle. An MG summary finds the heavy
+    * hitters in ONE pass with k counters per partition and KB-sized
+    * mergeable state, no candidate set required.
+    *
+    * Summary state: at most k (item, count) pairs plus the total stream
+    * length n and the accumulated decrement total E. Worst-case (not
+    * probabilistic) guarantees, preserved under ANY merge order:
+    *   - count(x) <= true(x)                       (decrements only lose)
+    *   - true(x) - count(x) <= E  (absent => count 0), i.e. every item
+    *     with true(x) > E is present in the summary
+    *   - E <= n / (k + 1)         (each decrement round absorbs k+1 items)
+    * Because the laws are worst-case they hold regardless of Spark's
+    * nondeterministic partial-merge order — which is what lets q125 pin
+    * them in a hash-compared oracle even though the summary CONTENT is
+    * merge-order-dependent (only exact values and law booleans are
+    * output, never raw summary state).
+    */
+  object MisraGries {
+    /** Mutable summary buffer. Plain Serializable (kryo encoder): only
+      * O(k) state crosses the wire, never row data. */
+    final class Summary(val k: Int) extends Serializable {
+      require(k >= 1 && k <= 65536, s"MG summary size must be in [1, 65536], got $k")
+      var n: Long = 0L
+      var err: Long = 0L // total decrement applied to every true count
+      val m = new java.util.HashMap[Long, Array[Long]](k * 2)
+
+      def update(h: Long): this.type = {
+        n += 1
+        val c = m.get(h)
+        if (c != null) c(0) += 1
+        else if (m.size < k) m.put(h, Array(1L))
+        else {
+          // decrement round: the incoming item and every counter each
+          // give up one — k+1 stream items absorbed per unit of err
+          err += 1
+          val it = m.values.iterator()
+          while (it.hasNext) { val v = it.next(); v(0) -= 1 }
+          m.values.removeIf(_(0) == 0L)
+        }
+        this
+      }
+
+      /** Mergeable-summaries merge: pointwise-sum the counters, then if
+        * more than k survive subtract the (k+1)-th largest count from
+        * all and drop the non-positive — error grows by exactly that
+        * subtrahend, keeping true(x) - count(x) <= E_a + E_b + s <=
+        * (n_a + n_b) / (k + 1) (Agarwal et al. 2012, Thm 2.1). */
+      def absorb(o: Summary): this.type = {
+        require(o.k == k, s"cannot merge MG summaries of different k: $k vs ${o.k}")
+        n += o.n
+        err += o.err
+        val it = o.m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val mine = m.get(e.getKey)
+          if (mine != null) mine(0) += e.getValue()(0)
+          else m.put(e.getKey, Array(e.getValue()(0)))
+        }
+        if (m.size > k) {
+          val counts = new Array[Long](m.size)
+          var i = 0
+          val vs = m.values.iterator()
+          while (vs.hasNext) { counts(i) = vs.next()(0); i += 1 }
+          java.util.Arrays.sort(counts)
+          val s = counts(m.size - k - 1) // (k+1)-th largest
+          err += s
+          val es = m.values.iterator()
+          while (es.hasNext) { val v = es.next(); v(0) -= s }
+          m.values.removeIf(_(0) <= 0L)
+        }
+        this
+      }
+
+      /** Exportable flat form `[ n | err | size | h0 c0 h1 c1 … ]` — the
+        * per-shard row a pipeline persists and later folds with
+        * [[MgMergeAggregator]]; items sorted by (count desc, hash) so the
+        * stored artifact is canonical for a GIVEN summary. */
+      def toState: Seq[Long] = {
+        val items = m.entrySet().toArray(Array.empty[java.util.Map.Entry[Long, Array[Long]]])
+          .sortBy(e => (-e.getValue()(0), e.getKey))
+        val out = new Array[Long](3 + 2 * items.length)
+        out(0) = n; out(1) = err; out(2) = items.length.toLong
+        var i = 0
+        while (i < items.length) {
+          out(3 + 2 * i) = items(i).getKey
+          out(4 + 2 * i) = items(i).getValue()(0)
+          i += 1
+        }
+        out.toSeq
+      }
+    }
+
+    def fromState(k: Int, st: Seq[Long]): Summary = {
+      require(st.length >= 3 && st.length == 3 + 2 * st(2).toInt,
+        s"malformed MG state: length ${st.length}, declared size ${if (st.length >= 3) st(2) else -1}")
+      val s = new Summary(k)
+      s.n = st(0); s.err = st(1)
+      var i = 0
+      while (i < st(2).toInt) {
+        s.m.put(st(3 + 2 * i), Array(st(4 + 2 * i)))
+        i += 1
+      }
+      require(s.m.size <= k, s"stored MG state holds ${s.m.size} items > k=$k")
+      s
+    }
+  }
+
+  /** MG aggregator over pre-hashed values (`xxhash64(col)`); the OUTPUT
+    * is the flat summary state — persistable per shard/day like the
+    * HLL/CMS/GK state forms, foldable later by [[MgMergeAggregator]].
+    */
+  class MgStateAggregator(k: Int)
+      extends Aggregator[Long, MisraGries.Summary, Seq[Long]] {
+    def zero: MisraGries.Summary = new MisraGries.Summary(k)
+    def reduce(b: MisraGries.Summary, h: Long): MisraGries.Summary = b.update(h)
+    def merge(a: MisraGries.Summary, b: MisraGries.Summary): MisraGries.Summary = a.absorb(b)
+    def finish(b: MisraGries.Summary): Seq[Long] = b.toState
+    def bufferEncoder: Encoder[MisraGries.Summary] = Encoders.kryo[MisraGries.Summary]
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Folds STORED MG states (the flat `array<long>` a [[MgStateAggregator]]
+    * emitted, read back from parquet shards/days) into one summary without
+    * re-touching rows — the incremental-refresh read path, with the same
+    * worst-case laws as a single pass (error bounds SUM across folds and
+    * stay <= n/(k+1) by the mergeable-summaries theorem). NULL shard rows
+    * are skipped; k mismatches fail loudly via the state-size check.
+    */
+  class MgMergeAggregator(k: Int)
+      extends Aggregator[Seq[Long], MisraGries.Summary, Seq[Long]] {
+    def zero: MisraGries.Summary = new MisraGries.Summary(k)
+    def reduce(b: MisraGries.Summary, st: Seq[Long]): MisraGries.Summary =
+      if (st == null) b else b.absorb(MisraGries.fromState(k, st))
+    def merge(a: MisraGries.Summary, b: MisraGries.Summary): MisraGries.Summary = a.absorb(b)
+    def finish(b: MisraGries.Summary): Seq[Long] = b.toState
+    def bufferEncoder: Encoder[MisraGries.Summary] = Encoders.kryo[MisraGries.Summary]
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Exact-integer first/second moments of a dim-dimensional embedding
     * column — the input to a covariance matrix, as ONE mergeable buffer.
     *

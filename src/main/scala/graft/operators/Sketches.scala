@@ -343,6 +343,97 @@ object Sketches {
       .groupBy(col("win_day")).agg(mg(col("state")).as("est"))
   }
 
+  // ---------------------------------------------------------------- q125
+  // Misra–Gries heavy hitters WITHOUT a candidate set — the discovery
+  // step q90 presumes: CMS estimates any item's count but something must
+  // first say WHICH items matter, and at 100 TB the exact top-k that
+  // supplied q90's candidates is itself a full token-keyed shuffle. One
+  // MG pass finds every token with frequency > n/(k+1) using k counters
+  // per partition and one KB-sized mergeable state total.
+  //
+  // Oracle scheme: the summary CONTENT is merge-order-dependent (Spark's
+  // partial-merge order is nondeterministic), but MG's guarantees are
+  // WORST-CASE laws that hold under every order — so the query outputs
+  // only exact-replayable values (token, exact count, stream length) and
+  // law booleans, never raw summary state:
+  //   le_exact     — a summary count never exceeds the true count;
+  //   within_err   — true <= summary count (0 if absent) + E;
+  //   found        — every token with true count > E is in the summary
+  //                  (E <= n/(k+1), so all heavy hitters are found);
+  //   err_bound    — E·(k+1) <= n (structural);
+  //   n_exact      — the summary's folded stream length equals COUNT(*)
+  //                  (integer sum — deterministic and exact);
+  //   fold_*       — the same found/within laws against a summary FOLDED
+  //                  from stored per-source states (the incremental path),
+  //                  whose error law survives folding by the mergeable-
+  //                  summaries theorem.
+  private val q125 = GraftQuery(
+    "q125_mg_heavy_hitters",
+    (s, dir) => {
+      val k = 255
+      import graft.functions.TextFunctions.tokens
+      val mg = udaf(new graft.mr.Aggregators.MgStateAggregator(k),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val mgFold = udaf(new graft.mr.Aggregators.MgMergeAggregator(k),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+      // bigrams, not unigrams: the synthetic vocabulary is ~31 words —
+      // smaller than any useful k, which would never exercise eviction
+      // in the declared plan; the ~950-bigram space does, while the top
+      // bigrams stay far above the n/(k+1) error so the found-law is
+      // non-vacuous
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.functions.WordNGrams(tokens(col("text")), 2)).as("w"))
+        .withColumn("h", xxhash64(col("w")))
+      val globalSt = toks.agg(mg(col("h")).as("st"))
+      // per-source states persisted then folded — the stored-shard path,
+      // expressed in-plan exactly like q90's merged CMS
+      val foldedSt = toks.groupBy(col("source")).agg(mg(col("h")).as("pst"))
+        .agg(mgFold(col("pst")).as("fst"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      val top = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(40)
+      // summary lookup as a bounded column fold over the state array
+      // (1-based element_at: [1]=n, [2]=err, [3]=size, item i at 2+2i/3+2i)
+      def mgCount(st: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        aggregate(sequence(lit(1), element_at(st, 3).cast("int")),
+          lit(-1L),
+          (acc, i) => when(element_at(st, (lit(2) + i * lit(2)).cast("int")) === col("h"),
+            element_at(st, (lit(3) + i * lit(2)).cast("int"))).otherwise(acc))
+      top.withColumn("h", xxhash64(col("w")))
+        .crossJoin(broadcast(globalSt))
+        .crossJoin(broadcast(foldedSt))
+        .crossJoin(broadcast(total))
+        .withColumn("c_g", mgCount(col("st")))
+        .withColumn("c_f", mgCount(col("fst")))
+        .select(col("w"), col("cnt"), col("n"),
+          (col("c_g") < lit(0L) || col("c_g") <= col("cnt")).as("le_exact"),
+          (col("cnt") <= greatest(col("c_g"), lit(0L)) + element_at(col("st"), 2))
+            .as("within_err"),
+          (col("c_g") > lit(0L) || col("cnt") <= element_at(col("st"), 2)).as("found"),
+          (element_at(col("st"), 2) * lit(k + 1L) <= element_at(col("st"), 1)).as("err_bound"),
+          (element_at(col("st"), 1) === col("n")).as("n_exact"),
+          (col("cnt") <= greatest(col("c_f"), lit(0L)) + element_at(col("fst"), 2))
+            .as("fold_within_err"),
+          (col("c_f") > lit(0L) || col("cnt") <= element_at(col("fst"), 2)).as("fold_found"))
+        .orderBy(col("cnt").desc, col("w"))
+    },
+    Some("""
+      WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\W+'),
+                                    x -> x <> '') AS t
+                 FROM documents),
+      toks AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS w
+               FROM t WHERE len(t) >= 2),
+      n AS (SELECT COUNT(*) AS n FROM toks)
+      SELECT w, COUNT(*) AS cnt, (SELECT n FROM n) AS n,
+             TRUE AS le_exact, TRUE AS within_err, TRUE AS found,
+             TRUE AS err_bound, TRUE AS n_exact,
+             TRUE AS fold_within_err, TRUE AS fold_found
+      FROM toks
+      GROUP BY w
+      ORDER BY cnt DESC, w
+      LIMIT 40"""))
+
   private val q123 = GraftQuery(
     "q123_trailing_distinct",
     (s, dir) => {
@@ -373,5 +464,5 @@ object Sketches {
       FROM days
       ORDER BY win_day"""))
 
-  val all: Seq[GraftQuery] = Seq(q43, q44, q67, q90, q92, q94, q123)
+  val all: Seq[GraftQuery] = Seq(q43, q44, q67, q90, q92, q94, q123, q125)
 }

@@ -208,4 +208,84 @@ class AggregatorsSpec extends SparkSpec {
     val bad = new Aggregators.CmsStateAggregator(d, w * 2).zero.toSeq
     intercept[IllegalArgumentException](mergeAgg.reduce(mergeAgg.zero, bad))
   }
+
+  // ---- Misra–Gries frequent-items summary ------------------------------
+
+  /** Zipf-ish synthetic stream: item i appears ~N/(i+1) times, shuffled
+    * deterministically so partition splits are adversarial-ish rather
+    * than sorted runs. */
+  private def zipfStream(nItems: Int, scale: Int, seed: Int): Seq[Long] = {
+    val xs = (0 until nItems).flatMap(i => Seq.fill(scale / (i + 1))(i.toLong))
+    val rnd = new scala.util.Random(seed)
+    rnd.shuffle(xs)
+  }
+
+  test("MG laws hold under arbitrary merge splits (worst-case, not probabilistic)") {
+    val k = 31
+    val agg = new Aggregators.MgStateAggregator(k)
+    val stream = zipfStream(nItems = 500, scale = 4000, seed = 7)
+    val exact = stream.groupBy(identity).map { case (h, g) => h -> g.size.toLong }
+    for (nSplits <- Seq(1, 2, 7)) {
+      val rnd = new scala.util.Random(nSplits)
+      val parts = stream.groupBy(_ => rnd.nextInt(nSplits)).values.toSeq
+      val merged = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge)
+      val st = agg.finish(merged)
+      val n = st(0); val err = st(1); val size = st(2).toInt
+      assert(n == stream.size.toLong, "folded stream length must be exact")
+      assert(size <= k, s"summary must hold <= $k items, got $size")
+      assert(err * (k + 1) <= n, s"error $err must stay <= n/(k+1) = ${n / (k + 1)}")
+      val counts = (0 until size).map(i => st(3 + 2 * i) -> st(4 + 2 * i)).toMap
+      exact.foreach { case (h, cnt) =>
+        val c = counts.getOrElse(h, 0L)
+        assert(c <= cnt, s"summary count $c overestimates exact $cnt for $h")
+        assert(cnt <= c + err, s"exact $cnt for $h exceeds summary $c + err $err")
+        if (cnt > err) assert(counts.contains(h),
+          s"heavy hitter $h (count $cnt > err $err) missing from summary")
+      }
+    }
+  }
+
+  test("MG stored form: MgMergeAggregator over state rows keeps the same laws") {
+    val k = 31
+    val state = new Aggregators.MgStateAggregator(k)
+    val stream = zipfStream(nItems = 300, scale = 3000, seed = 13)
+    val exact = stream.groupBy(identity).map { case (h, g) => h -> g.size.toLong }
+    val shardStates: Seq[Seq[Long]] = stream.grouped(700)
+      .map(sh => state.finish(sh.foldLeft(state.zero)(state.reduce))).toSeq
+    assert(shardStates.forall(_.length <= 3 + 2 * k),
+      "stored MG states must stay O(k) longs")
+    val mergeAgg = new Aggregators.MgMergeAggregator(k)
+    // null shard rows (empty parquet partitions) are skipped, not fatal
+    val folded = mergeAgg.finish(
+      mergeAgg.reduce(shardStates.foldLeft(mergeAgg.zero)(mergeAgg.reduce), null))
+    val n = folded(0); val err = folded(1); val size = folded(2).toInt
+    assert(n == stream.size.toLong)
+    assert(err * (k + 1) <= n)
+    val counts = (0 until size).map(i => folded(3 + 2 * i) -> folded(4 + 2 * i)).toMap
+    exact.foreach { case (h, cnt) =>
+      val c = counts.getOrElse(h, 0L)
+      assert(c <= cnt && cnt <= c + err)
+      if (cnt > err) assert(counts.contains(h))
+    }
+    // malformed / k-mismatched stored state fails loudly
+    intercept[IllegalArgumentException](
+      mergeAgg.reduce(mergeAgg.zero, Seq(0L, 0L, 999L)))
+    val bigState = new Aggregators.MgStateAggregator(64)
+    val big = bigState.finish(
+      (0L until 64L).foldLeft(bigState.zero)(bigState.reduce))
+    intercept[IllegalArgumentException](mergeAgg.reduce(mergeAgg.zero, big))
+  }
+
+  test("declared q125 booleans are all true on sf0.001") {
+    val rows = graft.SparkEntry.queries("q125_mg_heavy_hitters")(spark, sf001).collect()
+    // sf0.001's vocabulary is smaller than the top-40 limit — every
+    // distinct token appears, which also exercises the summary-holds-all
+    // case (vocab < k)
+    assert(rows.nonEmpty && rows.length <= 40)
+    rows.foreach { r =>
+      (3 until r.length).foreach(i =>
+        assert(r.getBoolean(i), s"law column $i false for token ${r.getString(0)}"))
+    }
+  }
 }
