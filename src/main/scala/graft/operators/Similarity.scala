@@ -1531,7 +1531,174 @@ object Similarity {
     None,
     oracleGen = Some(() => ivfDiagOracleSql))
 
+  // --------------------------------------------------------------- q126
+  // Johnson–Lindenstrauss random projection (Achlioptas 2001: ±1 entries
+  // suffice) — the SKETCHING counterpart to PCA (q104): d→m dimensionality
+  // reduction with no fit pass at all, so embeddings stream through a
+  // stateless projection at ingest. Distance preservation is probabilistic
+  // (distortion bounds in SimilaritySpec); the projection itself is
+  // DETERMINISTIC — each sign is derived from md5("jl:i:j"), arithmetic
+  // both engines replay bit-for-bit.
+  //
+  // Exactness: inputs scale to 2^40 integers BEFORE summation (the
+  // q104 scheme — float×2^40 is a lossless exponent shift and ±1·e sums
+  // are order-independent longs), so the projected values hash-match at
+  // any parallelism and in DuckDB.
+  //
+  // Scale shape: the sign matrix is d·m rows built from `range` —
+  // broadcast; embeddings posexplode to d terms which partial-aggregate
+  // back to m rows per vector BEFORE the only shuffle (keyed by vec_id ×
+  // output dim). No fit state, no driver collect, stream-safe.
+
+  /** Deterministic ±1 JL sign matrix as a DataFrame (i, j, s) — i the
+    * input dim [0,d), j the output dim [0,m). */
+  def jlSigns(spark: org.apache.spark.sql.SparkSession, d: Int, m: Int): DataFrame =
+    spark.range(0, d).select(col("id").as("i"))
+      .crossJoin(spark.range(0, m).select(col("id").as("j")))
+      .withColumn("s",
+        when(substring(md5(concat_ws(":", lit("jl"), col("i"), col("j"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1L))
+          .otherwise(lit(-1L)))
+
+  /** Project `embeddings.embedding` (d dims) to m exact-integer
+    * components: (vec_id, j, y) with y = Σᵢ s(i,j)·⌊xᵢ·2⁴⁰⌋. Divide by
+    * 2⁴⁰·√m for the metric-preserving float form; the integer form is the
+    * canonical (hashable) artifact. */
+  def jlProject(spark: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
+      d: Int, m: Int): DataFrame = {
+    val terms = embeddings
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("pos").cast("long").as("i"),
+        floor(col("col") * lit(1099511627776.0)).cast("long").as("e"))
+    terms.join(broadcast(jlSigns(spark, d, m)), "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("s") * col("e")).as("y"))
+      .select(col("vec_id"), col("j").cast("int").as("j"), col("y"))
+  }
+
+  private val q126 = GraftQuery(
+    "q126_jl_projection",
+    (s, dir) =>
+      jlProject(s, Tables.embeddings(s, dir), d = 64, m = 16)
+        .orderBy(col("vec_id"), col("j")),
+    Some("""
+      WITH x AS (SELECT vec_id,
+                        CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+                        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1099511627776.0) AS BIGINT) AS e
+                 FROM embeddings),
+      s AS (SELECT i.range AS i, j.range AS j,
+                   CASE WHEN substring(md5('jl:' || CAST(i.range AS VARCHAR) || ':' || CAST(j.range AS VARCHAR)), 1, 1)
+                        IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS s
+            FROM range(0, 64) i, range(0, 16) j)
+      SELECT vec_id, CAST(j AS INT) AS j, CAST(SUM(s * e) AS BIGINT) AS y
+      FROM x JOIN s USING (i)
+      GROUP BY vec_id, j
+      ORDER BY vec_id, j"""))
+
+  // --------------------------------------------------------------- q128
+  // Embedding distribution drift between two corpus slices (snapshot A vs
+  // snapshot B, or source vs source): per-dimension exact integer moments
+  // plus cross-multiplied drift verdicts — the GATE a retraining pipeline
+  // checks before deciding whether yesterday's IVF centroids / PQ
+  // codebooks / quality-probe weights still fit today's data (the q111
+  // "when to refit" question, answered from data rather than a calendar).
+  //
+  // Exactness: per-dim sums of ⌊x·2⁴⁰⌋ and ⌊x²·2⁴⁰⌋ (both lossless — a
+  // float's 24-bit mantissa squares exactly within a double). Drift
+  // verdicts use only integer arithmetic both engines replay:
+  //   mean_drift — |s_a·n_b − s_b·n_a|·64 > 2⁴⁰·n_a·n_b (cross-
+  //                multiplied in DECIMAL(38,0)/HUGEINT — the dim's means
+  //                differ by more than 1/64; safe to n ~ 10¹² rows/side);
+  //   var_q40    — per-side variance quantized to 2⁴⁰ units:
+  //                max(n·s2·2⁴⁰ − s², 0) DIV (n²·2⁴⁰). The 2⁸⁰-scale
+  //                numerator lives in DECIMAL(38,0) (n ≲ 10⁷ rows per
+  //                side — the per-shard profile size; bigger corpora
+  //                fold per-shard moment states, q109, and compare the
+  //                folded sums); the quotient is a LONG both engines
+  //                floor identically (numerator clamped ≥ 0 because
+  //                Spark DIV truncates toward zero while DuckDB //
+  //                floors — they disagree only below zero);
+  //   var_drift  — 16·|var_q40_a − var_q40_b| > var_q40_a, i.e. the
+  //                variance moved by more than 1/16 relatively.
+  //
+  // Scale shape: one scan, posexplode to d terms per vector, ONE
+  // partial-agged shuffle keyed by (dim, side) — 2·d final rows. No
+  // driver state, no join against row data.
+
+  /** Per-dim exact moments of two slices, joined: (dim, n_a, s_a, s2_a,
+    * n_b, s_b, s2_b, mean_drift, var_drift). `sideExpr` must evaluate to
+    * 0 (slice A) or 1 (slice B). */
+  def embeddingDrift(embeddings: DataFrame, sideExpr: Column): DataFrame = {
+    val scale = 1099511627776.0 // 2^40
+    val u = embeddings
+      .select(sideExpr.cast("int").as("side"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("side"), col("pos").as("dim"),
+        floor(col("col") * lit(scale)).cast("long").as("e"),
+        floor(col("col") * col("col") * lit(scale)).cast("long").as("e2"))
+    val m = u.groupBy(col("dim"), col("side"))
+      .agg(count(lit(1)).as("n"), sum(col("e")).as("s"), sum(col("e2")).as("s2"))
+    val piv = m.groupBy(col("dim")).agg(
+      max(when(col("side") === 0, col("n"))).as("n_a"),
+      max(when(col("side") === 0, col("s"))).as("s_a"),
+      max(when(col("side") === 0, col("s2"))).as("s2_a"),
+      max(when(col("side") === 1, col("n"))).as("n_b"),
+      max(when(col("side") === 1, col("s"))).as("s_b"),
+      max(when(col("side") === 1, col("s2"))).as("s2_b"))
+    def D(c: Column) = c.cast("decimal(38,0)")
+    val two40 = D(lit(1099511627776L))
+    // numerator at 2^80 scale; clamp >= 0 (floor noise only, see scaladoc)
+    def vNum(s2: Column, s: Column, n: Column) =
+      greatest(D(s2) * n * two40 - D(s) * s, D(lit(0L)))
+    val staged = piv
+      .withColumn("__vna", vNum(col("s2_a"), col("s_a"), col("n_a")))
+      .withColumn("__vnb", vNum(col("s2_b"), col("s_b"), col("n_b")))
+      .withColumn("__da", D(col("n_a")) * col("n_a") * two40)
+      .withColumn("__db", D(col("n_b")) * col("n_b") * two40)
+      .withColumn("var_q40_a", expr("CAST(__vna DIV __da AS BIGINT)"))
+      .withColumn("var_q40_b", expr("CAST(__vnb DIV __db AS BIGINT)"))
+    staged.select(col("dim"), col("n_a"), col("s_a"), col("s2_a"),
+        col("n_b"), col("s_b"), col("s2_b"),
+        (abs(D(col("s_a")) * col("n_b") - D(col("s_b")) * col("n_a")) * lit(64)
+          > two40 * col("n_a") * col("n_b")).as("mean_drift"),
+        col("var_q40_a"), col("var_q40_b"),
+        (abs(col("var_q40_a") - col("var_q40_b")) * lit(16) > col("var_q40_a"))
+          .as("var_drift"))
+  }
+
+  private val q128 = GraftQuery(
+    "q128_embedding_drift",
+    (s, dir) =>
+      embeddingDrift(Tables.embeddings(s, dir), pmod(col("label"), lit(2)))
+        .orderBy(col("dim")),
+    Some("""
+      WITH u AS (SELECT label % 2 AS side,
+                        CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                        CAST(unnest(embedding) AS DOUBLE) AS x
+                 FROM embeddings),
+      m AS (SELECT side, dim, COUNT(*) AS n,
+                   CAST(SUM(CAST(floor(x * 1099511627776.0) AS BIGINT)) AS BIGINT) AS s,
+                   CAST(SUM(CAST(floor(x * x * 1099511627776.0) AS BIGINT)) AS BIGINT) AS s2
+            FROM u GROUP BY side, dim),
+      j AS (SELECT a.dim, a.n AS n_a, a.s AS s_a, a.s2 AS s2_a,
+                   b.n AS n_b, b.s AS s_b, b.s2 AS s2_b
+            FROM m a JOIN m b ON a.dim = b.dim AND a.side = 0 AND b.side = 1),
+      v AS (SELECT *,
+              CAST(greatest(CAST(s2_a AS HUGEINT) * n_a * 1099511627776 - CAST(s_a AS HUGEINT) * s_a,
+                            CAST(0 AS HUGEINT))
+                   // (CAST(n_a AS HUGEINT) * n_a * 1099511627776) AS BIGINT) AS var_q40_a,
+              CAST(greatest(CAST(s2_b AS HUGEINT) * n_b * 1099511627776 - CAST(s_b AS HUGEINT) * s_b,
+                            CAST(0 AS HUGEINT))
+                   // (CAST(n_b AS HUGEINT) * n_b * 1099511627776) AS BIGINT) AS var_q40_b
+            FROM j)
+      SELECT dim, n_a, s_a, s2_a, n_b, s_b, s2_b,
+             ABS(CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a) * 64
+               > CAST(1099511627776 AS HUGEINT) * n_a * n_b AS mean_drift,
+             var_q40_a, var_q40_b,
+             ABS(var_q40_a - var_q40_b) * 16 > var_q40_a AS var_drift
+      FROM v ORDER BY dim"""))
+
   val all: Seq[GraftQuery] =
     Seq(q39, q40, q41, q41c, q41d, q41e, q42b, q53, q83, q103, q104, q105,
-      q109, q111, q112, q116, q117, q118)
+      q109, q111, q112, q116, q117, q118, q126, q128)
 }

@@ -358,7 +358,66 @@ object ScaleOps {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
-  val all: Seq[GraftQuery] = Seq(q60, q102, q107, q110)
+  // --------------------------------------------------------------- q127
+  // Key-skew diagnosis + salt advisor: the MEASUREMENT step in front of
+  // the layout/skew tools (saltedJoin q60, rankBoundaries q107). Before
+  // launching a 100 TB join one wants to know — from a cheap profile, not
+  // a failed job — whether the key is skewed enough to need salting and
+  // at what factor. Two hash-aggs per analyzed column (per-key counts →
+  // corpus stats), no window, no collect; everything downstream of the
+  // counts is integer arithmetic so the advisory replays exactly.
+  //
+  //   skew_x100    — 100·max_cnt·n_keys / n (100 = perfectly uniform);
+  //   salt_factor  — ⌈max_cnt / targetPerKey⌉: how many tasks the hottest
+  //                  key must spread over so no task exceeds the target;
+  //   action       — 'salted-join' when salt_factor > 1 else 'hash-join'.
+
+  /** One-row skew profile of `keyCol` in `df`, labeled `keyName`. */
+  def keySkewProfile(df: DataFrame, keyName: String, keyCol: String,
+      targetPerKey: Long): DataFrame = {
+    require(targetPerKey >= 1, s"targetPerKey must be >= 1, got $targetPerKey")
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"))
+      .select(
+        lit(keyName).as("key_name"), col("n"), col("n_keys"), col("max_cnt"),
+        expr(s"100L * max_cnt * n_keys DIV n").as("skew_x100"),
+        expr(s"(max_cnt + ${targetPerKey - 1}L) DIV ${targetPerKey}L").as("salt_factor"))
+      .withColumn("action",
+        when(col("salt_factor") > 1, lit("salted-join")).otherwise(lit("hash-join")))
+  }
+
+  private val q127 = GraftQuery(
+    "q127_skew_advisor",
+    (s, dir) => {
+      val target = 200L
+      keySkewProfile(Tables.events(s, dir), "events.user_id", "user_id", target)
+        .unionAll(keySkewProfile(Tables.lineitem(s, dir),
+          "lineitem.l_orderkey", "l_orderkey", target))
+        .unionAll(keySkewProfile(Tables.documents(s, dir),
+          "documents.source", "source", target))
+        .orderBy(col("key_name"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT 'events.user_id' AS key_name, CAST(SUM(cnt) AS BIGINT) AS n,
+               COUNT(*) AS n_keys, MAX(cnt) AS max_cnt
+        FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY user_id)
+        UNION ALL
+        SELECT 'lineitem.l_orderkey', CAST(SUM(cnt) AS BIGINT), COUNT(*), MAX(cnt)
+        FROM (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey)
+        UNION ALL
+        SELECT 'documents.source', CAST(SUM(cnt) AS BIGINT), COUNT(*), MAX(cnt)
+        FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY source))
+      SELECT key_name, n, n_keys, max_cnt,
+             (100 * max_cnt * n_keys) // n AS skew_x100,
+             (max_cnt + 199) // 200 AS salt_factor,
+             CASE WHEN (max_cnt + 199) // 200 > 1
+                  THEN 'salted-join' ELSE 'hash-join' END AS action
+      FROM p
+      ORDER BY key_name"""))
+
+  val all: Seq[GraftQuery] = Seq(q60, q102, q107, q110, q127)
 
   /** True if the executed plan of `df` contains a shuffle exchange of any
     * partitioning (hash, range, round-robin, single-partition). Broadcast

@@ -434,4 +434,71 @@ class SimilaritySpec extends SparkSpec {
     val maxDiag = (0 until 64).map(i => cov(i)(i)).max
     assert(lambda >= maxDiag - 1e-12)
   }
+
+  test("JL projection: exact vs driver replay; median pairwise distortion near 1") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val d = 64; val m = 16
+    val proj = Similarity.jlProject(spark, emb, d, m)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // driver replay of the identical md5-sign + scaled-integer arithmetic
+    def sign(i: Long, j: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl:$i:$j".getBytes("UTF-8"))
+      // first hex char of the digest = high nibble of byte 0
+      if (((md(0) >> 4) & 0xF) <= 7) 1L else -1L
+    }
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val scale = 1099511627776.0
+    vecs.take(5).foreach { case (id, v) =>
+      (0 until m).foreach { j =>
+        val expect = (0 until d).map(i =>
+          sign(i, j) * math.floor(v(i) * scale).toLong).sum
+        assert(proj((id, j)) == expect, s"vec $id dim $j: ${proj((id, j))} != $expect")
+      }
+    }
+    // JL law: squared-distance ratio (projected/original, both in the
+    // metric normalization ||Px||^2/m) concentrates around 1 — median
+    // over pairs is a robust check at m=16 (per-pair std ~ sqrt(2/m))
+    val ids = vecs.keys.toSeq.sorted.take(40)
+    val ratios = ids.sliding(2).collect { case Seq(a, b) =>
+      val dx = vecs(a).zip(vecs(b)).map { case (x, y) => x - y }
+      val orig = dx.map(x => x * x).sum
+      val dp = (0 until m).map(j =>
+        (proj((a, j)) - proj((b, j))) / scale)
+      val pr = dp.map(x => x * x).sum / m
+      pr / orig
+    }.toSeq.sorted
+    val med = ratios(ratios.size / 2)
+    assert(med > 0.5 && med < 1.8, s"median JL distortion $med drifted from 1")
+  }
+
+  test("embeddingDrift: fires on a shifted/scaled slice, quiet on a resample") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(shift: Double, spread: Double) =
+      Array.fill(4)(((rnd.nextDouble() - 0.5) * spread + shift).toFloat)
+    // side 0: centered, unit-ish spread; side 1: dim-uniform shift +0.5
+    // and 3x spread — both laws must fire on every dim
+    val drifted = (Seq.fill(3000)((0, vec(0.0, 1.0))) ++
+      Seq.fill(3000)((1, vec(0.5, 3.0))))
+      .toDF("label", "embedding")
+    val d1 = Similarity.embeddingDrift(drifted, col("label")).collect()
+    assert(d1.length == 4)
+    d1.foreach { r =>
+      assert(r.getAs[Boolean]("mean_drift"), s"mean drift missed on dim ${r.get(0)}")
+      assert(r.getAs[Boolean]("var_drift"), s"var drift missed on dim ${r.get(0)}")
+    }
+    // two independent resamples of the SAME distribution: no drift call
+    val same = (Seq.fill(3000)((0, vec(0.0, 1.0))) ++
+      Seq.fill(3000)((1, vec(0.0, 1.0))))
+      .toDF("label", "embedding")
+    val d2 = Similarity.embeddingDrift(same, col("label")).collect()
+    d2.foreach { r =>
+      assert(!r.getAs[Boolean]("mean_drift"), s"false mean drift on dim ${r.get(0)}")
+      assert(!r.getAs[Boolean]("var_drift"), s"false var drift on dim ${r.get(0)}")
+    }
+  }
 }

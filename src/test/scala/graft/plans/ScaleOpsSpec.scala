@@ -371,4 +371,24 @@ class ScaleOpsSpec extends SparkSpec {
     System.err.println(s"[zorder-rank-write] box=$nBox scan=$rows of 40000")
     assert(rows * 2 <= 40000, s"scan read $rows of 40000 — layout not pruning")
   }
+
+  test("keySkewProfile: hot key recommends salting, uniform key does not") {
+    import spark.implicits._
+    // 10k rows of one hot key + 100 uniform keys x 10 rows
+    val skewed = (Seq.fill(10000)(1L) ++ (2L to 101L).flatMap(Seq.fill(10)(_)))
+      .toDF("k")
+    val hot = ScaleOps.keySkewProfile(skewed, "skewed.k", "k", targetPerKey = 1000L)
+      .head()
+    assert(hot.getAs[Long]("max_cnt") == 10000L)
+    assert(hot.getAs[Long]("salt_factor") == 10L, "ceil(10000/1000) = 10")
+    assert(hot.getAs[String]("action") == "salted-join")
+    // skew_x100 = 100 * max * n_keys / n = 100*10000*101/11000 ~ 9181
+    assert(hot.getAs[Long]("skew_x100") == 100L * 10000L * 101L / 11000L)
+    val uniform = (1L to 100L).flatMap(Seq.fill(50)(_)).toDF("k")
+    val flat = ScaleOps.keySkewProfile(uniform, "uniform.k", "k", targetPerKey = 1000L)
+      .head()
+    assert(flat.getAs[Long]("salt_factor") == 1L)
+    assert(flat.getAs[String]("action") == "hash-join")
+    assert(flat.getAs[Long]("skew_x100") == 100L, "uniform keys => exactly 100")
+  }
 }
