@@ -31,14 +31,14 @@ object Similarity {
     */
   def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
-  private def vecs(df: DataFrame): DataFrame =
+  private[operators] def vecs(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
-  private val dotSql =
+  private[operators] val dotSql =
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(%s, %s), p -> p[1] * p[2])), (s, x) -> s + x)"
-  private def sqlDot(a: String, b: String): String = dotSql.format(a, b)
-  private val sqlVecs =
+  private[operators] def sqlDot(a: String, b: String): String = dotSql.format(a, b)
+  private[operators] val sqlVecs =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
        |            sqrt(${sqlDot("embedding::DOUBLE[]", "embedding::DOUBLE[]")}) AS norm
        |      FROM embeddings)""".stripMargin

@@ -709,7 +709,9 @@ object TextAnalysis {
 
   @volatile private var bm25OracleSql: Option[String] = None
 
-  private def bm25Oracle(terms: Seq[String], stats: Bm25Stats, k: Int,
+  /** The BM25 WITH-cascade up to a `ranked` CTE — shared by the q113
+    * oracle and the q130 RRF-fusion oracle. */
+  private def bm25OracleCtes(terms: Seq[String], stats: Bm25Stats,
       k1: Double, b: Double): String = {
     def q(d: Double) = s"CAST('$d' AS DOUBLE)" // quoted — the q105 lesson
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
@@ -718,7 +720,7 @@ object TextAnalysis {
       s"COALESCE(${q(stats.idf(terms(i)))} * ((CAST(tf$i AS DOUBLE) * ${q(k1 + 1.0)}) / " +
         s"(CAST(tf$i AS DOUBLE) + ${q(k1)} * (${q(1.0 - b)} + ${q(b)} * (CAST(dl AS DOUBLE) / ${q(stats.avgdl)})))), CAST('0.0' AS DOUBLE))"
     }.reduceLeft((a, b2) => s"($a + $b2)")
-    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS t
+    s"""t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS t
        |           FROM documents),
        |l AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM t),
        |tok AS (SELECT doc_id, unnest(t) AS term FROM t),
@@ -730,11 +732,15 @@ object TextAnalysis {
        |       FROM piv JOIN l ON piv.doc_id = l.doc_id),
        |ranked AS (SELECT doc_id, score,
        |                  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
-       |           FROM sc)
+       |           FROM sc)""".stripMargin
+  }
+
+  private def bm25Oracle(terms: Seq[String], stats: Bm25Stats, k: Int,
+      k1: Double, b: Double): String =
+    s"""WITH ${bm25OracleCtes(terms, stats, k1, b)}
        |SELECT doc_id, CAST(rank AS INT) AS rank, score FROM ranked
        |WHERE rank <= $k
        |ORDER BY rank""".stripMargin
-  }
 
   private val q113 = {
     // mixed-df terms from the driver vocabulary: common, mid, rare — the
@@ -844,6 +850,140 @@ object TextAnalysis {
 
   @volatile private var bm25OracleSqlAppend: Option[String] = None
 
+  // --------------------------------------------------- q129 boolean query
+  // Boolean retrieval (AND / AND-NOT) over the SAME stored term-bucketed
+  // postings BM25 probes — the filterable counterpart to ranked
+  // retrieval: "every doc containing all of these terms and none of
+  // those", the shape of targeted decontamination sweeps and eval-set
+  // provenance lookups. Work is O(postings of the query terms): the
+  // must-terms hash-agg counts distinct term hits per doc (a doc
+  // qualifies when it hits all |must|), the not-terms side prunes by
+  // left-anti join — never a corpus scan when the postings are the
+  // stored bucketed artifact (term-literal pushdown, the q97/q113
+  // discipline).
+  def booleanRetrieve(postings: DataFrame, idCol: String,
+      must: Seq[String], mustNot: Seq[String]): DataFrame = {
+    require(must.nonEmpty, "boolean retrieval needs at least one must-term")
+    val hits = postings.filter(col("term").isin(must: _*))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("tf_total"))
+      .filter(col("n_terms") === must.size)
+    val out =
+      if (mustNot.isEmpty) hits
+      else hits.join(
+        postings.filter(col("term").isin(mustNot: _*)).select(col(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    out.select(col(idCol), col("tf_total"))
+  }
+
+  private val q129 = GraftQuery(
+    "q129_boolean_retrieval",
+    (s, dir) => {
+      val postings = bm25Postings(Tables.documents(s, dir), "doc_id", "text")
+      booleanRetrieve(postings, "doc_id",
+        must = Seq("spark", "vector"), mustNot = Seq("dup"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                 FROM documents),
+      tok AS (SELECT doc_id, unnest(t) AS term FROM t),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+             WHERE term IN ('spark', 'vector')
+             GROUP BY doc_id, term),
+      hit AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_total
+              FROM tf GROUP BY doc_id
+              HAVING COUNT(DISTINCT term) = 2)
+      SELECT doc_id, tf_total FROM hit
+      WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup')
+      ORDER BY doc_id"""))
+
+  // ------------------------------------------------------ q130 hybrid RRF
+  // Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke & Buettcher
+  // 2009) of the BM25 term ranking (q113) with the embedding-cosine
+  // ranking (q40's brute-force shape as the calibration side; the
+  // production ANN side is any of q41/q41b/q116 — RRF only consumes
+  // ranks, so the fusion is retrieval-method-agnostic). This is the
+  // standard RAG/retrieval-quality shape: lexical and semantic evidence
+  // fused without score calibration, rrf = Σ 1/(60 + rank).
+  //
+  // Exactness: ranks are integers; each 1/(60+rank) is ONE double
+  // division and the fusion adds exactly two terms in fixed order —
+  // bit-identical in DuckDB. Scale shape: both sides are top-k
+  // (TakeOrderedAndProject, per-partition heaps), the fusion joins two
+  // k-row frames — driver-free, corpus never materializes pairwise.
+  private val q130 = {
+    val terms = Seq("spark", "vector", "customer", "partition")
+    val qVec = 0L
+    val kEach = 30
+    val kOut = 15
+    GraftQuery(
+      "q130_hybrid_rrf",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val postings = bm25Postings(docs, "doc_id", "text")
+        val lengths = bm25DocLengths(docs, "doc_id", "text")
+        val stats = bm25Stats(lengths, postings, terms)
+        rrfOracleSql = Some(rrfOracle(terms, stats, qVec, kEach, kOut))
+        val bm = bm25Rank(postings, lengths, "doc_id", terms, stats,
+          kEach, 1.2, 0.75).select(col("doc_id"), col("rank").as("br"))
+        val e = Similarity.vecs(Tables.embeddings(s, dir))
+        val qv = e.filter(col("vec_id") === qVec)
+          .select(col("v").as("qv"), col("norm").as("qn"))
+        val scored = e.filter(col("vec_id") =!= qVec).crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            (Similarity.dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("cos"))
+        val annTop = scored.orderBy(col("cos").desc, col("vec_id")).limit(kEach)
+        val ann = annTop.withColumn("ar", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cos").desc, col("vec_id"))))
+          .select(col("vec_id").as("doc_id"), col("ar"))
+        val fused = bm.join(ann, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("br"), lit(0)).cast("int").as("bm25_rank"),
+            coalesce(col("ar"), lit(0)).cast("int").as("ann_rank"),
+            (when(col("br").isNotNull, lit(1.0) / (lit(60) + col("br")))
+              .otherwise(lit(0.0)) +
+              when(col("ar").isNotNull, lit(1.0) / (lit(60) + col("ar")))
+                .otherwise(lit(0.0))).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(kOut)
+        fused.withColumn("rrf_rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+          .orderBy(col("rrf_rank"))
+      },
+      None,
+      oracleGen = Some(() => rrfOracleSql))
+  }
+
+  @volatile private var rrfOracleSql: Option[String] = None
+
+  /** Called by q130's run to pin the oracle with the run's own stats. */
+  private def rrfOracle(terms: Seq[String], stats: Bm25Stats, qVec: Long,
+      kEach: Int, kOut: Int): String =
+    s"""WITH ${bm25OracleCtes(terms, stats, 1.2, 0.75)},
+       |bmtop AS (SELECT doc_id, rank AS br FROM ranked WHERE rank <= $kEach),
+       |${graft.operators.Similarity.sqlVecs},
+       |q AS (SELECT v AS qv, norm AS qn FROM e WHERE vec_id = $qVec),
+       |scored AS (SELECT e.vec_id,
+       |                  ${graft.operators.Similarity.sqlDot("qv", "e.v")} / (qn * e.norm) AS cos
+       |           FROM e, q WHERE e.vec_id <> $qVec),
+       |anntop AS (SELECT vec_id AS doc_id, ar FROM (
+       |             SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS ar
+       |             FROM scored) WHERE ar <= $kEach),
+       |fused AS (SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+       |                 CAST(COALESCE(b.br, 0) AS INT) AS bm25_rank,
+       |                 CAST(COALESCE(a.ar, 0) AS INT) AS ann_rank,
+       |                 (CASE WHEN b.br IS NULL THEN 0.0 ELSE 1.0 / (60 + b.br) END
+       |                  + CASE WHEN a.ar IS NULL THEN 0.0 ELSE 1.0 / (60 + a.ar) END) AS rrf
+       |          FROM bmtop b FULL OUTER JOIN anntop a ON b.doc_id = a.doc_id)
+       |SELECT doc_id, bm25_rank, ann_rank, rrf,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rrf_rank
+       |FROM fused
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT $kOut""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
-    q113, q119, q121)
+    q113, q119, q121, q129, q130)
 }

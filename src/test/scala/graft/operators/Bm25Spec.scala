@@ -129,4 +129,55 @@ class Bm25Spec extends SparkSpec {
     // docs without any query term never appear
     assert(!top(Seq("rare")).exists(_._1 == 5L))
   }
+
+  test("booleanRetrieve: AND/AND-NOT semantics match a brute-force token scan") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val postings = TextAnalysis.bm25Postings(docs, "doc_id", "text")
+    val got = TextAnalysis.booleanRetrieve(postings, "doc_id",
+      must = Seq("spark", "vector"), mustNot = Seq("dup"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force over raw tokenized text
+    val toks = docs.collect().map { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ws = r.getAs[String]("text").toLowerCase
+        .split("\\W+").filter(_.nonEmpty).toSeq
+      id -> ws
+    }.toMap
+    val expect = toks.collect {
+      case (id, ws) if ws.contains("spark") && ws.contains("vector") &&
+        !ws.contains("dup") =>
+        id -> ws.count(w => w == "spark" || w == "vector").toLong
+    }
+    assert(got == expect.toMap,
+      s"got ${got.size} docs, expected ${expect.size}")
+    assert(got.nonEmpty, "test terms must actually co-occur in the corpus")
+  }
+
+  test("hybrid RRF: fused list honors both evidence sources and rrf arithmetic") {
+    val rows = graft.SparkEntry.queries("q130_hybrid_rrf")(spark, sf001).collect()
+    assert(rows.length == 15)
+    // ranks must be a permutation prefix 1..15 in fused order
+    assert(rows.map(_.getInt(4)).toSeq == (1 to 15))
+    rows.foreach { r =>
+      val (bm, ann, rrf) = (r.getInt(1), r.getInt(2), r.getDouble(3))
+      // every fused doc cites at least one source ranking
+      assert(bm > 0 || ann > 0)
+      val expect = (if (bm > 0) 1.0 / (60 + bm) else 0.0) +
+        (if (ann > 0) 1.0 / (60 + ann) else 0.0)
+      assert(rrf == expect, s"rrf ${rrf} != $expect for doc ${r.get(0)}")
+    }
+    // fused scores are non-increasing
+    val scores = rows.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // a doc present in BOTH rankings must outrank one present in only
+    // one with a worse single rank — the fusion property
+    val both = rows.filter(r => r.getInt(1) > 0 && r.getInt(2) > 0)
+    if (both.nonEmpty) {
+      val bestBoth = both.map(_.getDouble(3)).max
+      val onlyOne = rows.filter(r => r.getInt(1) == 0 || r.getInt(2) == 0)
+        .filter(r => math.max(r.getInt(1), r.getInt(2)) >
+          both.map(r2 => math.max(r2.getInt(1), r2.getInt(2))).min)
+      onlyOne.foreach(r => assert(r.getDouble(3) <= bestBoth))
+    }
+  }
 }
