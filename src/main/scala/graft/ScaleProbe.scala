@@ -629,9 +629,58 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save())
         println(s"""{"metric":"pq_probe","copies":$copies,"n_vecs":$nVecs,"fit_sec":$tFit,"encode_sec":$tEnc,"adc_sec":$tAdc,"src":"$src"}""")
 
+      case "r10b" =>
+        // Decade probe for the round-10 part-2 families:
+        //  - mg: one-pass Misra-Gries summary over the scaled bigram
+        //    stream (linear scan; the shuffle carries one O(k) state per
+        //    task) and the STORED-shard fold (64 states — must be flat);
+        //  - jl: d->m projection over the scaled embeddings (linear
+        //    stateless encode, the ingest-time shape);
+        //  - skew: q127's two-hash-agg key profile over scaled events;
+        //  - drift: q128's one-scan two-slice verdict over scaled
+        //    embeddings.
+        val outD = scaledDocsDir(spark, src, copies)
+        val docs = graft.sources.Tables.load(spark, outD, "documents")
+        val toks = docs.select(col("doc_id"), col("source"),
+            explode(graft.functions.WordNGrams(
+              graft.functions.TextFunctions.tokens(col("text")), 2)).as("w"))
+          .withColumn("h", xxhash64(col("w")))
+        val nTok = toks.count()
+        val k = 255
+        val mg = udaf(new graft.mr.Aggregators.MgStateAggregator(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val mgFold = udaf(new graft.mr.Aggregators.MgMergeAggregator(k),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+        val (_, tMg) = timed(toks.agg(mg(col("h")).as("st"))
+          .write.format("noop").mode("overwrite").save())
+        // 64 persisted shard states, then the fold-only read path
+        val statesDir = s"$outD/mg_states.parquet"
+        val (_, tShards) = timed(
+          toks.withColumn("shard", pmod(xxhash64(col("doc_id")), lit(64)))
+            .groupBy(col("shard")).agg(mg(col("h")).as("st"))
+            .write.mode("overwrite").parquet(statesDir))
+        val (_, tFold) = timed(
+          spark.read.parquet(statesDir).agg(mgFold(col("st")).as("st"))
+            .write.format("noop").mode("overwrite").save())
+        val outE = scaledEmbeddingsDir(spark, src, copies)
+        val emb = graft.sources.Tables.load(spark, outE, "embeddings")
+        val nVec = emb.count()
+        val (_, tJl) = timed(
+          graft.operators.Similarity.jlProject(spark, emb, 64, 16)
+            .write.format("noop").mode("overwrite").save())
+        val (_, tDrift) = timed(
+          graft.operators.Similarity.embeddingDrift(emb, pmod(col("label"), lit(2)))
+            .write.format("noop").mode("overwrite").save())
+        val outV = scaledEventsDir(spark, src, copies)
+        val ev = graft.sources.Tables.events(spark, outV)
+        val (_, tSkew) = timed(
+          graft.plans.ScaleOps.keySkewProfile(ev, "events.user_id", "user_id", 200L)
+            .write.format("noop").mode("overwrite").save())
+        println(s"""{"metric":"r10b_probe","copies":$copies,"n_tokens":$nTok,"n_vecs":$nVec,"mg_sec":$tMg,"mg_shards_sec":$tShards,"mg_fold_sec":$tFold,"jl_sec":$tJl,"drift_sec":$tDrift,"skew_sec":$tSkew,"src":"$src"}""")
+
       case other =>
         System.err.println(
-          s"unknown mode: $other (expected queries|ann|annc|lshcurve|sketches|cc|phrase|zorder|embedops|r10ops|pq)")
+          s"unknown mode: $other (expected queries|ann|annc|lshcurve|sketches|cc|phrase|zorder|embedops|r10ops|pq|r10b)")
         sys.exit(2)
     }
     spark.stop()

@@ -339,6 +339,51 @@ object Aggregators {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; Beyer et
+    * al. 2007 for the set-algebra use): keeps the k SMALLEST distinct
+    * hash values of a set. Unlike HLL registers or MG summaries, the
+    * state is a CANONICAL function of the underlying set — the k
+    * smallest distinct values do not depend on insertion or merge
+    * order — so the union/intersection/Jaccard ESTIMATES derived from
+    * two states are deterministic and an external engine can replay
+    * them value-for-value (`ORDER BY h LIMIT k` + the same arithmetic),
+    * a strictly stronger oracle than an error-law boolean. Feed it
+    * 60-bit md5 hashes ([[graft.functions.TextFunctions.hash60]]) for
+    * cross-engine hash parity.
+    *
+    * Estimator: with h₍ₖ₎ the k-th smallest of N distinct hashes in
+    * [0, 2⁶⁰), est = (k−1)·2⁶⁰/h₍ₖ₎ (unbiased, rsd ≈ 1/√(k−2)); when
+    * the state holds fewer than k values it IS the whole set and the
+    * estimate is exact. Buffer invariant: ascending, distinct, ≤ k.
+    */
+  class MinKAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(k >= 2 && k <= 65536, s"KMV size must be in [2, 65536], got $k")
+    def zero: Seq[Long] = Vector.empty
+    def reduce(b: Seq[Long], h: Long): Seq[Long] = insert(b, h)
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = b.foldLeft(a)(insert)
+    def finish(b: Seq[Long]): Seq[Long] = b
+    private def insert(b: Seq[Long], v: Long): Seq[Long] = {
+      if (b.size >= k && v >= b.last) b
+      else {
+        val vec = b.toVector
+        var lo = 0
+        var hi = vec.size
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (vec(mid) < v) lo = mid + 1 else hi = mid
+        }
+        if (lo < vec.size && vec(lo) == v) b // distinct: drop re-inserts
+        else {
+          val nb = (vec.take(lo) :+ v) ++ vec.drop(lo)
+          if (nb.size > k) nb.take(k) else nb
+        }
+      }
+    }
+    def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = bufferEncoder
+  }
+
   /** Misra–Gries frequent-items summary (Misra & Gries 1982) with the
     * mergeable-summaries merge (Agarwal, Cormode, Huang, Phillips, Wei &
     * Yi, PODS 2012) — the CANDIDATE-DISCOVERY leg of the sketch family.
