@@ -867,6 +867,121 @@ object Dedup {
     docs.select(col(groupCol), tokens(col("text")).as("t"))
       .select(col(groupCol), explode(shingles(col("t"))).as("s"))
 
+  private val shingleSqlWithSource =
+    """shsrc AS (SELECT source, unnest(sh) AS s
+      |          FROM (SELECT source,
+      |                       list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |                FROM (SELECT source, list_filter(string_split_regex(lower(text), '\W+'),
+      |                                                 x -> x <> '') AS t
+      |                      FROM documents) tt
+      |                WHERE len(t) >= 3) s0)""".stripMargin
+
+  // --------------------------------------------------------------- q132
+  // KMV (bottom-k) set algebra over per-source shingle sets — the
+  // sharper sibling of the HLL overlap triage (q106/q120): a KMV state
+  // is the k SMALLEST distinct hashes, a CANONICAL function of the set
+  // (no register/merge-order dependence), so union, intersection and
+  // Jaccard estimates are deterministic numbers an external engine
+  // replays EXACTLY (`ORDER BY h LIMIT k` + the same arithmetic) — the
+  // estimates themselves are hash-compared, not just error-law
+  // booleans. Intersection comes from sketch membership (Beyer et al.
+  // 2007), not inclusion-exclusion, so its error does not inherit the
+  // union's.
+  //
+  // Estimator: est_union = (k−1)·2⁶⁰/h₍ₖ₎; when the combined sketch
+  // holds fewer than k values it IS the union (exact). m = members of
+  // the combined bottom-k present in both sides; est_inter =
+  // m·est_union/k_eff, est_jaccard = m/k_eff.
+  //
+  // Scale shape: one tokenize pass builds every source's state
+  // (partial-agged bounded buffers, one O(k) array per task); the
+  // N(N−1)/2 pair comparisons are column arithmetic over k-long arrays
+  // on a frame of N² tiny rows — data is never touched again. The
+  // exact distinct counts beside the estimates are CALIBRATION (same
+  // scope split as q90/q120).
+  private val q132 = {
+    val k = 256
+    GraftQuery(
+      "q132_kmv_set_algebra",
+      (s, dir) => {
+        val mink = udaf(new graft.mr.Aggregators.MinKAggregator(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val sh = shingleRowsWithGroup(Tables.documents(s, dir), "source")
+          .select(col("source"),
+            graft.functions.TextFunctions.hash60(col("s")).as("h"))
+        val states = sh.groupBy(col("source"))
+          .agg(mink(col("h")).as("st"), countDistinct(col("h")).as("n_exact"))
+        val a = states.select(col("source").as("sa"), col("st").as("sta"),
+          col("n_exact").as("na"))
+        val b = states.select(col("source").as("sb"), col("st").as("stb"),
+          col("n_exact").as("nb"))
+        val pairs = a.crossJoin(b).filter(col("sa") < col("sb"))
+        val dsh = sh.distinct()
+        val inter = dsh.as("x").join(dsh.as("y"), col("x.h") === col("y.h"))
+          .filter(col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+          .agg(count(lit(1)).as("i_exact"))
+        val withComb = pairs
+          .withColumn("comb",
+            slice(array_sort(array_distinct(concat(col("sta"), col("stb")))), 1, k))
+          .withColumn("k_eff", least(size(col("comb")), lit(k)))
+          .withColumn("hk",
+            when(size(col("comb")) >= k, element_at(col("comb"), k)))
+          .withColumn("m", size(filter(col("comb"),
+            x => array_contains(col("sta"), x) && array_contains(col("stb"), x))))
+          .withColumn("est_union",
+            when(size(col("comb")) < k, size(col("comb")).cast("double"))
+              .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976E18)
+                / col("hk").cast("double")))
+        withComb.join(inter, Seq("sa", "sb"), "left")
+          .withColumn("i_exact", coalesce(col("i_exact"), lit(0L)))
+          .select(col("sa"), col("sb"), col("na"), col("nb"),
+            (col("na") + col("nb") - col("i_exact")).as("u_exact"), col("i_exact"),
+            col("m").cast("long").as("m"),
+            col("est_union"),
+            (col("m").cast("double") * col("est_union") / col("k_eff").cast("double"))
+              .as("est_inter"),
+            (col("m").cast("double") / col("k_eff").cast("double")).as("est_jaccard"))
+          .orderBy(col("sa"), col("sb"))
+      },
+      Some(s"""
+        WITH $shingleSqlWithSource,
+        h AS (SELECT DISTINCT source,
+                     ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+              FROM shsrc),
+        st AS (SELECT source, list_slice(list_sort(list(h)), 1, 256) AS st,
+                      COUNT(*) AS n_exact
+               FROM h GROUP BY source),
+        pairs AS (SELECT a.source AS sa, b.source AS sb,
+                         a.st AS sta, b.st AS stb,
+                         a.n_exact AS na, b.n_exact AS nb
+                  FROM st a JOIN st b ON a.source < b.source),
+        inter AS (SELECT x.source AS sa, y.source AS sb, COUNT(*) AS i_exact
+                  FROM h x JOIN h y ON x.h = y.h AND x.source < y.source
+                  GROUP BY x.source, y.source),
+        comb AS (SELECT *,
+                        list_slice(list_sort(list_distinct(sta || stb)), 1, 256) AS cmb
+                 FROM pairs),
+        est AS (SELECT *,
+                       least(len(cmb), 256) AS k_eff,
+                       len(list_filter(cmb, x -> list_contains(sta, x)
+                                               AND list_contains(stb, x))) AS m,
+                       CASE WHEN len(cmb) < 256 THEN CAST(len(cmb) AS DOUBLE)
+                            ELSE CAST(255 AS DOUBLE) * 1152921504606846976.0
+                                 / CAST(cmb[256] AS DOUBLE) END AS est_union
+                FROM comb)
+        SELECT sa, sb, na, nb,
+               CAST(na + nb - COALESCE(i_exact, 0) AS BIGINT) AS u_exact,
+               CAST(COALESCE(i_exact, 0) AS BIGINT) AS i_exact,
+               CAST(m AS BIGINT) AS m,
+               est_union,
+               CAST(m AS DOUBLE) * est_union / CAST(k_eff AS DOUBLE) AS est_inter,
+               CAST(m AS DOUBLE) / CAST(k_eff AS DOUBLE) AS est_jaccard
+        FROM est LEFT JOIN inter USING (sa, sb)
+        ORDER BY sa, sb"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70, q81, q88, q95, q99,
-    q106, q120)
+    q106, q120, q132)
 }

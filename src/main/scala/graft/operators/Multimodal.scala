@@ -286,5 +286,106 @@ object Multimodal {
   def resizeFixed(r: MediaRecord, targetBytes: Int): MediaRecord =
     r.copy(payload = r.payload.padTo(targetBytes, 0.toByte).take(targetBytes))
 
-  val all: Seq[GraftQuery] = Seq(q42, q42b, q108)
+  // ---------------------------------------------------------------- q131
+  // Audio/video container decode — the WAV (RIFF fmt-chunk walk) and MP4
+  // (ISO BMFF ftyp box) siblings of q108's image decoder, completing the
+  // §2.14 multimodal mandate across all three modalities with REAL
+  // public-spec parsers. Corpus synthesized in-plan with real headers
+  // (sample rate / channel / brand fields from doc arithmetic, a 9-byte
+  // truncation case that stops each parser at a different bail-out);
+  // the oracle recomputes every expected field from the same
+  // construction arithmetic — a wrong construction or a wrong parse
+  // both break the match.
+  //
+  // Per-format layout (spec offsets):
+  //   wav = "RIFF" | sz(4LE)=36+body | "WAVE" | "fmt " | 16(4LE) |
+  //         pcm=1(2LE) | channels(2LE) | rate(4LE) | byte_rate(4LE) |
+  //         block_align(2LE) | bits=16(2LE) | "data" | body_n(4LE) | body
+  //   mp4 = size=20(4BE) | "ftyp" | brand(4) | minor=0(4) | "isom" | body
+  //   raw = 0x00 | body                              (no magic → unknown)
+  // Truncation (doc_id % 13 == 0): 9 bytes — RIFF present but "WAVE"
+  // missing (→ unknown), ftyp present but brand cut (→ mp4, invalid).
+
+  private def le32(hex8: Column): Column =
+    concat(substring(hex8, 7, 2), substring(hex8, 5, 2),
+      substring(hex8, 3, 2), substring(hex8, 1, 2))
+
+  /** documents → (doc_id, mime, payload) with real WAV/MP4 headers. */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .withColumn("fmt", pmod(col("doc_id"), lit(3)).cast("int"))
+      .withColumn("ch", (pmod(col("doc_id"), lit(2)) + 1).cast("int"))
+      .withColumn("rate", (lit(8000) + pmod(col("doc_id"), lit(8)) * lit(4000)).cast("int"))
+      .withColumn("bodyhex", hex(substring(col("text").cast("binary"), 1, 32)))
+      .withColumn("body_n", (length(col("bodyhex")) / 2).cast("int"))
+    val wavHex = concat(
+      lit("52494646"), le32(hexW8(col("body_n") + 36)), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("0100"),
+      le16(hexW4(col("ch"))), le32(hexW8(col("rate"))),
+      le32(hexW8(col("rate") * col("ch") * 2)), le16(hexW4(col("ch") * 2)),
+      lit("1000"), lit("64617461"), le32(hexW8(col("body_n"))),
+      col("bodyhex"))
+    val mp4Hex = concat(
+      lit("00000014"), lit("66747970"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("69736F6D"))
+        .otherwise(lit("6D703432")),
+      lit("00000000"), lit("69736F6D"), col("bodyhex"))
+    val rawHex = concat(lit("00"), col("bodyhex"))
+    val full = unhex(
+      when(col("fmt") === 0, wavHex)
+        .when(col("fmt") === 1, mp4Hex)
+        .otherwise(rawHex))
+    d.select(col("doc_id"),
+        when(col("fmt") === 0, lit("audio/wav"))
+          .when(col("fmt") === 1, lit("video/mp4"))
+          .otherwise(lit("application/octet-stream")).as("mime"),
+        when(pmod(col("doc_id"), lit(13)) === 0, substring(full, 1, 9))
+          .otherwise(full).as("payload"))
+      .as[MediaRecord]
+  }
+
+  private val q131 = GraftQuery(
+    "q131_media_header",
+    (s, dir) =>
+      mediaTable(s, dir).toDF()
+        .select(col("doc_id"),
+          graft.functions.MediaHeader(col("payload")).as("mh"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .select(col("doc_id"), col("mh.format").as("format"),
+          col("mh.sample_rate").as("sample_rate"),
+          col("mh.channels").as("channels"), col("mh.bits").as("bits"),
+          col("mh.brand").as("brand"), col("mh.valid").as("valid"),
+          col("n_bytes"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(doc_id % 3 AS INT) AS fmt,
+               (doc_id % 13 = 0) AS trunc,
+               CAST(doc_id % 2 + 1 AS INT) AS ch,
+               CAST(8000 + (doc_id % 8) * 4000 AS INT) AS rate,
+               least(32, octet_length(encode(text))) AS body_n
+        FROM documents),
+      sized AS (
+        SELECT *, CASE fmt WHEN 0 THEN 44 + body_n
+                           WHEN 1 THEN 20 + body_n
+                           ELSE 1 + body_n END AS sz
+        FROM base)
+      SELECT doc_id,
+             CASE WHEN fmt = 1 THEN 'mp4'
+                  WHEN fmt = 0 AND NOT trunc THEN 'wav'
+                  ELSE 'unknown' END AS format,
+             CASE WHEN fmt = 0 AND NOT trunc THEN rate ELSE -1 END AS sample_rate,
+             CASE WHEN fmt = 0 AND NOT trunc THEN ch ELSE -1 END AS channels,
+             CASE WHEN fmt = 0 AND NOT trunc THEN 16 ELSE -1 END AS bits,
+             CASE WHEN fmt = 1 AND NOT trunc
+                  THEN (CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END)
+                  ELSE '' END AS brand,
+             (NOT trunc AND fmt IN (0, 1)) AS valid,
+             CAST(CASE WHEN trunc THEN least(sz, 9) ELSE sz END AS BIGINT) AS n_bytes
+      FROM sized
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q42, q42b, q108, q131)
 }

@@ -63,7 +63,11 @@ class CodegenFallbackSpec extends SparkSpec {
           // round-10 expression-heavy paths: PQ argmin/ADC folds, IVFADC
           // residual chains, BM25 pivot scoring, trailing-HLL fold
           "q112_pq_adc", "q113_bm25_topk", "q116_ivfadc",
-          "q123_trailing_distinct").foreach { name =>
+          "q123_trailing_distinct",
+          // round-10 part 2: MG state lookups (HOF over bounded state),
+          // media header decode, JL sign join, KMV array algebra
+          "q125_mg_heavy_hitters", "q126_jl_projection",
+          "q131_media_header", "q132_kmv_set_algebra").foreach { name =>
         SparkEntry.queries(name)(spark, sf001).collect()
       }
       val msgs = cap.messages.toArray.mkString("\n")

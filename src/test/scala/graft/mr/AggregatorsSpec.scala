@@ -277,6 +277,46 @@ class AggregatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](mergeAgg.reduce(mergeAgg.zero, big))
   }
 
+  // ---- KMV bottom-k distinct sketch ------------------------------------
+
+  test("KMV state is canonical: identical under any split/merge order, distinct, ascending") {
+    val k = 16
+    val agg = new Aggregators.MinKAggregator(k)
+    val stream = zipfStream(nItems = 200, scale = 1500, seed = 3)
+      .map(h => h * 0x9E3779B97F4A7C15L & 0xFFFFFFFFFFFFFL) // spread, nonneg
+    val whole = stream.foldLeft(agg.zero)(agg.reduce)
+    for (nSplits <- Seq(2, 5, 9)) {
+      val rnd = new scala.util.Random(nSplits)
+      val parts = stream.groupBy(_ => rnd.nextInt(nSplits)).values.toSeq
+      val merged = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge)
+      assert(merged == whole,
+        s"KMV state must be split-order-independent (splits=$nSplits)")
+    }
+    assert(whole == whole.distinct && whole == whole.sorted && whole.size <= k)
+    // ground truth: k smallest distinct values of the set
+    assert(whole == stream.distinct.sorted.take(k))
+  }
+
+  test("KMV estimator: exact below k, within 4/sqrt(k) above; duplicates ignored") {
+    val k = 64
+    val agg = new Aggregators.MinKAggregator(k)
+    // fewer distincts than k: the state IS the set
+    val small = (1L to 40L).map(x => x * 0x9E3779B97F4A7C15L & 0xFFFFFFFFFFFFFL)
+    val smallState = (small ++ small).foldLeft(agg.zero)(agg.reduce)
+    assert(smallState.size == 40, "sketch must hold the whole small set exactly")
+    // many distincts: (k-1) * 2^60 / h_k within 4 standard errors
+    val n = 20000
+    val big = (1L to n.toLong).map(x =>
+      // multiply into the full 60-bit hash space the estimator assumes
+      (x * 0x9E3779B97F4A7C15L) & ((1L << 60) - 1))
+    val st = big.foldLeft(agg.zero)(agg.reduce)
+    assert(st.size == k)
+    val est = (k - 1).toDouble * math.pow(2.0, 60) / st.last.toDouble
+    val tol = 4.0 / math.sqrt(k.toDouble) * n
+    assert(math.abs(est - n) <= tol, s"KMV est $est vs exact $n (tol $tol)")
+  }
+
   test("declared q125 booleans are all true on sf0.001") {
     val rows = graft.SparkEntry.queries("q125_mg_heavy_hitters")(spark, sf001).collect()
     // sf0.001's vocabulary is smaller than the top-40 limit — every
