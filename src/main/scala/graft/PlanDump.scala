@@ -26,7 +26,8 @@ object PlanDump {
     "q119_frequent_grams", "q120_overlap_matrix", "q121_bm25_append",
     "q122_funnel", "q123_trailing_distinct", "q124_incremental_prefix",
     "q125_mg_heavy_hitters", "q126_jl_projection", "q127_skew_advisor",
-    "q128_embedding_drift", "q129_boolean_retrieval", "q130_hybrid_rrf")
+    "q128_embedding_drift", "q129_boolean_retrieval", "q130_hybrid_rrf",
+    "q131_media_header", "q132_kmv_set_algebra")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
