@@ -27,7 +27,8 @@ object PlanDump {
     "q122_funnel", "q123_trailing_distinct", "q124_incremental_prefix",
     "q125_mg_heavy_hitters", "q126_jl_projection", "q127_skew_advisor",
     "q128_embedding_drift", "q129_boolean_retrieval", "q130_hybrid_rrf",
-    "q131_media_header", "q132_kmv_set_algebra")
+    "q131_media_header", "q132_kmv_set_algebra", "q133_normalized_dedup",
+    "q134_filter_cascade")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -27,6 +27,20 @@ object TextFunctions {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Dedup-canonical normalization (the CCNet-shaped pre-dedup
+    * transform): lower → ALL whitespace to single spaces (a tab/newline
+    * between words must not glue them together when punctuation is
+    * stripped) → drop everything but [a-z ] → collapse space runs →
+    * trim. Case, punctuation, digit and whitespace variants of the same
+    * content map to one canonical string. ASCII classes only —
+    * identical in Java regex (Spark) and DuckDB's RE2 (oracles pass
+    * the 'g' flag; Spark replaces all matches by default).
+    */
+  def dedupNormalized(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(regexp_replace(lower(text), "\\s+", " "), "[^a-z ]", ""),
+      " +", " "))
+
   /** Stable 60-bit content hash derived from md5 (identical hex in every
     * engine): the top 60 bits of the digest == the first 15 hex chars
     * parsed base-16. Native codegen'd expression ([[Md5Hash60]]); the

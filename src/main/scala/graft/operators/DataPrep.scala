@@ -1039,6 +1039,86 @@ object DataPrep {
         AND doc_id NOT IN (SELECT doc_id FROM contaminated)
       ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q134
+  // Filter-cascade drop accounting — curation OBSERVABILITY: a corpus
+  // filter stack is only debuggable when every document's drop is
+  // attributed to the FIRST stage that rejected it, and the per-stage
+  // in/drop/out ledger is exact. One scan computes every stage flag,
+  // one hash-agg counts first-fail attributions, and the ledger rows
+  // are pure arithmetic over that single aggregate row — no per-stage
+  // re-scan (the naive form scans the corpus once per filter).
+  //
+  // Threshold comparisons are integer cross-multiplications (stop·50 ≥ n
+  // for ratio ≥ 0.02, distinct·100 ≥ n·35 for TTR ≥ 0.35) so the oracle
+  // replays them with no float boundary risk.
+
+  /** Per-stage ledger (stage, name, n_in, n_drop, n_out) for a cascade
+    * of predicates evaluated in order with first-fail attribution. */
+  def cascadeAccounting(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty && stages.size <= 16, "1..16 cascade stages")
+    val flagged = df.select(stages.zipWithIndex.map {
+      case ((_, p), i) => p.as(s"__f$i") }: _*)
+    val firstFail = stages.indices
+      .foldLeft(when(lit(false), lit(-1))) { (w, i) =>
+        w.when(!col(s"__f$i"), lit(i)) }
+      .otherwise(lit(-1))
+    val counts = flagged.agg(
+      count(lit(1)).as("__total"),
+      stages.indices.map(i =>
+        sum(when(firstFail === i, 1L).otherwise(0L)).as(s"__d$i")): _*)
+    // running n_in per stage from the one aggregate row
+    val ledger = stages.indices.map { i =>
+      val nIn = (0 until i).foldLeft(col("__total")) { (c, j) => c - col(s"__d$j") }
+      struct(lit(i).as("stage"), lit(stages(i)._1).as("name"),
+        nIn.as("n_in"), col(s"__d$i").as("n_drop"),
+        (nIn - col(s"__d$i")).as("n_out"))
+    }
+    counts.select(explode(array(ledger: _*)).as("r"))
+      .select(col("r.stage"), col("r.name"), col("r.n_in"),
+        col("r.n_drop"), col("r.n_out"))
+      .orderBy(col("stage"))
+  }
+
+  private val q134 = GraftQuery(
+    "q134_filter_cascade",
+    (s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val d = Tables.documents(s, dir)
+        .withColumn("__t", tokens(col("text")))
+        .withColumn("__n", size(col("__t")))
+        .withColumn("__stop", size(filter(col("__t"),
+          t => t.isin("the", "a", "and", "of", "to", "is", "in"))))
+        .withColumn("__nd", size(array_distinct(col("__t"))))
+      cascadeAccounting(d, Seq(
+        "len_gate" -> (col("__n") >= 25 && col("__n") <= 1000),
+        "stopword_ratio" -> (col("__stop") * lit(50) >= col("__n")),
+        "type_token_ratio" -> (col("__nd") * lit(100) >= col("__n") * lit(35))))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                 FROM documents),
+      f AS (SELECT len(t) AS n,
+                   len(list_filter(t, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS stop,
+                   len(list_distinct(t)) AS nd
+            FROM t),
+      flags AS (SELECT (n >= 25 AND n <= 1000) AS f0,
+                       (stop * 50 >= n) AS f1,
+                       (nd * 100 >= n * 35) AS f2
+                FROM f),
+      c AS (SELECT COUNT(*) AS total,
+                   CAST(SUM(CASE WHEN NOT f0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+                   CAST(SUM(CASE WHEN f0 AND NOT f1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(SUM(CASE WHEN f0 AND f1 AND NOT f2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+            FROM flags)
+      SELECT 0 AS stage, 'len_gate' AS name, total AS n_in, d0 AS n_drop,
+             total - d0 AS n_out FROM c
+      UNION ALL
+      SELECT 1, 'stopword_ratio', total - d0, d1, total - d0 - d1 FROM c
+      UNION ALL
+      SELECT 2, 'type_token_ratio', total - d0 - d1, d2, total - d0 - d1 - d2 FROM c
+      ORDER BY stage"""))
+
   val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84,
-    q85, q86, q89, q91, q98, q101, q115, q124)
+    q85, q86, q89, q91, q98, q101, q115, q124, q134)
 }

@@ -982,6 +982,57 @@ object Dedup {
         ORDER BY sa, sb"""))
   }
 
+  // --------------------------------------------------------------- q133
+  // Normalization-aware exact dedup (the CCNet-shaped pre-dedup
+  // canonicalization): crawl text repeats with case/punctuation/
+  // whitespace noise that byte-exact dedup (q35) cannot collapse.
+  // [[graft.functions.TextFunctions.dedupNormalized]] maps all such
+  // variants to one canonical string; dedup then groups by
+  // md5(canonical). The test corpus is already clean, so the declared
+  // query SYNTHESIZES the noise in-plan (the q108/q131 construction
+  // discipline): three deterministic variants per document — original,
+  // UPPERCASED, punctuation-tailed — which raw dedup sees as three
+  // distinct contents and normalized dedup must collapse to one group
+  // of three raw variants each. The oracle replays both the variant
+  // construction and the normalization regex chain.
+  //
+  // Scale shape: identical to q35 — the normalization is a stateless
+  // scalar chain inside the scan's codegen span, and the dedup is one
+  // hash-agg on a 16-byte digest. n_raw_variants rides the same agg.
+  private val q133 = GraftQuery(
+    "q133_normalized_dedup",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val noisy = base
+        .unionAll(base.select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          upper(col("text")).as("text")))
+        .unionAll(base.select((col("doc_id") + lit(2000000000L)).as("doc_id"),
+          concat(col("text"), lit(" !! 42")).as("text")))
+      noisy
+        .groupBy(md5(graft.functions.TextFunctions.dedupNormalized(col("text")))
+          .as("norm_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          countDistinct(md5(col("text"))).as("n_raw_variants"))
+        .orderBy(col("norm_hash"))
+    },
+    Some("""
+      WITH noisy AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000, upper(text) FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000000, text || ' !! 42' FROM documents)
+      SELECT md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                                                    '[^a-z ]', '', 'g'),
+                                     ' +', ' ', 'g'))) AS norm_hash,
+             MIN(doc_id) AS keep_id,
+             COUNT(*) AS n_copies,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
+      FROM noisy
+      GROUP BY norm_hash
+      ORDER BY norm_hash"""))
+
   val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70, q81, q88, q95, q99,
-    q106, q120, q132)
+    q106, q120, q132, q133)
 }

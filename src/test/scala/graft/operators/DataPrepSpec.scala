@@ -421,4 +421,27 @@ class DataPrepSpec extends SparkSpec {
     val full = batches.flatten.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
     assert(line == full)
   }
+
+  test("cascadeAccounting: ledger telescopes, first-fail attribution matches brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 200).map(i => (i, i % 7, i % 5)).toDF("id", "a", "b")
+    val stages = Seq(
+      "a_not_zero" -> (col("a") =!= 0),
+      "b_not_zero" -> (col("b") =!= 0),
+      "id_small" -> (col("id") <= 150))
+    val got = DataPrep.cascadeAccounting(rows, stages)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // telescoping: n_out(k) == n_in(k+1); n_in(0) == total
+    assert(got.head._3 == 200)
+    got.sliding(2).foreach { case Array(x, y) => assert(x._5 == y._3); case _ => }
+    // brute-force first-fail attribution
+    val data = (1 to 200).map(i => (i, i % 7, i % 5))
+    val d0 = data.count(_._2 == 0)
+    val d1 = data.count(t => t._2 != 0 && t._3 == 0)
+    val d2 = data.count(t => t._2 != 0 && t._3 != 0 && t._1 > 150)
+    assert(got.map(_._4).toSeq == Seq(d0, d1, d2))
+    assert(got.last._5 == 200 - d0 - d1 - d2)
+    assert(got.map(_._2).toSeq == stages.map(_._1))
+  }
 }

@@ -234,6 +234,29 @@ class DedupSpec extends SparkSpec {
     assert(ea <= eu + 1 && eb <= eu + 1) // union dominates (register max)
   }
 
+  test("dedupNormalized collapses case/punct/whitespace variants; distinct content stays apart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val variants = Seq(
+      "Hello,  World! 42", "hello world", "HELLO\tWORLD?", " hello   world. ",
+      "goodbye world")
+    val norm = variants.toDF("text")
+      .select(graft.functions.TextFunctions.dedupNormalized(col("text")))
+      .as[String].collect()
+    assert(norm.take(4).toSet == Set("hello world"),
+      s"all four variants must canonicalize identically, got ${norm.take(4).toSeq}")
+    assert(norm(4) == "goodbye world")
+    // the declared query's collapse law: every group holds exactly the
+    // three constructed variants
+    val rows = graft.SparkEntry.queries("q133_normalized_dedup")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 3L, s"group ${r.getString(0)}: n_copies ${r.getLong(2)}")
+      assert(r.getLong(3) == 3L, s"group ${r.getString(0)}: variants ${r.getLong(3)}")
+    }
+  }
+
   private implicit class RowsToMap(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap

@@ -558,4 +558,52 @@ class StreamingSpec extends SparkSpec {
       assert(last == Streams.UserRunning(7L, 3L, 7.0))
     } finally q.stop()
   }
+
+  test("streaming MG heavy hitters: per-trigger states fold to a law-true corpus summary") {
+    // the ingest pattern for q125's stored states: each micro-batch emits
+    // ONE MG state row (foreachBatch persists it); the corpus heavy
+    // hitters come from folding stored states with MgMergeAggregator.
+    // The fold's worst-case laws must hold vs the exact counts of
+    // everything streamed — the same guarantee chain as the batch path,
+    // crossing trigger boundaries.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 31
+    val mgState = udaf(new graft.mr.Aggregators.MgStateAggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // Zipf-ish item stream: item i ~ N/(i+1) occurrences, shuffled
+    val rnd = new scala.util.Random(5)
+    val items = rnd.shuffle(
+      (0 until 300).flatMap(i => Seq.fill(3000 / (i + 1))(i.toLong)))
+    val states = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val mem = MemoryStream[Long]
+    // each micro-batch aggregates to ONE state row which foreachBatch
+    // "persists" (here: collects) — the shard-per-trigger ingest shape
+    val q = mem.toDF().toDF("h")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.agg(mgState(col("h")).as("st"))
+          .collect().foreach(r => states += r.getSeq[Long](0))
+      }
+      .start()
+    try {
+      items.grouped(2500).foreach { day =>
+        mem.addData(day); q.processAllAvailable()
+      }
+      assert(states.size >= 2, "test must actually cross trigger boundaries")
+      val mgFold = new graft.mr.Aggregators.MgMergeAggregator(k)
+      val folded = mgFold.finish(states.foldLeft(mgFold.zero)(mgFold.reduce))
+      val n = folded(0); val err = folded(1); val size = folded(2).toInt
+      assert(n == items.size.toLong, "folded stream length must be exact")
+      assert(err * (k + 1) <= n)
+      val counts = (0 until size).map(i => folded(3 + 2 * i) -> folded(4 + 2 * i)).toMap
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.foreach { case (h, cnt) =>
+        val c = counts.getOrElse(h, 0L)
+        assert(c <= cnt && cnt <= c + err)
+        if (cnt > err) assert(counts.contains(h),
+          s"heavy hitter $h (count $cnt > err $err) lost across trigger boundaries")
+      }
+    } finally q.stop()
+  }
 }
