@@ -494,6 +494,42 @@ object Pipeline {
   def maxYearTemp(corpus: Dataset[String]): Dataset[(Int, Double)] =
     mr.Jobs.maxYearTemp(corpus)
 
+  // ---- round-10 part 2 ------------------------------------------------------
+  /** Dedup-canonical text normalization (CCNet-shaped): case/punct/
+    * whitespace variants map to one canonical string (q133). */
+  def dedupNormalized(text: Column): Column =
+    functions.TextFunctions.dedupNormalized(text)
+
+  /** Per-stage (n_in, n_drop, n_out) ledger with first-fail attribution
+    * for an ordered filter cascade — one scan, one aggregate (q134). */
+  def cascadeAccounting(df: DataFrame, stages: Seq[(String, Column)]): DataFrame =
+    operators.DataPrep.cascadeAccounting(df, stages)
+
+  /** AND / AND-NOT boolean retrieval over (term, id, tf) postings (q129). */
+  def booleanRetrieve(postings: DataFrame, idCol: String,
+      must: Seq[String], mustNot: Seq[String]): DataFrame =
+    operators.TextAnalysis.booleanRetrieve(postings, idCol, must, mustNot)
+
+  /** Deterministic JL d→m projection (±1 md5 signs, exact-int outputs;
+    * divide by 2⁴⁰·√m for the metric-preserving float form) (q126). */
+  def jlProject(spark: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
+      d: Int, m: Int): DataFrame =
+    operators.Similarity.jlProject(spark, embeddings, d, m)
+
+  /** Per-dim exact-moment drift verdicts between two corpus slices
+    * (`sideExpr` ∈ {0, 1}) — the data-driven refit gate (q128). */
+  def embeddingDrift(embeddings: DataFrame, sideExpr: Column): DataFrame =
+    operators.Similarity.embeddingDrift(embeddings, sideExpr)
+
+  /** One-row key-skew profile + recommended salt factor (q127). */
+  def keySkewProfile(df: DataFrame, keyName: String, keyCol: String,
+      targetPerKey: Long): DataFrame =
+    plans.ScaleOps.keySkewProfile(df, keyName, keyCol, targetPerKey)
+
+  /** Audio/video container header decode: WAV fmt fields + mp4 brand
+    * from a binary column, codegen'd, never throws (q131). */
+  def mediaHeader(payload: Column): Column = functions.MediaHeader(payload)
+
   // ---- streaming ------------------------------------------------------------
   /** Ingestion-side dedup of a document stream against a static corpus. */
   def incrementalDedupStream(docs: DataFrame, corpusHashes: DataFrame): DataFrame =

@@ -111,5 +111,79 @@ object Profiler {
     Some(docCols.map(oracleCol).mkString("", "\nUNION ALL\n",
       "\nORDER BY col_name")))
 
-  val all: Seq[GraftQuery] = Seq(q100)
+  // --------------------------------------------------------------- q136
+  // Referential-integrity audit: per foreign-key edge, child row count,
+  // orphan count (child keys with no parent), and basis-point orphan
+  // rate — the warehouse-QA pass that catches a broken ingest join
+  // BEFORE a downstream training query silently inner-joins the
+  // orphans away. Each edge is one left-anti join on the key: orphan
+  // counting shuffles only keys, the parent side broadcasts when small
+  // (dims) or shuffles hash-keyed when not (AQE decides), and nulls in
+  // the child key count as orphans of record (a null FK can never
+  // join — the audit's job is to say so, not drop it).
+  //
+  // Orphan rate is integer basis points (orphans·10000 DIV n_child) so
+  // the row replays with no float division.
+
+  /** One audit row per (edge name, child df, child key, parent df,
+    * parent key). */
+  def integrityAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "audit needs at least one FK edge")
+    edges.map { case (name, child, ck, parent, pk) =>
+      val orphans = child.select(col(ck).as("__k"))
+        .join(parent.select(col(pk).as("__k")).distinct(),
+          Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val total = child.agg(count(lit(1)).as("n_child"))
+      total.crossJoin(orphans)
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"),
+          expr("n_orphans * 10000L DIV n_child").as("orphan_bp"))
+    }.reduce(_ unionAll _)
+  }
+
+  private val q136 = GraftQuery(
+    "q136_integrity_audit",
+    (s, dir) => {
+      integrityAudit(Seq(
+        ("lineitem.l_orderkey->orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.load(s, dir, "orders"), "o_orderkey"),
+        ("orders.o_custkey->customer", Tables.load(s, dir, "orders"), "o_custkey",
+          Tables.load(s, dir, "customer"), "c_custkey"),
+        ("customer.c_nationkey->nation", Tables.load(s, dir, "customer"), "c_nationkey",
+          Tables.load(s, dir, "nation"), "n_nationkey"),
+        ("events.user_id->customer", Tables.events(s, dir), "user_id",
+          Tables.load(s, dir, "customer"), "c_custkey")))
+        .orderBy(col("fk_edge"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+               (SELECT COUNT(*) FROM lineitem) AS n_child,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders r
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = r.o_custkey))
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               (SELECT COUNT(*) FROM customer),
+               (SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))
+        UNION ALL
+        SELECT 'events.user_id->customer',
+               (SELECT COUNT(*) FROM events),
+               (SELECT COUNT(*) FROM events v
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = v.user_id)))
+      SELECT fk_edge, n_child, n_orphans,
+             (n_orphans * 10000) // n_child AS orphan_bp
+      FROM e
+      ORDER BY fk_edge"""))
+
+  val all: Seq[GraftQuery] = Seq(q100, q136)
 }

@@ -404,5 +404,57 @@ object Windows {
       SELECT 3, 'purchase', n3, CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
       ORDER BY step"""))
 
-  val all: Seq[GraftQuery] = Seq(q48, q49, q50, q52, q54, q68, q69, q73, q122)
+  // --------------------------------------------------------------- q135
+  // Ingest anomaly detection: per (event_type, day) counts with a
+  // trailing-week baseline and an integer-exact spike verdict — the
+  // monitoring gate an ingestion pipeline runs daily ("did crawl volume
+  // for this source jump > 2× its trailing week?") before anomalous
+  // data reaches training. The daily-count aggregation reduces the
+  // corpus FIRST (one partial-agged hash-agg); the trailing window then
+  // runs over days×types rows — thousands, not billions — with a RANGE
+  // frame on the integer day so calendar gaps (zero-event days) widen
+  // the denominator window correctly rather than silently sliding over
+  // them (a ROWS frame would).
+  //
+  // Verdict arithmetic is pure integers (n·7 > 2·prev7_sum), replayable
+  // with no float boundary; days with an incomplete trailing week
+  // (fewer than 7 PRESENT days in range — corpus edges) report
+  // spike = false rather than comparing against a short baseline.
+  def ingestAnomaly(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("CAST((unix_timestamp(ts) - pmod(unix_timestamp(ts), 86400)) / 86400 AS BIGINT)")
+          .as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-7, -1)
+    daily
+      .withColumn("prev7", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("n_prev_days", count(lit(1)).over(w))
+      .withColumn("spike",
+        col("n_prev_days") === 7 && col("n") * lit(7L) > col("prev7") * lit(2L))
+  }
+
+  private val q135 = GraftQuery(
+    "q135_ingest_anomaly",
+    (s, dir) => ingestAnomaly(Tables.events(s, dir))
+      .orderBy(col("event_type"), col("day")),
+    Some("""
+      WITH sec AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+      daily AS (SELECT event_type,
+                       (e - ((e % 86400) + 86400) % 86400) // 86400 AS day,
+                       COUNT(*) AS n
+                FROM sec GROUP BY 1, 2)
+      SELECT event_type, day, n,
+             CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS prev7,
+             COUNT(*) OVER w AS n_prev_days,
+             (COUNT(*) OVER w = 7 AND n * 7 > COALESCE(SUM(n) OVER w, 0) * 2) AS spike
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      ORDER BY event_type, day"""))
+
+  val all: Seq[GraftQuery] = Seq(q48, q49, q50, q52, q54, q68, q69, q73, q122,
+    q135)
 }

@@ -388,4 +388,32 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(top0 - counts.values.max.toDouble / bigrams.size) < 1e-12)
     assert(math.abs(dup0 - (1.0 - counts.size.toDouble / bigrams.size)) < 1e-12)
   }
+
+  test("ingestAnomaly: spike fires only on a >2x-of-trailing-week day with a full baseline") {
+    import spark.implicits._
+    // 14 consecutive days of 10 events, then one day of 50 (spike),
+    // then 3 more flat days — all one event_type
+    def day(d: Int, n: Int) = (0 until n).map(i =>
+      (java.sql.Timestamp.valueOf(f"2024-02-${d + 1}%02d 12:00:${i % 60}%02d"), "view"))
+    val rows = (0 until 14).flatMap(day(_, 10)) ++ day(14, 50) ++
+      (15 until 18).flatMap(day(_, 10))
+    val ev = rows.toDF("ts", "event_type")
+    val got = Windows.ingestAnomaly(ev)
+      .orderBy(col("day"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.length == 18)
+    // first 7 days: incomplete baseline => never spike
+    got.take(7).foreach { case (_, _, _, nPrev, spike) =>
+      assert(nPrev < 7 && !spike)
+    }
+    // the spike day: full baseline of 70, 50*7 > 140 => fires
+    val spikeDay = got(14)
+    assert(spikeDay._2 == 50L && spikeDay._3 == 70L && spikeDay._4 == 7L && spikeDay._5,
+      s"spike row $spikeDay")
+    // every other full-baseline day stays quiet (incl. days following
+    // the spike, whose baseline now contains it)
+    got.zipWithIndex.filter { case (g, i) => i != 14 && g._4 == 7L }
+      .foreach { case (g, i) => assert(!g._5, s"false spike at index $i: $g") }
+  }
 }

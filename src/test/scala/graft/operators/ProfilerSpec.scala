@@ -49,4 +49,20 @@ class ProfilerSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), s"profiler must not Expand the scan:\n$plan")
   }
+
+  test("integrityAudit: orphan counting incl. null FKs; clean edge reports zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val parent = Seq(1L, 2L, 3L).toDF("pid")
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk") // 9 -> orphan, null -> orphan of record
+    val clean = Seq(Some(3L), Some(3L)).toDF("fk")
+    val got = Profiler.integrityAudit(Seq(
+      ("dirty", child, "fk", parent, "pid"),
+      ("clean", clean, "fk", parent, "pid")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("dirty") == ((5L, 2L, 4000L)), s"got ${got("dirty")}")
+    assert(got("clean") == ((2L, 0L, 0L)))
+  }
 }
