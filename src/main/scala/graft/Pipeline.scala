@@ -530,6 +530,15 @@ object Pipeline {
     * from a binary column, codegen'd, never throws (q131). */
   def mediaHeader(payload: Column): Column = functions.MediaHeader(payload)
 
+  /** Per (event_type, day) counts + trailing-week spike verdicts (q135). */
+  def ingestAnomaly(events: DataFrame): DataFrame =
+    operators.Windows.ingestAnomaly(events)
+
+  /** Per-FK-edge orphan accounting: (fk_edge, n_child, n_orphans,
+    * orphan_bp) for each (name, child, childKey, parent, parentKey) (q136). */
+  def integrityAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    operators.Profiler.integrityAudit(edges)
+
   // ---- streaming ------------------------------------------------------------
   /** Ingestion-side dedup of a document stream against a static corpus. */
   def incrementalDedupStream(docs: DataFrame, corpusHashes: DataFrame): DataFrame =

@@ -185,5 +185,156 @@ object Profiler {
       FROM e
       ORDER BY fk_edge"""))
 
-  val all: Seq[GraftQuery] = Seq(q100, q136)
+  // --------------------------------------------------------------- q137
+  // Per-column frequent values — the "top values per column" panel of a
+  // data profiler, computed for EVERY requested column in ONE scan: one
+  // agg holds one Misra–Gries summary per column (O(k) state each), so
+  // profiling 20 columns of a 100 TB table costs one pass, not 20
+  // top-k shuffles. The q125 law-oracle scheme applies per column
+  // (summary content is merge-order-dependent; the worst-case laws are
+  // not): the exact per-column top-10 (calibration side) is checked
+  // against its column's summary via le_exact / within_err / found /
+  // err_bound / n_exact booleans, all TRUE under every merge order.
+  def frequentValues(df: DataFrame, cols: Seq[String], k: Int,
+      topPerCol: Int): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 32, "1..32 profiled columns")
+    val mg = udaf(new graft.mr.Aggregators.MgStateAggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val states = df.agg(
+      mg(xxhash64(col(cols.head))).as(s"st_${cols.head}"),
+      cols.tail.map(c => mg(xxhash64(col(c))).as(s"st_$c")) :+
+        count(lit(1)).as("n_rows"): _*)
+    val tops = cols.map { c =>
+      df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .select(lit(c).as("col_name"), col(c).cast("string").as("value"),
+          xxhash64(col(c)).as("h"), col("cnt"))
+        // tie-break on the STRING form (the output column) so the top-k
+        // cut matches the oracle's ORDER BY value exactly
+        .orderBy(col("cnt").desc, col("value")).limit(topPerCol)
+    }.reduce(_ unionAll _)
+    val st = cols.tail.foldLeft(
+      when(col("col_name") === cols.head, col(s"st_${cols.head}"))) {
+      (w, c) => w.when(col("col_name") === c, col(s"st_$c"))
+    }
+    def mgCount(stc: Column): Column =
+      aggregate(sequence(lit(1), element_at(stc, 3).cast("int")),
+        lit(-1L),
+        (acc, i) => when(element_at(stc, (lit(2) + i * lit(2)).cast("int")) === col("h"),
+          element_at(stc, (lit(3) + i * lit(2)).cast("int"))).otherwise(acc))
+    tops.crossJoin(broadcast(states))
+      .withColumn("__st", st)
+      .withColumn("__c", mgCount(col("__st")))
+      .select(col("col_name"), col("value"), col("cnt"),
+        (col("__c") < lit(0L) || col("__c") <= col("cnt")).as("le_exact"),
+        (col("cnt") <= greatest(col("__c"), lit(0L)) + element_at(col("__st"), 2))
+          .as("within_err"),
+        (col("__c") > lit(0L) || col("cnt") <= element_at(col("__st"), 2)).as("found"),
+        (element_at(col("__st"), 2) * lit(k + 1L) <= element_at(col("__st"), 1))
+          .as("err_bound"),
+        (element_at(col("__st"), 1) === col("n_rows")).as("n_exact"))
+      .orderBy(col("col_name"), col("cnt").desc, col("value"))
+  }
+
+  private val q137 = GraftQuery(
+    "q137_frequent_values",
+    (s, dir) => frequentValues(Tables.lineitem(s, dir),
+      Seq("l_partkey", "l_suppkey", "l_returnflag"), k = 127, topPerCol = 10),
+    Some("""
+      WITH t AS (
+        SELECT 'l_partkey' AS col_name, CAST(l_partkey AS VARCHAR) AS value,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY cnt DESC, value LIMIT 10),
+      u AS (
+        SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR), COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_suppkey
+        ORDER BY cnt DESC, CAST(l_suppkey AS VARCHAR) LIMIT 10),
+      v AS (
+        SELECT 'l_returnflag', l_returnflag, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY cnt DESC, l_returnflag LIMIT 10),
+      allt AS (SELECT * FROM t UNION ALL SELECT * FROM u UNION ALL SELECT * FROM v)
+      SELECT col_name, value, cnt,
+             TRUE AS le_exact, TRUE AS within_err, TRUE AS found,
+             TRUE AS err_bound, TRUE AS n_exact
+      FROM allt
+      ORDER BY col_name, cnt DESC, value"""))
+
+  // --------------------------------------------------------------- q138
+  // Exact column-correlation audit: pairwise covariance NUMERATORS of
+  // numeric columns as exact scaled integers — the profiler's "which
+  // columns move together" panel with zero float drift: every term is
+  // ⌊x·2²⁰⌋ summed exactly (per-pair products in DECIMAL(38,0) /
+  // HUGEINT), the covariance numerator n·Σab − Σa·Σb is pure integer
+  // arithmetic, and the sign verdict replays bit-for-bit. ONE scan
+  // computes all pair sums as plain aggregates (no Expand, no custom
+  // buffer — d(d+1)/2 sum columns); the 38-digit bound holds for
+  // n ≲ 10⁷ rows at |x| ≤ 10⁵ — per-shard profile scale; bigger
+  // corpora fold per-shard sums (they are plain additive integers).
+  def columnCorrelation(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 12, "2..12 numeric columns")
+    val scale = 1048576.0 // 2^20
+    def D(c: Column) = c.cast("decimal(38,0)")
+    val scaled = df.select(cols.map(c =>
+      floor(col(c).cast("double") * lit(scale)).cast("long").as(s"e_$c")): _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => sum(col(s"e_$c")).as(s"s_$c")) ++
+        pairs.map { case (a, b) =>
+          sum(D(col(s"e_$a")) * col(s"e_$b")).as(s"s_${a}_$b") } :+
+        count(lit(1)).as("n")
+    val row = scaled.agg(aggs.head, aggs.tail: _*)
+    val out = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        col(s"s_$a").as("s_a"), col(s"s_$b").as("s_b"),
+        col(s"s_${a}_$b").as("s_ab"),
+        (D(col(s"s_${a}_$b")) * col("n") - D(col(s"s_$a")) * col(s"s_$b"))
+          .as("cov_num"),
+        (D(col(s"s_${a}_$b")) * col("n") > D(col(s"s_$a")) * col(s"s_$b"))
+          .as("corr_positive"))
+    }
+    row.select(explode(array(out: _*)).as("r"))
+      .select(col("r.col_a"), col("r.col_b"), col("r.n"), col("r.s_a"),
+        col("r.s_b"), col("r.s_ab"), col("r.cov_num"), col("r.corr_positive"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  private val q138 = GraftQuery(
+    "q138_column_correlation",
+    (s, dir) => columnCorrelation(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    Some("""
+      WITH e AS (SELECT CAST(floor(CAST(l_quantity AS DOUBLE) * 1048576.0) AS BIGINT) AS q,
+                        CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1048576.0) AS BIGINT) AS p,
+                        CAST(floor(CAST(l_discount AS DOUBLE) * 1048576.0) AS BIGINT) AS d,
+                        CAST(floor(CAST(l_tax AS DOUBLE) * 1048576.0) AS BIGINT) AS x
+                 FROM lineitem),
+      m AS (SELECT COUNT(*) AS n,
+                   CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+                   CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(x) AS BIGINT) AS sx,
+                   SUM(CAST(q AS HUGEINT) * p) AS sqp, SUM(CAST(q AS HUGEINT) * d) AS sqd,
+                   SUM(CAST(q AS HUGEINT) * x) AS sqx, SUM(CAST(p AS HUGEINT) * d) AS spd,
+                   SUM(CAST(p AS HUGEINT) * x) AS spx, SUM(CAST(d AS HUGEINT) * x) AS sdx
+            FROM e)
+      SELECT col_a, col_b, n, s_a, s_b,
+             CAST(s_ab AS DECIMAL(38,0)) AS s_ab,
+             CAST(s_ab * n - CAST(s_a AS HUGEINT) * s_b AS DECIMAL(38,0)) AS cov_num,
+             s_ab * n > CAST(s_a AS HUGEINT) * s_b AS corr_positive
+      FROM (
+        SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, n, sd AS s_a, sx AS s_b, sdx AS s_ab FROM m
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount', n, sp, sd, spd FROM m
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_tax', n, sp, sx, spx FROM m
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount', n, sq, sd, sqd FROM m
+        UNION ALL
+        SELECT 'l_quantity', 'l_extendedprice', n, sq, sp, sqp FROM m
+        UNION ALL
+        SELECT 'l_quantity', 'l_tax', n, sq, sx, sqx FROM m)
+      ORDER BY col_a, col_b"""))
+
+  val all: Seq[GraftQuery] = Seq(q100, q136, q137, q138)
 }

@@ -67,7 +67,8 @@ class CodegenFallbackSpec extends SparkSpec {
           // round-10 part 2: MG state lookups (HOF over bounded state),
           // media header decode, JL sign join, KMV array algebra
           "q125_mg_heavy_hitters", "q126_jl_projection",
-          "q131_media_header", "q132_kmv_set_algebra").foreach { name =>
+          "q131_media_header", "q132_kmv_set_algebra",
+          "q137_frequent_values", "q138_column_correlation").foreach { name =>
         SparkEntry.queries(name)(spark, sf001).collect()
       }
       val msgs = cap.messages.toArray.mkString("\n")

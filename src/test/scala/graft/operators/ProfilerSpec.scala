@@ -65,4 +65,48 @@ class ProfilerSpec extends SparkSpec {
     assert(got("dirty") == ((5L, 2L, 4000L)), s"got ${got("dirty")}")
     assert(got("clean") == ((2L, 0L, 0L)))
   }
+
+  test("frequentValues: one-pass multi-column MG laws; a dominant value is found") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // col a: 40% one hot value + tail; col b: uniform
+    val rows = (1 to 2000).map(i =>
+      (if (i % 5 < 2) 999L else i.toLong, (i % 37).toLong)).toDF("a", "b")
+    val got = Profiler.frequentValues(rows, Seq("a", "b"), k = 15, topPerCol = 5)
+      .collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      (3 until r.length).foreach(i =>
+        assert(r.getBoolean(i), s"law col $i false for ${r.getString(0)}=${r.getString(1)}"))
+    }
+    // the hot value must be the top row of column a with its exact count
+    val topA = got.filter(_.getString(0) == "a").head
+    // 800 hot-slot rows + row i=999 itself (999 % 5 = 4 puts it on the
+    // tail branch, where a = i = 999 collides with the hot value)
+    assert(topA.getString(1) == "999" && topA.getLong(2) == 801L)
+  }
+
+  test("columnCorrelation: signs and exact covariance numerators match a driver replay") {
+    import spark.implicits._
+    val rows = (1 to 500).map { i =>
+      val x = (i % 97).toDouble / 7.0
+      (x, 2.0 * x + 1.0, -3.0 * x, (i % 13).toDouble) // pos, neg, ~independent
+    }.toDF("x", "y", "z", "w")
+    val got = Profiler.columnCorrelation(rows, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDecimal(6), r.getBoolean(7)))).toMap
+    assert(got(("x", "y"))._2 && !got(("x", "z"))._2 && !got(("y", "z"))._2)
+    // exact replay of the scaled-integer arithmetic for one pair
+    val scale = 1048576.0
+    val data = (1 to 500).map { i =>
+      val x = (i % 97).toDouble / 7.0
+      (math.floor(x * scale).toLong, math.floor((2.0 * x + 1.0) * scale).toLong)
+    }
+    val n = BigInt(data.size)
+    val sa = BigInt(data.map(_._1).sum)
+    val sb = BigInt(data.map(_._2).sum)
+    val sab = data.map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+    val expect = sab * n - sa * sb
+    assert(BigInt(got(("x", "y"))._1.toBigInteger) == expect)
+  }
 }
