@@ -1698,7 +1698,77 @@ object Similarity {
              ABS(var_q40_a - var_q40_b) * 16 > var_q40_a AS var_drift
       FROM v ORDER BY dim"""))
 
+  // --------------------------------------------------------------- q139
+  // Contrastive negative sampling: (anchor, role, rank, vec_id) triplet
+  // material for embedding training — positives are the anchor's
+  // cosine top-k (brute force as calibration; production = the stored
+  // IVF/IVFADC probe, RRF-style the sampler only consumes ids), and
+  // negatives are md5-rank-deterministic draws from a hash-prefix
+  // bucket of the corpus, excluding the anchor and its positives.
+  //
+  // Determinism/replay: md5(anchor ':' candidate) is the same string in
+  // both engines; the '0'-prefix filter keeps only ~1/16 of the corpus
+  // as negative candidates BEFORE ranking, so the per-anchor selection
+  // is a bounded-heap top-k over N/16 rows — the engine's own
+  // TopKPerKey operator (per-partition heaps, partial→final), never a
+  // per-anchor global sort. Rank windows then run over ≤k rows.
+  private val q139 = GraftQuery(
+    "q139_negative_sampling",
+    (s, dir) => {
+      val kPos = 3; val kNeg = 5
+      val e = vecs(Tables.embeddings(s, dir))
+      val anchors = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+      val scored = e.join(broadcast(anchors), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("cos"))
+      val posTop = graft.plans.TopKPerKey.topK(scored, Seq(col("qid")),
+        Seq(col("cos").desc, col("vec_id")), kPos)
+      val wPos = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val pos = posTop.withColumn("rank", row_number().over(wPos))
+        .select(col("qid"), lit("pos").as("role"), col("rank"), col("vec_id"))
+      val negCand = e.select(col("vec_id"))
+        .crossJoin(broadcast(anchors.select(col("qid"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("h", md5(concat_ws(":", col("qid"), col("vec_id"))))
+        .filter(substring(col("h"), 1, 1) === "0")
+        .join(posTop.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"),
+          "left_anti")
+      val negTop = graft.plans.TopKPerKey.topK(negCand, Seq(col("qid")),
+        Seq(col("h"), col("vec_id")), kNeg)
+      val wNeg = Window.partitionBy(col("qid")).orderBy(col("h"), col("vec_id"))
+      val neg = negTop.withColumn("rank", row_number().over(wNeg))
+        .select(col("qid"), lit("neg").as("role"), col("rank"), col("vec_id"))
+      pos.unionAll(neg).orderBy(col("qid"), col("role"), col("rank"))
+    },
+    Some(s"""
+      WITH ${sqlVecs},
+      a AS (SELECT vec_id AS qid, v AS qv, norm AS qn FROM e WHERE vec_id < 10),
+      scored AS (SELECT qid, e.vec_id,
+                        ${sqlDot("qv", "e.v")} / (qn * e.norm) AS cos
+                 FROM e JOIN a ON e.vec_id <> qid),
+      pos AS (SELECT qid, vec_id, rank FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+                FROM scored) WHERE rank <= 3),
+      cand AS (SELECT a.qid, e.vec_id,
+                      md5(CAST(a.qid AS VARCHAR) || ':' || CAST(e.vec_id AS VARCHAR)) AS h
+               FROM e CROSS JOIN a
+               WHERE e.vec_id <> a.qid
+                 AND substring(md5(CAST(a.qid AS VARCHAR) || ':' || CAST(e.vec_id AS VARCHAR)), 1, 1) = '0'
+                 AND NOT EXISTS (SELECT 1 FROM pos p
+                                 WHERE p.qid = a.qid AND p.vec_id = e.vec_id)),
+      neg AS (SELECT qid, vec_id, rank FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY h, vec_id) AS rank
+                FROM cand) WHERE rank <= 5)
+      SELECT qid, 'pos' AS role, CAST(rank AS INT) AS rank, vec_id FROM pos
+      UNION ALL
+      SELECT qid, 'neg', CAST(rank AS INT), vec_id FROM neg
+      ORDER BY qid, role, rank"""))
+
   val all: Seq[GraftQuery] =
     Seq(q39, q40, q41, q41c, q41d, q41e, q42b, q53, q83, q103, q104, q105,
-      q109, q111, q112, q116, q117, q118, q126, q128)
+      q109, q111, q112, q116, q117, q118, q126, q128, q139)
 }

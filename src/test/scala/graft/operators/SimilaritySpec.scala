@@ -474,6 +474,25 @@ class SimilaritySpec extends SparkSpec {
     assert(med > 0.5 && med < 1.8, s"median JL distortion $med drifted from 1")
   }
 
+  test("negative sampling: roles disjoint, counts exact, deterministic across partitionings") {
+    import org.apache.spark.sql.functions._
+    def run() = graft.SparkEntry.queries("q139_negative_sampling")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val a = run()
+    assert(a.length == 80)
+    val byAnchor = a.groupBy(_._1)
+    byAnchor.foreach { case (qid, rows) =>
+      val pos = rows.filter(_._2 == "pos").map(_._4).toSet
+      val neg = rows.filter(_._2 == "neg").map(_._4).toSet
+      assert(pos.size == 3 && neg.size == 5)
+      assert((pos & neg).isEmpty, s"anchor $qid: negative drawn from positives")
+      assert(!pos.contains(qid) && !neg.contains(qid), s"anchor $qid sampled itself")
+    }
+    // determinism: a second run (fresh plan, possibly different task
+    // scheduling) must produce the identical triplet table
+    assert(run().toSeq == a.toSeq)
+  }
+
   test("embeddingDrift: fires on a shifted/scaled slice, quiet on a resample") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
