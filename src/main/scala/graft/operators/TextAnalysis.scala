@@ -984,6 +984,61 @@ object TextAnalysis {
        |ORDER BY rrf DESC, doc_id
        |LIMIT $kOut""".stripMargin
 
+  // ---------------------------------------------------- q140 quality drift
+  // Per-source quality drift across ingest batches — the FineWeb-style
+  // per-crawl monitoring question ("did source X's text get shorter /
+  // lose stopword density in the latest batches?") answered with exact
+  // integer sums and cross-multiplied verdicts, no float boundary. A
+  // batch whose mean token count or stopword count deviates more than
+  // 25% RELATIVELY from its source's overall mean is flagged; the
+  // source totals come from summing the batch rows (tiny), so the
+  // corpus is scanned ONCE. `batchExpr` is any deterministic batch id
+  // (production: crawl date; here doc_id DIV 50 — the synthetic corpus
+  // has no time column).
+  def qualityDrift(docs: DataFrame, batchExpr: org.apache.spark.sql.Column): DataFrame = {
+    val t = tokens(col("text"))
+    val perBatch = docs
+      .select(col("source"), batchExpr.cast("long").as("batch"),
+        size(t).cast("long").as("nt"),
+        size(filter(t, w => w.isin("the", "a", "and", "of", "to", "is", "in")))
+          .cast("long").as("ns"))
+      .groupBy(col("source"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"),
+        sum(col("ns")).as("sum_stop"))
+    val perSource = perBatch.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("N"), sum(col("sum_tokens")).as("ST"),
+        sum(col("sum_stop")).as("SS"))
+    perBatch.join(perSource, "source")
+      .select(col("source"), col("batch"), col("n_docs"),
+        col("sum_tokens"), col("sum_stop"),
+        (abs(col("sum_tokens") * col("N") - col("ST") * col("n_docs")) * lit(4L)
+          > col("ST") * col("n_docs")).as("len_drift"),
+        (abs(col("sum_stop") * col("N") - col("SS") * col("n_docs")) * lit(4L)
+          > col("SS") * col("n_docs")).as("stop_drift"))
+  }
+
+  private val q140 = GraftQuery(
+    "q140_quality_drift",
+    (s, dir) => qualityDrift(Tables.documents(s, dir),
+      expr("doc_id DIV 50")).orderBy(col("source"), col("batch")),
+    Some("""
+      WITH d AS (SELECT source, doc_id // 50 AS batch,
+                        list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                 FROM documents),
+      pb AS (SELECT source, batch, COUNT(*) AS n_docs,
+                    CAST(SUM(len(t)) AS BIGINT) AS sum_tokens,
+                    CAST(SUM(len(list_filter(t, x -> list_contains(['the','a','and','of','to','is','in'], x)))) AS BIGINT) AS sum_stop
+             FROM d GROUP BY source, batch),
+      ps AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS N,
+                    CAST(SUM(sum_tokens) AS BIGINT) AS ST,
+                    CAST(SUM(sum_stop) AS BIGINT) AS SS
+             FROM pb GROUP BY source)
+      SELECT pb.source AS source, batch, n_docs, sum_tokens, sum_stop,
+             ABS(sum_tokens * N - ST * n_docs) * 4 > ST * n_docs AS len_drift,
+             ABS(sum_stop * N - SS * n_docs) * 4 > SS * n_docs AS stop_drift
+      FROM pb JOIN ps ON pb.source = ps.source
+      ORDER BY pb.source, batch"""))
+
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
-    q113, q119, q121, q129, q130)
+    q113, q119, q121, q129, q130, q140)
 }
