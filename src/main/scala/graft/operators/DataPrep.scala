@@ -1119,6 +1119,63 @@ object DataPrep {
       SELECT 2, 'type_token_ratio', total - d0 - d1, d2, total - d0 - d1 - d2 FROM c
       ORDER BY stage"""))
 
+  // --------------------------------------------------------------- q141
+  // Temperature-smoothed multilingual sampling weights (the α-smoothing
+  // of Conneau & Lample 2019 / mBERT-style exponent reweighting, at
+  // α = 1/2): w_l ∝ n_l^α lifts low-resource languages relative to
+  // their raw share. α = 1/2 keeps the arithmetic deterministic across
+  // engines — sqrt is IEEE-754 correctly rounded everywhere (unlike
+  // pow), and the normalizer sums the FIXED alphabetical language
+  // pivot columns left-assoc, so weights and upsample factors
+  // hash-match bit-for-bit. One groupBy; the pivot row is O(langs).
+  private val q141 = GraftQuery(
+    "q141_temperature_mix",
+    (s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val counts = Tables.documents(s, dir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val piv = counts.agg(
+        sum(col("n")).as("N"),
+        langs.map(l =>
+          sum(when(col("lang") === l, col("n")).otherwise(0L)).as(s"n_$l")): _*)
+      // fixed-order normalizer: sqrt(n_de) + sqrt(n_en) + ... left-assoc
+      val z = langs.map(l => sqrt(col(s"n_$l").cast("double"))).reduceLeft(_ + _)
+      val rows = langs.map { l =>
+        val n = col(s"n_$l")
+        val share = n.cast("double") / col("N")
+        val w = sqrt(n.cast("double")) / z
+        struct(lit(l).as("lang"), n.as("n_docs"), share.as("share"),
+          w.as("weight"), (w / share).as("upsample"))
+      }
+      piv.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.lang"), col("r.n_docs"), col("r.share"),
+          col("r.weight"), col("r.upsample"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH c AS (SELECT
+                   CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                   CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+                   CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+                   CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+                   COUNT(*) AS N
+                 FROM documents),
+      z AS (SELECT *,
+                   ((((sqrt(CAST(n_de AS DOUBLE)) + sqrt(CAST(n_en AS DOUBLE)))
+                      + sqrt(CAST(n_es AS DOUBLE))) + sqrt(CAST(n_fr AS DOUBLE)))
+                    + sqrt(CAST(n_zh AS DOUBLE))) AS zz
+            FROM c)
+      SELECT lang, n_docs,
+             CAST(n_docs AS DOUBLE) / N AS share,
+             sqrt(CAST(n_docs AS DOUBLE)) / zz AS weight,
+             (sqrt(CAST(n_docs AS DOUBLE)) / zz) / (CAST(n_docs AS DOUBLE) / N) AS upsample
+      FROM z, (VALUES ('de'), ('en'), ('es'), ('fr'), ('zh')) AS l(lang),
+           LATERAL (SELECT CASE lang WHEN 'de' THEN n_de WHEN 'en' THEN n_en
+                                     WHEN 'es' THEN n_es WHEN 'fr' THEN n_fr
+                                     ELSE n_zh END AS n_docs) d
+      ORDER BY lang"""))
+
   val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84,
-    q85, q86, q89, q91, q98, q101, q115, q124, q134)
+    q85, q86, q89, q91, q98, q101, q115, q124, q134, q141)
 }
