@@ -420,12 +420,12 @@ object Windows {
   // with no float boundary; days with an incomplete trailing week
   // (fewer than 7 PRESENT days in range — corpus edges) report
   // spike = false rather than comparing against a short baseline.
-  def ingestAnomaly(events: DataFrame): DataFrame = {
-    val daily = events
-      .select(col("event_type"),
-        expr("CAST((unix_timestamp(ts) - pmod(unix_timestamp(ts), 86400)) / 86400 AS BIGINT)")
-          .as("day"))
-      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+  /** The verdict stage over an already-aggregated (event_type, day, n)
+    * daily table — shared by the batch form below and the streaming
+    * ingest (whose daily counts come from a streaming aggregation and
+    * persist; StreamingSpec pins streamed == batch counts and
+    * therefore verdicts). */
+  def anomalyFromDaily(daily: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("day"))
       .rangeBetween(-7, -1)
@@ -435,6 +435,13 @@ object Windows {
       .withColumn("spike",
         col("n_prev_days") === 7 && col("n") * lit(7L) > col("prev7") * lit(2L))
   }
+
+  def ingestAnomaly(events: DataFrame): DataFrame =
+    anomalyFromDaily(events
+      .select(col("event_type"),
+        expr("CAST((unix_timestamp(ts) - pmod(unix_timestamp(ts), 86400)) / 86400 AS BIGINT)")
+          .as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n")))
 
   private val q135 = GraftQuery(
     "q135_ingest_anomaly",

@@ -559,6 +559,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest anomaly: streamed daily counts feed the same verdicts as batch") {
+    // the streaming form of q135: the corpus-reducing stage (daily
+    // counts per type) runs as a streaming aggregation; the trailing
+    // verdict is a batch query over the persisted daily table (tiny).
+    // Streamed counts must equal batch counts EXACTLY, and therefore
+    // the verdicts must too.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 12).flatMap { d =>
+      val n = if (d == 10) 40 else 8 // spike on day 10
+      (0 until n).map(i =>
+        (ts(f"2024-03-${d + 1}%02d 08:00:${i % 60}%02d"), "view"))
+    }
+    val mem = MemoryStream[(Timestamp, String)]
+    val daily = scala.collection.mutable.Map.empty[(String, Long), Long]
+    val q = mem.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("event_type"),
+        expr("CAST((unix_timestamp(ts) - pmod(unix_timestamp(ts), 86400)) / 86400 AS BIGINT)")
+          .as("day"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          daily((r.getString(0), r.getLong(1))) = r.getLong(2))
+      }
+      .start()
+    try {
+      rows.grouped(40).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    val batchCounts = rows.toDF("ts", "event_type")
+      .groupBy(col("event_type"),
+        expr("CAST((unix_timestamp(ts) - pmod(unix_timestamp(ts), 86400)) / 86400 AS BIGINT)")
+          .as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(daily.toMap == batchCounts, "streamed daily counts diverged from batch")
+    // verdicts over the streamed table == q135 over the raw events
+    val streamedVerdicts = graft.operators.Windows.anomalyFromDaily(
+      daily.toSeq.map { case ((t, d), n) => (t, d, n) }
+        .toDF("event_type", "day", "n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(5)).toMap
+    val batchVerdicts = graft.operators.Windows.ingestAnomaly(
+      rows.toDF("ts", "event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(5)).toMap
+    assert(streamedVerdicts == batchVerdicts)
+    assert(batchVerdicts.values.count(identity) == 1,
+      "exactly the planted spike day must flag")
+  }
+
   test("streaming MG heavy hitters: per-trigger states fold to a law-true corpus summary") {
     // the ingest pattern for q125's stored states: each micro-batch emits
     // ONE MG state row (foreachBatch persists it); the corpus heavy
