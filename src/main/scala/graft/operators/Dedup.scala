@@ -104,9 +104,9 @@ object Dedup {
   // ---------------------------------------------------------------- q36
   // Exact n-gram Jaccard similarity: top-20 most similar pairs. The
   // calibration oracle for the MinHash path (df-cap rationale above).
-  private val q36 = GraftQuery(
-    "q36_dedup_ngram_jaccard",
-    (s, dir) => {
+  /** The full exact-Jaccard pair frame (sorted desc), shared by q36's
+    * top-20 and q142's banding calibration. */
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
       val sh = shingleRows(Tables.documents(s, dir))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       // cap from the RAW scan's count — zero-column, no widen shuffle
@@ -146,8 +146,11 @@ object Dedup {
         .select(col("da"), col("db"),
           (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
         .orderBy(col("jaccard").desc, col("da"), col("db"))
-        .limit(20)
-    },
+  }
+
+  private val q36 = GraftQuery(
+    "q36_dedup_ngram_jaccard",
+    (s, dir) => jaccardPairs(s, dir).limit(20),
     Some(s"""
       WITH $shingleSql,
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -1033,6 +1036,60 @@ object Dedup {
       GROUP BY norm_hash
       ORDER BY norm_hash"""))
 
+  // --------------------------------------------------------------- q142
+  // LSH banding design calculator, calibrated on the corpus's OWN
+  // strongest near-dup pairs: for each candidate (b bands × r rows)
+  // configuration, the collision probability 1 − (1 − s^r)^b at the
+  // exact Jaccard of the top-10 q36 pairs — "which banding catches THIS
+  // corpus's duplicates" answered before committing a full banding
+  // pass. Both engines build the power chains as IDENTICAL left-assoc
+  // multiplication trees (no pow(), whose rounding is libm-dependent),
+  // so every probability — and the caught verdict — hash-matches.
+  //
+  // Scale: the pair side is q36's bounded calibration path (df-capped);
+  // the configs are six literal rows; the product is 60 rows of pure
+  // column arithmetic.
+  private val q142 = {
+    val configs = Seq((2, 4), (4, 2), (4, 4), (8, 2), (8, 4), (16, 2))
+    def pw(x: Column, n: Int): Column =
+      (1 until n).foldLeft(x)((a, _) => a * x)
+    def pwSql(x: String, n: Int): String =
+      (1 until n).foldLeft(x)((a, _) => s"($a * $x)")
+    GraftQuery(
+      "q142_banding_calculator",
+      (s, dir) => {
+        val pairs = jaccardPairs(s, dir).limit(10)
+        configs.map { case (b, r) =>
+          val p = lit(1.0) - pw(lit(1.0) - pw(col("jaccard"), r), b)
+          pairs.select(col("da"), col("db"), col("jaccard"),
+            lit(b).as("b"), lit(r).as("r"), p.as("p_collide"),
+            (p >= lit(0.9)).as("caught"))
+        }.reduce(_ unionAll _)
+          .orderBy(col("b"), col("r"), col("da"), col("db"))
+      },
+      Some(s"""
+        WITH $shingleSql,
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $dfCapSql),
+        kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+                   FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+        pairs AS (SELECT da, db, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+                  FROM common
+                  JOIN sizes na ON na.doc_id = da
+                  JOIN sizes nb ON nb.doc_id = db
+                  ORDER BY jaccard DESC, da, db
+                  LIMIT 10)
+        ${configs.map { case (b, r) =>
+          val p = s"1.0 - ${pwSql(s"(1.0 - ${pwSql("jaccard", r)})", b)}"
+          s"""SELECT da, db, jaccard, $b AS b, $r AS r,
+             $p AS p_collide, ($p) >= 0.9 AS caught
+             FROM pairs"""
+        }.mkString("\nUNION ALL\n")}
+        ORDER BY b, r, da, db"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70, q81, q88, q95, q99,
-    q106, q120, q132, q133)
+    q106, q120, q132, q133, q142)
 }
