@@ -539,6 +539,28 @@ object Pipeline {
   def integrityAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
     operators.Profiler.integrityAudit(edges)
 
+  /** Per-column frequent values in ONE scan (one MG summary per column)
+    * with worst-case-law verification columns (q137). */
+  def frequentValues(df: DataFrame, cols: Seq[String], k: Int,
+      topPerCol: Int): DataFrame =
+    operators.Profiler.frequentValues(df, cols, k, topPerCol)
+
+  /** Exact scaled-integer covariance numerators + sign verdicts for all
+    * numeric column pairs in one scan (q138). */
+  def columnCorrelation(df: DataFrame, cols: Seq[String]): DataFrame =
+    operators.Profiler.columnCorrelation(df, cols)
+
+  /** Per-(source, batch) token/stopword sums with >25%-relative drift
+    * verdicts against the source's overall means (q140). */
+  def qualityDrift(docs: DataFrame, batchExpr: Column): DataFrame =
+    operators.TextAnalysis.qualityDrift(docs, batchExpr)
+
+  /** Trailing-week spike verdicts over an already-aggregated
+    * (event_type, day, n) daily table — the streaming-ingest verdict
+    * stage (q135's shared core). */
+  def anomalyFromDaily(daily: DataFrame): DataFrame =
+    operators.Windows.anomalyFromDaily(daily)
+
   // ---- streaming ------------------------------------------------------------
   /** Ingestion-side dedup of a document stream against a static corpus. */
   def incrementalDedupStream(docs: DataFrame, corpusHashes: DataFrame): DataFrame =
