@@ -662,20 +662,27 @@ object ScaleProbe {
         val (_, tFold) = timed(
           spark.read.parquet(statesDir).agg(mgFold(col("st")).as("st"))
             .write.format("noop").mode("overwrite").save())
-        val outE = scaledEmbeddingsDir(spark, src, copies)
-        val emb = graft.sources.Tables.load(spark, outE, "embeddings")
-        val nVec = emb.count()
-        val (_, tJl) = timed(
-          graft.operators.Similarity.jlProject(spark, emb, 64, 16)
-            .write.format("noop").mode("overwrite").save())
-        val (_, tDrift) = timed(
-          graft.operators.Similarity.embeddingDrift(emb, pmod(col("label"), lit(2)))
-            .write.format("noop").mode("overwrite").save())
-        val outV = scaledEventsDir(spark, src, copies)
-        val ev = graft.sources.Tables.events(spark, outV)
-        val (_, tSkew) = timed(
-          graft.plans.ScaleOps.keySkewProfile(ev, "events.user_id", "user_id", 200L)
-            .write.format("noop").mode("overwrite").save())
+        // the embedding transform space caps at 128 copies; past it the
+        // docs-side families (the x1000 decade) still measure
+        val (nVec, tJl, tDrift, tSkew) =
+          if (copies > 128) (0L, -1.0, -1.0, -1.0)
+          else {
+            val outE = scaledEmbeddingsDir(spark, src, copies)
+            val emb = graft.sources.Tables.load(spark, outE, "embeddings")
+            val nv = emb.count()
+            val (_, tj) = timed(
+              graft.operators.Similarity.jlProject(spark, emb, 64, 16)
+                .write.format("noop").mode("overwrite").save())
+            val (_, td) = timed(
+              graft.operators.Similarity.embeddingDrift(emb, pmod(col("label"), lit(2)))
+                .write.format("noop").mode("overwrite").save())
+            val outV = scaledEventsDir(spark, src, copies)
+            val ev = graft.sources.Tables.events(spark, outV)
+            val (_, tsk) = timed(
+              graft.plans.ScaleOps.keySkewProfile(ev, "events.user_id", "user_id", 200L)
+                .write.format("noop").mode("overwrite").save())
+            (nv, tj, td, tsk)
+          }
         println(s"""{"metric":"r10b_probe","copies":$copies,"n_tokens":$nTok,"n_vecs":$nVec,"mg_sec":$tMg,"mg_shards_sec":$tShards,"mg_fold_sec":$tFold,"jl_sec":$tJl,"drift_sec":$tDrift,"skew_sec":$tSkew,"src":"$src"}""")
 
       case other =>

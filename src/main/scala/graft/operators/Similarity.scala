@@ -1563,7 +1563,10 @@ object Similarity {
   /** Project `embeddings.embedding` (d dims) to m exact-integer
     * components: (vec_id, j, y) with y = Σᵢ s(i,j)·⌊xᵢ·2⁴⁰⌋. Divide by
     * 2⁴⁰·√m for the metric-preserving float form; the integer form is the
-    * canonical (hashable) artifact. */
+    * canonical (hashable) artifact. `d` must equal the embedding column's
+    * actual width: components past index d−1 would silently drop out of
+    * the sign join (the projection under-sums), so callers pass the
+    * schema's dimension, not a guess. */
   def jlProject(spark: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
       d: Int, m: Int): DataFrame = {
     val terms = embeddings
