@@ -30,7 +30,8 @@ object PlanDump {
     "q131_media_header", "q132_kmv_set_algebra", "q133_normalized_dedup",
     "q134_filter_cascade", "q135_ingest_anomaly", "q136_integrity_audit",
     "q137_frequent_values", "q138_column_correlation", "q139_negative_sampling",
-    "q140_quality_drift", "q141_temperature_mix", "q142_banding_calculator")
+    "q140_quality_drift", "q141_temperature_mix", "q142_banding_calculator",
+    "q143_memorization_audit", "q144_trailing_loop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

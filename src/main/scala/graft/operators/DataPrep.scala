@@ -1053,7 +1053,11 @@ object DataPrep {
   // replays them with no float boundary risk.
 
   /** Per-stage ledger (stage, name, n_in, n_drop, n_out) for a cascade
-    * of predicates evaluated in order with first-fail attribution. */
+    * of predicates evaluated in order with first-fail attribution.
+    * A NULL predicate result counts as PASS (three-valued logic: only a
+    * definite false drops) — identical in the DuckDB replay, but wrap
+    * nullable inputs in explicit coalesce if unknown-means-drop is the
+    * intended policy. */
   def cascadeAccounting(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
     require(stages.nonEmpty && stages.size <= 16, "1..16 cascade stages")
     val flagged = df.select(stages.zipWithIndex.map {
@@ -1176,6 +1180,69 @@ object DataPrep {
                                      ELSE n_zh END AS n_docs) d
       ORDER BY lang"""))
 
+  // --------------------------------------------------------------- q143
+  // Memorization audit: per GENERATED document, the fraction of its
+  // distinct k-grams that appear anywhere in the training corpus — the
+  // quantitative form of the decontamination question (q79 gates on
+  // "any overlap"; a model-output QA pass needs the RATE, per sample,
+  // in basis points). Exact integers end to end: n distinct grams,
+  // n found via a semi-join on 64-bit gram hashes, bp = found·10⁴ DIV n.
+  //
+  // Scale: the corpus gram side is the big one — at 100 TB the exact
+  // join runs behind a bloom prefilter exactly like two-phase
+  // decontamination (q98): bloom admits suspects cheaply, the exact
+  // semi-join confirms only suspects, and the per-doc arithmetic is
+  // unchanged. The declared query is the exact form (the confirm leg).
+  def memorizationAudit(generated: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    def grams(df: DataFrame, withId: Boolean) = {
+      val g = df
+        .select((if (withId) Seq(col(idCol)) else Seq.empty) :+
+          tokens(col(textCol)).as("__t"): _*)
+        .filter(size(col("__t")) >= k)
+        .select((if (withId) Seq(col(idCol)) else Seq.empty) :+
+          explode(array_distinct(graft.functions.WordNGrams(col("__t"), k))).as("__g"): _*)
+      g.withColumn("__gh", xxhash64(col("__g"))).drop("__g")
+    }
+    val genG = grams(generated, withId = true)
+    val corpusG = grams(corpus, withId = false).select(col("__gh")).distinct()
+    val found = genG.join(corpusG, Seq("__gh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_found"))
+    genG.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+      .join(found, Seq(idCol), "left")
+      .withColumn("n_found", coalesce(col("n_found"), lit(0L)))
+      .withColumn("mem_bp", expr("n_found * 10000L DIV n_grams"))
+  }
+
+  private val q143 = GraftQuery(
+    "q143_memorization_audit",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      memorizationAudit(
+        docs.filter(col("doc_id") % 10 === 0), // "generated" sample
+        docs.filter(col("doc_id") % 10 =!= 0), // training corpus
+        "doc_id", "text", k = 4)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                 FROM documents),
+      g AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS g
+            FROM t WHERE len(t) >= 4),
+      gen AS (SELECT doc_id, g FROM g WHERE doc_id % 10 = 0),
+      corp AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 <> 0),
+      found AS (SELECT doc_id, COUNT(*) AS n_found
+                FROM gen JOIN corp USING (g) GROUP BY doc_id),
+      tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM gen GROUP BY doc_id)
+      SELECT tot.doc_id AS doc_id, n_grams,
+             CAST(COALESCE(n_found, 0) AS BIGINT) AS n_found,
+             (COALESCE(n_found, 0) * 10000) // n_grams AS mem_bp
+      FROM tot LEFT JOIN found ON tot.doc_id = found.doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84,
-    q85, q86, q89, q91, q98, q101, q115, q124, q134, q141)
+    q85, q86, q89, q91, q98, q101, q115, q124, q134, q141, q143)
 }

@@ -1039,6 +1039,52 @@ object TextAnalysis {
       FROM pb JOIN ps ON pb.source = ps.source
       ORDER BY pb.source, batch"""))
 
+  // ------------------------------------------------------ q144 loop detect
+  // Trailing-loop detection for generated text: the longest r such that
+  // the document's last r tokens exactly repeat the r tokens before
+  // them — the signature of a generation loop ("... the end the end the
+  // end"). Pure per-row column arithmetic (bounded r ≤ 20 slice
+  // comparisons per document, no shuffle at all before the presentation
+  // sort), so it runs inline in any generation-QA scan; pair with q143's
+  // memorization rate for the two standard model-output checks.
+  def trailingLoop(docs: DataFrame, idCol: String, textCol: String,
+      maxR: Int = 20): DataFrame = {
+    val t = graft.functions.TextFunctions.tokens(col(textCol))
+    docs
+      .select(col(idCol), t.as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .withColumn("loop_len",
+        aggregate(
+          filter(sequence(lit(1), lit(maxR)),
+            // the bound guard must gate the slice itself: slice() rejects
+            // start 0, which r > n/2 would produce on short documents
+            r => when(r * lit(2) <= col("__n"),
+              slice(col("__t"), col("__n") - r * 2 + 1, r) ===
+                slice(col("__t"), col("__n") - r + 1, r)).otherwise(lit(false))),
+          lit(0), (a, x) => greatest(a, x)))
+      .select(col(idCol), col("__n").as("n_tokens"), col("loop_len"),
+        (col("loop_len") >= 2).as("has_loop"))
+  }
+
+  private val q144 = GraftQuery(
+    "q144_trailing_loop",
+    (s, dir) => trailingLoop(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                 FROM documents),
+      m AS (SELECT doc_id, len(t) AS n,
+                   COALESCE(list_max(list_filter(range(1, 21),
+                     r -> 2*r <= len(t)
+                          AND t[len(t) - 2*r + 1 : len(t) - r] = t[len(t) - r + 1 : len(t)])),
+                     0) AS loop_len
+            FROM t)
+      SELECT doc_id, CAST(n AS INT) AS n_tokens, CAST(loop_len AS INT) AS loop_len,
+             loop_len >= 2 AS has_loop
+      FROM m
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
-    q113, q119, q121, q129, q130, q140)
+    q113, q119, q121, q129, q130, q140, q144)
 }

@@ -422,6 +422,44 @@ class DataPrepSpec extends SparkSpec {
     assert(line == full)
   }
 
+  test("memorizationAudit: contained, partial, and novel generations score exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six")).toDF("doc_id", "text")
+    val gen = Seq(
+      // fully contained: every 4-gram appears in corpus doc 100
+      (1L, "alpha beta gamma delta epsilon"),
+      // novel: no 4-gram overlaps
+      (2L, "red green blue cyan magenta"),
+      // partial: first 4-gram contained, second not
+      (3L, "one two three four nine")).toDF("doc_id", "text")
+    val got = DataPrep.memorizationAudit(gen, corpus, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 2L, 10000L)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 0L, 0L)))
+    assert(got(3L) == ((2L, 1L, 5000L)))
+  }
+
+  test("trailingLoop: planted loops detected with the exact repeat length") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c the end the end"),        // trailing "the end" x2 -> 2
+      (2L, "x y x y x y"),                  // "x y" x3 -> 2 (r=3 shifts)
+      (3L, "go go go go"),                  // r=1 and r=2 -> max 2
+      (4L, "all distinct tokens here now"), // no loop
+      (5L, "w")                             // too short for any r
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.trailingLoop(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((2, true)), s"got ${got(1L)}")
+    assert(got(2L) == ((2, true)))
+    assert(got(3L) == ((2, true)))
+    assert(got(4L) == ((0, false)))
+    assert(got(5L) == ((0, false)))
+  }
+
   test("cascadeAccounting: ledger telescopes, first-fail attribution matches brute force") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
