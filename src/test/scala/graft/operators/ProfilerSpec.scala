@@ -86,6 +86,10 @@ class ProfilerSpec extends SparkSpec {
     assert(topA.getString(1) == "999" && topA.getLong(2) == 801L)
   }
 
+  // hi·2^40 + lo reassembly of the int64-safe pair panel
+  private def reassemble(hi: Long, lo: Long): BigInt =
+    BigInt(hi) * BigInt(1099511627776L) + BigInt(lo)
+
   test("columnCorrelation: signs and exact covariance numerators match a driver replay") {
     import spark.implicits._
     val rows = (1 to 500).map { i =>
@@ -94,8 +98,11 @@ class ProfilerSpec extends SparkSpec {
     }.toDF("x", "y", "z", "w")
     val got = Profiler.columnCorrelation(rows, Seq("x", "y", "z"))
       .collect().map(r => (r.getString(0), r.getString(1)) ->
-        ((r.getDecimal(6), r.getBoolean(7)))).toMap
-    assert(got(("x", "y"))._2 && !got(("x", "z"))._2 && !got(("y", "z"))._2)
+        ((reassemble(r.getLong(7), r.getLong(8)), r.getLong(8), r.getBoolean(9)))).toMap
+    assert(got(("x", "y"))._3 && !got(("x", "z"))._3 && !got(("y", "z"))._3)
+    // lo is always a non-negative 40-bit residue, even for negative values
+    got.values.foreach { case (_, lo, _) =>
+      assert(lo >= 0L && lo < 1099511627776L) }
     // exact replay of the scaled-integer arithmetic for one pair
     val scale = 1048576.0
     val data = (1 to 500).map { i =>
@@ -106,7 +113,33 @@ class ProfilerSpec extends SparkSpec {
     val sa = BigInt(data.map(_._1).sum)
     val sb = BigInt(data.map(_._2).sum)
     val sab = data.map { case (a, b) => BigInt(a) * BigInt(b) }.sum
-    val expect = sab * n - sa * sb
-    assert(BigInt(got(("x", "y"))._1.toBigInteger) == expect)
+    assert(got(("x", "y"))._1 == sab * n - sa * sb)
+    // the anti-correlated pair's NEGATIVE numerator reassembles exactly too
+    val dataZ = (1 to 500).map { i =>
+      val x = (i % 97).toDouble / 7.0
+      (math.floor(x * scale).toLong, math.floor(-3.0 * x * scale).toLong)
+    }
+    val saz = BigInt(dataZ.map(_._1).sum); val sbz = BigInt(dataZ.map(_._2).sum)
+    val sabz = dataZ.map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+    val expZ = sabz * n - saz * sbz
+    assert(expZ < 0 && got(("x", "z"))._1 == expZ)
+  }
+
+  test("correlation shard fold == one-pass panel, bit for bit (q145 law)") {
+    import spark.implicits._
+    val rows = (1 to 800).map { i =>
+      val x = (i % 89).toDouble / 3.0
+      (i.toLong, x, -1.5 * x + 40.0, (i % 31).toDouble)
+    }.toDF("id", "x", "y", "w")
+    val cols = Seq("x", "y", "w")
+    val onePass = Profiler.columnCorrelation(rows, cols).collect().toSeq
+    // persist the shard states through a real parquet round-trip — the
+    // stored-fold claim is about the on-disk form, not the in-plan one
+    val dir = java.nio.file.Files.createTempDirectory("corr_shards").toString
+    Profiler.correlationShardSums(rows, cols, col("id"), shards = 7)
+      .write.mode("overwrite").parquet(dir)
+    val folded = Profiler.correlationFromSums(spark.read.parquet(dir), cols)
+      .collect().toSeq
+    assert(folded == onePass)
   }
 }
