@@ -83,24 +83,27 @@ object MediaHeader {
   def compute(b: Array[Byte]): InternalRow = {
     if (b.length >= 12 && tag(b, 0, "RIFF") && tag(b, 8, "WAVE")) {
       // RIFF chunk walk from offset 12: id(4) size(4 LE) data[size]
-      // (+1 pad byte when size is odd — RIFF chunks are word-aligned)
-      var p = 12
+      // (+1 pad byte when size is odd — RIFF chunks are word-aligned).
+      // The cursor is a LONG: a declared chunk size near 2^31 must walk
+      // the cursor past the buffer end, not wrap it negative into an
+      // out-of-bounds read (ADVICE r10 — never-throws contract)
+      var p = 12L
       while (p + 8 <= b.length) {
-        val size = u32le(b, p + 4)
-        if (tag(b, p, "fmt ")) {
+        val q = p.toInt // p + 8 <= b.length <= Int.MaxValue, so exact
+        val size = u32le(b, q + 4)
+        if (tag(b, q, "fmt ")) {
           // fmt payload: audio_fmt(2) channels(2) rate(4) byte_rate(4)
           // block_align(2) bits(2) — 16 bytes minimum (PCM)
           if (size >= 16L && p + 8 + 16 <= b.length) {
-            val ch = u16le(b, p + 10)
-            val rate = u32le(b, p + 12)
-            val bits = u16le(b, p + 22)
+            val ch = u16le(b, q + 10)
+            val rate = u32le(b, q + 12)
+            val bits = u16le(b, q + 22)
             if (ch >= 1 && ch <= 64 && rate >= 1L && rate <= Int.MaxValue)
               return row("wav", rate.toInt, ch, bits, "", ok = true)
           }
           return row("wav", -1, -1, -1, "", ok = false)
         }
-        if (size < 0L || size > Int.MaxValue) return row("wav", -1, -1, -1, "", ok = false)
-        p += 8 + size.toInt + (size.toInt & 1)
+        p += 8L + size + (size & 1L) // u32le ∈ [0, 2^32): never negative
       }
       row("wav", -1, -1, -1, "", ok = false)
     } else if (b.length >= 8 && tag(b, 4, "ftyp")) {

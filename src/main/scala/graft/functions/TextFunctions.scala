@@ -30,15 +30,20 @@ object TextFunctions {
   /** Dedup-canonical normalization (the CCNet-shaped pre-dedup
     * transform): lower → ALL whitespace to single spaces (a tab/newline
     * between words must not glue them together when punctuation is
-    * stripped) → drop everything but [a-z ] → collapse space runs →
-    * trim. Case, punctuation, digit and whitespace variants of the same
-    * content map to one canonical string. ASCII classes only —
-    * identical in Java regex (Spark) and DuckDB's RE2 (oracles pass
-    * the 'g' flag; Spark replaces all matches by default).
+    * stripped) → drop everything but Unicode letters and spaces
+    * (`[^\p{L} ]`) → collapse space runs → trim. Case, punctuation,
+    * digit and whitespace variants of the same content map to one
+    * canonical string. Keeping `\p{L}` (not `[a-z]`) matters on a
+    * multilingual corpus: an ASCII-only class canonicalizes every
+    * non-Latin document to the EMPTY string and a downstream dedup
+    * would collapse them all into one group (ADVICE r10). `\p{L}` is
+    * the Unicode letter category in both Java regex (Spark) and
+    * DuckDB's RE2 (oracles pass the 'g' flag; Spark replaces all
+    * matches by default).
     */
   def dedupNormalized(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(regexp_replace(lower(text), "\\s+", " "), "[^a-z ]", ""),
+      regexp_replace(regexp_replace(lower(text), "\\s+", " "), "[^\\p{L} ]", ""),
       " +", " "))
 
   /** Stable 60-bit content hash derived from md5 (identical hex in every

@@ -462,14 +462,19 @@ object Aggregators {
         this
       }
 
-      /** Exportable flat form `[ n | err | size | h0 c0 h1 c1 … ]` — the
-        * per-shard row a pipeline persists and later folds with
+      /** Exportable flat form `[ n | err | size | h0 c0 h1 c1 … | k ]` —
+        * the per-shard row a pipeline persists and later folds with
         * [[MgMergeAggregator]]; items sorted by (count desc, hash) so the
-        * stored artifact is canonical for a GIVEN summary. */
+        * stored artifact is canonical for a GIVEN summary. The summary's
+        * own k rides as the TRAILING element (after the items, so every
+        * positional header/item parse — q125's and q137's column folds —
+        * is unaffected): [[fromState]] requires it to equal the folding
+        * k, making a cross-k fold fail loudly even when the state
+        * happens to hold fewer than k items (ADVICE r10). */
       def toState: Seq[Long] = {
         val items = m.entrySet().toArray(Array.empty[java.util.Map.Entry[Long, Array[Long]]])
           .sortBy(e => (-e.getValue()(0), e.getKey))
-        val out = new Array[Long](3 + 2 * items.length)
+        val out = new Array[Long](4 + 2 * items.length)
         out(0) = n; out(1) = err; out(2) = items.length.toLong
         var i = 0
         while (i < items.length) {
@@ -477,13 +482,16 @@ object Aggregators {
           out(4 + 2 * i) = items(i).getValue()(0)
           i += 1
         }
+        out(out.length - 1) = k.toLong
         out.toSeq
       }
     }
 
     def fromState(k: Int, st: Seq[Long]): Summary = {
-      require(st.length >= 3 && st.length == 3 + 2 * st(2).toInt,
+      require(st.length >= 4 && st.length == 4 + 2 * st(2).toInt,
         s"malformed MG state: length ${st.length}, declared size ${if (st.length >= 3) st(2) else -1}")
+      require(st.last == k.toLong,
+        s"stored MG state was built with k=${st.last}, cannot fold at k=$k")
       val s = new Summary(k)
       s.n = st(0); s.err = st(1)
       var i = 0
@@ -516,7 +524,8 @@ object Aggregators {
     * re-touching rows — the incremental-refresh read path, with the same
     * worst-case laws as a single pass (error bounds SUM across folds and
     * stay <= n/(k+1) by the mergeable-summaries theorem). NULL shard rows
-    * are skipped; k mismatches fail loudly via the state-size check.
+    * are skipped; k mismatches fail loudly via the trailing stored-k
+    * header element, regardless of how many items the state holds.
     */
   class MgMergeAggregator(k: Int)
       extends Aggregator[Seq[Long], MisraGries.Summary, Seq[Long]] {

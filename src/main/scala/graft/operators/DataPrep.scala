@@ -1054,14 +1054,19 @@ object DataPrep {
 
   /** Per-stage ledger (stage, name, n_in, n_drop, n_out) for a cascade
     * of predicates evaluated in order with first-fail attribution.
-    * A NULL predicate result counts as PASS (three-valued logic: only a
-    * definite false drops) — identical in the DuckDB replay, but wrap
-    * nullable inputs in explicit coalesce if unknown-means-drop is the
-    * intended policy. */
+    * A NULL predicate result counts as PASS (only a definite false
+    * drops): each stage flag is coalesced to TRUE inside the operator,
+    * so the policy holds in ANY replay — without the coalesce, a NULL
+    * f0 with a false f1 is attributed to stage 1 by Spark's CaseWhen
+    * (NULL condition skipped) but to NO stage by a SQL
+    * `CASE WHEN f0 AND NOT f1` chain (NULL propagates), and the
+    * ledgers diverge (ADVICE r10). Wrap inputs in explicit
+    * `coalesce(p, false)` if unknown-means-drop is the intended
+    * policy. */
   def cascadeAccounting(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
     require(stages.nonEmpty && stages.size <= 16, "1..16 cascade stages")
     val flagged = df.select(stages.zipWithIndex.map {
-      case ((_, p), i) => p.as(s"__f$i") }: _*)
+      case ((_, p), i) => coalesce(p, lit(true)).as(s"__f$i") }: _*)
     val firstFail = stages.indices
       .foldLeft(when(lit(false), lit(-1))) { (w, i) =>
         w.when(!col(s"__f$i"), lit(i)) }

@@ -1027,7 +1027,7 @@ object Dedup {
         UNION ALL
         SELECT doc_id + 2000000000, text || ' !! 42' FROM documents)
       SELECT md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '\s+', ' ', 'g'),
-                                                    '[^a-z ]', '', 'g'),
+                                                    '[^\p{L} ]', '', 'g'),
                                      ' +', ' ', 'g'))) AS norm_hash,
              MIN(doc_id) AS keep_id,
              COUNT(*) AS n_copies,

@@ -88,4 +88,17 @@ class MediaHeaderSpec extends AnyFunSuite {
     }
     assert(MediaHeader.parse(Array.empty[Byte])._1 === "unknown")
   }
+
+  test("chunk size near 2^31 walks past the end, never wraps negative (ADVICE r10)") {
+    // 20-byte RIFF/WAVE declaring one chunk of size 0x7FFFFFFF: an Int
+    // cursor would overflow to negative and index out of bounds
+    def tag4(t: String): Seq[Int] = t.map(_.toInt)
+    val evil = (tag4("RIFF") ++ Seq(0xff, 0xff, 0xff, 0x7f) ++ tag4("WAVE") ++
+      tag4("data") ++ Seq(0xff, 0xff, 0xff, 0x7f)).map(_.toByte).toArray
+    assert(MediaHeader.parse(evil) === (("wav", -1, -1, -1, "", false)))
+    // full-range u32 size (0xFFFFFFFF) likewise
+    val evil2 = (tag4("RIFF") ++ Seq(0xff, 0xff, 0xff, 0xff) ++ tag4("WAVE") ++
+      tag4("LIST") ++ Seq(0xff, 0xff, 0xff, 0xff)).map(_.toByte).toArray
+    assert(MediaHeader.parse(evil2) === (("wav", -1, -1, -1, "", false)))
+  }
 }

@@ -253,8 +253,10 @@ class AggregatorsSpec extends SparkSpec {
     val exact = stream.groupBy(identity).map { case (h, g) => h -> g.size.toLong }
     val shardStates: Seq[Seq[Long]] = stream.grouped(700)
       .map(sh => state.finish(sh.foldLeft(state.zero)(state.reduce))).toSeq
-    assert(shardStates.forall(_.length <= 3 + 2 * k),
+    assert(shardStates.forall(_.length <= 4 + 2 * k),
       "stored MG states must stay O(k) longs")
+    assert(shardStates.forall(_.last == k.toLong),
+      "stored MG states carry their k as the trailing header element")
     val mergeAgg = new Aggregators.MgMergeAggregator(k)
     // null shard rows (empty parquet partitions) are skipped, not fatal
     val folded = mergeAgg.finish(
@@ -275,6 +277,12 @@ class AggregatorsSpec extends SparkSpec {
     val big = bigState.finish(
       (0L until 64L).foldLeft(bigState.zero)(bigState.reduce))
     intercept[IllegalArgumentException](mergeAgg.reduce(mergeAgg.zero, big))
+    // a cross-k state holding FEWER than k items must also refuse — the
+    // stored trailing k catches what the size check cannot (ADVICE r10)
+    val sparse = bigState.finish(
+      (0L until 5L).foldLeft(bigState.zero)(bigState.reduce))
+    assert(sparse(2) == 5L, "sanity: 5 items, well under both ks")
+    intercept[IllegalArgumentException](mergeAgg.reduce(mergeAgg.zero, sparse))
   }
 
   // ---- KMV bottom-k distinct sketch ------------------------------------

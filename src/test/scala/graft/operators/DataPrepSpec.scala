@@ -482,4 +482,23 @@ class DataPrepSpec extends SparkSpec {
     assert(got.last._5 == 200 - d0 - d1 - d2)
     assert(got.map(_._2).toSeq == stages.map(_._1))
   }
+
+  test("cascadeAccounting: NULL predicate counts as PASS, next failing stage attributes (ADVICE r10)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // text NULL makes stage-0's length flag NULL; stage-1 is false for
+    // id 2 — the doc must land in stage 1's drop count, and the SQL
+    // CASE-chain replay agrees because the operator coalesces flags
+    val rows = Seq((1L, Some("long enough text"), 1),
+      (2L, None: Option[String], 0), // NULL f0, false f1 -> stage 1
+      (3L, None, 1), // NULL f0, passes the rest -> survivor
+      (4L, Some("x"), 1)) // definite false f0 -> stage 0
+      .toDF("id", "text", "flag")
+    val got = DataPrep.cascadeAccounting(rows, Seq(
+      "len" -> (length(col("text")) >= 5),
+      "flagged" -> (col("flag") === 1)))
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((0, 4L, 1L, 3L), (1, 3L, 1L, 2L)),
+      s"got ${got.toSeq}")
+  }
 }

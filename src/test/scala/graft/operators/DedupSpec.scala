@@ -246,6 +246,18 @@ class DedupSpec extends SparkSpec {
     assert(norm.take(4).toSet == Set("hello world"),
       s"all four variants must canonicalize identically, got ${norm.take(4).toSeq}")
     assert(norm(4) == "goodbye world")
+    // non-Latin letters SURVIVE canonicalization (ADVICE r10): distinct
+    // zh/cyrillic/accented docs must not all collapse to ""
+    val multi = Seq("你好，世界！ 42", "Привет, мир!", "Café  Déjà-vu 7",
+      "你好，世界！ 43")
+      .toDF("text")
+      .select(graft.functions.TextFunctions.dedupNormalized(col("text")))
+      .as[String].collect()
+    assert(multi(0) == "你好世界" && multi(1) == "привет мир" &&
+      multi(2) == "café déjàvu",
+      s"unicode letters must be kept: ${multi.toSeq}")
+    assert(multi(0) == multi(3), "digit-tail variants of the zh doc collapse")
+    assert(multi.toSet.size == 3, "distinct multilingual content stays apart")
     // the declared query's collapse law: every group holds exactly the
     // three constructed variants
     val rows = graft.SparkEntry.queries("q133_normalized_dedup")(spark, sf001)
