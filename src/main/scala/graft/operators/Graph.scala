@@ -28,8 +28,9 @@ import graft.sources.Tables
   * followed by one hash-agg on dst. k iterations = k such steps;
   * nothing driver-side but the node count. Dangling nodes: callers
   * pass symmetric edges for undirected graphs (TextRank does), so
-  * every node has out-weight; directed callers should pre-drop or
-  * self-loop sinks — documented rather than silently redistributed.
+  * every node has out-weight; directed link graphs pass
+  * `handleSinks = true` to redistribute dangling mass exactly
+  * (q147) instead of silently draining it.
   */
 object Graph {
 
@@ -39,10 +40,22 @@ object Graph {
     * rank). `nNodes` is the rank-mass denominator (pass the graph's node
     * count — one driver long). Every node appearing as a src must have
     * positive out-weight; nodes only ever seen as dst still receive and
-    * hold mass (they contribute none — the directed-sink caveat above).
+    * hold mass.
+    *
+    * `handleSinks` (VERDICT r10 next #7): with the default `false`, a
+    * directed sink's mass silently drains each iteration (fine for
+    * TextRank's symmetric graphs, where sinks cannot exist); with
+    * `true`, each iteration redistributes the sinks' total mass equally
+    * to every node IN THE SAME 2^40 integer scheme — the sink sum is an
+    * exact LONG fold of floor-scaled ranks and the per-node share is an
+    * integer `div` (both engines truncate non-negative identically), so
+    * the sink-handling run replays bit-for-bit in an unrolled oracle
+    * (q147) just like the plain one (q114). This is the standard
+    * dangling-mass completion (Page et al. 1999 §2.5) that makes
+    * host-graph centrality safe by default on link graphs.
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double,
-      nNodes: Long): DataFrame = {
+      nNodes: Long, handleSinks: Boolean = false): DataFrame = {
     require(iters >= 0 && damping > 0.0 && damping < 1.0 && nNodes > 0,
       s"need iters >= 0, 0 < damping < 1, nNodes > 0; got $iters, $damping, $nNodes")
     // Materialize the loop-invariant frames ONCE and cut lineage at every
@@ -60,6 +73,11 @@ object Graph {
     val withOw = e.join(outW, "src").persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().persist()
+    // loop-invariant sink set: nodes that never appear as a src
+    val sinks = if (handleSinks)
+      Some(nodes.join(e.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti").persist())
+    else None
     var ranks = nodes.withColumn("rank", lit(1.0 / nNodes))
     var prev: Option[DataFrame] = None
     val base = lit((1.0 - damping) / nNodes)
@@ -72,11 +90,27 @@ object Graph {
           floor(((col("rank") * col("w").cast("double")) /
             col("ow").cast("double")) * lit(SCALE)).cast("long").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("cs"))
-      val next = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (base + lit(damping) * (coalesce(col("cs"), lit(0L)).cast("double") / lit(SCALE)))
-            .as("rank"))
-        .persist()
+      val joined = nodes.join(contrib, Seq("node"), "left")
+      val next = (sinks match {
+        case Some(sk) =>
+          // exact sink mass: LONG fold of floor-scaled sink ranks (one
+          // KB row), per-node share by integer div — both truncate
+          // non-negative identically in any engine
+          val sinkCs = sk.join(ranks, Seq("node"))
+            .agg(coalesce(sum(floor(col("rank") * lit(SCALE)).cast("long")),
+              lit(0L)).as("scs"))
+          joined.crossJoin(broadcast(sinkCs))
+            .select(col("node"),
+              (base + lit(damping) *
+                ((coalesce(col("cs"), lit(0L)) +
+                  expr(s"scs div CAST($nNodes AS BIGINT)")).cast("double") /
+                  lit(SCALE))).as("rank"))
+        case None =>
+          joined.select(col("node"),
+            (base + lit(damping) *
+              (coalesce(col("cs"), lit(0L)).cast("double") / lit(SCALE)))
+              .as("rank"))
+      }).persist()
       next.count() // force: lineage cut, predecessor safe to drop
       prev.foreach(_.unpersist())
       prev = Some(next)
@@ -85,6 +119,7 @@ object Graph {
     // loop-invariant caches are no longer needed once the final ranks
     // frame is materialized; the returned (cached) frame is self-contained
     e.unpersist(); withOw.unpersist(); nodes.unpersist()
+    sinks.foreach(_.unpersist())
     ranks
   }
 
@@ -164,5 +199,63 @@ object Graph {
       iters = ITERS, damping = DAMP, k = 20),
     Some(unrolledOracle(20)))
 
-  val all: Seq[GraftQuery] = Seq(q114)
+  // ---------------------------------------------------------------- q147
+  // Sink-handling PageRank on a DIRECTED graph that actually has sinks:
+  // the order→part bipartite graph from lineitem ('o<orderkey>' →
+  // 'p<partkey>', w = line count). Every part node is a sink — without
+  // redistribution ~all mass drains by iteration 2, so the query is a
+  // non-vacuous exercise of the dangling-mass path. The oracle unrolls
+  // the same 3 iterations with the sink CTEs: exact LONG sink-mass
+  // folds, integer-div per-node share, identical double op order —
+  // rank doubles hash-compare bit-for-bit, the q114 discipline.
+  private def sinkOracle(k: Int): String = {
+    val d = s"CAST('$DAMP' AS DOUBLE)"
+    val iterCtes = (1 to ITERS).map { i =>
+      s"""s$i AS (
+         |  SELECT COALESCE(SUM(CAST(FLOOR(r.rank * 1099511627776.0) AS BIGINT)), 0) AS scs
+         |  FROM it${i - 1} r JOIN sinks s ON r.node = s.node),
+         |it$i AS (
+         |  SELECT n.node,
+         |         ((CAST('${1.0 - DAMP}' AS DOUBLE) / nn.n) + $d * (CAST(COALESCE(c.cs, 0) + (SELECT scs // (SELECT n FROM nni) FROM s$i) AS DOUBLE) / 1099511627776.0)) AS rank
+         |  FROM nodes n CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           SUM(CAST(FLOOR(((r.rank * CAST(e.w AS DOUBLE)) / CAST(o.ow AS DOUBLE)) * 1099511627776.0) AS BIGINT)) AS cs
+         |    FROM edges e JOIN outw o ON e.src = o.src
+         |                 JOIN it${i - 1} r ON e.src = r.node
+         |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    }
+    s"""WITH edges AS (SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+       |                      'p' || CAST(l_partkey AS VARCHAR) AS dst,
+       |                      COUNT(*) AS w
+       |               FROM lineitem GROUP BY 1, 2),
+       |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+       |nni AS (SELECT COUNT(*) AS n FROM nodes),
+       |nn AS (SELECT CAST(n AS DOUBLE) AS n FROM nni),
+       |sinks AS (SELECT node FROM nodes WHERE node NOT IN (SELECT DISTINCT src FROM edges)),
+       |it0 AS (SELECT node, (CAST(1.0 AS DOUBLE) / nn.n) AS rank FROM nodes CROSS JOIN nn),
+       |${iterCtes.mkString(",\n")}
+       |SELECT node, rank FROM it$ITERS
+       |ORDER BY rank DESC, node
+       |LIMIT $k""".stripMargin
+  }
+
+  private val q147 = GraftQuery(
+    "q147_pagerank_sinks",
+    (s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select(concat(lit("o"), col("l_orderkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val n = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst"))).distinct().count()
+      pageRank(edges, iters = ITERS, damping = DAMP, nNodes = n,
+        handleSinks = true)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    },
+    Some(sinkOracle(20)))
+
+  val all: Seq[GraftQuery] = Seq(q114, q147)
 }

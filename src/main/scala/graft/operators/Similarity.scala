@@ -1291,6 +1291,20 @@ object Similarity {
         col("nn_id"), col("adc"))
   }
 
+  /** Incremental IVFADC append (the q111 law applied to CODES): encode a
+    * NEW batch against the FROZEN centroids and codebooks — no refit, no
+    * touch of the stored (vec_id, cell, codes) table; the batch appends
+    * straight into its cell buckets. Cell assignment and every PQ
+    * sub-argmin are pure per-row functions of (vector, literal model),
+    * so append-then-probe is value-identical to one-pass encoding the
+    * union — q146 hash-pins that end to end, SimilaritySpec asserts the
+    * Spark-side codes identity. Refit stays data-driven: q118's cell
+    * diagnostics + q128's drift verdicts gate when the frozen model has
+    * aged out (then re-encode history ONCE). */
+  def ivfadcAppend(newBatch: DataFrame, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame =
+    ivfadcEncode(newBatch, cents, books)
+
   @volatile private var ivfadcOracleSql: Option[String] = None
 
   private def ivfadcOracle(cents: Array[Array[Double]],
@@ -1371,6 +1385,37 @@ object Similarity {
     },
     None,
     oracleGen = Some(() => ivfadcOracleSql))
+
+  // --------------------------------------------------------------- q146
+  // The IVFADC append path as a declared query (VERDICT r10 next #6):
+  // fit coarse centroids + residual codebooks on the 80% base, encode
+  // the base, APPEND the 20% batch against the frozen model, probe the
+  // combined codes table. The generated oracle replays assignment,
+  // residuals, encode argmins, and ADC sums over the FULL corpus with
+  // the base-fitted literals — exactly what a one-pass encode of the
+  // union computes — so a hash match proves append-then-probe ≡
+  // one-pass on the union, for codes, not just cell ids.
+  @volatile private var ivfadcAppendOracleSql: Option[String] = None
+
+  private val q146 = GraftQuery(
+    "q146_ivfadc_append",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(pmod(col("vec_id"), lit(10)) < 8)
+      val batch = emb.filter(pmod(col("vec_id"), lit(10)) >= 8)
+      val model = ivfModel(base, nlist = 16, cacheKey = Some(s"$dir#adc-append-base"))
+      val cents = model.clusterCenters.map(_.toArray)
+      val books = ivfadcFit(base, cents, m = 8, ksub = 16, iters = 2,
+        cacheKey = Some(s"$dir#adc-append-books"))
+      ivfadcAppendOracleSql = Some(ivfadcOracle(cents, books, nprobe = 4, k = 5))
+      val enc = ivfadcEncode(base, cents, books)
+        .unionByName(ivfadcAppend(batch, cents, books))
+      ivfadcTopK(enc, vecs(emb).filter(col("vec_id") < 10), k = 5,
+        nprobe = 4, cents, books)
+        .orderBy(col("qid"), col("rank"))
+    },
+    None,
+    oracleGen = Some(() => ivfadcAppendOracleSql))
 
   // ---------------------------------------------------- q117 linear probe
   // Linear-probe evaluation as engine ops — the standard "how much signal
@@ -1773,5 +1818,5 @@ object Similarity {
 
   val all: Seq[GraftQuery] =
     Seq(q39, q40, q41, q41c, q41d, q41e, q42b, q53, q83, q103, q104, q105,
-      q109, q111, q112, q116, q117, q118, q126, q128, q139)
+      q109, q111, q112, q116, q117, q118, q126, q128, q139, q146)
 }

@@ -54,6 +54,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect()(0)
       assert(ih.getString(0) == "gif" && ih.getInt(1) == 7 && ih.getInt(2) == 3
         && !ih.getBoolean(3), ih.toString)
+      // media_header from SQL (WAV fixture: RIFF....WAVE + fmt chunk,
+      // mono 8000 Hz 16-bit PCM — same bytes as MediaHeaderSpec's)
+      val wavHex = "52494646" + "24000000" + "57415645" + // RIFF size WAVE
+        "666d7420" + "10000000" + // 'fmt ' size=16
+        "0100" + "0100" + "401f0000" + "803e0000" + "0200" + "1000" // PCM mono 8000Hz 16b
+      val mh = s.sql(
+        s"SELECT media_header(unhex('$wavHex')).format AS f, " +
+          s"media_header(unhex('$wavHex')).sample_rate AS r, " +
+          s"media_header(unhex('$wavHex')).channels AS c, " +
+          s"media_header(unhex('$wavHex')).valid AS ok, " +
+          "media_header(unhex('00')).format AS unk")
+        .collect()(0)
+      assert(mh.getString(0) == "wav" && mh.getInt(1) == 8000 &&
+        mh.getInt(2) == 1 && mh.getBoolean(3) && mh.getString(4) == "unknown",
+        mh.toString)
+      // boundary_bucket from SQL: foldable array literal compiles into
+      // the codegen'd binary search; strictly-below count semantics
+      val bb = s.sql(
+        "SELECT boundary_bucket(0.1, array(0.5d, 1.5d, 2.5d)) AS b0, " +
+          "boundary_bucket(1.0, array(0.5d, 1.5d, 2.5d)) AS b1, " +
+          "boundary_bucket(9, array(0.5d, 1.5d, 2.5d)) AS b3, " +
+          "boundary_bucket(1.5, array(0.5, 1.5, 2.5)) AS bdec")
+        .collect()(0)
+      assert(bb.getInt(0) == 0 && bb.getInt(1) == 1 && bb.getInt(2) == 3 &&
+        bb.getInt(3) == 1, bb.toString)
+      // a non-foldable boundaries argument must refuse loudly
+      val err = intercept[Exception](s.sql(
+        "SELECT boundary_bucket(1.0, array(CAST(id AS DOUBLE))) FROM range(3)").collect())
+      assert(err.getMessage.contains("foldable"), err.getMessage)
       // bloom_filter_agg + might_contain: the scalar-subquery SQL form of
       // bloom decontamination. Membership is guaranteed true (a bloom has
       // no false negatives); '9999' at 8192 bits / 100 items is a

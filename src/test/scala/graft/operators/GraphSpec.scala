@@ -57,4 +57,28 @@ class GraphSpec extends SparkSpec {
     assert(a.size == 10 && a.forall(_._2 > 0.0))
     assert(a.map(-_._2) == a.map(-_._2).sorted, s"not rank-descending: $a")
   }
+
+  test("handleSinks conserves dangling mass that the default run drains (q147 law)") {
+    import spark.implicits._
+    // a chain into a sink: a -> b -> c, c has no out-edges
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L)).toDF("src", "dst", "w")
+    def total(handle: Boolean) =
+      Graph.pageRank(edges, iters = 5, damping = 0.85, nNodes = 3,
+        handleSinks = handle)
+        .agg(org.apache.spark.sql.functions.sum("rank")).head().getDouble(0)
+    val drained = total(handle = false)
+    val kept = total(handle = true)
+    // with redistribution the mass stays ~1 (floor-scaling loses < 1e-9);
+    // without it the sink's inflow exits the system every iteration
+    assert(math.abs(kept - 1.0) < 1e-6, s"handled total $kept")
+    assert(drained < 0.75, s"default run should drain on this chain, got $drained")
+    // symmetric graphs have no sinks: handleSinks must be a no-op there
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    def ranks(handle: Boolean) =
+      Graph.pageRank(sym, iters = 3, damping = 0.85, nNodes = 3,
+        handleSinks = handle)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks(handle = true) == ranks(handle = false))
+  }
 }

@@ -259,6 +259,24 @@ class SimilaritySpec extends SparkSpec {
     assert(appended.count() == emb.count())
   }
 
+  test("ivfadcAppend: frozen-model batch codes equal one-pass encode of the union (q146 law)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val base = emb.filter(pmod(col("vec_id"), lit(10)) < 8)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10)) >= 8)
+    // coarse centroids AND residual codebooks fitted on the BASE, frozen
+    val cents = Similarity.ivfModel(base, nlist = 8).clusterCenters.map(_.toArray)
+    val books = Similarity.ivfadcFit(base, cents, m = 8, ksub = 16, iters = 2)
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        (r.getInt(2), r.getSeq[Int](1).toList))).toMap
+    val appended = codes(Similarity.ivfadcEncode(base, cents, books)
+      .unionByName(Similarity.ivfadcAppend(batch, cents, books)))
+    val onePass = codes(Similarity.ivfadcEncode(emb, cents, books))
+    assert(appended.nonEmpty && appended == onePass,
+      "append codes diverged from one-pass encode under the frozen model")
+  }
+
   test("moments stored-shard fold: parquet round trip is bit-identical to inline") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables.embeddings(spark, sf001)
