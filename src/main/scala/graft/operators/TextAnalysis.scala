@@ -995,9 +995,15 @@ object TextAnalysis {
   // corpus is scanned ONCE. `batchExpr` is any deterministic batch id
   // (production: crawl date; here doc_id DIV 50 — the synthetic corpus
   // has no time column).
-  def qualityDrift(docs: DataFrame, batchExpr: org.apache.spark.sql.Column): DataFrame = {
+  /** Per-(source, batch) additive quality sums — the persistable stage
+    * of [[qualityDrift]]: plain integer counters, so per-trigger shard
+    * rows written by a stream fold by SUM into exactly the one-pass
+    * sums (StreamingSpec pins streamed == batch verdict parity, the
+    * q135 pattern). */
+  def qualityBatchSums(docs: DataFrame,
+      batchExpr: org.apache.spark.sql.Column): DataFrame = {
     val t = tokens(col("text"))
-    val perBatch = docs
+    docs
       .select(col("source"), batchExpr.cast("long").as("batch"),
         size(t).cast("long").as("nt"),
         size(filter(t, w => w.isin("the", "a", "and", "of", "to", "is", "in")))
@@ -1005,6 +1011,18 @@ object TextAnalysis {
       .groupBy(col("source"), col("batch"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"),
         sum(col("ns")).as("sum_stop"))
+  }
+
+  /** Drift verdicts from STORED sum rows (as emitted by
+    * [[qualityBatchSums]], possibly several shard rows per (source,
+    * batch) — one per trigger/day): fold by SUM, derive source totals,
+    * cross-multiply. History is never re-scanned; the input is
+    * O(sources × batches) counter rows. */
+  def qualityDriftFromSums(sums: DataFrame): DataFrame = {
+    val perBatch = sums.groupBy(col("source"), col("batch"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_tokens")).as("sum_tokens"),
+        sum(col("sum_stop")).as("sum_stop"))
     val perSource = perBatch.groupBy(col("source"))
       .agg(sum(col("n_docs")).as("N"), sum(col("sum_tokens")).as("ST"),
         sum(col("sum_stop")).as("SS"))
@@ -1016,6 +1034,9 @@ object TextAnalysis {
         (abs(col("sum_stop") * col("N") - col("SS") * col("n_docs")) * lit(4L)
           > col("SS") * col("n_docs")).as("stop_drift"))
   }
+
+  def qualityDrift(docs: DataFrame, batchExpr: org.apache.spark.sql.Column): DataFrame =
+    qualityDriftFromSums(qualityBatchSums(docs, batchExpr))
 
   private val q140 = GraftQuery(
     "q140_quality_drift",

@@ -609,6 +609,56 @@ class StreamingSpec extends SparkSpec {
       "exactly the planted spike day must flag")
   }
 
+  test("streaming quality drift: per-trigger sum shards fold to the batch verdicts") {
+    // the streaming form of q140 (VERDICT r10 stretch #8): each
+    // micro-batch emits per-(source, batch) ADDITIVE counter rows which
+    // foreachBatch persists (here: collects); the drift verdicts come
+    // from qualityDriftFromSums over the stored shards — exact integer
+    // folds, so streamed == batch bit-for-bit, never re-scanning history.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mkDoc = (n: Int) => Seq.fill(n)("the word").mkString(" ")
+    // source A drifts long in batch 2; B stays flat; rows interleave
+    val rows = (0 until 120).map { i =>
+      val src = if (i % 2 == 0) "A" else "B"
+      val batch = (i / 40).toLong
+      val len = if (src == "A" && batch == 2L) 40 else 5
+      (src, batch, mkDoc(len))
+    }
+    val shards = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, Long)]
+    val mem = MemoryStream[(String, Long, String)]
+    val q = mem.toDF().toDF("source", "batch", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.TextAnalysis.qualityBatchSums(b, col("batch"))
+          .collect().foreach(r => shards +=
+            ((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      }
+      .start()
+    try {
+      // trigger boundaries deliberately SPLIT batches, so several shard
+      // rows accumulate per (source, batch) and the fold is non-trivial
+      rows.grouped(25).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    assert(shards.size > rows.map(r => (r._1, r._2)).distinct.size,
+      "trigger split must produce multiple shard rows per key")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    val streamed = graft.operators.TextAnalysis.qualityDriftFromSums(
+      shards.toSeq.toDF("source", "batch", "n_docs", "sum_tokens", "sum_stop"))
+      .collect().map(key).toMap
+    val batch = graft.operators.TextAnalysis.qualityDrift(
+      rows.toDF("source", "batch", "text"), col("batch"))
+      .collect().map(key).toMap
+    assert(streamed == batch, "streamed verdicts diverged from batch")
+    // the planted drift flags, and only it
+    assert(batch(("A", 2L))._4, "planted long batch must flag len_drift")
+    assert(batch.count(_._2._4) == 1 ||
+      batch.filterNot(_._1 == ("A", 2L)).forall(e => !e._2._4 || e._1._1 == "A"),
+      s"unexpected drift flags: $batch")
+  }
+
   test("streaming MG heavy hitters: per-trigger states fold to a law-true corpus summary") {
     // the ingest pattern for q125's stored states: each micro-batch emits
     // ONE MG state row (foreachBatch persists it); the corpus heavy
