@@ -252,9 +252,11 @@ object Pipeline {
     * incoming mass summed as exact floor-scaled LONGs, so ranks are
     * bit-identical across partitionings and replayable by the unrolled
     * q114 oracle. Symmetric edges for undirected graphs; directed sinks
-    * are the caller's concern (see [[operators.Graph.pageRank]]). */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double, nNodes: Long): DataFrame =
-    operators.Graph.pageRank(edges, iters, damping, nNodes)
+    * are the caller's concern (see [[operators.Graph.pageRank]]);
+    * directed link graphs pass `handleSinks = true` (q147). */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double, nNodes: Long,
+      handleSinks: Boolean = false): DataFrame =
+    operators.Graph.pageRank(edges, iters, damping, nNodes, handleSinks)
 
   /** TextRank keyword extraction (PageRank over the word co-occurrence
     * graph) — corpus-level keyword/centrality signal (q114). */
@@ -554,6 +556,51 @@ object Pipeline {
     * verdicts against the source's overall means (q140). */
   def qualityDrift(docs: DataFrame, batchExpr: Column): DataFrame =
     operators.TextAnalysis.qualityDrift(docs, batchExpr)
+
+  /** Persistable per-(source, batch) additive quality counters — the
+    * streaming/stored stage of [[qualityDrift]] (write one row per
+    * trigger, fold later with [[qualityDriftFromSums]]). */
+  def qualityBatchSums(docs: DataFrame, batchExpr: Column): DataFrame =
+    operators.TextAnalysis.qualityBatchSums(docs, batchExpr)
+
+  /** Drift verdicts from stored [[qualityBatchSums]] shard rows —
+    * exact fold, history never re-scanned. */
+  def qualityDriftFromSums(sums: DataFrame): DataFrame =
+    operators.TextAnalysis.qualityDriftFromSums(sums)
+
+  /** Per-shard correlation sum states (persist, then fold with
+    * [[correlationFromSums]] — q145's stored-fold path). */
+  def correlationShardSums(df: DataFrame, cols: Seq[String], idCol: Column,
+      shards: Int): DataFrame =
+    operators.Profiler.correlationShardSums(df, cols, idCol, shards)
+
+  /** Correlation pair panel from stored shard sums — bit-identical to
+    * the one-pass [[columnCorrelation]] (q145). */
+  def correlationFromSums(sums: DataFrame, cols: Seq[String]): DataFrame =
+    operators.Profiler.correlationFromSums(sums, cols)
+
+  /** Gopher-style quality gates (length / word-length / alpha /
+    * repetition) as exact integer verdicts (q148). */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    operators.TextAnalysis.gopherQuality(docs, idCol, textCol)
+
+  /** Per-domain document cap: keep the k md5-rank-first docs of every
+    * domain, mega-domain-safe (q149). */
+  def domainCap(docs: DataFrame, domainCol: String, idCol: String,
+      k: Int): DataFrame =
+    operators.DataPrep.domainCap(docs, domainCol, idCol, k)
+
+  /** Length-bucketed sequence packing into fixed-budget training bins
+    * (q150). */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Long): DataFrame =
+    operators.DataPrep.packSequences(docs, idCol, textCol, budget)
+
+  /** Residual-PQ encode of a new batch against a frozen IVFADC model —
+    * the append path (q146). */
+  def ivfadcAppend(newBatch: DataFrame, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame =
+    operators.Similarity.ivfadcAppend(newBatch, cents, books)
 
   /** Trailing-week spike verdicts over an already-aggregated
     * (event_type, day, n) daily table — the streaming-ingest verdict

@@ -1248,6 +1248,115 @@ object DataPrep {
       FROM tot LEFT JOIN found ON tot.doc_id = found.doc_id
       ORDER BY doc_id"""))
 
+  // ----------------------------------------------------- q149 domain cap
+  // Per-domain document cap (the crawl-curation balance rule: no single
+  // host/domain may contribute more than k documents): keep the k
+  // md5-rank-first docs of every domain. Selection is [[md5BucketRank]]
+  // — the distributed two-level rank, so one mega-domain (the realistic
+  // case: a few hosts are 10% of a crawl) never funnels through one
+  // task — and the (md5(id), id) order makes the KEPT SET a
+  // deterministic pure function of the data: rerun-stable, engine-
+  // reproducible (a QUALIFY ROW_NUMBER replay picks the identical k).
+  def domainCap(docs: DataFrame, domainCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"cap must be positive, got $k")
+    md5BucketRank(docs, domainCol, idCol, rankAs = "domain_rank")
+      .filter(col("domain_rank") <= k.toLong)
+  }
+
+  private val q149 = GraftQuery(
+    "q149_domain_cap",
+    (s, dir) => domainCap(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "source", "doc_id", k = 10)
+      .select(col("doc_id"), col("source"), col("domain_rank"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS domain_rank
+      FROM documents
+      QUALIFY domain_rank <= 10
+      ORDER BY doc_id"""))
+
+  // ------------------------------------------------ q150 sequence packing
+  // Length-bucketed sequence packing: assign documents to fixed-budget
+  // training bins (budget B tokens per bin) by rounding each document up
+  // to its power-of-two length class, slotting class-c docs capacity =
+  // B div c per bin, and filling bins in deterministic md5-rank order —
+  // the standard length-bucketed batch packing, made engine-exact: bin
+  // and slot are pure integer functions of (class, rank), so the full
+  // assignment replays bit-for-bit (greedy first-fit packing is
+  // inherently sequential — prefix-dependent — and CANNOT scale; the
+  // bucketed form is embarrassingly parallel and its padding waste is
+  // bounded by 2x the optimal class fit).
+  //
+  // Scale: one scan computes the class; ranking is [[md5BucketRank]]
+  // within (class) groups (two-level, no single-task group); the output
+  // is per-doc (class, bin, slot) — a training loader shards by bin.
+  // Docs longer than the budget are flagged `oversize` and excluded
+  // from packing (callers chunk them first — q84).
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 16L, s"budget must be >= 16 tokens, got $budget")
+    val t = graft.functions.TextFunctions.tokens(col(textCol))
+    // smallest power of two >= n, floored at 16 (tiny docs share a class)
+    val classes = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L,
+      8192L, 16384L, 32768L, 65536L)
+    val sized = docs
+      .select(col(idCol), size(t).cast("long").as("n_tokens"))
+      .withColumn("len_class",
+        classes.filter(_ <= budget).foldRight(lit(-1L)) { (c, tail) =>
+          when(col("n_tokens") <= c, lit(c)).otherwise(tail)
+        })
+      .withColumn("oversize", col("len_class") === -1L)
+    val packed = md5BucketRank(
+      sized.filter(!col("oversize")), "len_class", idCol, rankAs = "__r")
+      .withColumn("capacity", expr(s"CAST($budget AS BIGINT) div len_class"))
+      .withColumn("bin", expr("(__r - 1) div capacity"))
+      .withColumn("slot", pmod(col("__r") - 1L, col("capacity")))
+      .select(col(idCol), col("n_tokens"), col("len_class"),
+        col("oversize"), col("bin"), col("slot"))
+    packed.unionByName(
+      sized.filter(col("oversize"))
+        .select(col(idCol), col("n_tokens"), col("len_class"),
+          col("oversize"), lit(-1L).as("bin"), lit(-1L).as("slot")))
+  }
+
+  private val q150 = GraftQuery(
+    "q150_sequence_packing",
+    (s, dir) => packSequences(Tables.documents(s, dir), "doc_id", "text",
+      budget = 2048L).orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        CAST(len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      sized AS (SELECT doc_id, n_tokens,
+                       CAST(CASE WHEN n_tokens <= 16 THEN 16
+                                 WHEN n_tokens <= 32 THEN 32
+                                 WHEN n_tokens <= 64 THEN 64
+                                 WHEN n_tokens <= 128 THEN 128
+                                 WHEN n_tokens <= 256 THEN 256
+                                 WHEN n_tokens <= 512 THEN 512
+                                 WHEN n_tokens <= 1024 THEN 1024
+                                 WHEN n_tokens <= 2048 THEN 2048
+                                 ELSE -1 END AS BIGINT) AS len_class
+                FROM t),
+      ranked AS (SELECT doc_id, n_tokens, len_class,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY len_class
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS r
+                 FROM sized WHERE len_class <> -1)
+      SELECT doc_id, n_tokens, len_class, FALSE AS oversize,
+             (r - 1) // (2048 // len_class) AS bin,
+             (r - 1) % (2048 // len_class) AS slot
+      FROM ranked
+      UNION ALL
+      SELECT doc_id, n_tokens, len_class, TRUE AS oversize,
+             CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+      FROM sized WHERE len_class = -1
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84,
-    q85, q86, q89, q91, q98, q101, q115, q124, q134, q141, q143)
+    q85, q86, q89, q91, q98, q101, q115, q124, q134, q141, q143, q149, q150)
 }

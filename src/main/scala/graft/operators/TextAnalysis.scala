@@ -1106,6 +1106,84 @@ object TextAnalysis {
       FROM m
       ORDER BY doc_id"""))
 
+  // ------------------------------------------------- q148 gopher rules
+  // Gopher-style repetition + lexical quality gates (Rae et al. 2021,
+  // Table A1 shape): per document — token count window, mean word
+  // length window, alphabetic-word fraction floor, and the repetition
+  // signal (most-frequent-bigram occupancy cap). Every gate is an
+  // exact integer cross-multiplication over per-doc counters, so the
+  // keep verdict replays bit-for-bit — the float-free discipline q134's
+  // cascade uses, applied to the standard pre-training filter set.
+  //
+  // Scale: the per-doc counters are stateless column math inside the
+  // scan; the one non-local signal (top-bigram count) is a (doc, gram)
+  // hash-agg + per-doc max — the wordcount shuffle class (q119), keys
+  // die at the per-doc reduce. Compose with q134's cascade for the
+  // attribution ledger.
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val base = docs
+      .select(col(idCol), t.as("__t"))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        aggregate(col("__t"), lit(0L), (a, x) => a + length(x)).as("sum_chars"),
+        size(filter(col("__t"), x => x.rlike("^[a-z]+$"))).cast("long").as("n_alpha"),
+        graft.functions.WordNGrams(col("__t"), 2).as("__g"))
+    val topBigram = base
+      .select(col(idCol), explode(col("__g")).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_bigram"))
+    base.drop("__g")
+      .join(topBigram, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("sum_chars"), col("n_alpha"),
+        coalesce(col("top_bigram"), lit(0L)).as("top_bigram"))
+      .withColumn("ok_len",
+        col("n_tokens") >= 50L && col("n_tokens") <= 100000L)
+      .withColumn("ok_word_len",
+        col("sum_chars") >= col("n_tokens") * 3L &&
+          col("sum_chars") <= col("n_tokens") * 10L)
+      .withColumn("ok_alpha", col("n_alpha") * 10L >= col("n_tokens") * 8L)
+      .withColumn("ok_repeat",
+        col("top_bigram") * 100L <=
+          greatest(col("n_tokens") - 1L, lit(1L)) * 18L)
+      .withColumn("keep",
+        col("ok_len") && col("ok_word_len") && col("ok_alpha") && col("ok_repeat"))
+      .orderBy(col(idCol))
+  }
+
+  private val q148 = GraftQuery(
+    "q148_gopher_quality",
+    (s, dir) => gopherQuality(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                 FROM documents),
+      base AS (SELECT doc_id,
+                      CAST(len(t) AS BIGINT) AS n_tokens,
+                      CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS sum_chars,
+                      CAST(len(list_filter(t, x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_alpha,
+                      t
+               FROM t),
+      grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+                FROM t WHERE len(t) >= 2),
+      top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram
+              FROM (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+              GROUP BY doc_id),
+      m AS (SELECT b.doc_id, n_tokens, COALESCE(sum_chars, 0) AS sum_chars,
+                   n_alpha, COALESCE(top.top_bigram, 0) AS top_bigram
+            FROM base b LEFT JOIN top ON b.doc_id = top.doc_id)
+      SELECT doc_id, n_tokens, sum_chars, n_alpha, top_bigram,
+             (n_tokens >= 50 AND n_tokens <= 100000) AS ok_len,
+             (sum_chars >= n_tokens * 3 AND sum_chars <= n_tokens * 10) AS ok_word_len,
+             (n_alpha * 10 >= n_tokens * 8) AS ok_alpha,
+             (top_bigram * 100 <= GREATEST(n_tokens - 1, 1) * 18) AS ok_repeat,
+             ((n_tokens >= 50 AND n_tokens <= 100000)
+              AND (sum_chars >= n_tokens * 3 AND sum_chars <= n_tokens * 10)
+              AND (n_alpha * 10 >= n_tokens * 8)
+              AND (top_bigram * 100 <= GREATEST(n_tokens - 1, 1) * 18)) AS keep
+      FROM m
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
-    q113, q119, q121, q129, q130, q140, q144)
+    q113, q119, q121, q129, q130, q140, q144, q148)
 }

@@ -483,6 +483,64 @@ class DataPrepSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == stages.map(_._1))
   }
 
+  test("domainCap keeps exactly min(k, size) md5-first docs per domain, rerun-stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 130).map(i => (i.toLong, "mid")) ++
+      (131 to 135).map(i => (i.toLong, "tiny"))).toDF("doc_id", "source")
+    val kept = DataPrep.domainCap(docs, "source", "doc_id", k = 10)
+      .select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("big" -> 10, "mid" -> 10, "tiny" -> 5), s"$bySrc")
+    // the kept set is the naive single-window replay, exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val naive = docs.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(kept.toSet == naive)
+    // partitioning-independent
+    val re = DataPrep.domainCap(docs.repartition(7), "source", "doc_id", k = 10)
+      .select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(re == naive)
+  }
+
+  test("packSequences: classes, capacities, bin fill, and oversize flagging are exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // 70 docs of ~30 tokens (class 32, cap 4), 10 of ~100 (class 128,
+    // cap 1), one oversize beyond the 128-token budget
+    val docs = ((1 to 70).map(i => (i.toLong, doc(25 + i % 6))) ++
+      (71 to 80).map(i => (i.toLong, doc(100))) ++
+      Seq((81L, doc(200)))).toDF("doc_id", "text")
+    val got = DataPrep.packSequences(docs, "doc_id", "text", budget = 128L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4), r.getLong(5)))
+    assert(got.length == 81)
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(81L)._4 && byId(81L)._5 == -1L, "200-token doc must flag oversize")
+    val c32 = got.filter(g => !g._4 && g._3 == 32L)
+    assert(c32.length == 70)
+    // capacity 128/32 = 4: bins 0..16 full, bin 17 holds the remainder 2
+    val fill = c32.groupBy(_._5).view.mapValues(_.length).toMap
+    assert((0L until 17L).forall(fill(_) == 4) && fill(17L) == 2, s"$fill")
+    assert(c32.forall(g => g._6 >= 0 && g._6 < 4), "slot must be < capacity")
+    val c128 = got.filter(g => !g._4 && g._3 == 128L)
+    assert(c128.length == 10 && c128.forall(_._6 == 0L),
+      "class-128 docs fill one slot per bin at budget 128")
+    assert(c128.map(_._5).sorted.toSeq == (0L until 10L),
+      "one bin per class-128 doc")
+    // deterministic: identical assignment on rerun and repartition
+    val re = DataPrep.packSequences(docs.repartition(5), "doc_id", "text",
+      budget = 128L).collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(5))).toSet
+    assert(re == got.map(g => (g._1, g._5, g._6)).toSet)
+  }
+
   test("cascadeAccounting: NULL predicate counts as PASS, next failing stage attributes (ADVICE r10)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

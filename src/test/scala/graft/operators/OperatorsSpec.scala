@@ -416,4 +416,30 @@ class OperatorsSpec extends SparkSpec {
     got.zipWithIndex.filter { case (g, i) => i != 14 && g._4 == 7L }
       .foreach { case (g, i) => assert(!g._5, s"false spike at index $i: $g") }
   }
+
+  test("gopherQuality: each gate fires on its planted violation, clean doc keeps") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val words = (0 until 60).map(i =>
+      s"word${('a' + i % 26).toChar}${('a' + i / 26).toChar}")
+    val clean = words.mkString(" ") // 60 distinct alpha tokens, len 5-7
+    val short = "tiny doc here" // fails ok_len
+    val loops = Seq.fill(30)("again again").mkString(" ") // one bigram dominates
+    val nums = (0 until 60).map(i => s"$i").mkString(" ") // all-numeric tokens
+    val docs = Seq((1L, clean), (2L, short), (3L, loops), (4L, nums))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(4), r.getBoolean(5), r.getBoolean(6),
+          r.getBoolean(7), r.getBoolean(8), r.getBoolean(9)))).toMap
+    // (n_tokens, top_bigram, ok_len, ok_word_len, ok_alpha, ok_repeat, keep)
+    val c = got(1L)
+    assert(c._1 == 60L && c._3 && c._4 && c._5 && c._6 && c._7, s"clean: $c")
+    assert(!got(2L)._3 && !got(2L)._7, "short doc must fail the length gate")
+    val l = got(3L)
+    // "again again ... again": 60 tokens, the bigram "again again"
+    // occupies every adjacent pair -> 59 occurrences >> 18% of 59
+    assert(l._1 == 60L && l._2 == 59L && !l._6 && !l._7, s"loops: $l")
+    assert(!got(4L)._5 && !got(4L)._7, "numeric doc must fail the alpha gate")
+  }
 }
