@@ -31,7 +31,10 @@ object PlanDump {
     "q134_filter_cascade", "q135_ingest_anomaly", "q136_integrity_audit",
     "q137_frequent_values", "q138_column_correlation", "q139_negative_sampling",
     "q140_quality_drift", "q141_temperature_mix", "q142_banding_calculator",
-    "q143_memorization_audit", "q144_trailing_loop")
+    "q143_memorization_audit", "q144_trailing_loop",
+    "q145_correlation_shard_fold", "q146_ivfadc_append",
+    "q147_pagerank_sinks", "q148_gopher_quality", "q149_domain_cap",
+    "q150_sequence_packing")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1299,13 +1299,23 @@ object DataPrep {
   // from packing (callers chunk them first — q84).
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       budget: Long): DataFrame = {
-    require(budget >= 16L, s"budget must be >= 16 tokens, got $budget")
     val t = graft.functions.TextFunctions.tokens(col(textCol))
+    packSized(docs.select(col(idCol), size(t).cast("long").as("n_tokens")),
+      idCol, budget)
+  }
+
+  /** [[packSequences]] over a PRE-SIZED (id, n_tokens) frame — the
+    * production entry point: md5BucketRank's two-level shape derives
+    * its rank offsets from a second pass over its input, so feeding it
+    * raw text tokenizes the corpus twice; at scale the input is the
+    * stored per-doc length profile (one tiny 2-column table), which
+    * both passes read for pennies. */
+  def packSized(sized0: DataFrame, idCol: String, budget: Long): DataFrame = {
+    require(budget >= 16L, s"budget must be >= 16 tokens, got $budget")
     // smallest power of two >= n, floored at 16 (tiny docs share a class)
     val classes = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L,
       8192L, 16384L, 32768L, 65536L)
-    val sized = docs
-      .select(col(idCol), size(t).cast("long").as("n_tokens"))
+    val sized = sized0
       .withColumn("len_class",
         classes.filter(_ <= budget).foldRight(lit(-1L)) { (c, tail) =>
           when(col("n_tokens") <= c, lit(c)).otherwise(tail)
