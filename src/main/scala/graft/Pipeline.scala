@@ -596,6 +596,22 @@ object Pipeline {
       budget: Long): DataFrame =
     operators.DataPrep.packSequences(docs, idCol, textCol, budget)
 
+  /** [[packSequences]] over a stored (id, n_tokens) length profile —
+    * the production path (one tiny table, no double tokenize). */
+  def packSized(sized: DataFrame, idCol: String, budget: Long): DataFrame =
+    operators.DataPrep.packSized(sized, idCol, budget)
+
+  /** Keep the best member of each duplicate cluster by a total order
+    * (score desc, id) — TopKPerKey k=1 (q151). */
+  def bestOfGroup(df: DataFrame, group: Column, order: Seq[Column]): DataFrame =
+    operators.Dedup.bestOfGroup(df, group, order)
+
+  /** Stratified eval split with exact floor(n*pct/100) per-stratum
+    * allocation (q152). */
+  def stratifiedSplit(docs: DataFrame, stratumCol: String, idCol: String,
+      pctEval: Int): DataFrame =
+    operators.DataPrep.stratifiedSplit(docs, stratumCol, idCol, pctEval)
+
   /** Residual-PQ encode of a new batch against a frozen IVFADC model —
     * the append path (q146). */
   def ivfadcAppend(newBatch: DataFrame, cents: Array[Array[Double]],

@@ -1367,6 +1367,46 @@ object DataPrep {
       FROM sized WHERE len_class = -1
       ORDER BY doc_id"""))
 
+  // ------------------------------------------------ q152 stratified split
+  // Stratified eval split with EXACT per-stratum allocation: each
+  // stratum (source/language/domain) contributes exactly
+  // ⌊n_s · pct/100⌋ documents to eval — the complement of q86's global
+  // hash split, whose per-source share is only binomially close to the
+  // target. Selection is the md5-rank-first prefix per stratum (the
+  // two-level rank, mega-stratum-safe) and the cutoff is an integer
+  // cross-multiplication (rank·100 ≤ n·pct), so the assignment is a
+  // pure function of the data: rerun-stable, and append-era audits can
+  // recompute who WAS eval at any snapshot. One rank pass + one
+  // broadcast counts join; no float anywhere.
+  def stratifiedSplit(docs: DataFrame, stratumCol: String, idCol: String,
+      pctEval: Int): DataFrame = {
+    require(pctEval >= 1 && pctEval <= 99, s"pctEval in [1,99], got $pctEval")
+    val ranked = md5BucketRank(docs, stratumCol, idCol, rankAs = "__r")
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(counts), stratumCol)
+      .withColumn("split",
+        when(col("__r") * lit(100L) <= col("__n") * lit(pctEval.toLong),
+          lit("eval")).otherwise(lit("train")))
+      .drop("__r", "__n")
+  }
+
+  private val q152 = GraftQuery(
+    "q152_stratified_split",
+    (s, dir) => stratifiedSplit(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "source", "doc_id", pctEval = 10)
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, source,
+             CASE WHEN CAST(ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) * 100
+                       <= COUNT(*) OVER (PARTITION BY source) * 10
+                  THEN 'eval' ELSE 'train' END AS split
+      FROM documents
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84,
-    q85, q86, q89, q91, q98, q101, q115, q124, q134, q141, q143, q149, q150)
+    q85, q86, q89, q91, q98, q101, q115, q124, q134, q141, q143, q149, q150,
+    q152)
 }

@@ -1090,6 +1090,70 @@ object Dedup {
         ORDER BY b, r, da, db"""))
   }
 
+  // ---------------------------------------------------------------- q151
+  // Duplicate-cluster representative selection — keep-BEST, not
+  // keep-first: production dedup keeps the highest-quality member of
+  // each cluster (longest/cleanest variant), not the smallest id. The
+  // selection runs through the engine's own TopKPerKeyExec (k = 1
+  // bounded heap per group, partial → final — never a per-group sort),
+  // with a total deterministic order (score desc, id asc) so the
+  // representative is a pure function of the cluster. The declared
+  // query reuses q133's synthesized noisy corpus: groups are the
+  // normalized-dedup clusters, score = raw text length — the
+  // punctuation-tailed variant is strictly longest, so every cluster's
+  // winner is decided, and the oracle replays selection + membership
+  // count as a window.
+
+  /** Best row of each group by `order` (must be total for determinism):
+    * TopKPerKey k=1 — the argmax-per-group primitive. */
+  def bestOfGroup(df: DataFrame, group: Column,
+      order: Seq[Column]): DataFrame =
+    graft.plans.TopKPerKey.topK(df, Seq(group), order, k = 1)
+
+  private val q151 = GraftQuery(
+    "q151_cluster_representative",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val noisy = base
+        .unionAll(base.select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          upper(col("text")).as("text")))
+        .unionAll(base.select((col("doc_id") + lit(2000000000L)).as("doc_id"),
+          concat(col("text"), lit(" !! 42")).as("text")))
+      val norm = noisy.select(
+        md5(graft.functions.TextFunctions.dedupNormalized(col("text")))
+          .as("norm_hash"),
+        col("doc_id"), length(col("text")).cast("long").as("l"))
+      val reps = bestOfGroup(norm, col("norm_hash"),
+        Seq(col("l").desc, col("doc_id")))
+      val counts = norm.groupBy(col("norm_hash"))
+        .agg(count(lit(1)).as("n_members"))
+      reps.join(counts, "norm_hash")
+        .select(col("norm_hash"), col("doc_id").as("rep_id"),
+          col("l").as("rep_len"), col("n_members"))
+        .orderBy(col("norm_hash"))
+    },
+    Some("""
+      WITH noisy AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000, upper(text) FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000000, text || ' !! 42' FROM documents),
+      norm AS (SELECT md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                                              '[^\p{L} ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS norm_hash,
+                      doc_id, CAST(len(text) AS BIGINT) AS l
+               FROM noisy),
+      ranked AS (SELECT norm_hash, doc_id, l,
+                        ROW_NUMBER() OVER (PARTITION BY norm_hash
+                          ORDER BY l DESC, doc_id) AS r
+                 FROM norm),
+      counts AS (SELECT norm_hash, COUNT(*) AS n_members FROM norm GROUP BY norm_hash)
+      SELECT r.norm_hash AS norm_hash, doc_id AS rep_id, l AS rep_len, n_members
+      FROM ranked r JOIN counts USING (norm_hash)
+      WHERE r.r = 1
+      ORDER BY norm_hash"""))
+
   val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70, q81, q88, q95, q99,
-    q106, q120, q132, q133, q142)
+    q106, q120, q132, q133, q142, q151)
 }

@@ -541,6 +541,31 @@ class DataPrepSpec extends SparkSpec {
     assert(re == got.map(g => (g._1, g._5, g._6)).toSet)
   }
 
+  test("stratifiedSplit: exactly floor(n*pct/100) eval docs per stratum, disjoint, stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 130).map(i => (i.toLong, "mid")) ++
+      (131 to 135).map(i => (i.toLong, "tiny"))).toDF("doc_id", "source")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      DataPrep.stratifiedSplit(df, "source", "doc_id", pctEval = 10)
+        .select("doc_id", "source", "split")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val got = run(docs)
+    assert(got.length == 135, "every doc is assigned exactly once")
+    val evalBySrc = got.filter(_._3 == "eval").groupBy(_._2).view.mapValues(_.length).toMap
+    // floor(100*.1)=10, floor(30*.1)=3, floor(5*.1)=0
+    assert(evalBySrc == Map("big" -> 10, "mid" -> 3), s"$evalBySrc")
+    // pure function of the data: repartitioning changes nothing
+    assert(run(docs.repartition(9)).toSet == got.toSet)
+    // the eval prefix is the md5-first prefix (same order domainCap uses):
+    // eval set == domainCap at k = floor(n*pct/100) per stratum
+    val capBig = DataPrep.domainCap(docs.filter(col("source") === "big"),
+      "source", "doc_id", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.filter(g => g._2 == "big" && g._3 == "eval").map(_._1).toSet == capBig)
+  }
+
   test("cascadeAccounting: NULL predicate counts as PASS, next failing stage attributes (ADVICE r10)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

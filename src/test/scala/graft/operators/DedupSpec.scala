@@ -269,6 +269,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bestOfGroup picks the total-order argmax per group; q151 keeps the longest variant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ties on score break by id ASC — total order, deterministic winner
+    val rows = Seq(("g1", 1L, 5L), ("g1", 2L, 9L), ("g1", 3L, 9L),
+      ("g2", 4L, 1L), ("g3", 5L, 0L))
+      .toDF("g", "id", "score")
+    val got = Dedup.bestOfGroup(rows, col("g"),
+      Seq(col("score").desc, col("id")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("g1" -> ((2L, 9L)), "g2" -> ((4L, 1L)), "g3" -> ((5L, 0L))))
+    // declared q151 law: every cluster keeps its punctuation-tailed
+    // variant (strictly longest) with all 3 members accounted
+    val reps = graft.SparkEntry.queries("q151_cluster_representative")(spark, sf001)
+      .collect()
+    assert(reps.nonEmpty)
+    reps.foreach { r =>
+      assert(r.getLong(1) >= 2000000000L,
+        s"cluster ${r.getString(0)}: rep ${r.getLong(1)} is not the tailed variant")
+      assert(r.getLong(3) == 3L, s"cluster ${r.getString(0)}: ${r.getLong(3)} members")
+    }
+  }
+
   private implicit class RowsToMap(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
