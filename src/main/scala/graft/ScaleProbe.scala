@@ -45,7 +45,10 @@ import org.apache.spark.sql.functions._
   *        lineitem layout: rows delivered by the pruned parquet scans
   *        and wall times, at growing corpus size (round 9);
   *   mode "embedops" — q103/q104/q105 wall times over the scaled
-  *        embeddings (round 9).
+  *        embeddings (round 9);
+  *   mode "curation" — the round-11 curation set (gopher gates, domain
+  *        cap, sequence packing, cluster representatives, stratified
+  *        split) over the scaled documents table (round 11).
   * Prints one JSON line per run. All timed full-query runs materialize
   * via the noop sink (see Bench scaladoc — .count() prunes agg tails).
   */
@@ -53,7 +56,9 @@ object ScaleProbe {
 
   /** Builds (once) and returns the scaled-documents dir for `copies`×. */
   def scaledDocsDir(spark: SparkSession, src: String, copies: Int): String = {
-    val out = s"/root/repo/target/tmp/scaleprobe_x$copies"
+    // keyed by SOURCE basename too: a bare x$copies dir built from one
+    // SF would silently serve a probe pointed at another (round-11 fix)
+    val out = s"/root/repo/target/tmp/scaleprobe_${new java.io.File(src).getName}_x$copies"
     val docsPath = s"$out/documents.parquet"
     // _SUCCESS, not bare directory existence: an interrupted write leaves
     // a partial directory that would silently shrink the probe corpus
@@ -116,7 +121,9 @@ object ScaleProbe {
     */
   def scaledEmbeddingsDir(spark: SparkSession, src: String, copies: Int): String = {
     require(copies <= 128, s"embedding transform space exhausted at $copies copies")
-    val out = s"/root/repo/target/tmp/scaleprobe_x$copies"
+    // keyed by SOURCE basename too: a bare x$copies dir built from one
+    // SF would silently serve a probe pointed at another (round-11 fix)
+    val out = s"/root/repo/target/tmp/scaleprobe_${new java.io.File(src).getName}_x$copies"
     val embPath = s"$out/embeddings.parquet"
     if (!new java.io.File(s"$embPath/_SUCCESS").exists) {
       val emb = graft.sources.Tables.load(spark, src, "embeddings")
@@ -147,7 +154,9 @@ object ScaleProbe {
     * per-user event structure (and so funnel shape and the day grid) is
     * preserved exactly while users and rows grow copies×. */
   def scaledEventsDir(spark: SparkSession, src: String, copies: Int): String = {
-    val out = s"/root/repo/target/tmp/scaleprobe_x$copies"
+    // keyed by SOURCE basename too: a bare x$copies dir built from one
+    // SF would silently serve a probe pointed at another (round-11 fix)
+    val out = s"/root/repo/target/tmp/scaleprobe_${new java.io.File(src).getName}_x$copies"
     val evPath = s"$out/events.parquet"
     if (!new java.io.File(s"$evPath/_SUCCESS").exists) {
       val ev = graft.sources.Tables.events(spark, src)
@@ -215,6 +224,20 @@ object ScaleProbe {
         }
         val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         println(s"""{"metric":"scaleprobe","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
+
+      case "curation" =>
+        val out = scaledDocsDir(spark, src, copies)
+        val names = Seq("q148_gopher_quality", "q149_domain_cap",
+          "q150_sequence_packing", "q151_cluster_representative",
+          "q152_stratified_split")
+        val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
+        val times = names.map { name =>
+          val (_, t) = timed(SparkEntry.queries(name)(spark, out)
+            .write.format("noop").mode("overwrite").save())
+          name -> t
+        }
+        val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        println(s"""{"metric":"scaleprobe-curation","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
 
       case "ann" =>
         val out = scaledEmbeddingsDir(spark, src, copies)
