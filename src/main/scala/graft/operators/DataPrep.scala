@@ -1264,6 +1264,39 @@ object DataPrep {
       .filter(col("domain_rank") <= k.toLong)
   }
 
+  /** Arrival-order streaming form of [[domainCap]] (the q135/q140
+    * ingest discipline applied to the balance rule): admit a batch's
+    * docs while the domain's quota lasts — within the batch in the
+    * SAME (md5(id), id) order the batch form ranks by, offset by the
+    * `consumed` counts of everything admitted before. A single batch
+    * with an empty map IS [[domainCap]] exactly (StreamingSpec pins
+    * it); across batches the admitted set is a deterministic function
+    * of the batch sequence, never exceeds k per domain, and reaches
+    * exactly k whenever ≥ k arrive. `consumed` is driver-side because
+    * domains are bounded groups (the ppsAdmitBatch argument) — it
+    * enters the plan as a broadcast map literal, not a join; advance
+    * it with [[domainCounts]] over each admitted result. */
+  def capAdmitBatch(batch: DataFrame, consumed: Map[String, Long],
+      domainCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"cap must be positive, got $k")
+    val base =
+      if (consumed.isEmpty) lit(0L)
+      else coalesce(
+        element_at(typedLit(consumed), col(domainCol).cast("string")), lit(0L))
+    md5BucketRank(batch, domainCol, idCol, rankAs = "__r")
+      .filter(base + col("__r") <= k.toLong)
+      .drop("__r")
+  }
+
+  /** Per-domain row counts of a (typically admitted) batch — the
+    * increment to fold into [[capAdmitBatch]]'s consumed map. Driver
+    * result is O(domains), bounded. */
+  def domainCounts(batch: DataFrame, domainCol: String): Map[String, Long] =
+    batch.groupBy(col(domainCol)).agg(count(lit(1)).as("__t"))
+      .collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .toMap
+
   private val q149 = GraftQuery(
     "q149_domain_cap",
     (s, dir) => domainCap(

@@ -659,6 +659,59 @@ class StreamingSpec extends SparkSpec {
       s"unexpected drift flags: $batch")
   }
 
+  test("streaming domain-cap admission: quota laws hold across triggers; one batch == domainCap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 7
+    // big domain overflows the cap mid-stream; tiny never reaches it
+    val rows = ((1 to 20).map(i => (i.toLong, "big")) ++
+      (21 to 24).map(i => (i.toLong, "tiny"))).sortBy(_._1)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var consumed = Map.empty[String, Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "source")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val adm = graft.operators.DataPrep.capAdmitBatch(
+          b, consumed, "source", "doc_id", k)
+        val got = adm.select("doc_id", "source").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        admitted ++= got
+        consumed = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+          .foldLeft(consumed) { case (m, (s, n)) => m + (s -> (m.getOrElse(s, 0L) + n)) }
+      }
+      .start()
+    try {
+      rows.grouped(5).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    val bySrc = admitted.groupBy(_._2).view.mapValues(_.length).toMap
+    // exactly k when >= k arrive, all of them when fewer
+    assert(bySrc == Map("big" -> 7, "tiny" -> 4), s"$bySrc")
+    assert(admitted.distinct.size == admitted.size, "no double admission")
+    // sequential driver replay of the same batch sequence is identical
+    var c2 = Map.empty[String, Long]
+    val replay = rows.grouped(5).flatMap { chunk =>
+      val adm = graft.operators.DataPrep.capAdmitBatch(
+        chunk.toDF("doc_id", "source"), c2, "source", "doc_id", k)
+        .select("doc_id", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      c2 = adm.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+        .foldLeft(c2) { case (m, (s, n)) => m + (s -> (m.getOrElse(s, 0L) + n)) }
+      adm
+    }.toSeq
+    assert(replay.toSet == admitted.toSet, "streamed != sequential replay")
+    // bridging law: ONE batch with an empty map IS the batch-form cap
+    val one = graft.operators.DataPrep.capAdmitBatch(
+      rows.toDF("doc_id", "source"), Map.empty, "source", "doc_id", k)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchForm = graft.operators.DataPrep.domainCap(
+      rows.toDF("doc_id", "source"), "source", "doc_id", k)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(one == batchForm, "single-batch admission must equal domainCap")
+  }
+
   test("streaming MG heavy hitters: per-trigger states fold to a law-true corpus summary") {
     // the ingest pattern for q125's stored states: each micro-batch emits
     // ONE MG state row (foreachBatch persists it); the corpus heavy
