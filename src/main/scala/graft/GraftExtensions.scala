@@ -69,6 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             val data = b.eval(null)
               .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
             Array.tabulate(data.numElements()) { i =>
+              // a null slot would otherwise unbox to 0.0 and silently
+              // corrupt the bucket boundaries (code-review r11)
+              require(!data.isNullAt(i),
+                s"boundary_bucket boundaries must not contain NULL (element $i)")
               et match {
                 case org.apache.spark.sql.types.DoubleType => data.getDouble(i)
                 case org.apache.spark.sql.types.FloatType => data.getFloat(i).toDouble

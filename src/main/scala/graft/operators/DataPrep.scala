@@ -551,7 +551,12 @@ object DataPrep {
     * order are unchanged. `idCol` must be non-null: a null id hashes to a
     * null bucket and would be DROPPED by the offsets equi-join (the naive
     * window would instead rank it first) — every current caller ranks
-    * primary-key ids, which are non-null by construction.
+    * primary-key ids, which are non-null by construction. A null GROUP
+    * key, by contrast, is a real case (crawl docs with no domain): the
+    * offsets join is null-SAFE on the group column, so null-group rows
+    * rank among themselves exactly like the naive window's null
+    * partition (code-review r11 — the plain equi-join silently deleted
+    * them).
     */
   /** md5-hex-prefix bucket id as a LONG column, shared by [[md5BucketRank]]
     * and Curation's hot-bucket sub-chaining. Long, not int: 8 hex digits
@@ -583,11 +588,15 @@ object DataPrep {
     val offsets = counts
       .withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
       .select(col(groupCol), col("__b"), col("__off"))
+    val off = offsets
+      .withColumnRenamed(groupCol, "__g2")
+      .withColumnRenamed("__b", "__b2")
     withKey
       .withColumn("__lr", row_number().over(localW).cast("long"))
-      .join(broadcast(offsets), Seq(groupCol, "__b"))
+      .join(broadcast(off),
+        col(groupCol) <=> col("__g2") && col("__b") === col("__b2"))
       .withColumn(rankAs, col("__off") + col("__lr"))
-      .drop("__h", "__b", "__lr", "__off")
+      .drop("__h", "__b", "__lr", "__off", "__g2", "__b2")
   }
 
   /** Distributed deterministic running sum: SUM(weightCol) over
@@ -633,11 +642,16 @@ object DataPrep {
     val offsets = totals
       .withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
       .select(col(groupCol), col("__b"), col("__off"))
+    // null-safe on the group key, like md5BucketRank (code-review r11)
+    val off = offsets
+      .withColumnRenamed(groupCol, "__g2")
+      .withColumnRenamed("__b", "__b2")
     withKey
       .withColumn("__lc", sum(col("__w")).over(localW))
-      .join(broadcast(offsets), Seq(groupCol, "__b"))
+      .join(broadcast(off),
+        col(groupCol) <=> col("__g2") && col("__b") === col("__b2"))
       .withColumn(cumAs, col("__off") + col("__lc"))
-      .drop("__h", "__b", "__w", "__lc", "__off")
+      .drop("__h", "__b", "__w", "__lc", "__off", "__g2", "__b2")
   }
 
   /** Weighted systematic sampling (probability-proportional-to-size): lay
@@ -1276,25 +1290,34 @@ object DataPrep {
     * domains are bounded groups (the ppsAdmitBatch argument) — it
     * enters the plan as a broadcast map literal, not a join; advance
     * it with [[domainCounts]] over each admitted result. */
+  /** Collision-free map key for a (nullable) domain value: non-null v
+    * encodes as "v" + v, null as "n" — a real domain literally named
+    * "null" can never collide with the null domain (code-review r11:
+    * String.valueOf folded them together). */
+  private def domainKey(c: Column): Column =
+    coalesce(concat(lit("v"), c.cast("string")), lit("n"))
+
   def capAdmitBatch(batch: DataFrame, consumed: Map[String, Long],
       domainCol: String, idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"cap must be positive, got $k")
     val base =
       if (consumed.isEmpty) lit(0L)
       else coalesce(
-        element_at(typedLit(consumed), col(domainCol).cast("string")), lit(0L))
+        element_at(typedLit(consumed), domainKey(col(domainCol))), lit(0L))
     md5BucketRank(batch, domainCol, idCol, rankAs = "__r")
       .filter(base + col("__r") <= k.toLong)
       .drop("__r")
   }
 
-  /** Per-domain row counts of a (typically admitted) batch — the
-    * increment to fold into [[capAdmitBatch]]'s consumed map. Driver
-    * result is O(domains), bounded. */
+  /** Per-domain row counts of a (typically admitted) batch, keyed by the
+    * collision-free [[domainKey]] encoding [[capAdmitBatch]] looks up —
+    * the increment to fold into its consumed map. Driver result is
+    * O(domains), bounded. */
   def domainCounts(batch: DataFrame, domainCol: String): Map[String, Long] =
-    batch.groupBy(col(domainCol)).agg(count(lit(1)).as("__t"))
+    batch.groupBy(domainKey(col(domainCol)).as("__k"))
+      .agg(count(lit(1)).as("__t"))
       .collect()
-      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .map(r => r.getString(0) -> r.getLong(1))
       .toMap
 
   private val q149 = GraftQuery(
@@ -1344,13 +1367,16 @@ object DataPrep {
     * stored per-doc length profile (one tiny 2-column table), which
     * both passes read for pennies. */
   def packSized(sized0: DataFrame, idCol: String, budget: Long): DataFrame = {
-    require(budget >= 16L, s"budget must be >= 16 tokens, got $budget")
-    // smallest power of two >= n, floored at 16 (tiny docs share a class)
-    val classes = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L,
-      8192L, 16384L, 32768L, 65536L)
+    require(budget >= 16L && budget <= (1L << 40),
+      s"budget must be in [16, 2^40] tokens, got $budget")
+    // smallest power of two >= n, floored at 16 (tiny docs share a
+    // class), generated UP TO the budget — a fixed ladder silently
+    // oversize-flagged budget-fitting docs past its last rung
+    // (code-review r11)
+    val classes = Iterator.iterate(16L)(_ * 2).takeWhile(_ <= budget).toSeq
     val sized = sized0
       .withColumn("len_class",
-        classes.filter(_ <= budget).foldRight(lit(-1L)) { (c, tail) =>
+        classes.foldRight(lit(-1L)) { (c, tail) =>
           when(col("n_tokens") <= c, lit(c)).otherwise(tail)
         })
       .withColumn("oversize", col("len_class") === -1L)
@@ -1415,12 +1441,17 @@ object DataPrep {
       pctEval: Int): DataFrame = {
     require(pctEval >= 1 && pctEval <= 99, s"pctEval in [1,99], got $pctEval")
     val ranked = md5BucketRank(docs, stratumCol, idCol, rankAs = "__r")
+    // counts is a third key-only pass over the input (the rank itself
+    // reads it twice) — feed a narrow (id, stratum) projection, or a
+    // stored profile, when the source table is wide. NULL strata are a
+    // real stratum: the join is null-safe (code-review r11).
     val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
-    ranked.join(broadcast(counts), stratumCol)
+      .withColumnRenamed(stratumCol, "__s2")
+    ranked.join(broadcast(counts), col(stratumCol) <=> col("__s2"))
       .withColumn("split",
         when(col("__r") * lit(100L) <= col("__n") * lit(pctEval.toLong),
           lit("eval")).otherwise(lit("train")))
-      .drop("__r", "__n")
+      .drop("__r", "__n", "__s2")
   }
 
   private val q152 = GraftQuery(

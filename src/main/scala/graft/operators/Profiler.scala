@@ -277,10 +277,12 @@ object Profiler {
   // cov_num exceed 2^53 on real data, and any consumer bridge that
   // passes DECIMAL(38,0) through a float64 (duckdb→pandas does) silently
   // corrupts them — so the audit emits each as an exact (hi, lo) LONG
-  // pair with lo = v mod 2^40 ∈ [0, 2^40) and hi = (v − lo) / 2^40.
-  // Both fit comfortably in int64 (|hi| ≲ 6·10¹² at profile scale) and
-  // reassemble exactly as hi·2^40 + lo; the sign verdict and all
-  // arithmetic stay 128-bit-exact internally.
+  // pair with lo = v mod 2^40 ∈ [0, 2^40) and hi = (v − lo) / 2^40,
+  // reassembling exactly as hi·2^40 + lo; the sign verdict and all
+  // arithmetic stay 128-bit-exact internally. hi itself fits int64
+  // while |v| < 2^103 ≈ 1.0e31 (amply true at declared-query scale,
+  // |hi| ≲ 6·10¹² there) and the emission RAISES past that bound
+  // rather than wrapping — see [[hiLo]].
 
   private val corrM = 1099511627776L // 2^40 — the product scale 2^20·2^20
 
@@ -289,11 +291,26 @@ object Profiler {
   /** Exact floor-div decomposition of a DECIMAL(38,0) value into int64-
     * safe (hi, lo): lo = pmod(v, 2^40) is non-negative, v − lo is exactly
     * divisible by 2^40, so the quotient is exact under any integer
-    * division semantics — the pair survives any float64 bridge. */
+    * division semantics — the pair survives any float64 bridge.
+    *
+    * Validity bound, enforced LOUDLY: hi fits int64 only while
+    * |v| < 2^63·2^40 ≈ 1.0e31. Inside that range the pair is exact; at
+    * or beyond it the expression raises instead of letting the
+    * decimal→long cast wrap two's-complement silently (code-review r11:
+    * the covariance numerator can reach ~1e36 at the upper corner of
+    * the documented n ≲ 10⁷, |x| ≤ 10⁵ envelope — shard smaller or
+    * drop the input scale there; the DuckDB oracle's HUGEINT→BIGINT
+    * cast throws at the same boundary, so both engines fail, neither
+    * corrupts). */
   private def hiLo(v: Column, hiAs: String, loAs: String): Seq[(Column, String)] = {
     val m = corrD(lit(corrM))
     val lo = pmod(v, m)
-    Seq(((v - lo) / m).cast("long") -> hiAs, lo.cast("long") -> loAs)
+    val hiD = (v - lo) / m
+    val hi = when(abs(hiD) > lit(Long.MaxValue),
+      raise_error(concat(lit(s"correlation $hiAs overflows int64: "),
+        v.cast("string"))))
+      .otherwise(hiD.cast("long"))
+    Seq(hi -> hiAs, lo.cast("long") -> loAs)
   }
 
   private def corrPairs(cols: Seq[String]): Seq[(String, String)] =

@@ -1118,25 +1118,30 @@ object TextAnalysis {
   // Scale: the per-doc counters are stateless column math inside the
   // scan; the one non-local signal (top-bigram count) is a (doc, gram)
   // hash-agg + per-doc max — the wordcount shuffle class (q119), keys
-  // die at the per-doc reduce. Compose with q134's cascade for the
+  // die at the per-doc reduce. ONE scan: the counters ride the gram
+  // aggregation as grouping keys (a few extra longs per gram row)
+  // instead of a second tokenize branch joined back — the join form
+  // re-scanned and re-tokenized the corpus once per side (code-review
+  // r11); explode_outer keeps gram-free docs in the flow, so no outer
+  // join is needed either. Compose with q134's cascade for the
   // attribution ledger.
   def gopherQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = tokens(col(textCol))
-    val base = docs
+    docs
       .select(col(idCol), t.as("__t"))
       .select(col(idCol),
         size(col("__t")).cast("long").as("n_tokens"),
         aggregate(col("__t"), lit(0L), (a, x) => a + length(x)).as("sum_chars"),
         size(filter(col("__t"), x => x.rlike("^[a-z]+$"))).cast("long").as("n_alpha"),
         graft.functions.WordNGrams(col("__t"), 2).as("__g"))
-    val topBigram = base
-      .select(col(idCol), explode(col("__g")).as("g"))
-      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol)).agg(max(col("c")).as("top_bigram"))
-    base.drop("__g")
-      .join(topBigram, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"), col("sum_chars"), col("n_alpha"),
-        coalesce(col("top_bigram"), lit(0L)).as("top_bigram"))
+        explode_outer(col("__g")).as("g"))
+      .groupBy(col(idCol), col("n_tokens"), col("sum_chars"), col("n_alpha"),
+        col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("n_tokens"), col("sum_chars"), col("n_alpha"))
+      .agg(coalesce(max(when(col("g").isNotNull, col("c"))), lit(0L))
+        .as("top_bigram"))
       .withColumn("ok_len",
         col("n_tokens") >= 50L && col("n_tokens") <= 100000L)
       .withColumn("ok_word_len",

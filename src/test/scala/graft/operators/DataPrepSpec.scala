@@ -566,6 +566,37 @@ class DataPrepSpec extends SparkSpec {
     assert(got.filter(g => g._2 == "big" && g._3 == "eval").map(_._1).toSet == capBig)
   }
 
+  test("NULL group keys rank as their own stratum/domain, never silently dropped (code-review r11)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (Seq((1L, Some("a")), (2L, Some("a")), (3L, None),
+      (4L, None), (5L, None), (6L, Some("null"))))
+      .toDF("doc_id", "source")
+    // domainCap: the NULL domain is capped like any other, not deleted
+    val capped = DataPrep.domainCap(docs, "source", "doc_id", k = 2)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    val bySrc = capped.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map(Some("a") -> 2, None -> 2, Some("null") -> 1), s"$bySrc")
+    // stratifiedSplit stays total: every row assigned, incl. NULL stratum
+    val split = DataPrep.stratifiedSplit(docs, "source", "doc_id", pctEval = 34)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(split.length == 6, s"lost rows: ${split.toSeq}")
+    assert(split.count(_._2 == "eval") == 1, // floor(3*0.34)=1 from the NULL stratum
+      s"${split.toSeq}")
+    // capAdmitBatch: the NULL domain and a domain NAMED "null" hold
+    // separate quotas (the consumed map keys cannot collide)
+    var consumed = Map.empty[String, Long]
+    val b1 = DataPrep.capAdmitBatch(docs, consumed, "source", "doc_id", k = 2)
+    consumed = DataPrep.domainCounts(b1, "source")
+    assert(consumed == Map("va" -> 2L, "n" -> 2L, "vnull" -> 1L), s"$consumed")
+    // a second batch of NULL-domain docs is refused: quota exhausted
+    val b2 = DataPrep.capAdmitBatch(
+      Seq((7L, None: Option[String])).toDF("doc_id", "source"),
+      consumed, "source", "doc_id", k = 2)
+    assert(b2.count() == 0, "NULL-domain quota must persist across batches")
+  }
+
   test("cascadeAccounting: NULL predicate counts as PASS, next failing stage attributes (ADVICE r10)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

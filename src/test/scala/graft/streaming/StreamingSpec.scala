@@ -677,7 +677,7 @@ class StreamingSpec extends SparkSpec {
         val got = adm.select("doc_id", "source").collect()
           .map(r => (r.getLong(0), r.getString(1)))
         admitted ++= got
-        consumed = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+        consumed = graft.operators.DataPrep.domainCounts(adm, "source")
           .foldLeft(consumed) { case (m, (s, n)) => m + (s -> (m.getOrElse(s, 0L) + n)) }
       }
       .start()
@@ -691,11 +691,11 @@ class StreamingSpec extends SparkSpec {
     // sequential driver replay of the same batch sequence is identical
     var c2 = Map.empty[String, Long]
     val replay = rows.grouped(5).flatMap { chunk =>
-      val adm = graft.operators.DataPrep.capAdmitBatch(
+      val admDf = graft.operators.DataPrep.capAdmitBatch(
         chunk.toDF("doc_id", "source"), c2, "source", "doc_id", k)
-        .select("doc_id", "source").collect()
+      val adm = admDf.select("doc_id", "source").collect()
         .map(r => (r.getLong(0), r.getString(1)))
-      c2 = adm.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      c2 = graft.operators.DataPrep.domainCounts(admDf, "source")
         .foldLeft(c2) { case (m, (s, n)) => m + (s -> (m.getOrElse(s, 0L) + n)) }
       adm
     }.toSeq
