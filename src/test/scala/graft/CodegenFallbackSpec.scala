@@ -68,7 +68,11 @@ class CodegenFallbackSpec extends SparkSpec {
           // media header decode, JL sign join, KMV array algebra
           "q125_mg_heavy_hitters", "q126_jl_projection",
           "q131_media_header", "q132_kmv_set_algebra",
-          "q137_frequent_values", "q138_column_correlation").foreach { name =>
+          "q137_frequent_values", "q138_column_correlation",
+          // round-11: hi/lo decimal decomposition + fold, IVFADC append
+          // encode, gopher gates, TopKPerKey representative selection
+          "q145_correlation_shard_fold", "q148_gopher_quality",
+          "q151_cluster_representative").foreach { name =>
         SparkEntry.queries(name)(spark, sf001).collect()
       }
       val msgs = cap.messages.toArray.mkString("\n")
