@@ -612,6 +612,28 @@ object Pipeline {
       pctEval: Int): DataFrame =
     operators.DataPrep.stratifiedSplit(docs, stratumCol, idCol, pctEval)
 
+  /** Arrival-order streaming quota admission per domain — the stream
+    * form of [[domainCap]]. */
+  def capAdmitBatch(batch: DataFrame, consumed: Map[String, Long],
+      domainCol: String, idCol: String, k: Int): DataFrame =
+    operators.DataPrep.capAdmitBatch(batch, consumed, domainCol, idCol, k)
+
+  /** Exact winsorization cuts + clip accounting (q153); apply with
+    * [[winsorizeClip]]. */
+  def winsorizeStats(df: DataFrame, valueCol: String,
+      orderCols: Seq[String], pLo: Int, pHi: Int): DataFrame =
+    operators.Windows.winsorizeStats(df, valueCol, orderCols, pLo, pHi)
+
+  /** Stateless clamp to precomputed winsorization cuts. */
+  def winsorizeClip(v: Column, loCut: Double, hiCut: Double): Column =
+    operators.Windows.winsorizeClip(v, loCut, hiCut)
+
+  /** Smallest frequency-ordered vocabulary covering each target percent
+    * of token occurrences, exactly (q154). */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      targets: Seq[Int]): DataFrame =
+    operators.TextAnalysis.vocabCoverage(docs, textCol, targets)
+
   /** Residual-PQ encode of a new batch against a frozen IVFADC model —
     * the append path (q146). */
   def ivfadcAppend(newBatch: DataFrame, cents: Array[Array[Double]],

@@ -1189,6 +1189,77 @@ object TextAnalysis {
       FROM m
       ORDER BY doc_id"""))
 
+  // --------------------------------------------- q154 vocabulary coverage
+  // Tokenizer-design question answered exactly: the smallest vocabulary
+  // (words taken in frequency-descending order, ties lexicographic)
+  // covering ≥ p% of all token occurrences, for each target p. The
+  // scale trick: the answer needs only the COUNT-OF-COUNTS histogram —
+  // (occurrence count c, number of words with that count) — which is
+  // Zipf-bounded to a few thousand rows regardless of vocabulary size,
+  // so the selection is a driver walk over KB of exact integers, and
+  // the global "sort the vocabulary and cumsum" (a single-task window
+  // over a possibly 100M-word vocab — the scale-killer the naive form
+  // has) never happens. Within the crossing count class every word
+  // contributes the same c, so vocab_size and covered_tokens are
+  // independent of which tie-words are taken — the oracle's explicit
+  // (c DESC, w) cumsum lands on identical values.
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      targets: Seq[Int]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(t => t >= 1 && t <= 100),
+      "coverage targets must be percentages in [1,100]")
+    val spark = docs.sparkSession
+    val hist = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("nw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val total = hist.map { case (c, nw) => c * nw }.sum
+    val rows = targets.sorted.map { t =>
+      val need = (total * t + 99) / 100 // ceil — first cum with cum*100 >= total*t
+      var wordsBefore = 0L; var cumBefore = 0L
+      var vocab = 0L; var covered = 0L; var found = false
+      hist.foreach { case (c, nw) =>
+        if (!found) {
+          if ((cumBefore + nw * c) >= need) {
+            val k = (need - cumBefore + c - 1) / c
+            vocab = wordsBefore + k
+            covered = cumBefore + k * c
+            found = true
+          } else { wordsBefore += nw; cumBefore += nw * c }
+        }
+      }
+      require(found || total == 0, s"coverage walk failed at target $t")
+      (t, vocab, covered, total)
+    }
+    import spark.implicits._
+    rows.toDF("target_pct", "vocab_size", "covered_tokens", "total_tokens")
+      .orderBy(col("target_pct"))
+  }
+
+  private val q154 = GraftQuery(
+    "q154_vocab_coverage",
+    (s, dir) => vocabCoverage(Tables.documents(s, dir), "text",
+      targets = Seq(50, 90, 99)),
+    Some("""
+      WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                  x -> x <> '')) AS w
+                    FROM documents),
+      wc AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM wc),
+      r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS vs,
+                   CAST(SUM(c) OVER (ORDER BY c DESC, w
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM wc),
+      sel AS (SELECT 50 AS target_pct UNION ALL SELECT 90 UNION ALL SELECT 99)
+      SELECT s.target_pct AS target_pct,
+             MIN(r.vs) AS vocab_size,
+             MIN_BY(r.cum, r.vs) AS covered_tokens,
+             (SELECT total FROM tot) AS total_tokens
+      FROM sel s JOIN r ON r.cum * 100 >= (SELECT total FROM tot) * s.target_pct
+      GROUP BY s.target_pct
+      ORDER BY target_pct"""))
+
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
-    q113, q119, q121, q129, q130, q140, q144, q148)
+    q113, q119, q121, q129, q130, q140, q144, q148, q154)
 }

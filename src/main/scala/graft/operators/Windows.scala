@@ -462,6 +462,91 @@ object Windows {
                    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
       ORDER BY event_type, day"""))
 
+  // ------------------------------------------------- q153 winsorization
+  // Exact outlier clipping for a numeric column: the p_lo / p_hi cut
+  // VALUES located by q69's histogram rank selection (one stats agg +
+  // one 1024-bucket histogram agg + one hit-bucket-pruned sort — never
+  // a global sort), then one accounting scan with the cuts as plan
+  // literals. Exact ranks, exact counts — the robust-scaling /
+  // outlier-trim step a feature pipeline runs before normalization,
+  // with the same q69 eagerness caveat (constructing the frame runs
+  // the bounded driver passes). [[winsorizeClip]] is the stateless
+  // apply form.
+  def winsorizeStats(df: DataFrame, valueCol: String,
+      orderCols: Seq[String], pLo: Int, pHi: Int): DataFrame = {
+    require(pLo >= 1 && pHi <= 100 && pLo < pHi,
+      s"need 1 <= pLo < pHi <= 100, got ($pLo, $pHi)")
+    val nBuckets = 1024
+    val v = col(valueCol)
+    val srt = (v +: orderCols.map(col)).toIndexedSeq
+    val st = df.agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi"))
+      .head()
+    val (n, lo, hi) = (st.getLong(0), st.getDouble(1), st.getDouble(2))
+    require(n > 0, "winsorizeStats needs a non-empty input")
+    val width = if (hi > lo) (hi - lo) / nBuckets else 1.0
+    val bucketCol = least(lit(nBuckets - 1),
+      floor((v - lit(lo)) / lit(width)).cast("long"))
+    val histo = df.select(bucketCol.as("b")).groupBy(col("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def locate(rank: Long): (Long, Long) = {
+      var cum = 0L; var b = 0L
+      while (b < nBuckets && cum + histo.getOrElse(b, 0L) < rank) {
+        cum += histo.getOrElse(b, 0L); b += 1
+      }
+      (b, rank - cum)
+    }
+    val rLo = (pLo.toLong * n + 99) / 100
+    val rHi = (pHi.toLong * n + 99) / 100
+    val (bLo, lrLo) = locate(rLo)
+    val (bHi, lrHi) = locate(rHi)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(srt: _*)
+    val cuts = df.withColumn("__b", bucketCol)
+      .filter(col("__b") === bLo || col("__b") === bHi)
+      .withColumn("__rn", row_number().over(w))
+      .filter((col("__b") === bLo && col("__rn") === lrLo) ||
+        (col("__b") === bHi && col("__rn") === lrHi))
+      .select(col("__b"), v.as("cut"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (loCut, hiCut) = (cuts(bLo), cuts(bHi))
+    df.agg(
+      lit(loCut).as("lo_cut"), lit(hiCut).as("hi_cut"),
+      sum(when(v < lit(loCut), 1L).otherwise(0L)).as("n_below"),
+      sum(when(v > lit(hiCut), 1L).otherwise(0L)).as("n_above"),
+      count(lit(1)).as("n"))
+  }
+
+  /** Stateless clamp to precomputed winsorization cuts — runs inside any
+    * scan's codegen span, stream-safe. */
+  def winsorizeClip(v: org.apache.spark.sql.Column, loCut: Double,
+      hiCut: Double): org.apache.spark.sql.Column =
+    greatest(least(v, lit(hiCut)), lit(loCut))
+
+  private val q153 = GraftQuery(
+    "q153_winsorize",
+    (s, dir) => winsorizeStats(
+      Tables.lineitem(s, dir)
+        .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      "l_extendedprice", Seq("l_orderkey", "l_linenumber"), pLo = 1, pHi = 99),
+    Some("""
+      WITH ranked AS (
+        SELECT l_extendedprice AS v,
+               ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER () AS n
+        FROM lineitem),
+      cuts AS (SELECT MIN(CASE WHEN rn = (1 * n + 99) // 100 THEN v END) AS lo_cut,
+                      MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS hi_cut,
+                      CAST(MAX(n) AS BIGINT) AS n
+               FROM ranked)
+      SELECT lo_cut, hi_cut,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE l_extendedprice < (SELECT lo_cut FROM cuts)) AS n_below,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE l_extendedprice > (SELECT hi_cut FROM cuts)) AS n_above,
+             n
+      FROM cuts"""))
+
   val all: Seq[GraftQuery] = Seq(q48, q49, q50, q52, q54, q68, q69, q73, q122,
-    q135)
+    q135, q153)
 }

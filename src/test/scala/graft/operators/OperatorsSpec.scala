@@ -417,6 +417,48 @@ class OperatorsSpec extends SparkSpec {
       .foreach { case (g, i) => assert(!g._5, s"false spike at index $i: $g") }
   }
 
+  test("winsorizeStats: exact rank cuts and clip accounting on a known sequence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 100).map(i => (i.toDouble, i.toLong, i)).toDF("v", "k1", "k2")
+    val r = graft.operators.Windows.winsorizeStats(df, "v", Seq("k1", "k2"),
+      pLo = 10, pHi = 90).head()
+    // rank convention (p*n+99)/100: rLo = 10 -> value 10, rHi = 90 -> 90
+    assert(r.getDouble(0) == 10.0 && r.getDouble(1) == 90.0, r.toString)
+    assert(r.getLong(2) == 9 && r.getLong(3) == 10 && r.getLong(4) == 100,
+      r.toString)
+    // the clamp form respects the cuts
+    val clipped = df.select(graft.operators.Windows
+      .winsorizeClip(col("v"), 10.0, 90.0).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(clipped.getDouble(0) == 10.0 && clipped.getDouble(1) == 90.0)
+    // skewed data: everything in one bucket still selects exactly
+    val skew = ((1 to 99).map(_ => 5.0) ++ Seq(1000000.0)).zipWithIndex
+      .map { case (v, i) => (v, i.toLong, i) }.toDF("v", "k1", "k2")
+    val s = graft.operators.Windows.winsorizeStats(skew, "v", Seq("k1", "k2"),
+      pLo = 1, pHi = 99).head()
+    assert(s.getDouble(0) == 5.0 && s.getDouble(1) == 5.0 &&
+      s.getLong(2) == 0 && s.getLong(3) == 1, s.toString)
+  }
+
+  test("vocabCoverage: exact crossing arithmetic on a hand-computed histogram") {
+    import spark.implicits._
+    // counts: aa=5, bb=3, cc=3, dd=1 -> total 12
+    val text = (Seq.fill(5)("aa") ++ Seq.fill(3)("bb") ++ Seq.fill(3)("cc") ++
+      Seq("dd")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .vocabCoverage(docs, "text", Seq(50, 90, 100))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // 50%: need 6 -> aa(5) + 1 word of count 3 = vocab 2, covered 8
+    assert(got(50) == ((2L, 8L, 12L)), s"${got(50)}")
+    // 90%: need ceil(10.8) = 11 -> aa + both count-3 words = vocab 3, covered 11
+    assert(got(90) == ((3L, 11L, 12L)), s"${got(90)}")
+    // 100%: the whole vocabulary
+    assert(got(100) == ((4L, 12L, 12L)), s"${got(100)}")
+  }
+
   test("gopherQuality: each gate fires on its planted violation, clean doc keeps") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
