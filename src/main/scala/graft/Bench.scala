@@ -114,7 +114,11 @@ object Bench {
         .map(new java.io.File(_)).find(_.exists) match {
         case None => Map.empty
         case Some(f) =>
-          val src = scala.io.Source.fromFile(f)
+          // explicit UTF-8: the forked JVM's default charset follows the
+          // launcher locale (POSIX => US-ASCII), where a single non-ASCII
+          // byte in a baseline COMMENT throws MalformedInputException and
+          // kills the whole bench instead of skipping a line (r11)
+          val src = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
           try parseBaseline(src.getLines()) finally src.close()
       }
 
