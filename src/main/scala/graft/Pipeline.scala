@@ -628,6 +628,12 @@ object Pipeline {
   def winsorizeClip(v: Column, loCut: Double, hiCut: Double): Column =
     operators.Windows.winsorizeClip(v, loCut, hiCut)
 
+  /** Per-group TOKEN-budget corpus selection along the md5 line (q155). */
+  def tokenBudgetSelect(docs: DataFrame, groupCol: String, idCol: String,
+      tokensCol: String, budgetTokens: Long): DataFrame =
+    operators.DataPrep.tokenBudgetSelect(docs, groupCol, idCol, tokensCol,
+      budgetTokens)
+
   /** Smallest frequency-ordered vocabulary covering each target percent
     * of token occurrences, exactly (q154). */
   def vocabCoverage(docs: DataFrame, textCol: String,

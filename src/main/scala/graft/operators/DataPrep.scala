@@ -1454,6 +1454,51 @@ object DataPrep {
       .drop("__r", "__n", "__s2")
   }
 
+  /** Token-budget corpus selection — the TOKEN-denominated quota the
+    * doc-count forms (q62, q91, q149) approximate: walk each group's
+    * docs in the deterministic (md5(id), id) order and keep every doc
+    * that STARTS before the group's token budget is spent (the first
+    * crossing doc is kept, so the budget is met, never starved; kept
+    * totals land in [budget, budget + max_doc_tokens)). The running
+    * token sum is [[md5BucketCumsum]] — exact LONG arithmetic, two-level
+    * (no per-group single-task window) — so the kept set is a pure,
+    * engine-replayable function of the data. Callers with a stored
+    * per-doc length profile pass it as `tokensCol`; the declared query
+    * derives lengths in-plan. */
+  def tokenBudgetSelect(docs: DataFrame, groupCol: String, idCol: String,
+      tokensCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1L, s"budget must be positive, got $budgetTokens")
+    md5BucketCumsum(docs, groupCol, idCol, tokensCol, cumAs = "cum_tokens")
+      .filter(col("cum_tokens") - col(tokensCol) < budgetTokens)
+  }
+
+  private val q155 = GraftQuery(
+    "q155_token_budget",
+    (s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      tokenBudgetSelect(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens", budgetTokens = 700L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH sized AS (SELECT doc_id, source,
+                            CAST(len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS BIGINT) AS n_tokens
+                     FROM documents),
+      walked AS (SELECT doc_id, source, n_tokens,
+                        CAST(SUM(n_tokens) OVER (PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                 FROM sized)
+      SELECT doc_id, source, n_tokens, cum_tokens
+      FROM walked
+      WHERE cum_tokens - n_tokens < 700
+      ORDER BY doc_id"""))
+
   private val q152 = GraftQuery(
     "q152_stratified_split",
     (s, dir) => stratifiedSplit(
@@ -1472,5 +1517,5 @@ object DataPrep {
 
   val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84,
     q85, q86, q89, q91, q98, q101, q115, q124, q134, q141, q143, q149, q150,
-    q152)
+    q152, q155)
 }

@@ -566,6 +566,34 @@ class DataPrepSpec extends SparkSpec {
     assert(got.filter(g => g._2 == "big" && g._3 == "eval").map(_._1).toSet == capBig)
   }
 
+  test("tokenBudgetSelect: kept totals land in [budget, budget+max_doc), deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 60).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", (5 + i % 11).toLong))
+      .toDF("doc_id", "source", "n_tokens")
+    val budget = 50L
+    def run(df: org.apache.spark.sql.DataFrame) =
+      DataPrep.tokenBudgetSelect(df, "source", "doc_id", "n_tokens", budget)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val kept = run(docs)
+    val maxDoc = 15L
+    kept.groupBy(_._2).foreach { case (src, rows) =>
+      val total = rows.map(_._3).sum
+      assert(total >= budget && total < budget + maxDoc,
+        s"$src kept $total tokens outside [$budget, ${budget + maxDoc})")
+      // exactly the md5-order prefix: every kept doc STARTS under budget
+      rows.foreach { case (id, _, n, cum) =>
+        assert(cum - n < budget, s"doc $id starts at ${cum - n}") }
+    }
+    // a group under budget keeps everything
+    val tiny = Seq((100L, "c", 7L), (101L, "c", 9L)).toDF("doc_id", "source", "n_tokens")
+    assert(run(tiny).length == 2)
+    // partitioning-independent
+    assert(run(docs.repartition(7)).toSet == kept.toSet)
+  }
+
   test("NULL group keys rank as their own stratum/domain, never silently dropped (code-review r11)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
