@@ -35,7 +35,7 @@ object PlanDump {
     "q145_correlation_shard_fold", "q146_ivfadc_append",
     "q147_pagerank_sinks", "q148_gopher_quality", "q149_domain_cap",
     "q150_sequence_packing", "q151_cluster_representative",
-    "q152_stratified_split", "q154_vocab_coverage")
+    "q152_stratified_split", "q154_vocab_coverage", "q155_token_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

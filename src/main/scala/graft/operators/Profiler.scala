@@ -302,13 +302,24 @@ object Profiler {
     * drop the input scale there; the DuckDB oracle's HUGEINT→BIGINT
     * cast throws at the same boundary, so both engines fail, neither
     * corrupts). */
-  private def hiLo(v: Column, hiAs: String, loAs: String): Seq[(Column, String)] = {
+  private def hiLo(v: Column, n: Column, hiAs: String,
+      loAs: String): Seq[(Column, String)] = {
     val m = corrD(lit(corrM))
     val lo = pmod(v, m)
     val hiD = (v - lo) / m
-    val hi = when(abs(hiD) > lit(Long.MaxValue),
-      raise_error(concat(lit(s"correlation $hiAs overflows int64: "),
-        v.cast("string"))))
+    // Under non-ANSI Spark a decimal(38,0) overflow in the upstream
+    // product (s_ab·n or Σa·Σb) yields NULL before this guard ever sees
+    // a value — so a null v with n > 0 rows IS the overflow signal, and
+    // the panel must raise, not emit silent NULL hi/lo (code-review
+    // r11: the "fails loudly, never corrupts" contract). n = 0 (empty
+    // input) legitimately has null sums and passes through.
+    val hi = when(v.isNull && n > lit(0L),
+      raise_error(lit(s"correlation $hiAs is NULL with n > 0 — " +
+        "decimal(38,0) overflow upstream (non-ANSI mode returns NULL " +
+        "past ~1e38): shard smaller or reduce the input scale")))
+      .when(abs(hiD) > lit(Long.MaxValue),
+        raise_error(concat(lit(s"correlation $hiAs overflows int64: "),
+          v.cast("string"))))
       .otherwise(hiD.cast("long"))
     Seq(hi -> hiAs, lo.cast("long") -> loAs)
   }
@@ -323,7 +334,8 @@ object Profiler {
     val out = corrPairs(cols).map { case (a, b) =>
       val sAb = corrD(col(s"s_${a}_$b"))
       val covNum = sAb * col("n") - corrD(col(s"s_$a")) * col(s"s_$b")
-      val parts = hiLo(sAb, "s_ab_hi", "s_ab_lo") ++ hiLo(covNum, "cov_hi", "cov_lo")
+      val parts = hiLo(sAb, col("n").cast("long"), "s_ab_hi", "s_ab_lo") ++
+        hiLo(covNum, col("n").cast("long"), "cov_hi", "cov_lo")
       struct(Seq(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
         col(s"s_$a").as("s_a"), col(s"s_$b").as("s_b")) ++
         parts.map { case (c, name) => c.as(name) } :+

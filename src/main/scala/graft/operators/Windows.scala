@@ -502,14 +502,21 @@ object Windows {
     val (bHi, lrHi) = locate(rHi)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__b")).orderBy(srt: _*)
+    // Keyed by (bucket, localRank), not bucket alone: when both cuts land
+    // in the SAME histogram bucket (bLo == bHi with different local ranks
+    // — routine for outlier-skewed data, where one extreme max pushes
+    // almost all mass into bucket 0) a bucket-only map collapses the two
+    // rows on the duplicate key and the surviving cut depends on collect
+    // order (code-review r11).
     val cuts = df.withColumn("__b", bucketCol)
       .filter(col("__b") === bLo || col("__b") === bHi)
       .withColumn("__rn", row_number().over(w))
       .filter((col("__b") === bLo && col("__rn") === lrLo) ||
         (col("__b") === bHi && col("__rn") === lrHi))
-      .select(col("__b"), v.as("cut"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val (loCut, hiCut) = (cuts(bLo), cuts(bHi))
+      .select(col("__b"), col("__rn"), v.as("cut"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong) -> r.getDouble(2)).toMap
+    val (loCut, hiCut) = (cuts((bLo, lrLo)), cuts((bHi, lrHi)))
     df.agg(
       lit(loCut).as("lo_cut"), lit(hiCut).as("hi_cut"),
       sum(when(v < lit(loCut), 1L).otherwise(0L)).as("n_below"),

@@ -541,6 +541,30 @@ class DataPrepSpec extends SparkSpec {
     assert(re == got.map(g => (g._1, g._5, g._6)).toSet)
   }
 
+  test("packSized: non-power-of-two budget packs docs up to the budget itself (ADVICE r11)") {
+    import spark.implicits._
+    // budget 3000: ladder 16..2048 plus the final 3000 rung (capacity 1)
+    // — docs in (2048, 3000] must PACK, not flag oversize; (3000, ...]
+    // stays oversize
+    val sized = Seq((1L, 100L), (2L, 2500L), (3L, 3000L), (4L, 3001L))
+      .toDF("doc_id", "n_tokens")
+    val got = DataPrep.packSized(sized, "doc_id", budget = 3000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getBoolean(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L)._1 == 128L && !got(1L)._2, s"${got(1L)}")
+    assert(got(2L) == ((3000L, false, got(2L)._3, 0L)) && got(2L)._3 >= 0,
+      s"2500-token doc must pack in the 3000 class: ${got(2L)}")
+    assert(got(3L)._1 == 3000L && !got(3L)._2, s"${got(3L)}")
+    assert(got(4L) == ((-1L, true, -1L, -1L)),
+      s"past-budget doc stays oversize: ${got(4L)}")
+    // the two class-3000 docs occupy distinct capacity-1 bins
+    assert(Set(got(2L)._3, got(3L)._3) == Set(0L, 1L), s"$got")
+    // a power-of-two budget keeps the pure ladder (no duplicate rung)
+    val p2 = DataPrep.packSized(Seq((1L, 2048L)).toDF("doc_id", "n_tokens"),
+      "doc_id", budget = 2048L).head()
+    assert(p2.getLong(2) == 2048L && !p2.getBoolean(3), p2.toString)
+  }
+
   test("stratifiedSplit: exactly floor(n*pct/100) eval docs per stratum, disjoint, stable") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -441,6 +441,23 @@ class OperatorsSpec extends SparkSpec {
       s.getLong(2) == 0 && s.getLong(3) == 1, s.toString)
   }
 
+  test("winsorizeStats: both cuts in ONE bucket with DIFFERENT values (ADVICE r11)") {
+    import spark.implicits._
+    // one extreme max pushes values 1..99 all into histogram bucket 0
+    // (width ~976), so bLo == bHi with lrLo=10 != lrHi=90 — a cuts map
+    // keyed by bucket alone collapses the two rows and loCut == hiCut
+    // nondeterministically; the (bucket, localRank) key must recover
+    // the exact rank-10 and rank-90 values
+    val df = ((1 to 99).map(_.toDouble) :+ 1000000.0).zipWithIndex
+      .map { case (v, i) => (v, i.toLong, i) }.toDF("v", "k1", "k2")
+    val r = graft.operators.Windows.winsorizeStats(df, "v", Seq("k1", "k2"),
+      pLo = 10, pHi = 90).head()
+    assert(r.getDouble(0) == 10.0 && r.getDouble(1) == 90.0,
+      s"cuts must differ inside one bucket: $r")
+    assert(r.getLong(2) == 9 && r.getLong(3) == 10 && r.getLong(4) == 100,
+      r.toString)
+  }
+
   test("vocabCoverage: exact crossing arithmetic on a hand-computed histogram") {
     import spark.implicits._
     // counts: aa=5, bb=3, cc=3, dd=1 -> total 12
@@ -483,5 +500,62 @@ class OperatorsSpec extends SparkSpec {
     // occupies every adjacent pair -> 59 occurrences >> 18% of 59
     assert(l._1 == 60L && l._2 == 59L && !l._6 && !l._7, s"loops: $l")
     assert(!got(4L)._5 && !got(4L)._7, "numeric doc must fail the alpha gate")
+  }
+
+  test("gopherQualityFull: symbol/bullet/ellipsis-line/stop-word gates fire on planted violations (VERDICT r11 #4)") {
+    import spark.implicits._
+    // 58 distinct 4-letter alpha words + 'the' + 'have': 60 tokens,
+    // mean word length ~4, 2 stop words, no repetition — passes all 8
+    val base = (0 until 58).map(i =>
+      s"w${('a' + i % 26).toChar}${('a' + i / 26).toChar}q")
+    val clean = (base ++ Seq("the", "have")).mkString(" ")
+    // many '#' symbols: 7*10 > 60 tokens -> ok_symbol fails, tokens unchanged
+    val hashy = clean + " # # # # # # #"
+    // mid-line ellipses (NOT line-ending): 7 of them trip the symbol cap
+    val dotty = base.take(29).mkString(" ") + " ... ... ... ... ... ... ... " +
+      (base.drop(29) ++ Seq("the", "have")).mkString(" ") + " end"
+    // 10 lines, all bullet-led: 10*10 > 9*10 -> ok_bullet fails
+    val bullets = (0 until 10).map(i =>
+      "- " + (base.slice(i * 5, i * 5 + 4) ++ Seq(if (i == 0) "the" else "have"))
+        .mkString(" ")).mkString("\n")
+    // 10 lines, 4 ellipsis-ended: 4*10 > 3*10 -> ok_ellipsis_lines fails
+    val trailing = (0 until 10).map(i =>
+      (base.slice(i * 5, i * 5 + 5).mkString(" ")) +
+        (if (i < 4) " the..." else " have")).mkString("\n")
+    // stop-word-free: 60 distinct alpha words, none on the 8-word list
+    val stopless = ((0 until 58).map(i =>
+      s"z${('a' + i % 26).toChar}${('a' + i / 26).toChar}k") ++
+      Seq("zzzp", "zzzq")).mkString(" ")
+    val docs = Seq((1L, clean), (2L, hashy), (3L, dotty), (4L, bullets),
+      (5L, trailing), (6L, stopless)).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .gopherQualityFull(docs, "doc_id", "text")
+      .collect().map { r =>
+        r.getLong(0) -> (Map(
+          "ok_len" -> r.getBoolean(11), "ok_word_len" -> r.getBoolean(12),
+          "ok_alpha" -> r.getBoolean(13), "ok_repeat" -> r.getBoolean(14),
+          "ok_symbol" -> r.getBoolean(15), "ok_bullet" -> r.getBoolean(16),
+          "ok_ellipsis_lines" -> r.getBoolean(17), "ok_stop" -> r.getBoolean(18),
+          "keep" -> r.getBoolean(19)),
+          (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+            r.getLong(8), r.getLong(9)))
+      }.toMap
+    def gates(id: Long) = got(id)._1
+    // clean doc passes every gate
+    assert(gates(1L).values.forall(identity), s"clean: ${got(1L)}")
+    // each planted violation fails EXACTLY its gate (and keep)
+    for ((id, bad) <- Seq(2L -> "ok_symbol", 3L -> "ok_symbol",
+      4L -> "ok_bullet", 5L -> "ok_ellipsis_lines", 6L -> "ok_stop")) {
+      val g = gates(id)
+      assert(!g(bad) && !g("keep"), s"doc $id must fail $bad: $g")
+      assert(g.filterNot(e => e._1 == bad || e._1 == "keep").values
+        .forall(identity), s"doc $id must fail ONLY $bad: $g")
+    }
+    // counter sanity: (n_hash, n_ellipsis, n_lines, n_bullet, n_ell_lines, n_stop)
+    assert(got(2L)._2._1 == 7L, s"n_hash: ${got(2L)}")
+    assert(got(3L)._2._2 == 7L, s"n_ellipsis: ${got(3L)}")
+    assert(got(4L)._2._3 == 10L && got(4L)._2._4 == 10L, s"bullets: ${got(4L)}")
+    assert(got(5L)._2._5 == 4L, s"ellipsis lines: ${got(5L)}")
+    assert(got(6L)._2._6 == 0L && got(1L)._2._6 == 2L, s"n_stop: ${got(6L)}")
   }
 }

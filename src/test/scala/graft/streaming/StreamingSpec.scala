@@ -702,7 +702,8 @@ class StreamingSpec extends SparkSpec {
     assert(replay.toSet == admitted.toSet, "streamed != sequential replay")
     // bridging law: ONE batch with an empty map IS the batch-form cap
     val one = graft.operators.DataPrep.capAdmitBatch(
-      rows.toDF("doc_id", "source"), Map.empty, "source", "doc_id", k)
+      rows.toDF("doc_id", "source"), Map.empty[String, Long],
+      "source", "doc_id", k)
       .select("doc_id", "source").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     val batchForm = graft.operators.DataPrep.domainCap(
@@ -710,6 +711,120 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id", "source").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(one == batchForm, "single-batch admission must equal domainCap")
+    // the map overload refuses raw (non-domainKey-encoded) keys loudly —
+    // they would silently read as 0 consumed (ADVICE r11)
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.DataPrep.capAdmitBatch(
+        rows.toDF("doc_id", "source"), Map("big" -> 3L), "source", "doc_id", k)
+    }
+    assert(ex.getMessage.contains("domainKey"), ex.getMessage)
+  }
+
+  test("stored-table domain-cap admission: stored == map == batch domainCap; no map literal in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val k = 7
+    val rows = ((1 to 20).map(i => (i.toLong, Option("big"))) ++
+      (21 to 24).map(i => (i.toLong, Option("tiny"))) ++
+      (25 to 28).map(i => (i.toLong, None: Option[String]))).sortBy(_._1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // sequential replay of the batch sequence through the STORED form,
+    // state advanced with foldDomainCounts (never collected)
+    var state = Seq.empty[(String, Long)].toDF("domain_key", "consumed")
+    var storedAdmitted = Set.empty[Long]
+    var consumedMap = Map.empty[String, Long]
+    var mapAdmitted = Set.empty[Long]
+    rows.grouped(5).foreach { chunk =>
+      val b = chunk.toDF("doc_id", "source")
+      val admS = graft.operators.DataPrep.capAdmitBatch(
+        b, state, "source", "doc_id", k)
+      storedAdmitted ++= ids(admS)
+      state = graft.operators.DataPrep.foldDomainCounts(state, admS, "source")
+        .localCheckpoint() // the stored-artifact discipline: state persists
+      val admM = graft.operators.DataPrep.capAdmitBatch(
+        b, consumedMap, "source", "doc_id", k)
+      mapAdmitted ++= ids(admM)
+      consumedMap = graft.operators.DataPrep.domainCounts(admM, "source")
+        .foldLeft(consumedMap) { case (m, (s, n)) =>
+          m + (s -> (m.getOrElse(s, 0L) + n)) }
+    }
+    assert(storedAdmitted == mapAdmitted, "stored form diverged from map form")
+    // one batch with empty state IS domainCap
+    val oneShot = ids(graft.operators.DataPrep.capAdmitBatch(
+      rows.toDF("doc_id", "source"), state.limit(0), "source", "doc_id", k))
+    val batchForm = ids(graft.operators.DataPrep.domainCap(
+      rows.toDF("doc_id", "source"), "source", "doc_id", k))
+    assert(oneShot == batchForm, "single-batch stored admission must equal domainCap")
+    // quota law incl. the NULL domain
+    val bySrc = rows.filter(r => storedAdmitted(r._1)).groupBy(_._2)
+      .view.mapValues(_.size).toMap
+    assert(bySrc == Map(Option("big") -> 7, Option("tiny") -> 4, None -> 4), s"$bySrc")
+    // scale shape: the stored form's plan carries NO map-type literal —
+    // consumed state arrives via join, never as an O(domains) broadcast
+    // task-binary literal (VERDICT r11 what's-wrong #1)
+    val planned = graft.operators.DataPrep.capAdmitBatch(
+      rows.toDF("doc_id", "source"), state, "source", "doc_id", k)
+    val mapLits = planned.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => l
+      })
+    }.flatten
+    assert(mapLits.isEmpty, s"stored form must not embed a map literal: $mapLits")
+  }
+
+  test("tokenBudgetAdmitBatch: chained batches == one-shot tokenBudgetSelect over the concatenated line") {
+    import spark.implicits._
+    // two groups; doc token lengths chosen so the budget crossing lands
+    // mid-batch for A and in a later batch for B
+    val rows = ((1 to 18).map(i => (i.toLong, "A", 40L)) ++
+      (19 to 30).map(i => (i.toLong, "B", 25L))).sortBy(_._1)
+    val budget = 300L
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // chained: every batch is laid on the line (full-batch totals advance
+    // the base, admitted or not — selection semantics)
+    var base = Map.empty[String, Long]
+    var admitted = Set.empty[Long]
+    rows.grouped(7).foreach { chunk =>
+      val b = chunk.toDF("doc_id", "grp", "n_tokens")
+      admitted ++= ids(graft.operators.DataPrep.tokenBudgetAdmitBatch(
+        b, base, "grp", "doc_id", "n_tokens", budget))
+      base = graft.operators.DataPrep.ppsGroupTotals(b, "grp", "n_tokens")
+        .foldLeft(base) { case (m, (g, t)) => m + (g -> (m.getOrElse(g, 0L) + t)) }
+    }
+    // independent driver-side replay of the concatenated line: batches in
+    // arrival order, docs within a batch in (md5(id), id) order, one
+    // running total per group, keep iff the doc STARTS before the budget
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val line = scala.collection.mutable.Map.empty[String, Long]
+    val expect = rows.grouped(7).flatMap { chunk =>
+      chunk.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+        .flatMap { case (id, g, t) =>
+          val start = line.getOrElse(g, 0L)
+          line(g) = start + t
+          if (start < budget) Some(id) else None
+        }
+    }.toSet
+    assert(admitted == expect, s"chained ${admitted.toSeq.sorted} != " +
+      s"reference ${expect.toSeq.sorted}")
+    // bridging law: ONE batch with an empty base IS tokenBudgetSelect
+    val one = ids(graft.operators.DataPrep.tokenBudgetAdmitBatch(
+      rows.toDF("doc_id", "grp", "n_tokens"), Map.empty,
+      "grp", "doc_id", "n_tokens", budget))
+    val sel = ids(graft.operators.DataPrep.tokenBudgetSelect(
+      rows.toDF("doc_id", "grp", "n_tokens"), "grp", "doc_id",
+      "n_tokens", budget))
+    assert(one == sel, "single-batch admission must equal tokenBudgetSelect")
+    // budget law: admitted token totals land in [budget, budget + max_doc)
+    // for each group whose line crossed it
+    val tokByGrp = rows.filter(r => admitted(r._1)).groupBy(_._2)
+      .view.mapValues(_.map(_._3).sum).toMap
+    assert(tokByGrp("A") >= budget && tokByGrp("A") < budget + 40L, s"$tokByGrp")
+    assert(tokByGrp("B") >= budget && tokByGrp("B") < budget + 25L, s"$tokByGrp")
   }
 
   test("streaming MG heavy hitters: per-trigger states fold to a law-true corpus summary") {
