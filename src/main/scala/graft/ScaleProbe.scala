@@ -225,9 +225,48 @@ object ScaleProbe {
         val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         println(s"""{"metric":"scaleprobe","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
 
+      case "chainstages" =>
+        // Five-stage wall/rows breakdown of the q93b curation chain
+        // (VERDICT r11 stretch #9): each tap forces the stage frame and
+        // clocks the gap since the previous tap, so drift triage on the
+        // most expensive declared query is one read. spanK = 16 matches
+        // the q93b pin.
+        val out = scaledDocsDir(spark, src, copies)
+        val docs = graft.sources.Tables.load(spark, out, "documents")
+        val nDocs = docs.count()
+        val b = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+        var last = System.nanoTime()
+        val probe = (name: String, df: org.apache.spark.sql.DataFrame) => {
+          val rows = df.count()
+          val now = System.nanoTime()
+          b += ((name, (now - last) / 1e9, rows)); last = now
+        }
+        val fin = graft.operators.CurationChain.chainStaged(
+          docs, targetDocs = 500L, spanK = 16, probe = Some(probe))
+        val (_, tMix) = timed(fin.write.format("noop").mode("overwrite").save())
+        val qs = (b.map { case (n, t, r) =>
+          "\"" + n + "\":{\"sec\":" + t + ",\"rows\":" + r + "}"
+        } :+ ("\"epoch_mix_write\":{\"sec\":" + tMix + ",\"rows\":-1}"))
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"scaleprobe-chainstages","copies":$copies,"n_docs":$nDocs,"stages":$qs,"src":"$src"}""")
+
+      case "q51stages" =>
+        // Per-stage wall/rows for the dedup pipeline (VERDICT r11 next
+        // #2): which stage grew is one read instead of a blind rerun.
+        val out = scaledDocsDir(spark, src, copies)
+        val docs = graft.sources.Tables.load(spark, out, "documents")
+        val nDocs = docs.count()
+        val stages = graft.operators.Curation.stageTimings(docs, threshold = 0.5)
+        val qs = stages.map { case (n, t, r) =>
+          "\"" + n + "\":{\"sec\":" + t + ",\"rows\":" + r + "}"
+        }.mkString("{", ",", "}")
+        val rounds = graft.operators.Curation.lastDistributedCCRounds
+        println(s"""{"metric":"scaleprobe-q51stages","copies":$copies,"n_docs":$nDocs,"cc_rounds":$rounds,"stages":$qs,"src":"$src"}""")
+
       case "curation" =>
         val out = scaledDocsDir(spark, src, copies)
-        val names = Seq("q148_gopher_quality", "q149_domain_cap",
+        val names = Seq("q148_gopher_quality", "q148b_gopher_full",
+          "q149_domain_cap",
           "q150_sequence_packing", "q151_cluster_representative",
           "q152_stratified_split")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()

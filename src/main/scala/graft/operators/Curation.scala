@@ -355,6 +355,57 @@ object Curation {
     } finally { sh.unpersist(); members.unpersist() }
   }
 
+  /** Per-stage wall + row profile of [[clusterAssignments]] — the
+    * drift-triage instrumentation VERDICT r11 next #2 asked for. Each
+    * stage is persisted and forced with count() so a stage's number is
+    * its own cost, not its ancestors' recompute; the stage graph and
+    * parameters are exactly clusterAssignments'. Diagnostic only (the
+    * declared queries never call it); surfaced via ScaleProbe mode
+    * `q51stages`. */
+  private[graft] def stageTimings(docs: DataFrame, threshold: Double,
+      hotBucketLimit: Int = DefaultHotBucketLimit,
+      driverEdgeLimit: Long = 1000000L,
+      chainHexChars: Int = 3): Seq[(String, Double, Long)] = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    def stage[A](name: String)(f: => (A, Long)): A = {
+      val t0 = System.nanoTime()
+      val (a, rows) = f
+      b += ((name, (System.nanoTime() - t0) / 1e9, rows))
+      a
+    }
+    val members = stage("exact_collapse") {
+      val m = exactCollapse(docs).persist(); (m, m.count())
+    }
+    val canon = stage("canonical_ids") {
+      val c = canonicalIds(members).persist(); (c, c.count())
+    }
+    val sh = stage("shingle_persist") {
+      val s = shingleRows(docs).persist(); (s, s.count())
+    }
+    val cand = stage("minhash_candidates") {
+      val c = minhashCandidatesFromShingles(sh, Some(canon), hotBucketLimit,
+        chainHexChars).persist()
+      (c, c.count())
+    }
+    val pairs = stage("jaccard_confirm") {
+      val p = verifyPairsFromShingles(sh, cand, threshold).persist()
+      (p, p.count())
+    }
+    val cc = stage("connected_components") {
+      val l = connectedComponents(canon, pairs,
+        driverEdgeLimit = driverEdgeLimit)
+      (l, l.count())
+    }
+    stage("expand_labels") {
+      val o = members
+        .join(cc.select(col("doc_id").as("cdoc"), col("rep")), "cdoc")
+        .select(col("doc_id"), col("rep"))
+      (o, o.count())
+    }
+    Seq(members, canon, sh, cand, pairs).foreach(_.unpersist())
+    b.toSeq
+  }
+
   def dedupedCorpus(docs: DataFrame, threshold: Double): DataFrame =
     docs.join(clusterAssignments(docs, threshold)
         .filter(col("rep") === col("doc_id")).select(col("doc_id")), "doc_id")
@@ -370,7 +421,26 @@ object Curation {
     (s, dir) =>
       clusterAssignments(Tables.documents(s, dir), threshold = 0.5)
         .orderBy(col("doc_id")),
-    Some("""
+    Some(dedupPipelineOracle))
+
+  // --------------------------------------------------------------- q51b
+  // The SAME pipeline forced onto the distributed smallest-label-
+  // propagation CC path (driverEdgeLimit = 0) — the shape that runs when
+  // the verified dup-edge list outgrows the driver at 100 TB. Shares
+  // q51's recursive-transitive-closure oracle VERBATIM: a hash match
+  // here proves the distributed path computes the identical clustering
+  // the driver union-find does (VERDICT r11 next #6 — CurationSpec
+  // already forces this path on a synthetic graph; this pins it with an
+  // oracle-checked CORRECTNESS row on the real corpus).
+  private val q51b = GraftQuery(
+    "q51b_dedup_pipeline_dcc",
+    (s, dir) =>
+      clusterAssignments(Tables.documents(s, dir), threshold = 0.5,
+        driverEdgeLimit = 0L)
+        .orderBy(col("doc_id")),
+    Some(dedupPipelineOracle))
+
+  private lazy val dedupPipelineOracle: String = """
       WITH RECURSIVE
       sh AS (SELECT doc_id, unnest(sh) AS s
              FROM (SELECT doc_id,
@@ -403,7 +473,7 @@ object Curation {
       reach AS (SELECT doc_id AS a, doc_id AS b FROM documents
                 UNION
                 SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b)
-      SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a ORDER BY doc_id"""))
+      SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a ORDER BY doc_id"""
 
-  val all: Seq[GraftQuery] = Seq(q51)
+  val all: Seq[GraftQuery] = Seq(q51, q51b)
 }

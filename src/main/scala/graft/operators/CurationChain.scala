@@ -53,31 +53,52 @@ object CurationChain {
     * `spanK = 0` (the q93 pin) skips the stage — oracle unchanged.
     */
   def curationChain(docs: DataFrame, targetDocs: Long,
-      spanK: Int = 0): DataFrame = {
+      spanK: Int = 0): DataFrame =
+    chainStaged(docs, targetDocs, spanK, probe = None)
+
+  /** [[curationChain]] with a stage-boundary tap — the per-stage
+    * telemetry VERDICT r11 stretch #9 asked for. `probe` receives each
+    * stage's NAME and its output frame right where the production chain
+    * creates it; with `probe = None` the code path is byte-identical to
+    * the declared q93/q93b plan (tap is identity), so the telemetry
+    * variant can never drift from the measured one. A probing caller
+    * (ScaleProbe mode `chainstages`) forces each tapped frame and clocks
+    * the gap — note the gate/near-dedup taps force work the production
+    * chain fuses into the next checkpoint, so probed wall is
+    * attribution, not added cost. */
+  private[graft] def chainStaged(docs: DataFrame, targetDocs: Long,
+      spanK: Int,
+      probe: Option[(String, DataFrame) => Unit]): DataFrame = {
+    def tap(name: String, df: DataFrame): DataFrame = {
+      probe.foreach(_(name, df)); df
+    }
     val toks = tokens(col("text"))
     val en = Seq("the", "a", "and", "of", "to", "is", "in")
     val stopCnt = size(filter(toks, t => array_contains(array(en.map(lit): _*), t)))
     // stage 1 — quality gate (q85's rule: language, length band, stopword
     // ratio; all stateless column arithmetic)
-    val gated = docs
+    val gated = tap("quality_gate", docs
       .withColumn("n_tokens", size(toks))
       .withColumn("sr", stopCnt.cast("double") / col("n_tokens"))
       .filter(col("lang") === "en" && col("n_tokens").between(20, 1000) &&
         col("sr") > 0.02)
-      .select(col("doc_id"), col("source"), col("text"))
+      .select(col("doc_id"), col("source"), col("text")))
     // stage 2 — two-phase decontamination against the eval split
     // (doc_id % 97 = 0, the q79/q85/q89 convention): bloom prefilter →
     // exact confirm on suspects only; net kept set == exact semantics
     val evalSet = docs.filter(col("doc_id") % 97 === 0)
     val train = gated.filter(col("doc_id") % 97 =!= 0)
-    val clean = DataPrep.decontaminateTwoPhase(train, evalSet, "doc_id",
-      "text", n = 4, expectedItems = 100000L, numBits = 1600000L).localCheckpoint()
+    val clean = tap("decontaminate",
+      DataPrep.decontaminateTwoPhase(train, evalSet, "doc_id",
+        "text", n = 4, expectedItems = 100000L, numBits = 1600000L)
+        .localCheckpoint())
     // stage 3 — exact + near dedup, the q51 path (exact dups collapse to
     // the cluster minimum inside clusterAssignments, so reps cover both)
     val reps = Curation.clusterAssignments(clean.select("doc_id", "text"),
         threshold = 0.5)
       .filter(col("rep") === col("doc_id")).select(col("doc_id"))
-    val deduped = clean.join(reps, Seq("doc_id"), "left_semi")
+    val deduped = tap("near_dedup",
+      clean.join(reps, Seq("doc_id"), "left_semi"))
     // stage 4 — paragraph dedup at maxDf = 1 over deterministic 20-token
     // rendered paragraphs (q88's shape: the corpus is a flat token
     // stream, so paragraphs are rendered, not native)
@@ -89,24 +110,27 @@ object CurationChain {
           sequence(lit(1), ceil(size(col("t")) / lit(20.0)).cast("int")),
           i => concat_ws(" ", slice(col("t"), (i - 1) * 20 + 1, lit(20)))))
           .as("text2"))
-    val fin = Dedup.paragraphDedup(para.select("doc_id", "text2"),
+    val fin = tap("paragraph_dedup", Dedup.paragraphDedup(
+        para.select("doc_id", "text2"),
         "doc_id", "text2", "\n", maxDf = 1L)
       .filter(length(col("clean_text")) > 0)
       .join(para.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("clean_text"))
-      .localCheckpoint()
+      .localCheckpoint())
     // stage 4b (optional) — corpus-wide exact span dedup over the
     // paragraph-cleaned text (q95's keep-first coverage semantics)
     val curated =
       if (spanK <= 0) fin
-      else Dedup.substringDedupText(fin, "doc_id", "clean_text", spanK)
+      else tap("span_dedup",
+        Dedup.substringDedupText(fin, "doc_id", "clean_text", spanK)
         .filter(col("n_kept") > 0)
         .select(col("doc_id"), col("clean_text"))
         .join(fin.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint())
     // stage 5 — epoch mix over the curated corpus (q91's exact-quota +
     // two-level md5 ranking), weights from the CLEANED text
-    DataPrep.epochMix(curated, "doc_id", "clean_text", "source", targetDocs)
+    tap("epoch_mix",
+      DataPrep.epochMix(curated, "doc_id", "clean_text", "source", targetDocs))
   }
 
   // ---------------------------------------------------------------- q93
