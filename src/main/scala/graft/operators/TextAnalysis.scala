@@ -1314,6 +1314,183 @@ object TextAnalysis {
       FROM m
       ORDER BY doc_id"""))
 
+  // ------------------------------------------------- q156 BPE induction
+  // Exact distributed BPE merge learning (Sennrich et al. 2015's
+  // algorithm, the tokenizer-induction step a pipeline runs before
+  // training): k rounds of (count adjacent symbol pairs weighted by word
+  // frequency → merge the argmax pair everywhere). The scale shape is
+  // the whole point: after ONE corpus pass builds the word-frequency
+  // table, every round runs over the VOCAB table only (corpus text is
+  // never touched again) — explode symbols with position, pair counts
+  // via lead() + one hash-agg, a 1-row argmax collect (bounded, the q69
+  // eagerness caveat), and merge application as a gaps-and-islands
+  // window: within each maximal run of consecutive pair matches, greedy
+  // left-to-right application merges exactly the even offsets — so the
+  // inherently sequential-looking scan is two window functions + a
+  // rebuild groupBy, no UDF, no driver text. Ties break (count DESC,
+  // left, right) so the learned merge sequence is a pure function of
+  // the corpus; every count is an exact LONG and the oracle replays all
+  // k rounds bit-for-bit. Words end with a '</w>' sentinel (the paper's
+  // convention; the tokenizer's [a-z0-9]+ words cannot contain it).
+  def bpeMerges(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val (_, merges) = bpeLearn(docs, textCol, steps)
+    import spark.implicits._
+    merges.toDF("step", "l_sym", "r_sym", "pair_count")
+      .select(col("step"), col("l_sym"), col("r_sym"),
+        concat(col("l_sym"), col("r_sym")).as("new_sym"),
+        col("pair_count"))
+      .orderBy(col("step"))
+  }
+
+  /** Shared learn loop for [[bpeMerges]] / [[bpeSegment]]: returns the
+    * final (w, n, s) vocab frame and the merge sequence. One corpus
+    * pass builds the word-frequency table; each round is vocab-confined
+    * (explode + two windows + rebuild groupBy) with a 1-row argmax
+    * collect and a localCheckpoint to truncate lineage. */
+  private def bpeLearn(docs: DataFrame, textCol: String,
+      steps: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
+    require(steps >= 1 && steps <= 32, s"steps in [1,32], got $steps")
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    var vocab = words.select(col("w"), col("n"),
+      concat(
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))),
+        array(lit("</w>"))).as("s"))
+      .localCheckpoint()
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("i"))
+    val cum = win.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to steps) {
+      val pos = vocab.select(col("w"), col("n"),
+        posexplode(col("s")).as(Seq("i", "sym")))
+      val best = pos
+        .withColumn("b", lead(col("sym"), 1).over(win))
+        .filter(col("b").isNotNull)
+        .groupBy(col("sym").as("a"), col("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(best.nonEmpty, s"no pairs left to merge at step $step")
+      val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
+        best(0).getLong(2))
+      merges += ((step, l, r, cnt))
+      // greedy application: match(i) = (s[i], s[i+1]) == (l, r); within a
+      // maximal run of consecutive matches, merge offsets 0, 2, 4, …
+      // from the run start (each merge consumes its right symbol, so the
+      // next candidate is two positions on — exactly what a sequential
+      // left-to-right scan does)
+      val flagged = pos
+        .withColumn("m",
+          col("sym") === lit(l) &&
+            coalesce(lead(col("sym"), 1).over(win) === lit(r), lit(false)))
+        .withColumn("rs",
+          max(when(col("m") &&
+            !coalesce(lag(col("m"), 1).over(win), lit(false)), col("i")))
+            .over(cum))
+        .withColumn("merged", col("m") && pmod(col("i") - col("rs"), lit(2)) === 0)
+        .withColumn("sym2",
+          when(col("merged"), lit(l + r))
+            .when(coalesce(lag(col("merged"), 1).over(win), lit(false)),
+              lit(null).cast("string"))
+            .otherwise(col("sym")))
+      vocab = flagged
+        .filter(col("sym2").isNotNull)
+        .groupBy(col("w"), col("n"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("sym2")))),
+          e => e.getField("sym2")).as("s"))
+        .localCheckpoint()
+    }
+    (vocab, merges.toSeq)
+  }
+
+  /** Generated DuckDB oracle for [[bpeMerges]]: the k rounds unrolled as
+    * a CTE cascade — per round, pair counts via LEAD, a 1-row argmax
+    * with the same (cnt DESC, a, b) tie-break, and the identical
+    * gaps-and-islands merge application. */
+  private def bpeOracle(steps: Int, segment: Boolean = false): String = {
+    val rounds = (1 to steps).map { k =>
+      val v = s"v${k - 1}"
+      s"""
+      x$k AS MATERIALIZED (SELECT w, n, generate_subscripts(s, 1) AS i, unnest(s) AS sym, len(s) AS ls FROM $v),
+      p$k AS MATERIALIZED (SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+                SELECT w, n, sym AS a,
+                       LEAD(sym) OVER (PARTITION BY w ORDER BY i) AS b
+                FROM x$k) WHERE b IS NOT NULL GROUP BY a, b),
+      m$k AS MATERIALIZED (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+      y$k AS MATERIALIZED (SELECT w, n, i, sym,
+                     (sym = (SELECT a FROM m$k) AND
+                      COALESCE(LEAD(sym) OVER (PARTITION BY w ORDER BY i)
+                               = (SELECT b FROM m$k), FALSE)) AS m
+              FROM x$k),
+      o$k AS MATERIALIZED (SELECT w, n, i, sym, m,
+                     (m AND NOT COALESCE(
+                        LAG(m) OVER (PARTITION BY w ORDER BY i), FALSE)) AS opens
+              FROM y$k),
+      z$k AS MATERIALIZED (SELECT w, n, i, sym, m,
+                     MAX(CASE WHEN opens THEN i END)
+                       OVER (PARTITION BY w ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS rs
+              FROM o$k),
+      q$k AS MATERIALIZED (SELECT w, n, i,
+                     CASE WHEN m AND (i - rs) % 2 = 0
+                            THEN (SELECT a || b FROM m$k)
+                          WHEN COALESCE(LAG(m AND (i - rs) % 2 = 0)
+                                 OVER (PARTITION BY w ORDER BY i), FALSE)
+                            THEN NULL
+                          ELSE sym END AS sym2
+              FROM z$k),
+      v$k AS MATERIALIZED (SELECT w, n,
+                     list(sym2 ORDER BY i) FILTER (WHERE sym2 IS NOT NULL) AS s
+              FROM q$k GROUP BY w, n)"""
+    }.mkString(",")
+    val out =
+      if (segment)
+        s"SELECT w, n, array_to_string(s, ' ') AS seg FROM v$steps"
+      else (1 to steps).map { k =>
+        s"SELECT $k AS step, a AS l_sym, b AS r_sym, a || b AS new_sym, cnt AS pair_count FROM m$k"
+      }.mkString("\n      UNION ALL ")
+    s"""
+      WITH w0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                    SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                              x -> x <> '')) AS w
+                    FROM documents) GROUP BY w),
+      v0 AS MATERIALIZED (SELECT w, n,
+                    list_transform(range(1, len(w) + 1), i -> w[i:i]) || ['</w>'] AS s
+             FROM w0),$rounds
+      $out
+      ORDER BY ${if (segment) "w" else "step"}"""
+  }
+
+  private val q156 = GraftQuery(
+    "q156_bpe_merges",
+    (s, dir) => bpeMerges(Tables.documents(s, dir), "text", steps = 8),
+    Some(bpeOracle(8)))
+
+  /** The production tokenize step: the vocabulary SEGMENTATION after
+    * applying [[bpeMerges]]' k learned merges in order — one row per
+    * word with its symbol sequence rendered. Corpus text is touched
+    * once (the word-frequency pass); a pipeline broadcast-joins this
+    * table against exploded words to encode documents, so encoding cost
+    * is vocab-sized, not corpus-sized. Pinning the segmentation is
+    * strictly stronger than pinning the merge argmaxes: any divergence
+    * in greedy application order anywhere in the k rounds changes some
+    * word's rendering. */
+  def bpeSegment(docs: DataFrame, textCol: String, steps: Int): DataFrame =
+    bpeLearn(docs, textCol, steps)._1
+      .select(col("w"), col("n"), concat_ws(" ", col("s")).as("seg"))
+      .orderBy(col("w"))
+
+  private val q156b = GraftQuery(
+    "q156b_bpe_segment",
+    (s, dir) => bpeSegment(Tables.documents(s, dir), "text", steps = 8),
+    Some(bpeOracle(8, segment = true)))
+
   // --------------------------------------------- q154 vocabulary coverage
   // Tokenizer-design question answered exactly: the smallest vocabulary
   // (words taken in frequency-descending order, ties lexicographic)
@@ -1386,5 +1563,5 @@ object TextAnalysis {
       ORDER BY target_pct"""))
 
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
-    q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154)
+    q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154, q156, q156b)
 }

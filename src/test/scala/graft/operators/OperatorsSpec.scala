@@ -558,4 +558,42 @@ class OperatorsSpec extends SparkSpec {
     assert(got(5L)._2._5 == 4L, s"ellipsis lines: ${got(5L)}")
     assert(got(6L)._2._6 == 0L && got(1L)._2._6 == 2L, s"n_stop: ${got(6L)}")
   }
+
+  test("bpeMerges: hand-computed merge sequence with ties and greedy run application") {
+    import spark.implicits._
+    // words: aaaa x3, bb x1
+    val docs = Seq((1L, "aaaa aaaa"), (2L, "aaaa bb")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bpeMerges(docs, "text", steps = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // step 1: (a,a) 9 — three (a,a) pairs per 'aaaa', x3 words
+    // step 2: greedy left-to-right turned aaaa into [aa, aa, </w>], so
+    //   (aa,aa) and (aa,</w>) tie at 3; '</w>' < 'aa' breaks to (aa,</w>)
+    // step 3: [aa, aa</w>] -> (aa, aa</w>) 3
+    // step 4: only bb's pairs remain, (b,b) and (b,</w>) tie at 1 ->
+    //   (b,</w>)
+    // step 5: [b, b</w>] -> (b, b</w>) 1
+    assert(got.toSeq == Seq(
+      (1, "a", "a", "aa", 9L),
+      (2, "aa", "</w>", "aa</w>", 3L),
+      (3, "aa", "aa</w>", "aaaa</w>", 3L),
+      (4, "b", "</w>", "b</w>", 1L),
+      (5, "b", "b</w>", "bb</w>", 1L)), got.toSeq.toString)
+    // odd run: greedy application on 'aaaaa' must produce [aa, aa, a]
+    // (merge offsets 0 and 2 of the 4-match run), so step 2's pair space
+    // is {(aa,aa), (aa,a), (a,</w>)} and the tie at 1 breaks to (a,</w>)
+    // — a naive textual replace would leave a different symbol sequence
+    // and a different step-2 argmax
+    val run = graft.operators.TextAnalysis.bpeMerges(
+      Seq((1L, "aaaaa")).toDF("doc_id", "text"), "text", steps = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(run.toSeq == Seq((1, "a", "a", 4L), (2, "a", "</w>", 1L)),
+      run.toSeq.toString)
+    // the segmentation view renders the post-merge vocab
+    val seg = graft.operators.TextAnalysis.bpeSegment(docs, "text", steps = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(seg == Map("aaaa" -> ((3L, "aaaa</w>")), "bb" -> ((1L, "bb</w>"))),
+      seg.toString)
+  }
 }
