@@ -1413,7 +1413,8 @@ object TextAnalysis {
     * a CTE cascade — per round, pair counts via LEAD, a 1-row argmax
     * with the same (cnt DESC, a, b) tie-break, and the identical
     * gaps-and-islands merge application. */
-  private def bpeOracle(steps: Int, segment: Boolean = false): String = {
+  private def bpeOracle(steps: Int, segment: Boolean = false,
+      encode: Boolean = false): String = {
     val rounds = (1 to steps).map { k =>
       val v = s"v${k - 1}"
       s"""
@@ -1450,7 +1451,15 @@ object TextAnalysis {
               FROM q$k GROUP BY w, n)"""
     }.mkString(",")
     val out =
-      if (segment)
+      if (encode)
+        s"""SELECT d.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(v.s)) AS BIGINT) AS n_bpe_tokens
+           FROM (SELECT doc_id,
+                        unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                           x -> x <> '')) AS w
+                 FROM documents) d JOIN v$steps v USING (w)
+           GROUP BY d.doc_id"""
+      else if (segment)
         s"SELECT w, n, array_to_string(s, ' ') AS seg FROM v$steps"
       else (1 to steps).map { k =>
         s"SELECT $k AS step, a AS l_sym, b AS r_sym, a || b AS new_sym, cnt AS pair_count FROM m$k"
@@ -1464,7 +1473,7 @@ object TextAnalysis {
                     list_transform(range(1, len(w) + 1), i -> w[i:i]) || ['</w>'] AS s
              FROM w0),$rounds
       $out
-      ORDER BY ${if (segment) "w" else "step"}"""
+      ORDER BY ${if (encode) "doc_id" else if (segment) "w" else "step"}"""
   }
 
   private val q156 = GraftQuery(
@@ -1490,6 +1499,33 @@ object TextAnalysis {
     "q156b_bpe_segment",
     (s, dir) => bpeSegment(Tables.documents(s, dir), "text", steps = 8),
     Some(bpeOracle(8, segment = true)))
+
+  /** Corpus encoding under the learned tokenizer: per-document BPE token
+    * count — the number a packing/budget pipeline (q150/q155) actually
+    * wants, where whitespace token counts are only a proxy. Shape: the
+    * [[bpeSegment]] vocab (word → symbol count) broadcast-joins against
+    * the exploded corpus words and one hash-agg sums per doc — the
+    * learning state is vocab-sized, so encoding adds exactly one
+    * corpus tokenize + one broadcast join to the q30 wordcount class.
+    * Inner join, not left: by construction every corpus word is in the
+    * vocab (it was built from this corpus); an appended-corpus caller
+    * re-learns or handles OOV upstream. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      steps: Int): DataFrame = {
+    val vocab = bpeLearn(docs, textCol, steps)._1
+      .select(col("w"), size(col("s")).cast("long").as("w_tokens"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(vocab), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("w_tokens")).as("n_bpe_tokens"))
+      .orderBy(col(idCol))
+  }
+
+  private val q156c = GraftQuery(
+    "q156c_bpe_encode",
+    (s, dir) => bpeEncode(Tables.documents(s, dir), "doc_id", "text",
+      steps = 8),
+    Some(bpeOracle(8, segment = false, encode = true)))
 
   // --------------------------------------------- q154 vocabulary coverage
   // Tokenizer-design question answered exactly: the smallest vocabulary
@@ -1563,5 +1599,5 @@ object TextAnalysis {
       ORDER BY target_pct"""))
 
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
-    q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154, q156, q156b)
+    q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154, q156, q156b, q156c)
 }
