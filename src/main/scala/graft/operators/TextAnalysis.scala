@@ -1314,6 +1314,98 @@ object TextAnalysis {
       FROM m
       ORDER BY doc_id"""))
 
+  // ------------------------------------------------ q157 DSIR importance
+  // Data Selection via Importance Resampling (Xie et al. 2023) made
+  // engine-exact: score every raw document by how target-like its
+  // hashed-bigram feature distribution is. Bucket counts over the
+  // TARGET and RAW corpora (one exploded-gram hash-agg with conditional
+  // sums), add-1-smoothed probability ratio per bucket — computed as a
+  // FIXED expression tree of exact-LONG casts and IEEE divisions, never
+  // an overflow-prone cross-product — and the per-doc score as the mean
+  // bucket ratio weighted by the doc's feature counts. The q96
+  // discipline keeps it bit-reproducible without transcendentals: DSIR's
+  // log-sum is replaced by the mean ratio (same target-likeness ranking
+  // family, no ln), and the double summation is a BUCKET-ORDERED fold
+  // over a collected per-doc array, so partial-agg ordering can never
+  // change a ULP in either engine.
+  //
+  // Scale: features never leave (doc, bucket) grain — the B-bucket ratio
+  // table (4096 rows) broadcasts; the per-doc fold array holds at most
+  // min(doc_grams, B) entries. One corpus tokenize, two hash-aggs, one
+  // broadcast join. The target predicate is a column (here the house
+  // eval-split convention doc_id % 97 = 0); production callers pass
+  // their curated-target membership instead.
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets in [2, 2^20], got $buckets")
+    val feats = docs
+      .select(col(idCol), isTarget.as("__t"),
+        explode(graft.functions.WordNGrams(tokens(col(textCol)), 2)).as("g"))
+      .select(col(idCol), col("__t"),
+        pmod(conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bkt"))
+    val cc = feats.groupBy(col("bkt"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("cr"))
+    val tot = cc.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    // ratio = ((ct+1)/(NT+B)) / ((cr+1)/(NR+B)) — three IEEE divisions
+    // of exact longs in a fixed order; the naive cross-multiplied form
+    // (ct+1)*(NR+B) overflows LONG at web-corpus gram counts
+    val ratio = cc.crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        (((col("ct") + 1L).cast("double") /
+          (col("nt") + buckets.toLong).cast("double")) /
+          ((col("cr") + 1L).cast("double") /
+            (col("nr") + buckets.toLong).cast("double"))).as("r"))
+    feats.groupBy(col(idCol), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(ratio), Seq("bkt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_grams"),
+        collect_list(struct(col("bkt"),
+          (col("cnt").cast("double") * col("r")).as("v"))).as("__l"))
+      .select(col(idCol), col("n_grams"),
+        (aggregate(array_sort(col("__l")), lit(0.0d),
+          (a, e) => a + e.getField("v")) /
+          col("n_grams").cast("double")).as("dsir_score"))
+      .orderBy(col(idCol))
+  }
+
+  private val q157 = GraftQuery(
+    "q157_dsir_score",
+    (s, dir) => dsirScore(Tables.documents(s, dir), "doc_id", "text",
+      isTarget = col("doc_id") % 97 === 0),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                 FROM documents),
+      g AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+            FROM t WHERE len(t) >= 2),
+      b AS (SELECT doc_id, doc_id % 97 = 0 AS is_t,
+                   ('0x' || substr(md5(g), 1, 6))::BIGINT % 4096 AS bkt
+            FROM g),
+      cc AS (SELECT bkt,
+                    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                    CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS cr
+             FROM b GROUP BY bkt),
+      tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM cc),
+      r AS (SELECT bkt,
+                   ((CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE)) /
+                    (CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE))) AS r
+            FROM cc, tot),
+      dc AS (SELECT doc_id, bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM b GROUP BY doc_id, bkt),
+      l AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                   list(CAST(cnt AS DOUBLE) * r ORDER BY dc.bkt) AS l
+            FROM dc JOIN r ON dc.bkt = r.bkt GROUP BY doc_id)
+      SELECT doc_id, n_grams,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l), (a, x) -> a + x)
+               / CAST(n_grams AS DOUBLE) AS dsir_score
+      FROM l
+      ORDER BY doc_id"""))
+
   // ------------------------------------------------- q156 BPE induction
   // Exact distributed BPE merge learning (Sennrich et al. 2015's
   // algorithm, the tokenizer-induction step a pipeline runs before
@@ -1599,5 +1691,5 @@ object TextAnalysis {
       ORDER BY target_pct"""))
 
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
-    q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154, q156, q156b, q156c)
+    q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154, q156, q156b, q156c, q157)
 }

@@ -596,4 +596,38 @@ class OperatorsSpec extends SparkSpec {
     assert(seg == Map("aaaa" -> ((3L, "aaaa</w>")), "bb" -> ((1L, "bb</w>"))),
       seg.toString)
   }
+
+  test("dsirScore: target-like docs rank above novel docs; bit-identical under repartitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // targets (ids 97, 194 — the %97 convention) speak in 'alpha beta'
+    // bigrams; raw doc 1 mimics them, raw doc 2 is all-novel bigrams
+    val target = Seq.fill(20)("alpha beta").mkString(" ")
+    val mimic = Seq.fill(10)("alpha beta").mkString(" ")
+    val novel = (0 until 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((97L, target), (194L, target), (1L, mimic), (2L, novel))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.dsirScore(df, "doc_id", "text",
+        isTarget = col("doc_id") % 97 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = run(docs)
+    val byId = got.map(g => g._1 -> g).toMap
+    // every doc with >= 1 bigram appears; gram counts are exact
+    assert(got.length == 4 && byId(1L)._2 == 19L && byId(2L)._2 == 19L,
+      got.toSeq.toString)
+    // the mimic's buckets carry high target mass -> higher mean ratio
+    assert(byId(1L)._3 > byId(2L)._3,
+      s"target-like doc must outscore novel doc: ${byId(1L)} vs ${byId(2L)}")
+    assert(byId(2L)._3 < 1.0,
+      s"all-novel doc must score below the neutral ratio: ${byId(2L)}")
+    // the bucket-ordered fold makes the double BIT-identical on rerun
+    // and repartition (partial-agg ordering can never change a ULP)
+    val re = run(docs.repartition(7))
+    assert(re.map(g => (g._1, g._2,
+      java.lang.Double.doubleToLongBits(g._3))).toSet ==
+      got.map(g => (g._1, g._2,
+        java.lang.Double.doubleToLongBits(g._3))).toSet,
+      "repartitioning changed a score bit")
+  }
 }
