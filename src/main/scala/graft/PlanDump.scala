@@ -35,7 +35,9 @@ object PlanDump {
     "q145_correlation_shard_fold", "q146_ivfadc_append",
     "q147_pagerank_sinks", "q148_gopher_quality", "q149_domain_cap",
     "q150_sequence_packing", "q151_cluster_representative",
-    "q152_stratified_split", "q154_vocab_coverage", "q155_token_budget")
+    "q152_stratified_split", "q154_vocab_coverage", "q155_token_budget",
+    // round 12 (q156* and q51b are eager-driver like q69/q153 — excluded)
+    "q148b_gopher_full", "q157_dsir_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

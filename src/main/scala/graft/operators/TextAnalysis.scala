@@ -1345,9 +1345,16 @@ object TextAnalysis {
       .select(col(idCol), col("__t"),
         pmod(conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long"),
           lit(buckets.toLong)).as("bkt"))
-    val cc = feats.groupBy(col("bkt"))
-      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
-        sum(when(!col("__t"), 1L).otherwise(0L)).as("cr"))
+    // ONE corpus tokenize: everything below reads this (doc, bucket)
+    // frame — without the checkpoint, the bucket-count branch, the
+    // totals branch, and the per-doc branch each re-run the
+    // scan+explode lineage (a 3× corpus tokenize, visible in the plan)
+    val dc = feats.groupBy(col(idCol), col("__t"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val cc = dc.groupBy(col("bkt"))
+      .agg(sum(when(col("__t"), col("cnt")).otherwise(0L)).as("ct"),
+        sum(when(!col("__t"), col("cnt")).otherwise(0L)).as("cr"))
     val tot = cc.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
     // ratio = ((ct+1)/(NT+B)) / ((cr+1)/(NR+B)) — three IEEE divisions
     // of exact longs in a fixed order; the naive cross-multiplied form
@@ -1358,9 +1365,7 @@ object TextAnalysis {
           (col("nt") + buckets.toLong).cast("double")) /
           ((col("cr") + 1L).cast("double") /
             (col("nr") + buckets.toLong).cast("double"))).as("r"))
-    feats.groupBy(col(idCol), col("bkt"))
-      .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(ratio), Seq("bkt"))
+    dc.join(broadcast(ratio), Seq("bkt"))
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("n_grams"),
         collect_list(struct(col("bkt"),
