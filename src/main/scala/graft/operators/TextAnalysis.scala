@@ -1377,6 +1377,114 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** The learning half of [[dsirScore]] as a STORED artifact: the
+    * (bkt, r, nt, nr) ratio table — persist it once (B rows, KB) and
+    * score every incoming batch with [[dsirScoreStored]] without ever
+    * re-reading the target/raw corpora (the q121 stored-state
+    * discipline). nt/nr ride every row so the table is self-contained:
+    * the scorer derives the unseen-bucket default ratio from them. */
+  def dsirRatioTable(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets in [2, 2^20], got $buckets")
+    val feats = docs
+      .select(col(idCol), isTarget.as("__t"),
+        explode(graft.functions.WordNGrams(tokens(col(textCol)), 2)).as("g"))
+      .select(col("__t"),
+        pmod(conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bkt"))
+    val cc = feats.groupBy(col("bkt"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("cr"))
+      .localCheckpoint()
+    val tot = cc.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    cc.crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        (((col("ct") + 1L).cast("double") /
+          (col("nt") + buckets.toLong).cast("double")) /
+          ((col("cr") + 1L).cast("double") /
+            (col("nr") + buckets.toLong).cast("double"))).as("r"),
+        col("nt"), col("nr"))
+  }
+
+  /** Score a NEW batch against a persisted [[dsirRatioTable]]: one
+    * batch tokenize + one broadcast join — corpora never re-read. A
+    * batch gram can hash to a bucket absent from the table (zero count
+    * in BOTH corpora at learn time); the add-1-smoothed ratio for such
+    * a bucket is ((0+1)/(NT+B))/((0+1)/(NR+B)), derived from the
+    * table's own nt/nr in the same IEEE shape, so stored scoring of
+    * the learn corpus is value-identical to [[dsirScore]] and unseen
+    * buckets are handled exactly, not dropped (spec-pinned through a
+    * parquet round-trip; q157b pins the cross-corpus + default path). */
+  def dsirScoreStored(batch: DataFrame, idCol: String, textCol: String,
+      ratio: DataFrame, buckets: Int = 4096): DataFrame = {
+    val hd = ratio.select(col("nt"), col("nr")).head()
+    val (nt, nr) = (hd.getLong(0), hd.getLong(1))
+    val rDefault = (1.0d / (nt + buckets.toLong).toDouble) /
+      (1.0d / (nr + buckets.toLong).toDouble)
+    val dc = batch
+      .select(col(idCol),
+        explode(graft.functions.WordNGrams(tokens(col(textCol)), 2)).as("g"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bkt"))
+      .groupBy(col(idCol), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    dc.join(broadcast(ratio.select(col("bkt"), col("r"))), Seq("bkt"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_grams"),
+        collect_list(struct(col("bkt"),
+          (col("cnt").cast("double") *
+            coalesce(col("r"), lit(rDefault))).as("v"))).as("__l"))
+      .select(col(idCol), col("n_grams"),
+        (aggregate(array_sort(col("__l")), lit(0.0d),
+          (a, e) => a + e.getField("v")) /
+          col("n_grams").cast("double")).as("dsir_score"))
+      .orderBy(col(idCol))
+  }
+
+  private val q157b = GraftQuery(
+    "q157b_dsir_stored",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ratio = dsirRatioTable(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", isTarget = col("doc_id") % 97 === 0)
+      dsirScoreStored(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", ratio)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                 FROM documents),
+      g AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+            FROM t WHERE len(t) >= 2),
+      b AS (SELECT doc_id, doc_id % 97 = 0 AS is_t,
+                   ('0x' || substr(md5(g), 1, 6))::BIGINT % 4096 AS bkt
+            FROM g),
+      cc AS (SELECT bkt,
+                    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                    CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS cr
+             FROM b WHERE doc_id % 2 = 0 GROUP BY bkt),
+      tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM cc),
+      r AS (SELECT bkt,
+                   ((CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE)) /
+                    (CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE))) AS r
+            FROM cc, tot),
+      dc AS (SELECT doc_id, bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM b WHERE doc_id % 2 <> 0 GROUP BY doc_id, bkt),
+      l AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                   list(CAST(cnt AS DOUBLE) *
+                        COALESCE(r, (CAST(1 AS DOUBLE) / CAST((SELECT nt FROM tot) + 4096 AS DOUBLE)) /
+                                    (CAST(1 AS DOUBLE) / CAST((SELECT nr FROM tot) + 4096 AS DOUBLE)))
+                        ORDER BY dc.bkt) AS l
+            FROM dc LEFT JOIN r ON dc.bkt = r.bkt GROUP BY doc_id)
+      SELECT doc_id, n_grams,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l), (a, x) -> a + x)
+               / CAST(n_grams AS DOUBLE) AS dsir_score
+      FROM l
+      ORDER BY doc_id"""))
+
   private val q157 = GraftQuery(
     "q157_dsir_score",
     (s, dir) => dsirScore(Tables.documents(s, dir), "doc_id", "text",
@@ -1696,5 +1804,5 @@ object TextAnalysis {
       ORDER BY target_pct"""))
 
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
-    q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154, q156, q156b, q156c, q157)
+    q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154, q156, q156b, q156c, q157, q157b)
 }

@@ -629,5 +629,31 @@ class OperatorsSpec extends SparkSpec {
       got.map(g => (g._1, g._2,
         java.lang.Double.doubleToLongBits(g._3))).toSet,
       "repartitioning changed a score bit")
+    // stored form: scoring the learn corpus against its own ratio table
+    // (through a parquet round-trip) is VALUE-identical to the inline
+    // form, and an all-unseen-bucket batch gets the exact smoothed
+    // default, not dropped rows
+    val dir = java.nio.file.Files.createTempDirectory("dsir_ratio").toString
+    graft.operators.TextAnalysis.dsirRatioTable(docs, "doc_id", "text",
+      isTarget = col("doc_id") % 97 === 0)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val viaStore = graft.operators.TextAnalysis.dsirScoreStored(
+      docs, "doc_id", "text", stored)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    assert(viaStore == got.map(g => (g._1, g._2,
+      java.lang.Double.doubleToLongBits(g._3))).toSet,
+      "stored scoring of the learn corpus diverged from inline")
+    val unseen = graft.operators.TextAnalysis.dsirScoreStored(
+      Seq((9L, "zq zr")).toDF("doc_id", "text"), "doc_id", "text", stored)
+      .head()
+    val hd = stored.select(col("nt"), col("nr")).head()
+    val rDef = (1.0 / (hd.getLong(0) + 4096L).toDouble) /
+      (1.0 / (hd.getLong(1) + 4096L).toDouble)
+    assert(unseen.getLong(1) == 1L &&
+      java.lang.Double.doubleToLongBits(unseen.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(rDef),
+      s"unseen bucket must score the exact smoothed default: $unseen vs $rDef")
   }
 }
