@@ -358,6 +358,52 @@ object ScaleOps {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  // --------------------------------------------------------------- q158
+  // Rendezvous (highest-random-weight) shard assignment — the
+  // minimal-disruption resharding primitive (Thaler & Ravishankar 1998;
+  // the consistent-placement idea behind every stable shard router):
+  // shard(id) = argmax over s ∈ [0, k) of md5(id ':' s). Growing k → k+1
+  // moves EXACTLY the rows whose new global argmax is the new shard
+  // (≈ n/(k+1)), and every unmoved row keeps its shard bit-for-bit —
+  // where a plain pmod(hash, k) reshard scrambles (k-1)/k of the table.
+  // Stateless per-row column math (a k-literal transform + array_max on
+  // orderable structs, no shuffle, stream-safe); 15 hex digits of md5
+  // keep the weight inside a signed LONG (the hexPrefixBucket lesson),
+  // and the (weight, shard) struct ordering makes even a weight
+  // collision deterministic.
+  def rendezvousShard(id: Column, shards: Int): Column = {
+    require(shards >= 1 && shards <= 4096, s"shards in [1,4096], got $shards")
+    array_max(transform(sequence(lit(0), lit(shards - 1)),
+      s => struct(
+        conv(substring(md5(concat(id.cast("string"), lit(":"),
+          s.cast("string"))), 1, 15), 16, 10).cast("long").as("h"),
+        s.as("s")))).getField("s")
+  }
+
+  private val q158 = GraftQuery(
+    "q158_rendezvous_shard",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"),
+        rendezvousShard(col("doc_id"), 8).as("shard_8"),
+        rendezvousShard(col("doc_id"), 9).as("shard_9"))
+      .withColumn("moved", col("shard_8") =!= col("shard_9"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH a AS (SELECT doc_id,
+                        list_sort(list_transform(range(0, 8), s -> {
+                          'h': ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 15))::BIGINT,
+                          's': s})) AS l8,
+                        list_sort(list_transform(range(0, 9), s -> {
+                          'h': ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 15))::BIGINT,
+                          's': s})) AS l9
+                 FROM documents)
+      SELECT doc_id,
+             CAST(l8[len(l8)].s AS INT) AS shard_8,
+             CAST(l9[len(l9)].s AS INT) AS shard_9,
+             l8[len(l8)].s <> l9[len(l9)].s AS moved
+      FROM a
+      ORDER BY doc_id"""))
+
   // --------------------------------------------------------------- q127
   // Key-skew diagnosis + salt advisor: the MEASUREMENT step in front of
   // the layout/skew tools (saltedJoin q60, rankBoundaries q107). Before
@@ -417,7 +463,7 @@ object ScaleOps {
       FROM p
       ORDER BY key_name"""))
 
-  val all: Seq[GraftQuery] = Seq(q60, q102, q107, q110, q127)
+  val all: Seq[GraftQuery] = Seq(q60, q102, q107, q110, q127, q158)
 
   /** True if the executed plan of `df` contains a shuffle exchange of any
     * partitioning (hash, range, round-robin, single-partition). Broadcast

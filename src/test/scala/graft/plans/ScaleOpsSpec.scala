@@ -408,4 +408,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(flat.getAs[String]("action") == "hash-join")
     assert(flat.getAs[Long]("skew_x100") == 100L, "uniform keys => exactly 100")
   }
+
+  test("rendezvousShard: minimal-disruption law on reshard; pmod scrambles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 5000
+    val df = (1L to n.toLong).toDF("id")
+    val got = df.select(col("id"),
+      ScaleOps.rendezvousShard(col("id"), 8).as("s8"),
+      ScaleOps.rendezvousShard(col("id"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // both assignments land in range and use every shard
+    assert(got.forall(g => g._2 >= 0 && g._2 < 8 && g._3 >= 0 && g._3 < 9))
+    assert(got.map(_._2).distinct.length == 8 && got.map(_._3).distinct.length == 9)
+    // THE rendezvous law: growing 8 -> 9 moves a row ONLY to the new
+    // shard (its old argmax is unchanged among shards 0..7), and the
+    // moved fraction is ~ 1/9
+    val moved = got.filter(g => g._2 != g._3)
+    assert(moved.forall(_._3 == 8),
+      s"moved rows must all land on the NEW shard: ${moved.filter(_._3 != 8).take(5).toSeq}")
+    val frac = moved.length.toDouble / n
+    assert(frac > 0.05 && frac < 0.18, s"moved fraction $frac should be ~1/9")
+    // contrast: a pmod reshard scrambles the majority of rows
+    val pm = df.select(
+      pmod(xxhash64(col("id")), lit(8)).as("p8"),
+      pmod(xxhash64(col("id")), lit(9)).as("p9"))
+      .filter(col("p8") =!= col("p9")).count()
+    assert(pm.toDouble / n > 0.5, s"pmod reshard moved only $pm of $n")
+    // balance: no shard holds more than 2x the uniform share at k=9
+    val byShard = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byShard.values.max < 2 * n / 9, s"$byShard")
+  }
 }
