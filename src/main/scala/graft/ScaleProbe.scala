@@ -225,6 +225,22 @@ object ScaleProbe {
         val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         println(s"""{"metric":"scaleprobe","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
 
+      case "r12ops" =>
+        // round-12 additions at probe decades: full Gopher set, BPE
+        // learn/encode, DSIR inline + stored, rendezvous routing
+        val out = scaledDocsDir(spark, src, copies)
+        val names = Seq("q148b_gopher_full", "q156_bpe_merges",
+          "q156c_bpe_encode", "q157_dsir_score", "q157b_dsir_stored",
+          "q158_rendezvous_shard")
+        val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
+        val times = names.map { name =>
+          val (_, t) = timed(SparkEntry.queries(name)(spark, out)
+            .write.format("noop").mode("overwrite").save())
+          name -> t
+        }
+        val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        println(s"""{"metric":"scaleprobe-r12ops","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
+
       case "chainstages" =>
         // Five-stage wall/rows breakdown of the q93b curation chain
         // (VERDICT r11 stretch #9): each tap forces the stage frame and

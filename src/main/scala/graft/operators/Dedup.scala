@@ -106,7 +106,33 @@ object Dedup {
   // calibration oracle for the MinHash path (df-cap rationale above).
   /** The full exact-Jaccard pair frame (sorted desc), shared by q36's
     * top-20 and q142's banding calibration. */
-  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    commonPairFrame(s, dir)
+      .select(col("da"), col("db"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("da"), col("db"))
+
+  /** Exact CONTAINMENT pair frame — the directional overlap measure
+    * Jaccard hides: containment(A in B) = |A∩B| / |A| is ~1 when B is A
+    * plus boilerplate (header/footer wrapping, quote-expansion), a case
+    * where Jaccard |A∩B|/|A∪B| stays low because the union is inflated
+    * by the wrapper. Broder 1997 treats both; near-dup pipelines gate on
+    * resemblance OR containment. Same bounded machinery as
+    * [[jaccardPairs]] (df-capped grouped explosion, never a self-join);
+    * the tail emits both directions plus their max. */
+  private def containmentPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    commonPairFrame(s, dir)
+      .select(col("da"), col("db"),
+        (col("c").cast("double") / col("na")).as("cont_a"),
+        (col("c").cast("double") / col("nb")).as("cont_b"),
+        greatest(col("c").cast("double") / col("na"),
+          col("c").cast("double") / col("nb")).as("cont"))
+      .orderBy(col("cont").desc, col("da"), col("db"))
+
+  /** Shared (da, db, c, na, nb) exact-overlap frame over df-capped
+    * shingles — the common core of [[jaccardPairs]] / [[containmentPairs]]. */
+  private def commonPairFrame(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
       val sh = shingleRows(Tables.documents(s, dir))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       // cap from the RAW scan's count — zero-column, no widen shuffle
@@ -143,9 +169,6 @@ object Dedup {
       common
         .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
         .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-        .select(col("da"), col("db"),
-          (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
-        .orderBy(col("jaccard").desc, col("da"), col("db"))
   }
 
   private val q36 = GraftQuery(
@@ -164,6 +187,27 @@ object Dedup {
       JOIN sizes na ON na.doc_id = da
       JOIN sizes nb ON nb.doc_id = db
       ORDER BY jaccard DESC, da, db
+      LIMIT 20"""))
+
+  private val q159 = GraftQuery(
+    "q159_containment_pairs",
+    (s, dir) => containmentPairs(s, dir).limit(20),
+    Some(s"""
+      WITH $shingleSql,
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $dfCapSql),
+      kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+      common AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+                 FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+      SELECT da, db,
+             CAST(c AS DOUBLE) / na.n AS cont_a,
+             CAST(c AS DOUBLE) / nb.n AS cont_b,
+             GREATEST(CAST(c AS DOUBLE) / na.n, CAST(c AS DOUBLE) / nb.n) AS cont
+      FROM common
+      JOIN sizes na ON na.doc_id = da
+      JOIN sizes nb ON nb.doc_id = db
+      ORDER BY cont DESC, da, db
       LIMIT 20"""))
 
   // ---------------------------------------------------------------- q37
@@ -1155,5 +1199,5 @@ object Dedup {
       ORDER BY norm_hash"""))
 
   val all: Seq[GraftQuery] = Seq(q35, q36, q37, q38, q70, q81, q88, q95, q99,
-    q106, q120, q132, q133, q142, q151)
+    q106, q120, q132, q133, q142, q151, q159)
 }

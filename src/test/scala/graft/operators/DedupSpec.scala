@@ -6,6 +6,33 @@ import graft.SparkSpec
 
 class DedupSpec extends SparkSpec {
 
+  test("containmentPairs: a boilerplate superset scores ~1 containment while jaccard stays low") {
+    import spark.implicits._
+    // A's 12 tokens (10 shingles) are a strict prefix of B, which wraps
+    // them in 28 extra tokens: containment(A in B) = 1.0, jaccard ~ 10/36
+    val core = (0 until 12).map(i => s"core$i").mkString(" ")
+    val wrap = (0 until 28).map(i => s"wrap$i").mkString(" ")
+    val other = (0 until 12).map(i => s"alien$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    Seq((1L, core, "en", "a", core.length.toLong),
+      (2L, core + " " + wrap, "en", "a", (core + wrap).length.toLong + 1),
+      (3L, other, "en", "a", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("q159_containment_pairs")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+    // only the (1, 2) pair shares shingles
+    assert(got.map(_._1).toSeq == Seq((1L, 2L)), got.toSeq.toString)
+    val (contA, contB, cont) = got.head._2
+    assert(contA == 1.0, s"A fully contained in B: $contA")
+    assert(contB < 0.3 && cont == 1.0, s"($contB, $cont)")
+    // jaccard on the same corpus stays far below the containment signal
+    val jac = graft.SparkEntry.queries("q36_dedup_ngram_jaccard")(spark, dir)
+      .collect().map(r => r.getDouble(2)).max
+    assert(jac < 0.3, s"jaccard must miss the superset pair: $jac")
+  }
+
   test("paragraph dedup drops cross-doc boilerplate, keeps order, counts both sides") {
     import spark.implicits._
     val docs = Seq(
