@@ -37,7 +37,9 @@ object PlanDump {
     "q150_sequence_packing", "q151_cluster_representative",
     "q152_stratified_split", "q154_vocab_coverage", "q155_token_budget",
     // round 12 (q156* and q51b are eager-driver like q69/q153 — excluded)
-    "q148b_gopher_full", "q157_dsir_score")
+    "q148b_gopher_full", "q157_dsir_score", "q158_rendezvous_shard",
+    "q159_containment_pairs", "q152b_stratified_interleaved",
+    "q160_c4_clean", "q161_quality_classifier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1606,7 +1606,84 @@ object DataPrep {
       FROM documents
       ORDER BY doc_id"""))
 
+  // ------------------------------------- q152b interleaved stratified split
+  // The STREAMABLE form of q152's exact allocation: q152's prefix rule
+  // (eval = the first ⌊n·pct/100⌋ md5-ranks) needs the stratum total n,
+  // so arriving documents can flip earlier assignments — it cannot
+  // admit incrementally. The interleaved rule assigns eval exactly when
+  // the integer allocation line steps: doc at stratum rank r is eval iff
+  // ⌊r·pct/100⌋ > ⌊(r-1)·pct/100⌋ (the largest-remainder walk, the same
+  // arithmetic a Bresenham line uses). That is a pure function of the
+  // doc's OWN rank — no stratum total anywhere — so (a) every prefix of
+  // the line holds exactly ⌊r·pct/100⌋ eval docs (exact allocation at
+  // ALL snapshots, strictly stronger than q152's final-count-only
+  // guarantee), and (b) the frozen-offset admission pattern applies
+  // verbatim: [[stratifiedAdmitBatch]] chained over arrival batches IS
+  // this function over the concatenated line (StreamingSpec law).
+  // Integer cross-multiplication only; same md5-rank scale shape as
+  // q152 (two-level rank, mega-stratum-safe, no per-stratum total join
+  // at all — one pass fewer than q152).
+  def stratifiedInterleaved(docs: DataFrame, stratumCol: String,
+      idCol: String, pctEval: Int): DataFrame = {
+    require(pctEval >= 1 && pctEval <= 99, s"pctEval in [1,99], got $pctEval")
+    md5BucketRank(docs, stratumCol, idCol, rankAs = "__r")
+      .withColumn("split",
+        when(expr(s"(__r * $pctEval) div 100") >
+          expr(s"((__r - 1) * $pctEval) div 100"), lit("eval"))
+          .otherwise(lit("train")))
+      .drop("__r")
+  }
+
+  /** Arrival-order streaming form of [[stratifiedInterleaved]] — the
+    * [[ppsAdmitBatch]] frozen-offset pattern applied to split
+    * assignment: the batch's docs take stratum ranks base+1..base+m in
+    * (md5(id), id) order and the Bresenham step rule labels each one
+    * from its own rank alone. Chaining batches IS one
+    * [[stratifiedInterleaved]] pass over the concatenated line
+    * (chained ≡ one-shot, StreamingSpec), and after EVERY batch each
+    * stratum's eval count is exactly ⌊rank·pct/100⌋ — the allocation
+    * can never drift, which is the property a crawl-refresh eval split
+    * needs. `baseCounts` maps stratum → docs already laid down by ALL
+    * previous batches; advance it with [[ppsGroupTotals]] over each
+    * full batch. Driver map is fine for the same reason as
+    * [[ppsAdmitBatch]]: strata are sources/languages (bounded), not
+    * open-web domains. */
+  def stratifiedAdmitBatch(batch: DataFrame, baseCounts: Map[String, Long],
+      stratumCol: String, idCol: String, pctEval: Int): DataFrame = {
+    require(pctEval >= 1 && pctEval <= 99, s"pctEval in [1,99], got $pctEval")
+    val base =
+      if (baseCounts.isEmpty) lit(0L)
+      else coalesce(
+        element_at(typedLit(baseCounts), col(stratumCol).cast("string")),
+        lit(0L))
+    md5BucketRank(batch, stratumCol, idCol, rankAs = "__ar")
+      .withColumn("__r", base + col("__ar"))
+      .withColumn("split",
+        when(expr(s"(__r * $pctEval) div 100") >
+          expr(s"((__r - 1) * $pctEval) div 100"), lit("eval"))
+          .otherwise(lit("train")))
+      .drop("__ar", "__r")
+  }
+
+  private val q152b = GraftQuery(
+    "q152b_stratified_interleaved",
+    (s, dir) => stratifiedInterleaved(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "source", "doc_id", pctEval = 10)
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH ranked AS (SELECT doc_id, source,
+                             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS r
+                      FROM documents)
+      SELECT doc_id, source,
+             CASE WHEN (r * 10) // 100 > ((r - 1) * 10) // 100
+                  THEN 'eval' ELSE 'train' END AS split
+      FROM ranked
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(q61, q62, q63, q64, q65, q66, q79, q80, q84,
     q85, q86, q89, q91, q98, q101, q115, q124, q134, q141, q143, q149, q150,
-    q152, q155)
+    q152, q152b, q155)
 }

@@ -1803,6 +1803,192 @@ object TextAnalysis {
       GROUP BY s.target_pct
       ORDER BY target_pct"""))
 
+  // ------------------------------------------------ q160 C4 cleaning rules
+  /** C4 corpus-cleaning rule set (Raffel et al. 2020 §2.2, public) —
+    * the line-grained companion to the Gopher document gates: (1) a
+    * line is RETAINED iff it ends in a terminal punctuation mark
+    * (`. ! ? "`), has ≥ 5 words, and does not mention "javascript";
+    * (2) the page is kept iff it has ≥ 1 retained line, ≥ 3 sentences
+    * (terminal-mark count — the paper used a sentence splitter; the
+    * deterministic mark-count proxy replays bit-for-bit in both
+    * engines), no "lorem ipsum", no curly brace, and no word from the
+    * caller's blocklist (the paper's public blocklist is interchangeable
+    * — word-grained, matched via the q148b `array_intersect` shape, not
+    * substring). All counters are stateless column math inside ONE scan
+    * (higher-order `filter` over `split(text, '\n')`, nested word split
+    * per line) — no explode, no shuffle, no UDF: the same
+    * embarrassingly-parallel shape as [[gopherQualityFull]], so the
+    * 100 TB cost is exactly one pass over the text column. */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String] = Seq.empty): DataFrame = {
+    val x = col("__x")
+    val lines = split(x, "\n")
+    val keptLine = (l: Column) =>
+      l.rlike("[.!?\"]\\s*$") &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= 5 &&
+        !lower(l).contains("javascript")
+    val blocked =
+      if (blocklist.isEmpty) lit(false)
+      else size(array_intersect(array_distinct(tokens(x)),
+        array(blocklist.map(b => lit(b.toLowerCase)): _*))) > 0
+    docs
+      .select(col(idCol), col(textCol).as("__x"))
+      .select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, keptLine)).cast("long").as("n_kept_lines"),
+        regexp_count(x, lit("[.!?]")).cast("long").as("n_sentences"),
+        lower(x).contains("lorem ipsum").as("has_lorem"),
+        x.contains("{").as("has_curly"),
+        blocked.as("has_blocked"))
+      .withColumn("ok_lines", col("n_kept_lines") >= 1L)
+      .withColumn("ok_sentences", col("n_sentences") >= 3L)
+      .withColumn("keep",
+        col("ok_lines") && col("ok_sentences") &&
+          !col("has_lorem") && !col("has_curly") && !col("has_blocked"))
+      .orderBy(col(idCol))
+  }
+
+  private val q160 = GraftQuery(
+    "q160_c4_clean",
+    (s, dir) => c4Clean(Tables.documents(s, dir), "doc_id", "text",
+      blocklist = Seq("casino", "lottery")),
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(string_split(text, chr(10)),
+                 l -> regexp_matches(l, '[.!?"]\s*$')
+                      AND len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 5
+                      AND NOT contains(lower(l), 'javascript'))) AS BIGINT) AS n_kept_lines,
+               CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences,
+               contains(lower(text), 'lorem ipsum') AS has_lorem,
+               contains(text, '{') AS has_curly,
+               (len(list_intersect(list_distinct(list_filter(
+                  string_split_regex(lower(text), '\W+'), x -> x <> '')),
+                  ['casino', 'lottery'])) > 0) AS has_blocked
+        FROM documents)
+      SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+             has_lorem, has_curly, has_blocked,
+             (n_kept_lines >= 1) AS ok_lines,
+             (n_sentences >= 3) AS ok_sentences,
+             ((n_kept_lines >= 1) AND (n_sentences >= 3)
+              AND NOT has_lorem AND NOT has_curly AND NOT has_blocked) AS keep
+      FROM base
+      ORDER BY doc_id"""))
+
+  // --------------------------------------- q161 hashed linear classifier
+  /** Inference for a fastText-style linear text classifier (Joulin et
+    * al. 2016, public) — the shape of the learned quality filters the
+    * CCNet/LLaMA pipelines run over every crawled page: hashed
+    * bag-of-features (word unigrams + bigrams, the q157 md5 bucket
+    * convention) dotted with a weight vector. Engine-exact discipline:
+    * weights are INTEGER (the fixed-point form a trained float model
+    * ships as after scaling), so the margin is an exact LONG sum — no
+    * float accumulation order anywhere — and the only double op is one
+    * final IEEE division (margin / (scale·n_feats)), bit-identical
+    * under any partitioning. The sigmoid is monotone, so `keep` and any
+    * threshold decision need only the margin; callers wanting the
+    * probability apply it driver-side to the returned score.
+    *
+    * `weights` is (bkt LONG, w LONG) — a STORED artifact in production
+    * (train offline, persist, score every batch via one broadcast
+    * join; the q121/q157b stored-state discipline). Buckets absent
+    * from the table score 0 (a pruned/sparse model is the common case;
+    * the left-join default is oracle-pinned by q161b). Scale: explode
+    * grams → (doc, bkt) hash-agg → B-row broadcast join → per-doc LONG
+    * sum — the wordcount shuffle class, no all-pairs anything. */
+  def linearQualityScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, bias: Long = 0L, buckets: Int = 4096,
+      scale: Long = 1000L): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets in [2, 2^20], got $buckets")
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    val t = tokens(col(textCol))
+    val dc = docs
+      .select(col(idCol),
+        explode(concat(t, graft.functions.WordNGrams(t, 2))).as("g"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bkt"))
+      .groupBy(col(idCol), col("bkt")).agg(count(lit(1)).as("cnt"))
+    val w = weights.select(col("bkt").cast("long").as("__wb"),
+      col("w").cast("long").as("__w"))
+    dc.join(broadcast(w), col("bkt") === col("__wb"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_feats"),
+        (lit(bias) + sum(col("cnt") * coalesce(col("__w"), lit(0L))))
+          .as("margin"))
+      .select(col(idCol), col("n_feats"), col("margin"),
+        (col("margin").cast("double") /
+          (col("n_feats") * lit(scale)).cast("double")).as("quality_score"),
+        (col("margin") > 0L).as("keep"))
+      .orderBy(col(idCol))
+  }
+
+  /** The declared queries' deterministic stand-in for trained weights:
+    * w(bkt) = md5-seeded integer in [-1000, 1000] — a pure function of
+    * the bucket id both engines compute identically, standing where a
+    * training job's persisted table would. */
+  private def seededWeights(s: SparkSession, buckets: Int): DataFrame =
+    s.range(buckets.toLong).select(col("id").as("bkt"),
+      (pmod(conv(substring(md5(concat(lit("w"), col("id").cast("string"))),
+        1, 6), 16, 10).cast("long"), lit(2001L)) - 1000L).as("w"))
+
+  private val q161 = GraftQuery(
+    "q161_quality_classifier",
+    (s, dir) => linearQualityScore(Tables.documents(s, dir), "doc_id",
+      "text", weights = seededWeights(s, 4096)),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                 FROM documents),
+      f AS (SELECT doc_id,
+                   unnest(list_concat(t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+            FROM t),
+      b AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 6))::BIGINT % 4096 AS bkt FROM f),
+      dc AS (SELECT doc_id, bkt, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY doc_id, bkt),
+      w AS (SELECT range AS bkt,
+                   ('0x' || substr(md5('w' || CAST(range AS VARCHAR)), 1, 6))::BIGINT % 2001 - 1000 AS w
+            FROM range(4096)),
+      m AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+                   CAST(SUM(cnt * COALESCE(w, 0)) AS BIGINT) AS margin
+            FROM dc LEFT JOIN w ON dc.bkt = w.bkt GROUP BY doc_id)
+      SELECT doc_id, n_feats, margin,
+             CAST(margin AS DOUBLE) / CAST(n_feats * 1000 AS DOUBLE) AS quality_score,
+             margin > 0 AS keep
+      FROM m
+      ORDER BY doc_id"""))
+
+  // q161b pins the PRUNED-model path: only positive-weight buckets ship
+  // (the sparse table a magnitude-pruned model persists); every other
+  // bucket takes the left-join 0 default — exercised here on ~half of
+  // all feature hits, not as an edge case.
+  private val q161b = GraftQuery(
+    "q161b_quality_classifier_sparse",
+    (s, dir) => linearQualityScore(Tables.documents(s, dir), "doc_id",
+      "text", weights = seededWeights(s, 4096).filter(col("w") > 0L)),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+                 FROM documents),
+      f AS (SELECT doc_id,
+                   unnest(list_concat(t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+            FROM t),
+      b AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 6))::BIGINT % 4096 AS bkt FROM f),
+      dc AS (SELECT doc_id, bkt, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY doc_id, bkt),
+      w AS (SELECT * FROM (SELECT range AS bkt,
+                   ('0x' || substr(md5('w' || CAST(range AS VARCHAR)), 1, 6))::BIGINT % 2001 - 1000 AS w
+            FROM range(4096)) WHERE w > 0),
+      m AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+                   CAST(SUM(cnt * COALESCE(w, 0)) AS BIGINT) AS margin
+            FROM dc LEFT JOIN w ON dc.bkt = w.bkt GROUP BY doc_id)
+      SELECT doc_id, n_feats, margin,
+             CAST(margin AS DOUBLE) / CAST(n_feats * 1000 AS DOUBLE) AS quality_score,
+             margin > 0 AS keep
+      FROM m
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
-    q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154, q156, q156b, q156c, q157, q157b)
+    q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154, q156, q156b, q156c, q157, q157b,
+    q160, q161, q161b)
 }

@@ -559,6 +559,91 @@ class OperatorsSpec extends SparkSpec {
     assert(got(6L)._2._6 == 0L && got(1L)._2._6 == 2L, s"n_stop: ${got(6L)}")
   }
 
+  test("linearQualityScore: exact margin vs a driver replay; stored sparse weights round-trip value-identical") {
+    import spark.implicits._
+    val docs = Seq((1L, "good good words here"), (2L, "bad stuff"),
+      (3L, "good bad good")).toDF("doc_id", "text")
+    // hand-built dense weights over the 64-bucket space
+    val wmap = (0 until 64).map(b => b.toLong -> ((b % 7).toLong - 3L)).toMap
+    val wdf = wmap.toSeq.toDF("bkt", "w")
+    val got = graft.operators.TextAnalysis
+      .linearQualityScore(docs, "doc_id", "text", wdf, bias = 2L,
+        buckets = 64, scale = 10L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // driver replay: same md5 bucket, unigrams + bigrams, LONG arithmetic
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bkt(g: String): Long = java.lang.Long.parseLong(md5hex(g).take(6), 16) % 64L
+    for ((id, text) <- Seq(1L -> "good good words here", 2L -> "bad stuff",
+      3L -> "good bad good")) {
+      val t = text.split("\\W+").filter(_.nonEmpty).map(_.toLowerCase)
+      val feats = t ++ t.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      val margin = 2L + feats.map(g => wmap(bkt(g))).sum
+      assert(got(id)._1 == feats.length.toLong, s"n_feats doc $id: ${got(id)}")
+      assert(got(id)._2 == margin, s"margin doc $id: got ${got(id)._2}, want $margin")
+      assert(got(id)._3 == margin.toDouble / (feats.length.toLong * 10L).toDouble,
+        s"score doc $id")
+      assert(got(id)._4 == (margin > 0L), s"keep doc $id")
+    }
+    // stored-artifact law: sparse weights (zeros pruned) through a parquet
+    // round-trip score value-identically — absent buckets default to 0
+    val dir = java.nio.file.Files.createTempDirectory("graft_linw").toString
+    wdf.filter(col("w") =!= 0L).write.mode("overwrite").parquet(dir)
+    val stored = graft.operators.TextAnalysis
+      .linearQualityScore(docs, "doc_id", "text",
+        spark.read.parquet(dir), bias = 2L, buckets = 64, scale = 10L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(stored == got, s"stored-sparse must equal dense: $stored vs $got")
+  }
+
+  test("c4Clean: each C4 rule fires on its planted violation, clean doc keeps") {
+    import spark.implicits._
+    // clean: 3 lines, each ≥5 words ending in terminal punct; ≥3 sentences
+    val clean = "one two three four five six.\n" +
+      "seven eight nine ten eleven!\ntwelve thirteen fourteen fifteen sixteen?"
+    // no line survives: too few words / no terminal punct / javascript line
+    val shortLines = "one two three.\nfour five six\nseven javascript eight nine ten."
+    // only 2 sentences even though lines are retained
+    val twoSent = "one two three four five six.\nseven eight nine ten eleven twelve."
+    val lorem = clean + "\nthis page has Lorem Ipsum filler inside it okay."
+    val curly = clean + "\nalpha beta gamma { delta epsilon zeta."
+    val blocked = clean + "\nalpha beta casino gamma delta epsilon."
+    val docs = Seq((1L, clean), (2L, shortLines), (3L, twoSent),
+      (4L, lorem), (5L, curly), (6L, blocked)).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .c4Clean(docs, "doc_id", "text", blocklist = Seq("casino", "lottery"))
+      .collect().map { r =>
+        r.getLong(0) -> Map(
+          "has_lorem" -> r.getBoolean(4), "has_curly" -> r.getBoolean(5),
+          "has_blocked" -> r.getBoolean(6), "ok_lines" -> r.getBoolean(7),
+          "ok_sentences" -> r.getBoolean(8), "keep" -> r.getBoolean(9))
+      }.toMap
+    assert(got(1L).apply("keep") && got(1L).apply("ok_lines") &&
+      got(1L).apply("ok_sentences"), s"clean: ${got(1L)}")
+    assert(!got(2L).apply("ok_lines") && !got(2L).apply("keep"), s"${got(2L)}")
+    assert(!got(3L).apply("ok_sentences") && !got(3L).apply("keep"), s"${got(3L)}")
+    assert(got(4L).apply("has_lorem") && !got(4L).apply("keep"), s"${got(4L)}")
+    assert(got(5L).apply("has_curly") && !got(5L).apply("keep"), s"${got(5L)}")
+    assert(got(6L).apply("has_blocked") && !got(6L).apply("keep"), s"${got(6L)}")
+    // each violation doc fails ONLY its rule (rules independent)
+    for ((id, bad) <- Seq(4L -> "has_lorem", 5L -> "has_curly", 6L -> "has_blocked")) {
+      val g = got(id)
+      assert(g("ok_lines") && g("ok_sentences") &&
+        g.filter(e => e._1.startsWith("has_") && e._1 != bad).values
+          .forall(v => !v), s"doc $id must trip ONLY $bad: $g")
+    }
+    // blocklist is word-grained, not substring: 'casinos' must NOT match…
+    val sub = Seq((7L, clean + "\nalpha beta casinos gamma delta epsilon."))
+      .toDF("doc_id", "text")
+    val g7 = graft.operators.TextAnalysis
+      .c4Clean(sub, "doc_id", "text", blocklist = Seq("casino"))
+      .collect().head
+    assert(!g7.getBoolean(6) && g7.getBoolean(9), s"substring must not block: $g7")
+  }
+
   test("bpeMerges: hand-computed merge sequence with ties and greedy run application") {
     import spark.implicits._
     // words: aaaa x3, bb x1

@@ -827,6 +827,59 @@ class StreamingSpec extends SparkSpec {
     assert(tokByGrp("B") >= budget && tokByGrp("B") < budget + 25L, s"$tokByGrp")
   }
 
+  test("stratifiedAdmitBatch: chained batches == one-shot stratifiedInterleaved; exact allocation at every prefix") {
+    import spark.implicits._
+    val rows = ((1 to 23).map(i => (i.toLong, "A")) ++
+      (24 to 40).map(i => (i.toLong, "B"))).sortBy(_._1)
+    val pct = 10
+    def evalIds(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("split") === "eval")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // chained: frozen stratum counts advance by full-batch totals
+    var base = Map.empty[String, Long]
+    var chained = Set.empty[Long]
+    val prefixCounts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    rows.grouped(9).foreach { chunk =>
+      val b = chunk.toDF("doc_id", "src")
+      chained ++= evalIds(graft.operators.DataPrep.stratifiedAdmitBatch(
+        b, base, "src", "doc_id", pct))
+      base = graft.operators.DataPrep.ppsGroupTotals(
+        b.withColumn("one", lit(1L)), "src", "one")
+        .foldLeft(base) { case (m, (g, t)) => m + (g -> (m.getOrElse(g, 0L) + t)) }
+      // exact-allocation-at-every-prefix: after EVERY batch each
+      // stratum's cumulative eval count is exactly floor(rank*pct/100)
+      prefixCounts += ((base.getOrElse("A", 0L), base.getOrElse("B", 0L)))
+      val evalByStratum = rows.filter(r => chained(r._1)).groupBy(_._2)
+        .view.mapValues(_.size.toLong).toMap
+      assert(evalByStratum.getOrElse("A", 0L) ==
+        base.getOrElse("A", 0L) * pct / 100, s"A at $base: $evalByStratum")
+      assert(evalByStratum.getOrElse("B", 0L) ==
+        base.getOrElse("B", 0L) * pct / 100, s"B at $base: $evalByStratum")
+    }
+    // chained == one-shot over the concatenated line (batches in arrival
+    // order, (md5(id), id) order within a batch): replay driver-side
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rank = scala.collection.mutable.Map.empty[String, Long]
+    val expect = rows.grouped(9).flatMap { chunk =>
+      chunk.sortBy { case (id, _) => (md5hex(id.toString), id) }
+        .flatMap { case (id, g) =>
+          val r = rank.getOrElse(g, 0L) + 1L
+          rank(g) = r
+          if (r * pct / 100 > (r - 1) * pct / 100) Some(id) else None
+        }
+    }.toSet
+    assert(chained == expect, s"chained ${chained.toSeq.sorted} != " +
+      s"reference ${expect.toSeq.sorted}")
+    // bridging law: ONE batch with an empty base IS stratifiedInterleaved
+    val one = evalIds(graft.operators.DataPrep.stratifiedAdmitBatch(
+      rows.toDF("doc_id", "src"), Map.empty, "src", "doc_id", pct))
+    val batch = evalIds(graft.operators.DataPrep.stratifiedInterleaved(
+      rows.toDF("doc_id", "src"), "src", "doc_id", pct))
+    assert(one == batch, "single-batch admission must equal stratifiedInterleaved")
+  }
+
   test("streaming MG heavy hitters: per-trigger states fold to a law-true corpus summary") {
     // the ingest pattern for q125's stored states: each micro-batch emits
     // ONE MG state row (foreachBatch persists it); the corpus heavy
