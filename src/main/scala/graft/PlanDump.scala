@@ -39,7 +39,9 @@ object PlanDump {
     // round 12 (q156* and q51b are eager-driver like q69/q153 — excluded)
     "q148b_gopher_full", "q157_dsir_score", "q158_rendezvous_shard",
     "q159_containment_pairs", "q152b_stratified_interleaved",
-    "q160_c4_clean", "q161_quality_classifier")
+    "q160_c4_clean", "q161_quality_classifier",
+    // q162 is eager-driver (iterative persist/count loop) — excluded
+    "q163_export_manifest", "q164_encoding_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -58,28 +58,32 @@ object Graph {
       nNodes: Long, handleSinks: Boolean = false): DataFrame = {
     require(iters >= 0 && damping > 0.0 && damping < 1.0 && nNodes > 0,
       s"need iters >= 0, 0 < damping < 1, nNodes > 0; got $iters, $damping, $nNodes")
-    // Materialize the loop-invariant frames ONCE and cut lineage at every
-    // iteration (forced by the node-sized count) — without this each
-    // iteration re-derives the edge list from its upstream lineage and
-    // the final plan re-scans the corpus ~10× per iteration (caught in
-    // the round-10 PLANS.md audit: 28 file scans for 3 iterations). This
-    // is the standard Spark iterative shape: per-iteration state is one
-    // node-sized cached frame, previous iterations are dropped as soon
-    // as the next is materialized. In a production run the caches land
-    // in MEMORY_AND_DISK; edges at 100 TB-corpus vocab scale are the
-    // co-occurrence aggregate, orders smaller than the corpus itself.
-    val e = edges.select(col("src"), col("dst"), col("w")).persist()
+    // Materialize the loop-invariant frames ONCE with an eager
+    // localCheckpoint — BOTH a physical materialization and a LOGICAL
+    // lineage cut. Without the cut each iteration re-derives the edge
+    // list from its upstream lineage and the final plan re-scans the
+    // corpus ~10× per iteration (caught in the round-10 PLANS.md audit:
+    // 28 file scans for 3 iterations); and with persist alone the
+    // LOGICAL plan still embeds one corpus-subtree copy per iteration
+    // level for Catalyst to re-analyze — linear here, EXPONENTIAL in
+    // the two-frame HITS loop below (measured: 35 s of driver planning
+    // + heap OOM by half-step 6 on a 900-edge graph). Per-iteration
+    // state is one node-sized LogicalRDD; superseded checkpoint RDDs
+    // are dropped by the context cleaner. In a production run the
+    // checkpointed blocks land in MEMORY_AND_DISK; edges at
+    // 100 TB-corpus vocab scale are the co-occurrence aggregate,
+    // orders smaller than the corpus itself.
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    val withOw = e.join(outW, "src").persist()
+    val withOw = e.join(outW, "src").localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().persist()
+      .union(e.select(col("dst"))).distinct().localCheckpoint()
     // loop-invariant sink set: nodes that never appear as a src
     val sinks = if (handleSinks)
       Some(nodes.join(e.select(col("src").as("node")).distinct(),
-        Seq("node"), "left_anti").persist())
+        Seq("node"), "left_anti").localCheckpoint())
     else None
     var ranks = nodes.withColumn("rank", lit(1.0 / nNodes))
-    var prev: Option[DataFrame] = None
     val base = lit((1.0 - damping) / nNodes)
     for (_ <- 0 until iters) {
       val contrib = withOw
@@ -110,16 +114,11 @@ object Graph {
             (base + lit(damping) *
               (coalesce(col("cs"), lit(0L)).cast("double") / lit(SCALE)))
               .as("rank"))
-      }).persist()
-      next.count() // force: lineage cut, predecessor safe to drop
-      prev.foreach(_.unpersist())
-      prev = Some(next)
+      }).localCheckpoint() // eager: materialize + LOGICAL lineage cut
       ranks = next
     }
-    // loop-invariant caches are no longer needed once the final ranks
-    // frame is materialized; the returned (cached) frame is self-contained
-    e.unpersist(); withOw.unpersist(); nodes.unpersist()
-    sinks.foreach(_.unpersist())
+    // the returned frame is a materialized node-sized LogicalRDD,
+    // self-contained; superseded iteration blocks are context-cleaned
     ranks
   }
 
@@ -257,5 +256,149 @@ object Graph {
     },
     Some(sinkOracle(20)))
 
-  val all: Seq[GraftQuery] = Seq(q114, q147)
+  // ---------------------------------------------------------------- q162
+  /** HITS hubs & authorities (Kleinberg 1999) — the OTHER classic link
+    * centrality, complementing [[pageRank]]: a hub points at good
+    * authorities, an authority is pointed at by good hubs. Weighted,
+    * k synchronous iterations, L1-normalized each half-step (the
+    * common variant; Kleinberg's L2 needs Σx² — whose exact form
+    * overflows any fixed-point LONG — while L1 keeps the whole
+    * computation in the house exact scheme: contributions enter as
+    * floor(score·w·2^40) LONGs, the per-node fold and the global total
+    * are exact order-independent LONG sums, and the normalized score
+    * is ONE IEEE division of two exact longs. Every double therefore
+    * replays bit-identically in the unrolled oracle, the q114
+    * discipline.)
+    *
+    * Scale: per half-step state is one (node, score) frame; each
+    * half-step is edges ⋈ scores on one endpoint + a hash-agg on the
+    * other — the Pregel shape, shuffle bounded by the edge list.
+    * Fixed-point headroom: needs max out/in WEIGHT per node · 2^40
+    * < 2^63 (Σ score = 1 after normalization), i.e. per-node adjacent
+    * weight ≤ ~8.4e6 — true for vocabulary graphs at any corpus size
+    * (weights are counts per node PAIR normalized by the L1 step each
+    * round); cap or pre-scale edge weights beyond that. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e0 = edges.select(col("src"), col("dst"), col("w"))
+    // Two partitioning-pinned edge copies, LOGICAL lineage cut by an
+    // eager localCheckpoint: each half-step joins on one endpoint, and
+    // a copy pre-hashed on its join key (LogicalRDD preserves the
+    // partitioning) elides the edge-sized exchange in EVERY half-step —
+    // only the node-sized score frame shuffles per step. The checkpoint
+    // (not persist) is load-bearing: with persist alone every
+    // half-step's LOGICAL plan still embeds the full upstream tree via
+    // both `nodes` and the previous scores, DOUBLING per half-step —
+    // 2^(2·iters) copies of the corpus-scan subtree for Catalyst to
+    // re-analyze (measured: 35 s of pure driver planning + a heap OOM
+    // by half-step 6 on a 900-edge graph). Cache substitution happens
+    // at physical planning; analysis cost it cannot save.
+    val eBySrc = e0.repartition(col("src")).localCheckpoint()
+    val eByDst = e0.repartition(col("dst")).localCheckpoint()
+    val nodes = eBySrc.select(col("src").as("node"))
+      .union(eBySrc.select(col("dst"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "hits needs a non-empty edge list")
+    // half-step: fold floor(score·w·2^40) into the opposite endpoint,
+    // L1-normalize by the exact LONG total
+    def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
+      val eSide = if (from == "src") eBySrc else eByDst
+      val raw = eSide
+        .join(scores.withColumnRenamed("node", from), from)
+        .select(col(to).as("node"),
+          floor((col("s") * col("w").cast("double")) * lit(SCALE))
+            .cast("long").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cr"))
+        .persist()
+      // exact LONG total as ONE driver scalar (the nNodes discipline);
+      // fetching it materializes `raw`, so the half-step join+agg
+      // executes exactly once
+      val t = raw.agg(sum(col("cr")).as("t")).first().getLong(0)
+      // eager checkpoint = materialize + lineage cut in one step; the
+      // per-step state is a node-sized LogicalRDD, so every downstream
+      // plan stays constant-size no matter the iteration count
+      val out = nodes.join(raw, Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("cr"), lit(0L)).cast("double") /
+            lit(t.toDouble)).as("s"))
+        .localCheckpoint()
+      raw.unpersist()
+      out
+    }
+    var hub = nodes.withColumn("s", lit(1.0 / n))
+    var auth: DataFrame = null
+    for (_ <- 0 until iters) {
+      val a = halfStep(hub, "src", "dst")
+      auth = a
+      hub = halfStep(a, "dst", "src")
+    }
+    // all inputs are materialized LogicalRDDs — the final three-way
+    // node-sized join is a constant-size plan, cheap to execute lazily
+    nodes
+      .join(auth.withColumnRenamed("s", "auth"), Seq("node"), "left")
+      .join(hub.withColumnRenamed("s", "hub"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth"),
+        coalesce(col("hub"), lit(0.0)).as("hub"))
+  }
+
+  // Declared HITS query: 3 iterations over the DIRECTED bigram graph
+  // (a → b for adjacent tokens, w = pair count — direction matters:
+  // words that precede many words are hubs, words that follow are
+  // authorities; the symmetric q114 graph would collapse the two).
+  private def hitsOracle(k: Int): String = {
+    val steps = (1 to ITERS).flatMap { i =>
+      Seq(
+        s"""ar$i AS (SELECT e.dst AS node,
+           |               CAST(SUM(CAST(FLOOR((r.s * CAST(e.w AS DOUBLE)) * 1099511627776.0) AS BIGINT)) AS BIGINT) AS cr
+           |        FROM edges e JOIN h${i - 1} r ON e.src = r.node GROUP BY e.dst)""".stripMargin,
+        s"at$i AS (SELECT CAST(SUM(cr) AS BIGINT) AS t FROM ar$i)",
+        s"""a$i AS (SELECT n.node,
+           |              (CAST(COALESCE(ar.cr, 0) AS DOUBLE) / CAST((SELECT t FROM at$i) AS DOUBLE)) AS s
+           |       FROM nodes n LEFT JOIN ar$i ar ON n.node = ar.node)""".stripMargin,
+        s"""hr$i AS (SELECT e.src AS node,
+           |               CAST(SUM(CAST(FLOOR((a.s * CAST(e.w AS DOUBLE)) * 1099511627776.0) AS BIGINT)) AS BIGINT) AS cr
+           |        FROM edges e JOIN a$i a ON e.dst = a.node GROUP BY e.src)""".stripMargin,
+        s"ht$i AS (SELECT CAST(SUM(cr) AS BIGINT) AS t FROM hr$i)",
+        s"""h$i AS (SELECT n.node,
+           |              (CAST(COALESCE(hr.cr, 0) AS DOUBLE) / CAST((SELECT t FROM ht$i) AS DOUBLE)) AS s
+           |       FROM nodes n LEFT JOIN hr$i hr ON n.node = hr.node)""".stripMargin)
+    }
+    s"""WITH toks AS (SELECT list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS t
+       |              FROM documents),
+       |occ AS (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2),
+       |pr AS (SELECT t[i] AS a, t[i+1] AS b FROM occ WHERE t[i] <> t[i+1]),
+       |edges AS (SELECT a AS src, b AS dst, COUNT(*) AS w FROM pr GROUP BY a, b),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |h0 AS (SELECT node, (CAST(1.0 AS DOUBLE) / nn.n) AS s FROM nodes CROSS JOIN nn),
+       |${steps.mkString(",\n")}
+       |SELECT n.node, COALESCE(a.s, CAST(0.0 AS DOUBLE)) AS auth,
+       |       COALESCE(h.s, CAST(0.0 AS DOUBLE)) AS hub
+       |FROM nodes n LEFT JOIN a$ITERS a ON n.node = a.node
+       |             LEFT JOIN h$ITERS h ON n.node = h.node
+       |ORDER BY auth DESC, n.node
+       |LIMIT $k""".stripMargin
+  }
+
+  /** Directed adjacent-token bigram edges: (a → b, w = count). */
+  def bigramDiEdges(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs.select(graft.functions.TextFunctions.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+    toks.select(
+      explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+      .select(element_at(col("t"), col("i")).as("src"),
+        element_at(col("t"), col("i") + 1).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+  }
+
+  private val q162 = GraftQuery(
+    "q162_hits",
+    (s, dir) => hits(bigramDiEdges(Tables.documents(s, dir), "text"),
+      iters = ITERS)
+      .orderBy(col("auth").desc, col("node"))
+      .limit(20),
+    Some(hitsOracle(20)))
+
+  val all: Seq[GraftQuery] = Seq(q114, q147, q162)
 }

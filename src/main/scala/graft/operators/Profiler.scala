@@ -453,5 +453,48 @@ object Profiler {
       corrCols),
     q138.oracle)
 
-  val all: Seq[GraftQuery] = Seq(q100, q136, q137, q138, q145)
+  // --------------------------------------------------------------- q164
+  /** Encoding-damage audit — the ingest-time check a crawl pipeline
+    * runs before any text op trusts the bytes: per-document counts of
+    * (a) U+FFFD replacement characters (a decoder already gave up),
+    * (b) control characters outside \t\n\r (C0 strays, DEL, and the
+    * C1 block — the classic sign of a mislabeled 8-bit charset),
+    * (c) the 'Ã' mojibake signature (UTF-8 bytes decoded as
+    * Latin-1/cp1252 — every such double-decode of a non-ASCII char
+    * surfaces an 'Ã' or 'Â'). All exact integer `regexp_count`s in ONE
+    * stateless scan projection (the q160 shape: no explode, no
+    * shuffle); `ok` demands zero replacement/control damage and a
+    * mojibake rate ≤ 1/1000 chars (isolated legitimate 'Ã' words —
+    * e.g. Portuguese — stay under it; double-decoded text blows past). */
+  def encodingAudit(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val x = col(textCol)
+    docs.select(col(idCol),
+      length(x).cast("long").as("n_chars"),
+      regexp_count(x, lit("�")).cast("long").as("n_replacement"),
+      regexp_count(x, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"))
+        .cast("long").as("n_control"),
+      regexp_count(x, lit("[ÃÂ]")).cast("long").as("n_mojibake"))
+      .withColumn("ok",
+        col("n_replacement") === 0L && col("n_control") === 0L &&
+          col("n_mojibake") * 1000L <= col("n_chars"))
+      .orderBy(col(idCol))
+  }
+
+  private val q164 = GraftQuery(
+    "q164_encoding_audit",
+    (s, dir) => encodingAudit(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""
+      SELECT doc_id,
+             CAST(len(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT) AS n_replacement,
+             CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]')) AS BIGINT) AS n_control,
+             CAST(len(regexp_extract_all(text, '[\x{C3}\x{C2}]')) AS BIGINT) AS n_mojibake,
+             (len(regexp_extract_all(text, '\x{FFFD}')) = 0
+              AND len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]')) = 0
+              AND len(regexp_extract_all(text, '[\x{C3}\x{C2}]')) * 1000 <= len(text)) AS ok
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q100, q136, q137, q138, q145, q164)
 }

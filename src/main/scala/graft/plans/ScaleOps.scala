@@ -463,7 +463,54 @@ object ScaleOps {
       FROM p
       ORDER BY key_name"""))
 
-  val all: Seq[GraftQuery] = Seq(q60, q102, q107, q110, q127, q158)
+  // --------------------------------------------------------------- q163
+  /** Training-export manifest — the WRITE side of a data pipeline made
+    * a pure function of the data: every document gets (shard, file,
+    * slot) under a deterministic global shuffle, so a 1000-executor
+    * export job needs no coordination, reruns are byte-stable, and any
+    * auditor can recompute where a doc landed. Composition of the
+    * engine's own primitives: shard = [[rendezvousShard]] (HRW, so
+    * growing the shard count later moves only ~n/(k+1) docs), order
+    * within shard = the (md5(id), id) line ([[graft.operators.DataPrep
+    * .md5BucketRank]] — the same two-level rank every selection op
+    * uses: pseudo-random training order, no single-task-per-shard
+    * window), and file/slot = exact integer div/mod at `docsPerFile`.
+    * Scale: one stateless shard projection + one two-level rank; the
+    * shuffle is rank's per-(shard, hex-bucket) exchange — never a
+    * global sort. */
+  def exportManifest(docs: DataFrame, idCol: String, shards: Int,
+      docsPerFile: Long): DataFrame = {
+    require(docsPerFile >= 1L, s"docsPerFile must be positive, got $docsPerFile")
+    val sharded = docs.withColumn("shard", rendezvousShard(col(idCol), shards))
+    graft.operators.DataPrep.md5BucketRank(sharded, "shard", idCol,
+      rankAs = "pos")
+      .withColumn("file", expr(s"(pos - 1) div CAST($docsPerFile AS BIGINT)"))
+      .withColumn("slot", pmod(col("pos") - 1L, lit(docsPerFile)))
+      .select(col(idCol), col("shard"), col("pos"), col("file"), col("slot"))
+  }
+
+  private val q163 = GraftQuery(
+    "q163_export_manifest",
+    (s, dir) => exportManifest(
+      Tables.documents(s, dir).select(col("doc_id")),
+      "doc_id", shards = 8, docsPerFile = 25L)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH a AS (SELECT doc_id,
+                        list_sort(list_transform(range(0, 8), s -> {
+                          'h': ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 15))::BIGINT,
+                          's': s})) AS l8
+                 FROM documents),
+      sh AS (SELECT doc_id, CAST(l8[len(l8)].s AS INT) AS shard FROM a),
+      ranked AS (SELECT doc_id, shard,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+                 FROM sh)
+      SELECT doc_id, shard, pos, (pos - 1) // 25 AS file, (pos - 1) % 25 AS slot
+      FROM ranked
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q60, q102, q107, q110, q127, q158, q163)
 
   /** True if the executed plan of `df` contains a shuffle exchange of any
     * partitioning (hash, range, round-robin, single-partition). Broadcast

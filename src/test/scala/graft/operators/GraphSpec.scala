@@ -81,4 +81,47 @@ class GraphSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(ranks(handle = true) == ranks(handle = false))
   }
+
+  test("hits: bit-exact vs a driver replay of the L1 fixed-point scheme; hubs/authorities separate on a bipartite graph") {
+    import spark.implicits._
+    // weighted bipartite-ish digraph: h1, h2 point at a1, a2; a2 also
+    // points at h1 (so h1 has nonzero authority too)
+    val edgeSeq = Seq(("h1", "a1", 3L), ("h1", "a2", 1L),
+      ("h2", "a1", 2L), ("h2", "a2", 5L), ("a2", "h1", 1L))
+    val edges = edgeSeq.toDF("src", "dst", "w")
+    val got = Graph.hits(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // driver replay: floor(s*w*2^40) LONG folds, L1 normalize by the
+    // exact LONG total — the same arithmetic in the same order
+    val SCALE = 1099511627776.0
+    val nodes = (edgeSeq.map(_._1) ++ edgeSeq.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1.0 / nodes.size).toMap
+    var auth = Map.empty[String, Double]
+    for (_ <- 0 until 3) {
+      val ar = edgeSeq.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => math.floor((hub(e._1) * e._3.toDouble) * SCALE).toLong).sum
+      }
+      val at = ar.values.sum
+      auth = nodes.map(v => v -> ar.getOrElse(v, 0L).toDouble / at.toDouble).toMap
+      val hr = edgeSeq.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => math.floor((auth(e._2) * e._3.toDouble) * SCALE).toLong).sum
+      }
+      val ht = hr.values.sum
+      hub = nodes.map(v => v -> hr.getOrElse(v, 0L).toDouble / ht.toDouble).toMap
+    }
+    for (v <- nodes) {
+      assert(java.lang.Double.doubleToLongBits(got(v)._1) ==
+        java.lang.Double.doubleToLongBits(auth(v)), s"auth($v): ${got(v)._1} vs ${auth(v)}")
+      assert(java.lang.Double.doubleToLongBits(got(v)._2) ==
+        java.lang.Double.doubleToLongBits(hub(v)), s"hub($v): ${got(v)._2} vs ${hub(v)}")
+    }
+    // structural law: pure hubs have ~zero authority relative to the
+    // pointed-at side; a1/a2 dominate authority, h1/h2 dominate hubness
+    assert(got("a1")._1 > got("h2")._1 && got("a2")._1 > got("h2")._1)
+    assert(got("h1")._2 > got("a1")._2 && got("h2")._2 > got("a1")._2)
+    // L1 invariant: each score vector sums to ~1 (floor loss < 1e-9)
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+  }
 }

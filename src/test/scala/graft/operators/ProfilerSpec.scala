@@ -142,4 +142,31 @@ class ProfilerSpec extends SparkSpec {
       .collect().toSeq
     assert(folded == onePass)
   }
+
+  test("encodingAudit: each damage class fires on its planted corruption; clean and legit-accented text pass") {
+    import spark.implicits._
+    val clean = "a perfectly ordinary sentence with nothing wrong in it"
+    val replaced = "broken byte here � and another � end"
+    val control = "bell\u0007 and a C1 stray\u0085 inside"
+    // double-decoded UTF-8: 'é' read as Latin-1 becomes 'Ã©' — a short
+    // text full of them blows the 1/1000 rate
+    val mojibake = "cafÃ© naÃ¯ve rÃ©sumÃ©"
+    // one genuine 'Ã' in long-enough Portuguese-ish text stays ok
+    val legit = "informação " + ("x" * 1200) + " SÃo Paulo"
+    val docs = Seq((1L, clean), (2L, replaced), (3L, control),
+      (4L, mojibake), (5L, legit)).toDF("doc_id", "text")
+    val got = graft.operators.Profiler.encodingAudit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    assert(got(1L)._5 && got(1L)._2 == 0L && got(1L)._3 == 0L && got(1L)._4 == 0L)
+    assert(got(2L)._2 == 2L && !got(2L)._5, s"replacement: ${got(2L)}")
+    assert(got(3L)._3 == 2L && !got(3L)._5, s"control: ${got(3L)}")
+    assert(got(4L)._4 == 4L && !got(4L)._5, s"mojibake: ${got(4L)}")
+    assert(got(5L)._4 == 1L && got(5L)._5, s"legit accented text must pass: ${got(5L)}")
+    // tab/newline/CR are NOT control damage
+    val ws = Seq((6L, "tabs\tand\nnewlines\rare fine")).toDF("doc_id", "text")
+    val g6 = graft.operators.Profiler.encodingAudit(ws, "doc_id", "text").collect().head
+    assert(g6.getLong(3) == 0L && g6.getBoolean(5), s"whitespace flagged: $g6")
+  }
 }

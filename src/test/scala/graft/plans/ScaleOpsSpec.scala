@@ -439,4 +439,39 @@ class ScaleOpsSpec extends SparkSpec {
     val byShard = got.groupBy(_._3).view.mapValues(_.length).toMap
     assert(byShard.values.max < 2 * n / 9, s"$byShard")
   }
+
+  test("exportManifest: per-shard positions are a contiguous permutation; files fill exactly; rerun-stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 1000L).toDF("doc_id")
+    val m = ScaleOps.exportManifest(df, "doc_id", shards = 4, docsPerFile = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(m.length == 1000 && m.map(_._1).distinct.length == 1000)
+    // positions within each shard are exactly 1..count(shard)
+    for ((shard, rows) <- m.groupBy(_._2)) {
+      val pos = rows.map(_._3).sorted
+      assert(pos.sameElements(1L to rows.length.toLong),
+        s"shard $shard positions not contiguous: ${pos.take(5).toSeq}…")
+      // file/slot arithmetic: every non-tail file holds exactly 7 docs,
+      // slots within a file are 0..6 with no gaps
+      val byFile = rows.groupBy(_._4)
+      val lastFile = byFile.keys.max
+      for ((f, fr) <- byFile) {
+        val slots = fr.map(_._5).sorted
+        assert(slots.sameElements(0L until fr.length.toLong), s"file $f slots $slots")
+        if (f != lastFile) assert(fr.length == 7, s"file $f has ${fr.length}")
+      }
+    }
+    // the within-shard order IS the (md5(id), id) line — pseudo-random,
+    // not id order (a sorted-by-id manifest would train in crawl order)
+    val someShard = m.groupBy(_._2).values.maxBy(_.length)
+    val byPos = someShard.sortBy(_._3).map(_._1)
+    assert(!byPos.sameElements(byPos.sorted), "manifest order must not be id order")
+    // rerun-stable: a second evaluation is identical
+    val m2 = ScaleOps.exportManifest(df, "doc_id", shards = 4, docsPerFile = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(m.sortBy(_._1).sameElements(m2.sortBy(_._1)))
+  }
 }
