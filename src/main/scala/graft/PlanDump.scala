@@ -41,7 +41,8 @@ object PlanDump {
     "q159_containment_pairs", "q152b_stratified_interleaved",
     "q160_c4_clean", "q161_quality_classifier",
     // q162 is eager-driver (iterative persist/count loop) — excluded
-    "q163_export_manifest", "q164_encoding_audit")
+    "q163_export_manifest", "q164_encoding_audit",
+    "q165_source_concentration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -496,5 +496,62 @@ object Profiler {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q100, q136, q137, q138, q145, q164)
+  // --------------------------------------------------------------- q165
+  /** Source-concentration audit (Herfindahl–Hirschman index over a
+    * grouping key — source, domain, language): the "is this corpus
+    * secretly one website" check a mix designer runs before trusting
+    * per-source quotas. Entirely EXACT integer arithmetic in parts-per-
+    * million: share_ppm = (docs·10^6) div total (truncating div —
+    * identical for non-negative operands in any engine), HHI =
+    * Σ share_ppm² (bounded by (Σ share_ppm)² ≤ 10^12, so the LONG sum
+    * cannot overflow at ANY key cardinality), effective source count =
+    * 10^12 div HHI (the standard 1/HHI equivalent-equal-sources
+    * reading, NULL-guarded when every share truncates to zero). No
+    * doubles anywhere — order-independent and replayable bit-for-bit.
+    *
+    * Scale: one partial-agged groupBy on the key + two one-row
+    * broadcast scalars; per-key output, no window, no sort (the
+    * declared query orders for presentation only). Caveat: docs·10^6
+    * needs ≤ 9.2e12 docs per key — beyond any single web domain.
+    */
+  def sourceConcentration(docs: DataFrame, keyCol: String): DataFrame = {
+    // persist the per-key frame: it is referenced by both broadcast
+    // scalars AND the output, and without the cache each reference
+    // re-scans the corpus (3 scans for one query). Per-key-sized —
+    // cacheable at any key cardinality that fits a groupBy.
+    val counts = docs.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("docs")).persist()
+    val tot = counts.agg(sum(col("docs")).as("t"),
+      count(lit(1)).as("n_sources"))
+    val per = counts.crossJoin(broadcast(tot))
+      .select(col("k"), col("docs"), col("t"), col("n_sources"),
+        expr("(docs * 1000000L) div t").as("share_ppm"))
+    val summary = per.agg(
+      sum(col("share_ppm") * col("share_ppm")).as("hhi_ppm2"))
+    per.crossJoin(broadcast(summary))
+      .select(col("k"), col("docs"), col("share_ppm"),
+        col("t").as("n_docs"), col("n_sources"), col("hhi_ppm2"),
+        when(col("hhi_ppm2") === 0L, lit(null).cast("long"))
+          .otherwise(expr("1000000000000L div hhi_ppm2"))
+          .as("effective_sources"))
+  }
+
+  private val q165 = GraftQuery(
+    "q165_source_concentration",
+    (s, dir) => sourceConcentration(Tables.documents(s, dir), "source")
+      .orderBy(col("k")),
+    Some("""
+      WITH c AS (SELECT source AS k, COUNT(*) AS docs FROM documents GROUP BY source),
+      t AS (SELECT CAST(SUM(docs) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n_sources FROM c),
+      p AS (SELECT k, CAST(docs AS BIGINT) AS docs, t.t, t.n_sources,
+                   CAST((docs * 1000000) // t.t AS BIGINT) AS share_ppm
+            FROM c CROSS JOIN t),
+      s AS (SELECT CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_ppm2 FROM p)
+      SELECT k, docs, share_ppm, t AS n_docs, n_sources, s.hhi_ppm2,
+             CASE WHEN s.hhi_ppm2 = 0 THEN NULL
+                  ELSE CAST(1000000000000 // s.hhi_ppm2 AS BIGINT) END AS effective_sources
+      FROM p CROSS JOIN s
+      ORDER BY k"""))
+
+  val all: Seq[GraftQuery] = Seq(q100, q136, q137, q138, q145, q164, q165)
 }

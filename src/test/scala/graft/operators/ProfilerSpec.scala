@@ -169,4 +169,31 @@ class ProfilerSpec extends SparkSpec {
     val g6 = graft.operators.Profiler.encodingAudit(ws, "doc_id", "text").collect().head
     assert(g6.getLong(3) == 0L && g6.getBoolean(5), s"whitespace flagged: $g6")
   }
+
+  test("sourceConcentration: exact ppm HHI on planted counts; monopoly degenerates to 1 effective source") {
+    import spark.implicits._
+    // counts 5/3/2 of 10: shares 500000/300000/200000 ppm,
+    // HHI = 25+9+4 (x10^10) = 380_000_000_000, effective = 10^12 div HHI = 2
+    val docs = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val got = graft.operators.Profiler.sourceConcentration(docs, "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got("a") == (5L, 500000L, 10L, 3L, 380000000000L, 2L), s"${got("a")}")
+    assert(got("b")._2 == 300000L && got("c")._2 == 200000L)
+    // monopoly: one source owns everything -> share 10^6, HHI 10^12, eff 1
+    val mono = (1L to 7L).map(i => (i, "only")).toDF("doc_id", "source")
+    val m = graft.operators.Profiler.sourceConcentration(mono, "source")
+      .collect().head
+    assert(m.getLong(2) == 1000000L && m.getLong(5) == 1000000000000L &&
+      m.getLong(6) == 1L, s"$m")
+    // truncating shares still sum <= 10^6 and HHI stays LONG-bounded:
+    // 7 keys of 1 doc each over 7 docs -> share_ppm 142857, sum 999999
+    val seven = (1L to 7L).map(i => (i, s"s$i")).toDF("doc_id", "source")
+    val sv = graft.operators.Profiler.sourceConcentration(seven, "source")
+      .collect()
+    assert(sv.forall(_.getLong(2) == 142857L))
+    assert(sv.head.getLong(5) == 7L * 142857L * 142857L)
+  }
 }
