@@ -241,6 +241,22 @@ object ScaleProbe {
         val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         println(s"""{"metric":"scaleprobe-r12ops","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
 
+      case "r12c" =>
+        // round-12 close additions at probe decades: HITS (disjoint
+        // per-copy vocabularies — nodes AND edges scale with copies),
+        // export manifest, encoding audit, source concentration
+        val out = scaledDocsDir(spark, src, copies)
+        val names = Seq("q162_hits", "q163_export_manifest",
+          "q164_encoding_audit", "q165_source_concentration")
+        val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
+        val times = names.map { name =>
+          val (_, t) = timed(SparkEntry.queries(name)(spark, out)
+            .write.format("noop").mode("overwrite").save())
+          name -> t
+        }
+        val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        println(s"""{"metric":"scaleprobe-r12c","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
+
       case "chainstages" =>
         // Five-stage wall/rows breakdown of the q93b curation chain
         // (VERDICT r11 stretch #9): each tap forces the stage frame and
