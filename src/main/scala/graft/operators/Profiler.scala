@@ -514,16 +514,28 @@ object Profiler {
     * declared query orders for presentation only). Caveat: docs·10^6
     * needs ≤ 9.2e12 docs per key — beyond any single web domain.
     */
-  def sourceConcentration(docs: DataFrame, keyCol: String): DataFrame = {
-    // persist the per-key frame: it is referenced by both broadcast
-    // scalars AND the output, and without the cache each reference
-    // re-scans the corpus (3 scans for one query). Per-key-sized —
-    // cacheable at any key cardinality that fits a groupBy.
-    val counts = docs.groupBy(col(keyCol).as("k"))
-      .agg(count(lit(1)).as("docs")).persist()
-    val tot = counts.agg(sum(col("docs")).as("t"),
+  def sourceConcentration(docs: DataFrame, keyCol: String): DataFrame =
+    sourceConcentrationFromCounts(sourceCounts(docs, keyCol))
+
+  /** Stored-shard form of [[sourceConcentration]]: per-shard (k, docs)
+    * counts — the natural per-day/per-trigger ingest artifact — fold to
+    * the EXACT batch verdict by summing counts per key before the ppm
+    * arithmetic (counts are order-independent LONG sums, and every
+    * downstream value is a pure integer function of the folded counts).
+    * The q94/q145 stored-fold discipline applied to concentration
+    * monitoring: a crawl pipeline persists per-ingest counts and gets
+    * the corpus-level HHI without re-scanning any document. */
+  def sourceConcentrationFromCounts(counts: DataFrame): DataFrame = {
+    // persist the folded per-key frame: it is referenced by both
+    // broadcast scalars AND the output, and without the cache each
+    // reference recomputes upstream (for the inline form, 3 corpus
+    // scans for one query). Per-key-sized — cacheable at any key
+    // cardinality that fits a groupBy.
+    val folded = counts.groupBy(col("k")).agg(sum(col("docs")).as("docs"))
+      .persist()
+    val tot = folded.agg(sum(col("docs")).as("t"),
       count(lit(1)).as("n_sources"))
-    val per = counts.crossJoin(broadcast(tot))
+    val per = folded.crossJoin(broadcast(tot))
       .select(col("k"), col("docs"), col("t"), col("n_sources"),
         expr("(docs * 1000000L) div t").as("share_ppm"))
     val summary = per.agg(
@@ -535,6 +547,10 @@ object Profiler {
           .otherwise(expr("1000000000000L div hhi_ppm2"))
           .as("effective_sources"))
   }
+
+  /** Per-shard (k, docs) counts for [[sourceConcentrationFromCounts]]. */
+  def sourceCounts(docs: DataFrame, keyCol: String): DataFrame =
+    docs.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("docs"))
 
   private val q165 = GraftQuery(
     "q165_source_concentration",
@@ -553,5 +569,36 @@ object Profiler {
       FROM p CROSS JOIN s
       ORDER BY k"""))
 
-  val all: Seq[GraftQuery] = Seq(q100, q136, q137, q138, q145, q164, q165)
+  // Stored-fold declaration of q165: three ingest shards (doc_id mod 3 —
+  // an arbitrary, reproducible split), per-shard counts persisted as the
+  // artifact, folded without touching documents again. The oracle
+  // replays the same three-shard fold; results must equal q165's inline
+  // form value-for-value (and do — both are pure integer functions of
+  // the folded counts).
+  private val q165b = GraftQuery(
+    "q165b_source_concentration_fold",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val shards = (0 to 2).map(r =>
+        sourceCounts(docs.filter(pmod(col("doc_id"), lit(3)) === r), "source"))
+      sourceConcentrationFromCounts(shards.reduce(_ unionByName _))
+        .orderBy(col("k"))
+    },
+    Some("""
+      WITH sh AS (SELECT source AS k, COUNT(*) AS docs, doc_id % 3 AS r
+                  FROM documents GROUP BY source, doc_id % 3),
+      c AS (SELECT k, CAST(SUM(docs) AS BIGINT) AS docs FROM sh GROUP BY k),
+      t AS (SELECT CAST(SUM(docs) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n_sources FROM c),
+      p AS (SELECT k, docs, t.t, t.n_sources,
+                   CAST((docs * 1000000) // t.t AS BIGINT) AS share_ppm
+            FROM c CROSS JOIN t),
+      s AS (SELECT CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_ppm2 FROM p)
+      SELECT k, docs, share_ppm, t AS n_docs, n_sources, s.hhi_ppm2,
+             CASE WHEN s.hhi_ppm2 = 0 THEN NULL
+                  ELSE CAST(1000000000000 // s.hhi_ppm2 AS BIGINT) END AS effective_sources
+      FROM p CROSS JOIN s
+      ORDER BY k"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(q100, q136, q137, q138, q145, q164, q165, q165b)
 }

@@ -196,4 +196,21 @@ class ProfilerSpec extends SparkSpec {
     assert(sv.forall(_.getLong(2) == 142857L))
     assert(sv.head.getLong(5) == 7L * 142857L * 142857L)
   }
+
+  test("sourceConcentrationFromCounts: per-shard count folds equal the one-shot verdict (q94/q145 discipline)") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 7 == 0) "a" else if (i % 3 == 0) "b" else "c"))
+      .toDF("doc_id", "source")
+    val oneShot = graft.operators.Profiler
+      .sourceConcentration(docs, "source").orderBy("k").collect().toSeq
+    // three arbitrary ingest shards, counts persisted per shard, folded
+    val shards = Seq(docs.filter($"doc_id" <= 50), docs.filter(
+      $"doc_id" > 50 && $"doc_id" <= 120), docs.filter($"doc_id" > 120))
+      .map(d => graft.operators.Profiler.sourceCounts(d, "source"))
+    val folded = graft.operators.Profiler
+      .sourceConcentrationFromCounts(shards.reduce(_ unionByName _))
+      .orderBy("k").collect().toSeq
+    assert(folded == oneShot)
+  }
 }
