@@ -42,7 +42,7 @@ object PlanDump {
     "q160_c4_clean", "q161_quality_classifier",
     // q162 is eager-driver (iterative persist/count loop) — excluded
     "q163_export_manifest", "q164_encoding_audit",
-    "q165_source_concentration")
+    "q165_source_concentration", "q166_readability")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1988,7 +1988,61 @@ object TextAnalysis {
       FROM m
       ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q166
+  /** Readability scoring (Flesch-Kincaid grade + Flesch reading ease;
+    * Kincaid et al. 1975 — the quality signal education-adjacent
+    * pipelines gate on): per-document word / sentence / syllable
+    * counters plus both indices in EXACT centi-integer arithmetic. The
+    * classic formulas are doubles; declared semantics here replace each
+    * ratio with a truncating integer division at ×100 scale —
+    * engine-identical, order-independent, and bit-replayable:
+    *   fk_centi = (39·words) div sentences + (1180·syll) div words − 1559
+    *   ease_centi = 20683 − (10150·words) div (100·sentences)
+    *                      − (8460·syll) div words
+    * (the published coefficients ×100, truncation error < 0.01 grade).
+    * Syllables ≈ vowel groups `[aeiouy]+` in the lowercased text, the
+    * standard heuristic; sentences = `[.!?]+` runs, floored at 1.
+    * One stateless scan projection — the q160/q164 shape: no explode,
+    * no join, no shuffle before the presentation sort.
+    * Overflow headroom: 10150·words needs < 9e14 words per document —
+    * five orders past any real document. */
+  def readability(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lo = lower(col(textCol))
+    docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_words"),
+      greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+        .cast("long").as("n_sentences"),
+      regexp_count(lo, lit("[aeiouy]+")).cast("long").as("n_syllables"))
+      .filter(col("n_words") > 0L)
+      .withColumn("fk_centi",
+        expr("(39 * n_words) div n_sentences") +
+          expr("(1180 * n_syllables) div n_words") - lit(1559L))
+      .withColumn("ease_centi",
+        lit(20683L) - expr("(10150 * n_words) div (100 * n_sentences)") -
+          expr("(8460 * n_syllables) div n_words"))
+      .orderBy(col(idCol))
+  }
+
+  private val q166 = GraftQuery(
+    "q166_readability",
+    (s, dir) => readability(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""
+      WITH c AS (SELECT doc_id,
+                        CAST(len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS BIGINT) AS n_words,
+                        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+                        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+                 FROM documents)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             CAST((39 * n_words) // n_sentences
+                  + (1180 * n_syllables) // n_words - 1559 AS BIGINT) AS fk_centi,
+             CAST(20683 - (10150 * n_words) // (100 * n_sentences)
+                  - (8460 * n_syllables) // n_words AS BIGINT) AS ease_centi
+      FROM c
+      WHERE n_words > 0
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
     q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154, q156, q156b, q156c, q157, q157b,
-    q160, q161, q161b)
+    q160, q161, q161b, q166)
 }

@@ -741,4 +741,32 @@ class OperatorsSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(rDef),
       s"unseen bucket must score the exact smoothed default: $unseen vs $rDef")
   }
+
+  test("readability: hand-computed centi-integer FK grade and reading ease on planted text") {
+    import spark.implicits._
+    // "the cat sat. the dog ran!" -> 6 words, 2 sentences, 6 vowel
+    // groups. True FK = 0.39*3 + 11.8*1 - 15.59 = -2.62; the declared
+    // centi-integer form: (39*6) div 2 + (1180*6) div 6 - 1559
+    //                   = 117 + 1180 - 1559 = -262 — exact here since
+    // both divisions are integral.
+    val docs = Seq(
+      (1L, "the cat sat. the dog ran!"),
+      (2L, "zzz qqq"), // zero vowel groups, zero sentences (floored to 1)
+      (3L, "")         // zero words -> filtered out
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .readability(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(!got.contains(3L), "empty doc must be filtered")
+    val (w, s2, sy, fk, ease) = got(1L)
+    assert((w, s2, sy) == (6L, 2L, 6L), s"counters: ${got(1L)}")
+    assert(fk == -262L, s"fk=$fk")
+    assert(ease == 20683L - (10150L * 6) / (100 * 2) - (8460L * 6) / 6,
+      s"ease=$ease")
+    // vowel-free text: syllable term vanishes, sentence floor holds
+    val (w2, s22, sy2, fk2, _) = got(2L)
+    assert((w2, s22, sy2) == (2L, 1L, 0L))
+    assert(fk2 == 39L * 2 - 1559L, s"fk2=$fk2")
+  }
 }
