@@ -247,7 +247,8 @@ object ScaleProbe {
         // export manifest, encoding audit, source concentration
         val out = scaledDocsDir(spark, src, copies)
         val names = Seq("q162_hits", "q163_export_manifest",
-          "q164_encoding_audit", "q165_source_concentration")
+          "q164_encoding_audit", "q165_source_concentration",
+          "q166_readability")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out)
