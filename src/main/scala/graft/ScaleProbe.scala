@@ -262,8 +262,10 @@ object ScaleProbe {
         // Five-stage wall/rows breakdown of the q93b curation chain
         // (VERDICT r11 stretch #9): each tap forces the stage frame and
         // clocks the gap since the previous tap, so drift triage on the
-        // most expensive declared query is one read. spanK = 16 matches
-        // the q93b pin.
+        // most expensive declared query is one read. spanK = 4 IS the
+        // q93b pin (CurationChain K = 4 — k >= 6 flags zero spans at
+        // these SFs, so a larger k would time a no-op span stage and
+        // q93b drift would be invisible to the probe; r12 review fix).
         val out = scaledDocsDir(spark, src, copies)
         val docs = graft.sources.Tables.load(spark, out, "documents")
         val nDocs = docs.count()
@@ -275,7 +277,7 @@ object ScaleProbe {
           b += ((name, (now - last) / 1e9, rows)); last = now
         }
         val fin = graft.operators.CurationChain.chainStaged(
-          docs, targetDocs = 500L, spanK = 16, probe = Some(probe))
+          docs, targetDocs = 500L, spanK = 4, probe = Some(probe))
         val (_, tMix) = timed(fin.write.format("noop").mode("overwrite").save())
         val qs = (b.map { case (n, t, r) =>
           "\"" + n + "\":{\"sec\":" + t + ",\"rows\":" + r + "}"

@@ -724,13 +724,27 @@ object DataPrep {
     * batch + a stateless predicate — nothing global, nothing sorted.
     * Advance the line with [[ppsGroupTotals]] after each batch.
     */
+  /** Frozen-base lookup shared by the map-form admit functions: the
+    * base maps come from [[ppsGroupTotals]], which keys a NULL group as
+    * `String.valueOf(null)` = "null" — so the COLUMN-side key must
+    * coalesce the same way, or a NULL group's base silently reads 0 on
+    * every batch and the chained ≡ one-shot law breaks for exactly that
+    * group (review round 12; the same null-key reset capAdmitBatch was
+    * hardened against in r11). Caveat, documented: a group literally
+    * named "null" shares a line with the NULL group — an ambiguity
+    * ppsGroupTotals itself already has; use the encoded-key
+    * [[capAdmitBatch]] forms where that matters. */
+  private def frozenBase(baseTotals: Map[String, Long],
+      groupCol: String): Column =
+    if (baseTotals.isEmpty) lit(0L)
+    else coalesce(
+      element_at(typedLit(baseTotals),
+        coalesce(col(groupCol).cast("string"), lit("null"))), lit(0L))
+
   def ppsAdmitBatch(batch: DataFrame, baseTotals: Map[String, Long],
       groupCol: String, idCol: String, weightCol: String, step: Long): DataFrame = {
     require(step > 0, s"step must be positive, got $step")
-    val base =
-      if (baseTotals.isEmpty) lit(0L)
-      else coalesce(
-        element_at(typedLit(baseTotals), col(groupCol).cast("string")), lit(0L))
+    val base = frozenBase(baseTotals, groupCol)
     md5BucketCumsum(batch, groupCol, idCol, weightCol, "__cw")
       .withColumn("__acw", base + col("__cw"))
       .filter(expr(s"__acw DIV $step") >
@@ -1293,11 +1307,17 @@ object DataPrep {
     * against a persisted state frame instead (VERDICT r11). Advance the
     * map with [[domainCounts]] over each admitted result. */
   /** Collision-free map key for a (nullable) domain value: non-null v
-    * encodes as "v" + v, null as "n" — a real domain literally named
+    * encodes as "v:" + v, null as "n" — a real domain literally named
     * "null" can never collide with the null domain (code-review r11:
-    * String.valueOf folded them together). */
+    * String.valueOf folded them together). The ':' in the prefix is
+    * load-bearing (code-review r12): hostnames cannot contain ':'
+    * (RFC 1123 labels are alphanumeric + hyphen), so NO raw domain key
+    * can ever satisfy the encoded-key guard below — with the old bare
+    * "v" prefix, a raw 'vimeo.com' key slipped past the guard and read
+    * as 0 consumed, the exact silent cap-overrun the guard exists to
+    * refuse. */
   private def domainKey(c: Column): Column =
-    coalesce(concat(lit("v"), c.cast("string")), lit("n"))
+    coalesce(concat(lit("v:"), c.cast("string")), lit("n"))
 
   def capAdmitBatch(batch: DataFrame, consumed: Map[String, Long],
       domainCol: String, idCol: String, k: Int): DataFrame = {
@@ -1305,9 +1325,9 @@ object DataPrep {
     // Lookups use the domainKey encoding; a raw-domain-named map would
     // miss on every key → base 0 → a fresh k admitted per domain per
     // batch, silently exceeding the cap (code-review r11). Refuse loudly.
-    consumed.keys.find(kk => !(kk == "n" || kk.startsWith("v"))).foreach { bad =>
+    consumed.keys.find(kk => !(kk == "n" || kk.startsWith("v:"))).foreach { bad =>
       throw new IllegalArgumentException(
-        s"consumed key '$bad' is not domainKey-encoded ('v'+domain or 'n' " +
+        s"consumed key '$bad' is not domainKey-encoded ('v:'+domain or 'n' " +
           "for null) — build and advance the map with domainCounts(...), " +
           "never with raw domain names (they would read as 0 consumed)")
     }
@@ -1339,8 +1359,16 @@ object DataPrep {
     require(Seq("domain_key", "consumed").forall(consumed.columns.contains),
       s"consumed state frame needs (domain_key, consumed), got " +
         consumed.columns.mkString("(", ", ", ")"))
+    // fold duplicate domain_key rows BEFORE the join: the docstring
+    // invites "a parquet shard per trigger", and a multi-shard state
+    // frame passed directly would otherwise fan the left join out one
+    // row per shard — duplicate admitted rows, each filtered against a
+    // PARTIAL consumed count (code-review r12). The hash-agg is
+    // per-domain-sized and makes any unioned shard pile a valid input
+    // (≡ foldDomainCounts applied first).
     val st = consumed.select(col("domain_key").as("__ck"),
       col("consumed").cast("long").as("__cn"))
+      .groupBy(col("__ck")).agg(sum(col("__cn")).as("__cn"))
     md5BucketRank(batch, domainCol, idCol, rankAs = "__r")
       .join(st, domainKey(col(domainCol)) === col("__ck"), "left")
       .filter(coalesce(col("__cn"), lit(0L)) + col("__r") <= k.toLong)
@@ -1554,10 +1582,7 @@ object DataPrep {
       groupCol: String, idCol: String, tokensCol: String,
       budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 1L, s"budget must be positive, got $budgetTokens")
-    val base =
-      if (baseTokens.isEmpty) lit(0L)
-      else coalesce(
-        element_at(typedLit(baseTokens), col(groupCol).cast("string")), lit(0L))
+    val base = frozenBase(baseTokens, groupCol)
     md5BucketCumsum(batch, groupCol, idCol, tokensCol, cumAs = "__ct")
       .filter(base + col("__ct") - col(tokensCol).cast("long") < budgetTokens)
       .drop("__ct")
@@ -1651,11 +1676,7 @@ object DataPrep {
   def stratifiedAdmitBatch(batch: DataFrame, baseCounts: Map[String, Long],
       stratumCol: String, idCol: String, pctEval: Int): DataFrame = {
     require(pctEval >= 1 && pctEval <= 99, s"pctEval in [1,99], got $pctEval")
-    val base =
-      if (baseCounts.isEmpty) lit(0L)
-      else coalesce(
-        element_at(typedLit(baseCounts), col(stratumCol).cast("string")),
-        lit(0L))
+    val base = frozenBase(baseCounts, stratumCol)
     md5BucketRank(batch, stratumCol, idCol, rankAs = "__ar")
       .withColumn("__r", base + col("__ar"))
       .withColumn("split",

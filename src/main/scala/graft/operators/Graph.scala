@@ -122,17 +122,26 @@ object Graph {
     ranks
   }
 
-  /** Word co-occurrence edges from adjacent token pairs, symmetric
-    * (undirected TextRank graph): (src, dst, w = pair count). Self-pairs
-    * dropped. One explode + one hash-agg over the corpus. */
-  def coocEdges(docs: DataFrame, textCol: String): DataFrame = {
+  /** Adjacent-token pairs (a, b), one row per position — the shared
+    * extraction BOTH graph builders derive from, so the q114 and q162
+    * graphs are provably built from the same tokenize/explode pipeline
+    * (code-review r12: previously two verbatim copies to keep in sync).
+    * Self-pairs dropped. */
+  private def adjacentPairs(docs: DataFrame, textCol: String): DataFrame = {
     val toks = docs.select(graft.functions.TextFunctions.tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 2)
-    val pairs = toks.select(
+    toks.select(
       explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
       .select(element_at(col("t"), col("i")).as("a"),
         element_at(col("t"), col("i") + 1).as("b"))
       .filter(col("a") =!= col("b"))
+  }
+
+  /** Word co-occurrence edges from adjacent token pairs, symmetric
+    * (undirected TextRank graph): (src, dst, w = pair count). Self-pairs
+    * dropped. One explode + one hash-agg over the corpus. */
+  def coocEdges(docs: DataFrame, textCol: String): DataFrame = {
+    val pairs = adjacentPairs(docs, textCol)
     pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
@@ -380,17 +389,13 @@ object Graph {
        |LIMIT $k""".stripMargin
   }
 
-  /** Directed adjacent-token bigram edges: (a → b, w = count). */
-  def bigramDiEdges(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = docs.select(graft.functions.TextFunctions.tokens(col(textCol)).as("t"))
-      .filter(size(col("t")) >= 2)
-    toks.select(
-      explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
-      .select(element_at(col("t"), col("i")).as("src"),
-        element_at(col("t"), col("i") + 1).as("dst"))
-      .filter(col("src") =!= col("dst"))
+  /** Directed adjacent-token bigram edges: (a → b, w = count) —
+    * [[adjacentPairs]] aggregated WITHOUT the symmetrization step
+    * [[coocEdges]] adds. */
+  def bigramDiEdges(docs: DataFrame, textCol: String): DataFrame =
+    adjacentPairs(docs, textCol)
+      .select(col("a").as("src"), col("b").as("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-  }
 
   private val q162 = GraftQuery(
     "q162_hits",

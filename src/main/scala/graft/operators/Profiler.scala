@@ -302,21 +302,25 @@ object Profiler {
     * drop the input scale there; the DuckDB oracle's HUGEINT→BIGINT
     * cast throws at the same boundary, so both engines fail, neither
     * corrupts). */
-  private def hiLo(v: Column, n: Column, hiAs: String,
+  private def hiLo(v: Column, legitNull: Column, n: Column, hiAs: String,
       loAs: String): Seq[(Column, String)] = {
     val m = corrD(lit(corrM))
     val lo = pmod(v, m)
     val hiD = (v - lo) / m
     // Under non-ANSI Spark a decimal(38,0) overflow in the upstream
     // product (s_ab·n or Σa·Σb) yields NULL before this guard ever sees
-    // a value — so a null v with n > 0 rows IS the overflow signal, and
-    // the panel must raise, not emit silent NULL hi/lo (code-review
-    // r11: the "fails loudly, never corrupts" contract). n = 0 (empty
-    // input) legitimately has null sums and passes through.
-    val hi = when(v.isNull && n > lit(0L),
-      raise_error(lit(s"correlation $hiAs is NULL with n > 0 — " +
-        "decimal(38,0) overflow upstream (non-ANSI mode returns NULL " +
-        "past ~1e38): shard smaller or reduce the input scale")))
+    // a value — so a null v with NON-NULL input sums and n > 0 rows IS
+    // the overflow signal, and the panel must raise, not emit silent
+    // NULL hi/lo (code-review r11: the "fails loudly, never corrupts"
+    // contract). But a null INPUT sum is a legitimate all-NULL profiled
+    // column (sum skips nulls) — the oracle emits NULL hi/lo there, and
+    // so must we (code-review r12: the r11 guard misdiagnosed all-NULL
+    // columns as overflow). n = 0 (empty input) passes through too.
+    val hi = when(legitNull, lit(null).cast("long"))
+      .when(v.isNull && n > lit(0L),
+        raise_error(lit(s"correlation $hiAs is NULL with n > 0 — " +
+          "decimal(38,0) overflow upstream (non-ANSI mode returns NULL " +
+          "past ~1e38): shard smaller or reduce the input scale")))
       .when(abs(hiD) > lit(Long.MaxValue),
         raise_error(concat(lit(s"correlation $hiAs overflows int64: "),
           v.cast("string"))))
@@ -334,8 +338,14 @@ object Profiler {
     val out = corrPairs(cols).map { case (a, b) =>
       val sAb = corrD(col(s"s_${a}_$b"))
       val covNum = sAb * col("n") - corrD(col(s"s_$a")) * col(s"s_$b")
-      val parts = hiLo(sAb, col("n").cast("long"), "s_ab_hi", "s_ab_lo") ++
-        hiLo(covNum, col("n").cast("long"), "cov_hi", "cov_lo")
+      // any contributing SUM null = a legitimately all-NULL profiled
+      // column (an all-null column nulls its plain sum AND every pair
+      // sum it touches) — emit NULL like the oracle, never raise
+      val inNull = col(s"s_$a").isNull || col(s"s_$b").isNull ||
+        col(s"s_${a}_$b").isNull
+      val parts =
+        hiLo(sAb, inNull, col("n").cast("long"), "s_ab_hi", "s_ab_lo") ++
+          hiLo(covNum, inNull, col("n").cast("long"), "cov_hi", "cov_lo")
       struct(Seq(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
         col(s"s_$a").as("s_a"), col(s"s_$b").as("s_b")) ++
         parts.map { case (c, name) => c.as(name) } :+
@@ -526,13 +536,18 @@ object Profiler {
     * monitoring: a crawl pipeline persists per-ingest counts and gets
     * the corpus-level HHI without re-scanning any document. */
   def sourceConcentrationFromCounts(counts: DataFrame): DataFrame = {
-    // persist the folded per-key frame: it is referenced by both
-    // broadcast scalars AND the output, and without the cache each
-    // reference recomputes upstream (for the inline form, 3 corpus
-    // scans for one query). Per-key-sized — cacheable at any key
-    // cardinality that fits a groupBy.
+    // eager localCheckpoint (not persist) on the folded per-key frame:
+    // it is referenced by both broadcast scalars AND the output, and
+    // without materialization each reference recomputes upstream (for
+    // the inline form, 3 corpus scans for one query). localCheckpoint
+    // blocks are reclaimed by the context cleaner once the returned
+    // frame is unreferenced — a bare persist here would leak one cached
+    // frame per call (code-review r12), which matters for the
+    // per-trigger monitoring use this fold form is built for.
+    // Per-key-sized — cacheable at any key cardinality that fits a
+    // groupBy.
     val folded = counts.groupBy(col("k")).agg(sum(col("docs")).as("docs"))
-      .persist()
+      .localCheckpoint()
     val tot = folded.agg(sum(col("docs")).as("t"),
       count(lit(1)).as("n_sources"))
     val per = folded.crossJoin(broadcast(tot))

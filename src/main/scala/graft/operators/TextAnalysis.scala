@@ -1335,6 +1335,18 @@ object TextAnalysis {
   // broadcast join. The target predicate is a column (here the house
   // eval-split convention doc_id % 97 = 0); production callers pass
   // their curated-target membership instead.
+  /** Add-1-smoothed DSIR bucket ratio ((ct+1)/(NT+B)) / ((cr+1)/(NR+B))
+    * — the module's bit-exactness contract lives in this ONE expression:
+    * three IEEE divisions of exact longs in a fixed order (the naive
+    * cross-multiplied form (ct+1)·(NR+B) overflows LONG at web-corpus
+    * gram counts). Single definition so the spec-pinned stored ≡ inline
+    * law is true by construction (code-review r12: previously three
+    * hand-synchronized copies). */
+  private def dsirRatioExpr(ct: Column, cr: Column, nt: Column,
+      nr: Column, buckets: Int): Column =
+    ((ct + lit(1L)).cast("double") / (nt + lit(buckets.toLong)).cast("double")) /
+      ((cr + lit(1L)).cast("double") / (nr + lit(buckets.toLong)).cast("double"))
+
   def dsirScore(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 4096): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 20),
@@ -1361,10 +1373,8 @@ object TextAnalysis {
     // (ct+1)*(NR+B) overflows LONG at web-corpus gram counts
     val ratio = cc.crossJoin(broadcast(tot))
       .select(col("bkt"),
-        (((col("ct") + 1L).cast("double") /
-          (col("nt") + buckets.toLong).cast("double")) /
-          ((col("cr") + 1L).cast("double") /
-            (col("nr") + buckets.toLong).cast("double"))).as("r"))
+        dsirRatioExpr(col("ct"), col("cr"), col("nt"), col("nr"),
+          buckets).as("r"))
     dc.join(broadcast(ratio), Seq("bkt"))
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("n_grams"),
@@ -1400,10 +1410,8 @@ object TextAnalysis {
     val tot = cc.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
     cc.crossJoin(broadcast(tot))
       .select(col("bkt"),
-        (((col("ct") + 1L).cast("double") /
-          (col("nt") + buckets.toLong).cast("double")) /
-          ((col("cr") + 1L).cast("double") /
-            (col("nr") + buckets.toLong).cast("double"))).as("r"),
+        dsirRatioExpr(col("ct"), col("cr"), col("nt"), col("nr"),
+          buckets).as("r"),
         col("nt"), col("nr"))
   }
 
@@ -1418,8 +1426,15 @@ object TextAnalysis {
     * parquet round-trip; q157b pins the cross-corpus + default path). */
   def dsirScoreStored(batch: DataFrame, idCol: String, textCol: String,
       ratio: DataFrame, buckets: Int = 4096): DataFrame = {
-    val hd = ratio.select(col("nt"), col("nr")).head()
+    val hdRows = ratio.select(col("nt"), col("nr")).limit(1).collect()
+    require(hdRows.nonEmpty, "dsirScoreStored: ratio table is empty — " +
+      "dsirRatioTable over a learn corpus with no >= 2-token documents " +
+      "produces no buckets; rebuild the stored artifact (r12 review: " +
+      "refuse loudly, not NoSuchElementException)")
+    val hd = hdRows.head
     val (nt, nr) = (hd.getLong(0), hd.getLong(1))
+    // driver-side instance of dsirRatioExpr at ct = cr = 0 — same three
+    // IEEE divisions in the same order
     val rDefault = (1.0d / (nt + buckets.toLong).toDouble) /
       (1.0d / (nr + buckets.toLong).toDouble)
     val dc = batch
@@ -1836,7 +1851,11 @@ object TextAnalysis {
       .select(col(idCol),
         size(lines).cast("long").as("n_lines"),
         size(filter(lines, keptLine)).cast("long").as("n_kept_lines"),
-        regexp_count(x, lit("[.!?]")).cast("long").as("n_sentences"),
+        // sentence proxy = terminal-mark RUNS, not characters — a
+        // single ellipsis or "!!!" is ONE sentence boundary, else the
+        // >= 3-sentence gate passes one-line spam ending in "..."
+        // (code-review r12; q166's readability uses the same run form)
+        regexp_count(x, lit("[.!?]+")).cast("long").as("n_sentences"),
         lower(x).contains("lorem ipsum").as("has_lorem"),
         x.contains("{").as("has_curly"),
         blocked.as("has_blocked"))
@@ -1860,7 +1879,7 @@ object TextAnalysis {
                  l -> regexp_matches(l, '[.!?"]\s*$')
                       AND len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 5
                       AND NOT contains(lower(l), 'javascript'))) AS BIGINT) AS n_kept_lines,
-               CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences,
+               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
                contains(lower(text), 'lorem ipsum') AS has_lorem,
                contains(text, '{') AS has_curly,
                (len(list_intersect(list_distinct(list_filter(

@@ -642,6 +642,15 @@ class OperatorsSpec extends SparkSpec {
       .c4Clean(sub, "doc_id", "text", blocklist = Seq("casino"))
       .collect().head
     assert(!g7.getBoolean(6) && g7.getBoolean(9), s"substring must not block: $g7")
+    // sentences are terminal-mark RUNS: one-line spam ending in an
+    // ellipsis ("..." = ONE boundary, not 3) must fail the 3-sentence
+    // gate even though its single line is retained (r12 review fix)
+    val spam = Seq((8L, "click here now buy this today..."))
+      .toDF("doc_id", "text")
+    val g8 = graft.operators.TextAnalysis
+      .c4Clean(spam, "doc_id", "text").collect().head
+    assert(g8.getLong(3) == 1L && g8.getBoolean(7) && !g8.getBoolean(8) &&
+      !g8.getBoolean(9), s"ellipsis spam must fail the sentence gate: $g8")
   }
 
   test("bpeMerges: hand-computed merge sequence with ties and greedy run application") {

@@ -197,6 +197,26 @@ class ProfilerSpec extends SparkSpec {
     assert(sv.head.getLong(5) == 7L * 142857L * 142857L)
   }
 
+  test("columnCorrelation: an all-NULL profiled column emits NULL hi/lo like the oracle, never a false overflow raise (r12 review)") {
+    import spark.implicits._
+    val rows = Seq((1.0, 2.0), (3.0, 4.0), (5.0, 6.0))
+      .map { case (a, b) => (a, b, Option.empty[java.lang.Double]) }
+      .toDF("a", "b", "c")
+    val got = graft.operators.Profiler
+      .columnCorrelation(rows, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // the (a, b) pair is fully populated and must still be computed
+    val ab = got(("a", "b"))
+    assert(!ab.isNullAt(5) && !ab.isNullAt(7), s"ab pair must compute: $ab")
+    // pairs touching the all-NULL column emit NULL hi/lo (the DuckDB
+    // oracle's behavior), not raise_error
+    for (k <- Seq(("a", "c"), ("b", "c"))) {
+      val r = got(k)
+      assert(r.isNullAt(5) && r.isNullAt(7),
+        s"$k must be NULL for an all-null column: $r")
+    }
+  }
+
   test("sourceConcentrationFromCounts: per-shard count folds equal the one-shot verdict (q94/q145 discipline)") {
     import spark.implicits._
     val docs = (1L to 200L).map(i =>

@@ -772,6 +772,21 @@ class StreamingSpec extends SparkSpec {
       })
     }.flatten
     assert(mapLits.isEmpty, s"stored form must not embed a map literal: $mapLits")
+    // duplicate-shard state: a multi-row-per-domain state pile (the
+    // "parquet shard per trigger" pattern read back WITHOUT folding)
+    // must behave as its fold — no join fan-out, no partial-count
+    // over-admission (r12 review)
+    val dupState = state.unionByName(state) // every domain_key twice, half the count each
+      .withColumn("consumed", col("consumed") / 2)
+      .select(col("domain_key"), col("consumed").cast("long").as("consumed"))
+    val viaDup = ids(graft.operators.DataPrep.capAdmitBatch(
+      rows.toDF("doc_id", "source"), dupState, "source", "doc_id", k))
+    val viaFold = ids(graft.operators.DataPrep.capAdmitBatch(
+      rows.toDF("doc_id", "source"),
+      dupState.groupBy("domain_key").agg(sum("consumed").as("consumed")),
+      "source", "doc_id", k))
+    assert(viaDup == viaFold,
+      s"sharded state must equal its fold: $viaDup vs $viaFold")
   }
 
   test("tokenBudgetAdmitBatch: chained batches == one-shot tokenBudgetSelect over the concatenated line") {
@@ -878,6 +893,47 @@ class StreamingSpec extends SparkSpec {
     val batch = evalIds(graft.operators.DataPrep.stratifiedInterleaved(
       rows.toDF("doc_id", "src"), "src", "doc_id", pct))
     assert(one == batch, "single-batch admission must equal stratifiedInterleaved")
+  }
+
+  test("admit frozen base: NULL group's line advances across batches (r12 review — it used to reset to 0 per batch)") {
+    import spark.implicits._
+    // all docs in the NULL group; budget 100, 40 tokens each => exactly
+    // the first 3 docs along the CONCATENATED line admit (starts
+    // 0/40/80); with the null-key reset bug every batch re-read base 0
+    // and admitted 3 more forever
+    val rows = (1 to 12).map(i => (i.toLong, Option.empty[String], 40L))
+    var base = Map.empty[String, Long]
+    var admitted = Set.empty[Long]
+    rows.grouped(4).foreach { chunk =>
+      val b = chunk.toDF("doc_id", "grp", "n_tokens")
+      admitted ++= graft.operators.DataPrep.tokenBudgetAdmitBatch(
+        b, base, "grp", "doc_id", "n_tokens", 100L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      base = graft.operators.DataPrep.ppsGroupTotals(b, "grp", "n_tokens")
+        .foldLeft(base) { case (m, (g, t)) =>
+          m + (g -> (m.getOrElse(g, 0L) + t)) }
+    }
+    assert(base == Map("null" -> 480L), s"$base")
+    assert(admitted.size == 3,
+      s"null group must admit exactly 3 across batches, got ${admitted.toSeq.sorted}")
+    // stratified at 25% over batches of 3: eval fires at GLOBAL ranks
+    // 4/8/12 => 3 evals; the reset bug saw only local ranks 1..3 per
+    // batch (no step) and emitted ZERO evals
+    var sbase = Map.empty[String, Long]
+    var evals = Set.empty[Long]
+    rows.map(r => (r._1, r._2)).grouped(3).foreach { chunk =>
+      val b = chunk.toDF("doc_id", "src")
+      evals ++= graft.operators.DataPrep.stratifiedAdmitBatch(
+        b, sbase, "src", "doc_id", 25)
+        .filter(col("split") === "eval")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      sbase = graft.operators.DataPrep.ppsGroupTotals(
+        b.withColumn("one", lit(1L)), "src", "one")
+        .foldLeft(sbase) { case (m, (g, t)) =>
+          m + (g -> (m.getOrElse(g, 0L) + t)) }
+    }
+    assert(evals.size == 3,
+      s"null stratum at 25% over 12 docs => exactly 3 eval, got ${evals.toSeq.sorted}")
   }
 
   test("streaming MG heavy hitters: per-trigger states fold to a law-true corpus summary") {
