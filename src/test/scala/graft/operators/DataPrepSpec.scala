@@ -641,7 +641,7 @@ class DataPrepSpec extends SparkSpec {
     var consumed = Map.empty[String, Long]
     val b1 = DataPrep.capAdmitBatch(docs, consumed, "source", "doc_id", k = 2)
     consumed = DataPrep.domainCounts(b1, "source")
-    assert(consumed == Map("va" -> 2L, "n" -> 2L, "vnull" -> 1L), s"$consumed")
+    assert(consumed == Map("v:a" -> 2L, "n" -> 2L, "v:null" -> 1L), s"$consumed")
     // a second batch of NULL-domain docs is refused: quota exhausted
     val b2 = DataPrep.capAdmitBatch(
       Seq((7L, None: Option[String])).toDF("doc_id", "source"),
