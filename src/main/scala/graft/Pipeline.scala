@@ -652,6 +652,114 @@ object Pipeline {
   def anomalyFromDaily(daily: DataFrame): DataFrame =
     operators.Windows.anomalyFromDaily(daily)
 
+  // ---- round-12 additions ---------------------------------------------------
+  /** Full Gopher gate set (Rae et al. 2021 Table A1) — q148b. */
+  def gopherQualityFull(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    operators.TextAnalysis.gopherQualityFull(docs, idCol, textCol)
+
+  /** Exact distributed BPE merge induction — q156. */
+  def bpeMerges(docs: DataFrame, textCol: String, steps: Int): DataFrame =
+    operators.TextAnalysis.bpeMerges(docs, textCol, steps)
+
+  /** Vocabulary segmentation under the learned merges — q156b. */
+  def bpeSegment(docs: DataFrame, textCol: String, steps: Int): DataFrame =
+    operators.TextAnalysis.bpeSegment(docs, textCol, steps)
+
+  /** Per-doc BPE token counts under the learned tokenizer — q156c. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      steps: Int): DataFrame =
+    operators.TextAnalysis.bpeEncode(docs, idCol, textCol, steps)
+
+  /** DSIR importance scoring vs a target slice — q157. */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 4096): DataFrame =
+    operators.TextAnalysis.dsirScore(docs, idCol, textCol, isTarget, buckets)
+
+  /** The DSIR learn half as a stored artifact — pair with
+    * [[dsirScoreStored]] so corpora are never re-read. */
+  def dsirRatioTable(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 4096): DataFrame =
+    operators.TextAnalysis.dsirRatioTable(docs, idCol, textCol, isTarget, buckets)
+
+  /** Score a new batch against a persisted DSIR ratio table — q157b. */
+  def dsirScoreStored(batch: DataFrame, idCol: String, textCol: String,
+      ratio: DataFrame, buckets: Int = 4096): DataFrame =
+    operators.TextAnalysis.dsirScoreStored(batch, idCol, textCol, ratio, buckets)
+
+  /** Rendezvous (HRW) shard routing — minimal disruption on reshard (q158). */
+  def rendezvousShard(id: Column, shards: Int): Column =
+    plans.ScaleOps.rendezvousShard(id, shards)
+
+  /** Deterministic (shard, file, slot) training-export manifest — q163. */
+  def exportManifest(docs: DataFrame, idCol: String, shards: Int,
+      docsPerFile: Long): DataFrame =
+    plans.ScaleOps.exportManifest(docs, idCol, shards, docsPerFile)
+
+  /** Interleaved (Bresenham) stratified split, exact at every prefix — q152b. */
+  def stratifiedInterleaved(docs: DataFrame, stratumCol: String,
+      idCol: String, pctEval: Int): DataFrame =
+    operators.DataPrep.stratifiedInterleaved(docs, stratumCol, idCol, pctEval)
+
+  /** Streaming admission form of [[stratifiedInterleaved]]. */
+  def stratifiedAdmitBatch(batch: DataFrame, baseCounts: Map[String, Long],
+      stratumCol: String, idCol: String, pctEval: Int): DataFrame =
+    operators.DataPrep.stratifiedAdmitBatch(batch, baseCounts, stratumCol,
+      idCol, pctEval)
+
+  /** Streaming admission form of [[tokenBudgetSelect]]. */
+  def tokenBudgetAdmitBatch(batch: DataFrame, baseTokens: Map[String, Long],
+      groupCol: String, idCol: String, tokensCol: String,
+      budgetTokens: Long): DataFrame =
+    operators.DataPrep.tokenBudgetAdmitBatch(batch, baseTokens, groupCol,
+      idCol, tokensCol, budgetTokens)
+
+  /** Scale-safe stored-table cap admission + its state helpers. */
+  def capAdmitBatchStored(batch: DataFrame, consumed: DataFrame,
+      domainCol: String, idCol: String, k: Int): DataFrame =
+    operators.DataPrep.capAdmitBatch(batch, consumed, domainCol, idCol, k)
+
+  def domainCountsDf(batch: DataFrame, domainCol: String): DataFrame =
+    operators.DataPrep.domainCountsDf(batch, domainCol)
+
+  def foldDomainCounts(state: DataFrame, admitted: DataFrame,
+      domainCol: String): DataFrame =
+    operators.DataPrep.foldDomainCounts(state, admitted, domainCol)
+
+  /** C4 cleaning rules (Raffel et al. 2020) — q160. */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String] = Seq.empty): DataFrame =
+    operators.TextAnalysis.c4Clean(docs, idCol, textCol, blocklist)
+
+  /** Hashed linear quality classifier (fastText-shape inference) — q161. */
+  def linearQualityScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, bias: Long = 0L, buckets: Int = 4096,
+      scale: Long = 1000L): DataFrame =
+    operators.TextAnalysis.linearQualityScore(docs, idCol, textCol, weights,
+      bias, buckets, scale)
+
+  /** HITS hubs & authorities over a weighted edge list — q162. */
+  def hits(edges: DataFrame, iters: Int): DataFrame =
+    operators.Graph.hits(edges, iters)
+
+  /** Encoding-damage audit (replacement/control/mojibake) — q164. */
+  def encodingAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    operators.Profiler.encodingAudit(docs, idCol, textCol)
+
+  /** Source-concentration (HHI) audit in exact integer ppm — q165. */
+  def sourceConcentration(docs: DataFrame, keyCol: String): DataFrame =
+    operators.Profiler.sourceConcentration(docs, keyCol)
+
+  /** Stored-shard fold form of [[sourceConcentration]] — q165b. */
+  def sourceConcentrationFromCounts(counts: DataFrame): DataFrame =
+    operators.Profiler.sourceConcentrationFromCounts(counts)
+
+  def sourceCounts(docs: DataFrame, keyCol: String): DataFrame =
+    operators.Profiler.sourceCounts(docs, keyCol)
+
+  /** Flesch-Kincaid readability in exact centi-integer arithmetic — q166. */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    operators.TextAnalysis.readability(docs, idCol, textCol)
+
   // ---- streaming ------------------------------------------------------------
   /** Ingestion-side dedup of a document stream against a static corpus. */
   def incrementalDedupStream(docs: DataFrame, corpusHashes: DataFrame): DataFrame =
