@@ -760,6 +760,32 @@ object Pipeline {
   def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     operators.TextAnalysis.readability(docs, idCol, textCol)
 
+  /** Canonical URL (case/www/port/fragment/tracking-param/slash fold). */
+  def canonicalizeUrl(url: Column): Column =
+    operators.UrlOps.canonicalizeUrl(url)
+
+  /** Canonical host of a URL (lowercased, www/port stripped). */
+  def urlHost(url: Column): Column = operators.UrlOps.urlHost(url)
+
+  /** Crawl-hygiene URL-level dedup (keep-first per canonical URL) — q167. */
+  def urlDedup(docs: DataFrame, urlCol: String, idCol: String): DataFrame =
+    operators.UrlOps.urlDedup(docs, urlCol, idCol)
+
+  /** Per-host profile + representative with `v:`-encoded key — q168. */
+  def hostProfile(docs: DataFrame, urlCol: String, idCol: String,
+      charsCol: String): DataFrame =
+    operators.UrlOps.hostProfile(docs, urlCol, idCol, charsCol)
+
+  /** Learn the stored char-n-gram language-ID model — q169. */
+  def langIdModel(docs: DataFrame, textCol: String, langCol: String,
+      buckets: Int = 4096, scale: Long = 1000000L): DataFrame =
+    operators.LangId.langIdModel(docs, textCol, langCol, buckets, scale)
+
+  /** Score a batch against a stored [[langIdModel]] — q169. */
+  def langIdScore(batch: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame =
+    operators.LangId.langIdScore(batch, idCol, textCol, model)
+
   // ---- streaming ------------------------------------------------------------
   /** Ingestion-side dedup of a document stream against a static corpus. */
   def incrementalDedupStream(docs: DataFrame, corpusHashes: DataFrame): DataFrame =

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, CurationChain, DataPrep, Dedup, Graph, MapReduceParity, Multimodal, Profiler, Relational, Similarity, Sketches, SqlSurface, TextAnalysis, Windows}
+import graft.operators.{Curation, CurationChain, DataPrep, Dedup, Graph, LangId, MapReduceParity, Multimodal, Profiler, Relational, Similarity, Sketches, SqlSurface, TextAnalysis, UrlOps, Windows}
 import graft.plans.{ScaleOps, TopKPerKey}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
       Multimodal.all ++ Sketches.all ++ MapReduceParity.all ++ Windows.all ++
       Curation.all ++ CurationChain.all ++ SqlSurface.all ++ ScaleOps.all ++
-      TopKPerKey.all ++ DataPrep.all ++ Profiler.all ++ Graph.all
+      TopKPerKey.all ++ DataPrep.all ++ Profiler.all ++ Graph.all ++
+      UrlOps.all ++ LangId.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -42,6 +43,6 @@ object SparkEntry {
             System.err.println(s"[oracle] ${q.name} generator failed: $e")
             None
           }))
-        .map(sql => q.name -> sql.trim)
+        .map(sql => q.name -> OracleSql.materializeCtes(sql.trim))
     }.toMap
 }

@@ -145,69 +145,69 @@ object CurationChain {
   // replay between the paragraph stage and the mix arithmetic.
   private val oracleCore = """
       WITH RECURSIVE
-      tok AS (SELECT doc_id, source, lang, text,
+      tok AS MATERIALIZED (SELECT doc_id, source, lang, text,
                      list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
               FROM documents),
-      kept AS (SELECT doc_id, source, text, t FROM tok
+      kept AS MATERIALIZED (SELECT doc_id, source, text, t FROM tok
                WHERE lang = 'en' AND len(t) BETWEEN 20 AND 1000
                  AND CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS DOUBLE) / len(t) > 0.02),
-      grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g
+      grams AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g
                 FROM tok WHERE len(t) >= 4),
-      eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
-      contaminated AS (SELECT DISTINCT doc_id FROM grams
+      eval_grams AS MATERIALIZED (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+      contaminated AS MATERIALIZED (SELECT DISTINCT doc_id FROM grams
                        WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM eval_grams)),
-      clean AS (SELECT doc_id, source, t FROM kept
+      clean AS MATERIALIZED (SELECT doc_id, source, t FROM kept
                 WHERE doc_id % 97 <> 0
                   AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
-      sh AS (SELECT doc_id, unnest(shl) AS s
+      sh AS MATERIALIZED (SELECT doc_id, unnest(shl) AS s
              FROM (SELECT doc_id,
                           list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shl
                    FROM clean WHERE len(t) >= 3) s0),
-      hashed AS (SELECT doc_id, i,
+      hashed AS MATERIALIZED (SELECT doc_id, i,
                         ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15))::BIGINT AS h
                  FROM sh CROSS JOIN range(0, 8) r(i)),
-      minh AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i),
-      bands AS (SELECT doc_id, i // 2 AS band,
+      minh AS MATERIALIZED (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i),
+      bands AS MATERIALIZED (SELECT doc_id, i // 2 AS band,
                        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
                 FROM minh GROUP BY doc_id, i // 2),
-      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                FROM bands a JOIN bands b
                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      common AS (SELECT da, db, COUNT(*) AS c
+      sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS MATERIALIZED (SELECT da, db, COUNT(*) AS c
                  FROM cand JOIN sh a ON a.doc_id = da
                            JOIN sh b ON b.doc_id = db AND a.s = b.s
                  GROUP BY da, db),
-      edges AS (SELECT da, db FROM common
+      edges AS MATERIALIZED (SELECT da, db FROM common
                 JOIN sizes na ON na.doc_id = da JOIN sizes nb ON nb.doc_id = db
                 WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5),
-      sym AS (SELECT da AS src, db AS dst FROM edges
+      sym AS MATERIALIZED (SELECT da AS src, db AS dst FROM edges
               UNION ALL SELECT db, da FROM edges),
       reach AS (SELECT doc_id AS a, doc_id AS b FROM clean
                 UNION
                 SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b),
-      reps AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a),
-      dedup AS (SELECT c.doc_id, c.source, c.t FROM clean c
+      reps AS MATERIALIZED (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a),
+      dedup AS MATERIALIZED (SELECT c.doc_id, c.source, c.t FROM clean c
                 JOIN reps r ON c.doc_id = r.doc_id AND r.rep = c.doc_id),
-      d2 AS (SELECT doc_id, source,
+      d2 AS MATERIALIZED (SELECT doc_id, source,
                     array_to_string(list_transform(
                       range(1, CAST(ceil(len(t) / 20.0) AS BIGINT) + 1),
                       i -> array_to_string(t[(i-1)*20+1 : i*20], ' ')), chr(10)) AS text2
              FROM dedup WHERE len(t) >= 1),
-      pars AS (SELECT doc_id, i, par
+      pars AS MATERIALIZED (SELECT doc_id, i, par
                FROM (SELECT doc_id,
                             generate_subscripts(string_split(text2, chr(10)), 1) AS i,
                             unnest(string_split(text2, chr(10))) AS par
                      FROM d2)
                WHERE trim(par) <> ''),
-      freq AS (SELECT par, COUNT(DISTINCT doc_id) AS df FROM pars GROUP BY par),
-      flagged AS (SELECT p.doc_id, p.i, p.par, f.df > 1 AS dup
+      freq AS MATERIALIZED (SELECT par, COUNT(DISTINCT doc_id) AS df FROM pars GROUP BY par),
+      flagged AS MATERIALIZED (SELECT p.doc_id, p.i, p.par, f.df > 1 AS dup
                   FROM pars p JOIN freq f USING (par)),
-      fintext0 AS (SELECT doc_id,
+      fintext0 AS MATERIALIZED (SELECT doc_id,
                           coalesce(string_agg(CASE WHEN NOT dup THEN par END, chr(10) ORDER BY i), '') AS clean_text
                    FROM flagged GROUP BY doc_id),
-      fintext AS (SELECT d.doc_id, d.source, f.clean_text
+      fintext AS MATERIALIZED (SELECT d.doc_id, d.source, f.clean_text
                   FROM d2 d JOIN fintext0 f USING (doc_id)
                   WHERE f.clean_text <> '')"""
 
@@ -215,52 +215,52 @@ object CurationChain {
   // k-grams, keep-first by (doc_id, pos), difference-array coverage,
   // reassembly; docs with nothing left drop out
   private def oracleSpanStage(k: Int) = s""",
-      stoks AS (SELECT doc_id, source,
+      stoks AS MATERIALIZED (SELECT doc_id, source,
                        list_filter(string_split_regex(lower(clean_text), '\\W+'), x -> x <> '') AS t
                 FROM fintext),
-      socc AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+$k-1], ' ') AS g
+      socc AS MATERIALIZED (SELECT doc_id, i AS pos, array_to_string(t[i:i+$k-1], ' ') AS g
                FROM (SELECT doc_id, t, unnest(range(1, len(t) - $k + 2)) AS i
                      FROM stoks WHERE len(t) >= $k)),
-      socc2 AS (SELECT doc_id, pos,
+      socc2 AS MATERIALIZED (SELECT doc_id, pos,
                        COUNT(*) OVER (PARTITION BY g) AS c,
                        ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
                 FROM socc),
-      sflag AS (SELECT doc_id, pos FROM socc2 WHERE c > 1 AND rn > 1),
-      sdeltas AS (SELECT doc_id, p, SUM(d) AS d FROM (
+      sflag AS MATERIALIZED (SELECT doc_id, pos FROM socc2 WHERE c > 1 AND rn > 1),
+      sdeltas AS MATERIALIZED (SELECT doc_id, p, SUM(d) AS d FROM (
                     SELECT doc_id, pos AS p, 1 AS d FROM sflag
                     UNION ALL
                     SELECT doc_id, pos + $k AS p, -1 AS d FROM sflag)
                   GROUP BY doc_id, p),
-      stokpos AS (SELECT doc_id, generate_subscripts(t, 1) AS p, unnest(t) AS tok
+      stokpos AS MATERIALIZED (SELECT doc_id, generate_subscripts(t, 1) AS p, unnest(t) AS tok
                   FROM stoks),
-      scovered AS (SELECT tp.doc_id, tp.p, tp.tok,
+      scovered AS MATERIALIZED (SELECT tp.doc_id, tp.p, tp.tok,
                           SUM(COALESCE(dl.d, 0)) OVER (PARTITION BY tp.doc_id
                                                        ORDER BY tp.p) AS cum
                    FROM stokpos tp LEFT JOIN sdeltas dl
                      ON tp.doc_id = dl.doc_id AND tp.p = dl.p),
-      sclean AS (SELECT doc_id,
+      sclean AS MATERIALIZED (SELECT doc_id,
                         coalesce(string_agg(CASE WHEN cum <= 0 THEN tok END, ' ' ORDER BY p), '') AS ctext
                  FROM scovered GROUP BY doc_id),
-      sfin AS (SELECT s.doc_id, s.source, c.ctext AS clean_text
+      sfin AS MATERIALIZED (SELECT s.doc_id, s.source, c.ctext AS clean_text
                FROM stoks s JOIN sclean c USING (doc_id)
                WHERE c.ctext <> '')"""
 
   // the q91 mix arithmetic over the curated corpus CTE named `src`
   private def oracleTail(src: String, target: Long) = s""",
-      ftoks AS (SELECT source, len(list_filter(string_split_regex(lower(clean_text), '\\W+'), x -> x <> '')) AS ntok
+      ftoks AS MATERIALIZED (SELECT source, len(list_filter(string_split_regex(lower(clean_text), '\\W+'), x -> x <> '')) AS ntok
                 FROM $src),
-      ps AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM ftoks GROUP BY source),
-      sq AS (SELECT source, CAST(sqrt(n_tokens) AS DECIMAL(38,6)) AS sq FROM ps),
-      wts AS (SELECT source,
+      ps AS MATERIALIZED (SELECT source, CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM ftoks GROUP BY source),
+      sq AS MATERIALIZED (SELECT source, CAST(sqrt(n_tokens) AS DECIMAL(38,6)) AS sq FROM ps),
+      wts AS MATERIALIZED (SELECT source,
                      CAST(sq AS DOUBLE) / CAST((SELECT SUM(sq) FROM sq) AS DOUBLE) AS weight
               FROM sq),
-      quota AS (SELECT w.source,
+      quota AS MATERIALIZED (SELECT w.source,
                        CAST(floor(w.weight * $target) AS BIGINT) AS target,
                        c.n_docs
                 FROM wts w JOIN (SELECT source, COUNT(*) AS n_docs
                                  FROM $src GROUP BY source) c
                   ON w.source = c.source),
-      ranked AS (SELECT doc_id, source,
+      ranked AS MATERIALIZED (SELECT doc_id, source,
                         ROW_NUMBER() OVER (PARTITION BY source
                                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
                  FROM $src)

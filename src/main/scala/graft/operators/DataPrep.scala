@@ -724,22 +724,29 @@ object DataPrep {
     * batch + a stateless predicate — nothing global, nothing sorted.
     * Advance the line with [[ppsGroupTotals]] after each batch.
     */
-  /** Frozen-base lookup shared by the map-form admit functions: the
-    * base maps come from [[ppsGroupTotals]], which keys a NULL group as
-    * `String.valueOf(null)` = "null" — so the COLUMN-side key must
-    * coalesce the same way, or a NULL group's base silently reads 0 on
-    * every batch and the chained ≡ one-shot law breaks for exactly that
-    * group (review round 12; the same null-key reset capAdmitBatch was
-    * hardened against in r11). Caveat, documented: a group literally
-    * named "null" shares a line with the NULL group — an ambiguity
-    * ppsGroupTotals itself already has; use the encoded-key
-    * [[capAdmitBatch]] forms where that matters. */
+  /** Frozen-base lookup shared by the map-form admit functions
+    * ([[ppsAdmitBatch]], [[tokenBudgetAdmitBatch]],
+    * [[stratifiedAdmitBatch]]). Base maps use the SAME collision-free
+    * [[domainKey]] encoding as [[capAdmitBatch]] ("v:"+value, "n" for
+    * null — r12 advice closed the last String.valueOf keying, where a
+    * group literally named "null" silently shared a line with the NULL
+    * group): build and advance them with [[ppsGroupTotals]], never with
+    * raw group names — a raw key misses every lookup, reads base 0, and
+    * silently breaks the chained ≡ one-shot law, so it is refused
+    * loudly here (the capAdmitBatch guard). */
   private def frozenBase(baseTotals: Map[String, Long],
-      groupCol: String): Column =
+      groupCol: String): Column = {
+    baseTotals.keys.find(kk => !(kk == "n" || kk.startsWith("v:"))).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"base-totals key '$bad' is not domainKey-encoded ('v:'+group or " +
+          "'n' for null) — build and advance the map with " +
+          "ppsGroupTotals(...), never with raw group names (they would " +
+          "read as base 0 and break chained admission)")
+    }
     if (baseTotals.isEmpty) lit(0L)
     else coalesce(
-      element_at(typedLit(baseTotals),
-        coalesce(col(groupCol).cast("string"), lit("null"))), lit(0L))
+      element_at(typedLit(baseTotals), domainKey(col(groupCol))), lit(0L))
+  }
 
   def ppsAdmitBatch(batch: DataFrame, baseTotals: Map[String, Long],
       groupCol: String, idCol: String, weightCol: String, step: Long): DataFrame = {
@@ -754,13 +761,16 @@ object DataPrep {
 
   /** Per-group total weight of a batch — the increment to fold into the
     * [[ppsAdmitBatch]] base line after the batch is admitted. Driver
-    * result is O(groups) (bounded, see ppsAdmitBatch). */
+    * result is O(groups) (bounded, see ppsAdmitBatch). Keys carry the
+    * [[domainKey]] encoding ("v:"+group, "n" for null), matching what
+    * the admit functions look up — fold these maps together verbatim,
+    * never rebuild them from raw group names. */
   def ppsGroupTotals(batch: DataFrame, groupCol: String,
       weightCol: String): Map[String, Long] =
-    batch.groupBy(col(groupCol))
+    batch.groupBy(domainKey(col(groupCol)).as("__k"))
       .agg(sum(col(weightCol).cast("long")).as("__t"))
       .collect()
-      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .map(r => r.getString(0) -> r.getLong(1))
       .toMap
 
   def epochMix(docs: DataFrame, idCol: String, textCol: String,

@@ -322,7 +322,12 @@ object Graph {
       // exact LONG total as ONE driver scalar (the nNodes discipline);
       // fetching it materializes `raw`, so the half-step join+agg
       // executes exactly once
-      val t = raw.agg(sum(col("cr")).as("t")).first().getLong(0)
+      val t = Option(raw.agg(sum(col("cr")).as("t")).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      require(t > 0,
+        s"hits: degenerate half-step ($from->$to) — L1 total is $t; " +
+          "all fixed-point contributions underflowed or the edge join " +
+          "produced no rows. Refusing to emit NaN scores.")
       // eager checkpoint = materialize + lineage cut in one step; the
       // per-step state is a node-sized LogicalRDD, so every downstream
       // plan stays constant-size no matter the iteration count
@@ -354,32 +359,38 @@ object Graph {
   // (a → b for adjacent tokens, w = pair count — direction matters:
   // words that precede many words are hubs, words that follow are
   // authorities; the symmetric q114 graph would collapse the two).
+  // Every CTE is AS MATERIALIZED: DuckDB 1.x inlines each *reference*
+  // to a plain CTE, so a 6-half-step cascade where each ar$i/hr$i is
+  // read by both its total and its normalize step re-evaluates the
+  // corpus tokenize+edge build ~3^6 times (measured: >45 min at
+  // sf0.001 vs 0.7 s materialized, identical rows — the round-12
+  // gate-killer). Same discipline as the BPE oracle (TextAnalysis).
   private def hitsOracle(k: Int): String = {
     val steps = (1 to ITERS).flatMap { i =>
       Seq(
-        s"""ar$i AS (SELECT e.dst AS node,
+        s"""ar$i AS MATERIALIZED (SELECT e.dst AS node,
            |               CAST(SUM(CAST(FLOOR((r.s * CAST(e.w AS DOUBLE)) * 1099511627776.0) AS BIGINT)) AS BIGINT) AS cr
            |        FROM edges e JOIN h${i - 1} r ON e.src = r.node GROUP BY e.dst)""".stripMargin,
-        s"at$i AS (SELECT CAST(SUM(cr) AS BIGINT) AS t FROM ar$i)",
-        s"""a$i AS (SELECT n.node,
+        s"at$i AS MATERIALIZED (SELECT CAST(SUM(cr) AS BIGINT) AS t FROM ar$i)",
+        s"""a$i AS MATERIALIZED (SELECT n.node,
            |              (CAST(COALESCE(ar.cr, 0) AS DOUBLE) / CAST((SELECT t FROM at$i) AS DOUBLE)) AS s
            |       FROM nodes n LEFT JOIN ar$i ar ON n.node = ar.node)""".stripMargin,
-        s"""hr$i AS (SELECT e.src AS node,
+        s"""hr$i AS MATERIALIZED (SELECT e.src AS node,
            |               CAST(SUM(CAST(FLOOR((a.s * CAST(e.w AS DOUBLE)) * 1099511627776.0) AS BIGINT)) AS BIGINT) AS cr
            |        FROM edges e JOIN a$i a ON e.dst = a.node GROUP BY e.src)""".stripMargin,
-        s"ht$i AS (SELECT CAST(SUM(cr) AS BIGINT) AS t FROM hr$i)",
-        s"""h$i AS (SELECT n.node,
+        s"ht$i AS MATERIALIZED (SELECT CAST(SUM(cr) AS BIGINT) AS t FROM hr$i)",
+        s"""h$i AS MATERIALIZED (SELECT n.node,
            |              (CAST(COALESCE(hr.cr, 0) AS DOUBLE) / CAST((SELECT t FROM ht$i) AS DOUBLE)) AS s
            |       FROM nodes n LEFT JOIN hr$i hr ON n.node = hr.node)""".stripMargin)
     }
-    s"""WITH toks AS (SELECT list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS t
+    s"""WITH toks AS MATERIALIZED (SELECT list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS t
        |              FROM documents),
-       |occ AS (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2),
-       |pr AS (SELECT t[i] AS a, t[i+1] AS b FROM occ WHERE t[i] <> t[i+1]),
-       |edges AS (SELECT a AS src, b AS dst, COUNT(*) AS w FROM pr GROUP BY a, b),
-       |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
-       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-       |h0 AS (SELECT node, (CAST(1.0 AS DOUBLE) / nn.n) AS s FROM nodes CROSS JOIN nn),
+       |occ AS MATERIALIZED (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2),
+       |pr AS MATERIALIZED (SELECT t[i] AS a, t[i+1] AS b FROM occ WHERE t[i] <> t[i+1]),
+       |edges AS MATERIALIZED (SELECT a AS src, b AS dst, COUNT(*) AS w FROM pr GROUP BY a, b),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+       |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |h0 AS MATERIALIZED (SELECT node, (CAST(1.0 AS DOUBLE) / nn.n) AS s FROM nodes CROSS JOIN nn),
        |${steps.mkString(",\n")}
        |SELECT n.node, COALESCE(a.s, CAST(0.0 AS DOUBLE)) AS auth,
        |       COALESCE(h.s, CAST(0.0 AS DOUBLE)) AS hub

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Character-n-gram language identification as a STORED-MODEL scorer —
+  * the last widely-used quality-gate filter the engine lacked (VERDICT
+  * r12 next #8). The shape is the classic n-gram LID (Cavnar & Trenkle
+  * 1994; the CLD/fastText-langid lineage all reduce to it): per
+  * language, a table of character-trigram frequencies learned from a
+  * labeled corpus; a new document scores against every language's
+  * table and takes the argmax.
+  *
+  * Engine-exact discipline (the q161/q157 conventions): trigram
+  * features hash to `buckets` md5 buckets; the stored weight is the
+  * add-1-smoothed frequency as a SCALED INTEGER,
+  * `w = ((c+1)·scale) div (total+buckets)`, so a document's per-language
+  * score `Σ cnt·w` is an exact LONG — no float accumulation, no
+  * transcendentals, bit-identical under any partitioning, and the
+  * DuckDB oracle replays it verbatim. (A true naive Bayes sums LOG
+  * probabilities; `ln` is libm-dependent and not bit-replayable across
+  * engines, so declared semantics use the frequency-sum form — a
+  * monotone-per-gram surrogate that ranks languages by how much of the
+  * document's trigram mass each language's model covers.)
+  *
+  * Scale: the model is DENSE — `langs × buckets` rows (5×4096 here;
+  * a production 200-language model at 2^16 buckets is ~13M 24-byte
+  * rows, still one broadcast) — so scoring is explode(trigrams) →
+  * (doc,bkt) hash-agg → broadcast join → (doc,lang) hash-agg →
+  * per-doc argmax window. The wordcount shuffle class; the argmax
+  * window partitions by doc_id (millions of tiny groups — hash
+  * exchange, no skew, never a global sort). Corpora are read once at
+  * learn time and never again: [[langIdModel]] is the persist-once
+  * artifact, [[langIdScore]] the per-batch probe (the q121/q157b
+  * stored-state discipline).
+  *
+  * Overflow headroom: learn side needs `(c+1)·scale < 2^63` — at
+  * scale 10^6 that is c < 9.2·10^12 trigrams per (language, bucket),
+  * i.e. ~4·10^16 corpus chars per language before pre-scaling is
+  * needed. Score side: `Σ cnt·w ≤ n_trigrams·scale` — a 10^9-char
+  * document is still 10^15, five orders inside LONG.
+  */
+object LangId {
+
+  private def triBuckets(textCol: String, buckets: Int) = {
+    val lo = lower(col(textCol))
+    // one row per character-trigram position; docs shorter than 3
+    // chars contribute nothing (sequence(1, len-2) needs len >= 3)
+    (df: DataFrame) => df
+      .filter(length(lo) >= 3)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(1), length(lo) - 2)).as("__i"): _*)
+      .select(df.columns.map(col) :+
+        pmod(conv(substring(md5(expr(s"substring(lower($textCol), __i, 3)")),
+          1, 6), 16, 10).cast("long"), lit(buckets.toLong)).as("bkt"): _*)
+  }
+
+  /** Learn the stored LID model from a labeled corpus: one row per
+    * (lang, bkt) — DENSE over every language seen and every bucket —
+    * with the scaled-integer smoothed frequency `w` plus the
+    * learn-time `buckets`/`scale` pins, which [[langIdScore]]
+    * require()s match (the dsirScoreStored discipline: a scorer run in
+    * a different hash space must refuse loudly, not silently
+    * mis-hash). Rows with NULL lang are refused — silently learning a
+    * "null" language would swallow unlabeled docs into a phantom
+    * class. */
+  def langIdModel(docs: DataFrame, textCol: String, langCol: String,
+      buckets: Int = 4096, scale: Long = 1000000L): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets in [2, 2^20], got $buckets")
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    // NULL labels refuse at execution (raise_error keeps the builder
+    // lazy) — a filter would silently fold unlabeled docs away, a
+    // String.valueOf-style key would learn a phantom "null" language
+    val labeled = docs.select(
+      when(col(langCol).isNull,
+        raise_error(lit("langIdModel: NULL lang label — label or drop " +
+          "unlabeled docs explicitly before learning")).cast("string"))
+        .otherwise(col(langCol)).as("lang"),
+      col(textCol))
+    val counts = triBuckets(textCol, buckets)(labeled)
+      .groupBy(col("lang"), col("bkt")).agg(count(lit(1)).as("c"))
+    val langs = labeled.select(col("lang")).distinct()
+    val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
+    langs.crossJoin(
+        langs.sparkSession.range(buckets.toLong).select(col("id").as("bkt")))
+      .join(counts, Seq("lang", "bkt"), "left")
+      .join(totals, Seq("lang"))
+      .select(col("lang"), col("bkt"),
+        expr(s"((coalesce(c, 0L) + 1L) * ${scale}L) div (tot + ${buckets}L)")
+          .as("w"),
+        lit(buckets).as("buckets"), lit(scale).as("scale"))
+  }
+
+  /** Score a batch against a persisted [[langIdModel]]: per document,
+    * the argmax language (ties break to the lexicographically smallest
+    * language — deterministic, oracle-replayed) and its exact LONG
+    * score. Documents with < 3 chars produce no trigrams and are
+    * absent from the output (nothing to identify — refusing beats
+    * emitting an arbitrary language at score 0). */
+  def langIdScore(batch: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val pins = model.select(col("buckets"), col("scale")).limit(1).collect()
+    require(pins.nonEmpty, "langIdScore: model table is empty — " +
+      "langIdModel over a corpus with no >= 3-char labeled documents " +
+      "produces no rows; rebuild the stored artifact")
+    val buckets = pins.head.getInt(0)
+    val dc = triBuckets(textCol, buckets)(batch.select(col(idCol), col(textCol)))
+      .groupBy(col(idCol), col("bkt")).agg(count(lit(1)).as("cnt"))
+    // dense model => inner join covers every (doc bucket, lang) pair
+    val scored = dc
+      .join(broadcast(model.select(col("lang"), col("bkt"), col("w"))),
+        Seq("bkt"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(col("cnt") * col("w")).as("score"))
+    val r = row_number().over(
+      Window.partitionBy(col(idCol))
+        .orderBy(col("score").desc, col("lang")))
+    scored.withColumn("__r", r).filter(col("__r") === 1)
+      .select(col(idCol), col("lang").as("pred_lang"), col("score"))
+  }
+
+  // ---------------------------------------------------------------- q169
+  // Declared query: learn from the even-doc_id half (the q157b split
+  // convention), score the odd half, report the prediction against the
+  // planted label. The oracle replays learn + score + argmax verbatim;
+  // the assembled SQL gets AS MATERIALIZED on every multi-referenced
+  // CTE from the central OracleSql rewrite.
+  private val q169 = GraftQuery(
+    "q169_langid_ngram",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = langIdModel(docs.filter(col("doc_id") % 2 === 0),
+        "text", "lang")
+      langIdScore(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("pred_lang"), col("score"),
+          (col("pred_lang") === col("lang")).as("is_correct"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH lo AS (SELECT doc_id, lang, lower(text) AS lo FROM documents),
+      tri AS (SELECT doc_id, lang,
+                     ('0x' || substr(md5(substring(lo, i, 3)), 1, 6))::BIGINT % 4096 AS bkt
+              FROM (SELECT doc_id, lang, lo, unnest(range(1, len(lo) - 1)) AS i
+                    FROM lo WHERE len(lo) >= 3)),
+      cnts AS (SELECT lang, bkt, CAST(COUNT(*) AS BIGINT) AS c
+               FROM tri WHERE doc_id % 2 = 0 GROUP BY lang, bkt),
+      langs AS (SELECT DISTINCT lang FROM documents WHERE doc_id % 2 = 0),
+      tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cnts GROUP BY lang),
+      model AS (SELECT l.lang, b.range AS bkt,
+                       CAST(((COALESCE(c.c, 0) + 1) * 1000000) // (t.tot + 4096) AS BIGINT) AS w
+                FROM langs l CROSS JOIN range(4096) b
+                LEFT JOIN cnts c ON c.lang = l.lang AND c.bkt = b.range
+                JOIN tot t ON t.lang = l.lang),
+      dc AS (SELECT doc_id, bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM tri WHERE doc_id % 2 <> 0 GROUP BY doc_id, bkt),
+      sc AS (SELECT dc.doc_id, m.lang, CAST(SUM(dc.cnt * m.w) AS BIGINT) AS score
+             FROM dc JOIN model m ON dc.bkt = m.bkt
+             GROUP BY dc.doc_id, m.lang),
+      best AS (SELECT doc_id, lang AS pred_lang, score,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, lang) AS r
+               FROM sc)
+      SELECT b.doc_id, b.pred_lang, b.score,
+             b.pred_lang = d.lang AS is_correct
+      FROM best b JOIN documents d ON b.doc_id = d.doc_id
+      WHERE b.r = 1
+      ORDER BY b.doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q169)
+}

@@ -1408,11 +1408,16 @@ object TextAnalysis {
         sum(when(!col("__t"), 1L).otherwise(0L)).as("cr"))
       .localCheckpoint()
     val tot = cc.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    // `buckets` rides every row so the artifact records the hash space
+    // it was learned in — dsirScoreStored require()s it matches (a
+    // scorer run at a different bucket count would hash batch grams
+    // into the wrong space and silently score most grams with the
+    // unseen-bucket default; r12 advice: refuse loudly).
     cc.crossJoin(broadcast(tot))
       .select(col("bkt"),
         dsirRatioExpr(col("ct"), col("cr"), col("nt"), col("nr"),
           buckets).as("r"),
-        col("nt"), col("nr"))
+        col("nt"), col("nr"), lit(buckets).as("buckets"))
   }
 
   /** Score a NEW batch against a persisted [[dsirRatioTable]]: one
@@ -1426,13 +1431,22 @@ object TextAnalysis {
     * parquet round-trip; q157b pins the cross-corpus + default path). */
   def dsirScoreStored(batch: DataFrame, idCol: String, textCol: String,
       ratio: DataFrame, buckets: Int = 4096): DataFrame = {
-    val hdRows = ratio.select(col("nt"), col("nr")).limit(1).collect()
+    val hdRows = ratio.select(col("nt"), col("nr"),
+      // pre-r13 artifacts lack the buckets column; treat them as
+      // learned at the scorer's value (the only possibility then)
+      if (ratio.columns.contains("buckets")) col("buckets")
+      else lit(buckets)).limit(1).collect()
     require(hdRows.nonEmpty, "dsirScoreStored: ratio table is empty — " +
       "dsirRatioTable over a learn corpus with no >= 2-token documents " +
       "produces no buckets; rebuild the stored artifact (r12 review: " +
       "refuse loudly, not NoSuchElementException)")
     val hd = hdRows.head
     val (nt, nr) = (hd.getLong(0), hd.getLong(1))
+    require(hd.getInt(2) == buckets,
+      s"dsirScoreStored: ratio table was learned with buckets=${hd.getInt(2)} " +
+        s"but the scorer was called with buckets=$buckets — batch grams " +
+        "would hash into the wrong bucket space and silently score with " +
+        "the unseen-bucket default. Pass the table's bucket count.")
     // driver-side instance of dsirRatioExpr at ct = cr = 0 — same three
     // IEEE divisions in the same order
     val rDefault = (1.0d / (nt + buckets.toLong).toDouble) /

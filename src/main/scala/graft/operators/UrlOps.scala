@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** URL/host canonicalization + URL- and host-level dedup — the one
+  * standard CCNet/RefinedWeb crawl-hygiene stage the engine lacked
+  * (VERDICT r12 next #7). RefinedWeb (Penedo et al. 2023 §3.1) and
+  * CCNet (Wenzek et al. 2020) both dedup crawls by canonical URL before
+  * any content pass: the same page arrives under `http`/`https`,
+  * with/without `www.`, with default ports, fragments, tracking
+  * params, and trailing slashes — textually distinct keys for one
+  * resource. Canonicalization folds those; host extraction feeds the
+  * q149 per-domain cap and the `v:`-encoded domain-key convention
+  * ([[DataPrep.capAdmitBatch]]).
+  *
+  * Everything is native column arithmetic (regexp extract/replace +
+  * array filter/sort — all codegen'd, zero UDFs), stateless per row:
+  * the canonicalize pass is a pure scan projection, the URL dedup is
+  * one hash-agg on the canonical key, the host profile one hash-agg on
+  * the host — the wordcount shuffle class at any corpus size.
+  *
+  * Canonical form (documented, oracle-replayed):
+  *   1. scheme lowercased; rows without a `scheme://` prefix
+  *      canonicalize to NULL (refuse-visibly: callers filter or route
+  *      them to quarantine; a silent pass-through would dedup garbage
+  *      against garbage).
+  *   2. host lowercased, one leading `www.` stripped, default port
+  *      dropped (`:80` for http, `:443` for https) — any other
+  *      explicit port is load-bearing and kept.
+  *   3. fragment (`#…`) dropped.
+  *   4. query: split on `&`, drop tracking params (`utm_*`, `fbclid`,
+  *      `gclid`) and empties, SORT the rest (binary order — param
+  *      order is transport noise), rejoin; empty result drops the `?`.
+  *   5. path: one trailing `/` stripped (so `/a/` ≡ `/a`, root `/` ≡
+  *      empty). Path CASE IS PRESERVED — paths are case-sensitive per
+  *      RFC 3986; only scheme+host are case-insensitive.
+  */
+object UrlOps {
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val TrackerRe = "^(utm_[^=]*|fbclid|gclid)(=.*)?$"
+
+  /** Canonical host of a URL: lowercased, one leading `www.` stripped,
+    * port removed. NULL for scheme-less / NULL input. */
+  def urlHost(url: Column): Column = {
+    val rest = regexp_replace(url, SchemeRe, "")
+    val hostport = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    when(regexp_extract(url, SchemeRe, 1) === "", lit(null))
+      .otherwise(
+        regexp_replace(regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", ""))
+  }
+
+  /** Full canonical URL per the object scaladoc; NULL when the input
+    * is NULL or has no `scheme://` prefix. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, SchemeRe, 1))
+    val rest = regexp_replace(url, SchemeRe, "")
+    val hostport = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val host = regexp_replace(regexp_replace(hostport, ":[0-9]+$", ""),
+      "^www\\.", "")
+    val defaultPort = (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443")
+    val portPart = when(port === "" || defaultPort, lit(""))
+      .otherwise(concat(lit(":"), port))
+    // path/query/fragment = everything after hostport; fragment first
+    val pqf = regexp_replace(regexp_replace(rest, "^[^/?#]*", ""), "#.*$", "")
+    val path = regexp_replace(regexp_extract(pqf, "^([^?]*)", 1), "/$", "")
+    val query = regexp_extract(pqf, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackerRe)))
+    val queryPart = when(size(params) === 0, lit(""))
+      .otherwise(concat(lit("?"), concat_ws("&", params)))
+    when(scheme === "", lit(null))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
+  }
+
+  /** URL-level dedup: one surviving row per canonical URL (min `idCol`,
+    * the keep-first convention) with the collapse count. Scheme-less /
+    * NULL URLs are EXCLUDED (their canonical key is NULL; folding all
+    * of them into one "null URL" cluster would mass-delete unrelated
+    * docs — route them to quarantine instead). One hash-agg + one
+    * self-semi-join on the canonical key; no windows, no sort. */
+  def urlDedup(docs: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val canon = docs
+      .withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+      .filter(col("canonical_url").isNotNull)
+    canon
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .withColumn("host", urlHost(
+        // the kept row's canonical url IS a url — host parses from it
+        col("canonical_url")))
+      .select(col(idCol), col("canonical_url"), col("host"), col("n_dups"))
+  }
+
+  /** Host-level profile + representative: per canonical host, the doc
+    * count, distinct-canonical-URL count, total chars, the minimum doc
+    * id (the host-level dedup representative), and the host's
+    * [[DataPrep.capAdmitBatch]]-compatible `v:`-encoded key — this
+    * frame IS the input to a q149-style per-host cap or a host-block
+    * list join. One hash-agg (count-distinct goes through the standard
+    * two-phase partial agg); scheme-less URLs excluded as in
+    * [[urlDedup]]. */
+  def hostProfile(docs: DataFrame, urlCol: String, idCol: String,
+      charsCol: String): DataFrame =
+    docs
+      .withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+      .filter(col("canonical_url").isNotNull)
+      .withColumn("host", urlHost(col(urlCol)))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical_url")).as("n_urls"),
+        sum(col(charsCol)).as("total_chars"),
+        min(col(idCol)).as("rep_doc_id"))
+      .withColumn("host_key", concat(lit("v:"), col("host")))
+      .select(col("host"), col("host_key"), col("n_docs"), col("n_urls"),
+        col("total_chars"), col("rep_doc_id"))
+
+  // ---------------------------------------------------------------- q167
+  // Declared crawl-hygiene query over deterministic messy URLs derived
+  // from (doc_id, source) — the planted-fixture convention: five URL
+  // shapes exercise every canonicalization rule (case, www, default +
+  // non-default ports, fragments, tracking params, param order,
+  // trailing slash), and shapes 0/1 collide by construction so the
+  // dedup path is exercised, not just replayed.
+  private def messyUrl(): Column = {
+    val n = expr("doc_id div 7").cast("string")
+    val m = pmod(col("doc_id"), lit(5))
+    when(m === 0, concat(lit("HTTPS://WWW."), col("source"),
+        lit(".Example.COM:443/p/"), n, lit("/?utm_source=x&b=2&a=1#frag")))
+      .when(m === 1, concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), n, lit("?a=1&b=2")))
+      .when(m === 2, concat(lit("http://"), col("source"),
+        lit(".example.com:8080/p/"), n))
+      .when(m === 3, concat(lit("http://www."), col("source"),
+        lit(".example.com:80/p/"), n, lit("?fbclid=zz")))
+      .otherwise(concat(lit("https://"), upper(col("source")),
+        lit(".example.com/p/"), n, lit("/")))
+  }
+
+  private val urlSqlCase = """
+      CASE doc_id % 5
+        WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/p/' || CAST(doc_id // 7 AS VARCHAR) || '/?utm_source=x&b=2&a=1#frag'
+        WHEN 1 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id // 7 AS VARCHAR) || '?a=1&b=2'
+        WHEN 2 THEN 'http://' || source || '.example.com:8080/p/' || CAST(doc_id // 7 AS VARCHAR)
+        WHEN 3 THEN 'http://www.' || source || '.example.com:80/p/' || CAST(doc_id // 7 AS VARCHAR) || '?fbclid=zz'
+        ELSE 'https://' || upper(source) || '.example.com/p/' || CAST(doc_id // 7 AS VARCHAR) || '/'
+      END"""
+
+  // The oracle replays the same canonicalization in DuckDB SQL. DuckDB
+  // regexp_replace is first-match-only without the 'g' flag — every
+  // pattern here is anchored, so first == only. list_sort is binary
+  // order, matching Spark array_sort on ASCII params.
+  private val canonSql = s"""
+      u AS (SELECT doc_id, source, n_chars, $urlSqlCase AS url FROM documents),
+      parts AS (SELECT doc_id, source, n_chars, url,
+                       lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+                FROM u),
+      hp AS (SELECT *, lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+                    regexp_replace(regexp_replace(rest, '^[^/?#]*', ''), '#.*$$', '') AS pqf
+             FROM parts),
+      hx AS (SELECT *,
+                    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+                    regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''), '^www\\.', '') AS host,
+                    regexp_replace(regexp_extract(pqf, '^([^?]*)', 1), '/$$', '') AS path,
+                    regexp_extract(pqf, '\\?(.*)$$', 1) AS query
+             FROM hp),
+      qy AS (SELECT *,
+                    -- DuckDB 1.0 array_to_string over an EMPTY list is
+                    -- NULL, not '' — without the COALESCE every
+                    -- no-surviving-params URL canonicalizes to NULL
+                    COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+                      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?$$'))), '&'), '') AS q2
+             FROM hx),
+      canon AS (SELECT doc_id, source, n_chars, host,
+                       CASE WHEN scheme = '' THEN NULL ELSE
+                         scheme || '://' || host ||
+                         CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                                   OR (scheme = 'https' AND port = '443')
+                              THEN '' ELSE ':' || port END ||
+                         path ||
+                         CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END
+                       END AS canonical_url
+                FROM qy)"""
+
+  private val q167 = GraftQuery(
+    "q167_url_dedup",
+    (s, dir) => urlDedup(
+        Tables.documents(s, dir).withColumn("url", messyUrl()),
+        "url", "doc_id")
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH $canonSql
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, canonical_url,
+             regexp_replace(regexp_replace(lower(regexp_extract(regexp_replace(canonical_url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)), ':[0-9]+$$', ''), '^www\\.', '') AS host,
+             CAST(COUNT(*) AS BIGINT) AS n_dups
+      FROM canon
+      WHERE canonical_url IS NOT NULL
+      GROUP BY canonical_url
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q168
+  private val q168 = GraftQuery(
+    "q168_host_profile",
+    (s, dir) => hostProfile(
+        Tables.documents(s, dir).withColumn("url", messyUrl()),
+        "url", "doc_id", "n_chars")
+      .orderBy(col("host")),
+    Some(s"""
+      WITH $canonSql
+      SELECT host, 'v:' || host AS host_key,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id
+      FROM canon
+      WHERE canonical_url IS NOT NULL
+      GROUP BY host
+      ORDER BY host"""))
+
+  val all: Seq[GraftQuery] = Seq(q167, q168)
+}

@@ -417,9 +417,17 @@ class DataPrepSpec extends SparkSpec {
     }.toSet
     assert(chained.toSet != independent, "test data too easy: base line never mattered")
 
-    // the line equals the full totals after all batches
-    val full = batches.flatten.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // the line equals the full totals after all batches (keys carry the
+    // collision-free domainKey encoding: "v:"+group, "n" for null)
+    val full = batches.flatten.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+      .toMap.map { case (g, w) => s"v:$g" -> w }
     assert(line == full)
+    // a raw-keyed (non-encoded) base map is refused loudly, not read as 0
+    val err = intercept[IllegalArgumentException] {
+      DataPrep.ppsAdmitBatch(batches.head.toDF("id", "g", "w"),
+        Map("s0" -> 100L), "g", "id", "w", step)
+    }
+    assert(err.getMessage.contains("domainKey-encoded"))
   }
 
   test("memorizationAudit: contained, partial, and novel generations score exactly") {

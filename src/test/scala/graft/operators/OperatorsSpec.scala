@@ -749,6 +749,16 @@ class OperatorsSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(unseen.getDouble(2)) ==
         java.lang.Double.doubleToLongBits(rDef),
       s"unseen bucket must score the exact smoothed default: $unseen vs $rDef")
+    // the artifact records its bucket count; a scorer run at a different
+    // count must refuse loudly, not silently mis-hash (r12 advice)
+    assert(stored.columns.contains("buckets"),
+      "ratio table must persist its bucket count")
+    val mism = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.dsirScoreStored(
+        docs, "doc_id", "text", stored, buckets = 8192)
+    }
+    assert(mism.getMessage.contains("buckets=4096"),
+      s"mismatch message should name the stored count: ${mism.getMessage}")
   }
 
   test("readability: hand-computed centi-integer FK grade and reading ease on planted text") {

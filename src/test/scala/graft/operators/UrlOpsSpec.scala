@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class UrlOpsSpec extends SparkSpec {
+
+  test("canonicalizeUrl: every documented rule on planted fixtures") {
+    import spark.implicits._
+    val fixtures = Seq(
+      // case: scheme+host fold, path case preserved
+      ("HTTPS://WWW.News.Example.COM/Articles/Today", "https://news.example.com/Articles/Today"),
+      // default ports stripped, non-default kept
+      ("https://a.com:443/x", "https://a.com/x"),
+      ("http://a.com:80/x", "http://a.com/x"),
+      ("http://a.com:8080/x", "http://a.com:8080/x"),
+      // https:80 is NOT the default — kept
+      ("https://a.com:80/x", "https://a.com:80/x"),
+      // fragment dropped
+      ("https://a.com/x#section-2", "https://a.com/x"),
+      // tracking params dropped, survivors sorted, ? kept
+      ("https://a.com/x?utm_source=tw&z=1&a=2&fbclid=abc&gclid=g", "https://a.com/x?a=2&z=1"),
+      // only tracking params -> no '?'
+      ("https://a.com/x?utm_campaign=c&utm_medium=m", "https://a.com/x"),
+      // bare utm param without '=' also dropped
+      ("https://a.com/x?utm_source&b=1", "https://a.com/x?b=1"),
+      // trailing slash stripped; root path folds to empty
+      ("https://a.com/x/", "https://a.com/x"),
+      ("https://a.com/", "https://a.com"),
+      ("https://a.com", "https://a.com"),
+      // one leading www. only; inner 'www.' untouched
+      ("https://www.www.a.com/x", "https://www.a.com/x"),
+      // host query param VALUES keep their case (only scheme+host fold)
+      ("https://a.com/x?q=Hello", "https://a.com/x?q=Hello")
+    )
+    val got = fixtures.map(_._1).toDF("url")
+      .select(col("url"), UrlOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    fixtures.foreach { case (in, want) =>
+      assert(got(in) == want, s"$in -> ${got(in)}, want $want")
+    }
+    // scheme-less and NULL inputs canonicalize to NULL (refuse-visibly)
+    val nulls = Seq(Some("a.com/x"), Some("not a url"), None)
+      .toDF("url")
+      .select(UrlOps.canonicalizeUrl(col("url")).as("c"))
+      .collect()
+    assert(nulls.forall(_.isNullAt(0)), nulls.mkString(","))
+  }
+
+  test("urlHost: lowercased, www/port stripped; null for scheme-less") {
+    import spark.implicits._
+    val got = Seq("HTTPS://WWW.A.Example.COM:8443/p?q=1#f", "nota url")
+      .toDF("url").select(UrlOps.urlHost(col("url"))).collect()
+    assert(got(0).getString(0) == "a.example.com")
+    assert(got(1).isNullAt(0))
+  }
+
+  test("urlDedup: keep-first per canonical key; scheme-less rows excluded; plan is one hash-agg") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://a.com/x?b=2&a=1"),
+      (2L, "HTTP://WWW.A.COM:80/y"),
+      (3L, "https://www.a.com:443/x/?a=1&b=2#frag"), // dup of 1 canonically
+      (4L, "garbage-no-scheme"),
+      (5L, "http://a.com/y") // dup of 2
+    ).toDF("doc_id", "url")
+    val got = UrlOps.urlDedup(docs, "url", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "https://a.com/x?a=1&b=2", "a.com", 2L),
+      (2L, "http://a.com/y", "a.com", 2L)), got.toString)
+    // scale shape: a single hash-agg on the canonical key, no window,
+    // no sort, no join in the physical plan
+    val plan = UrlOps.urlDedup(docs, "url", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+      s"urlDedup must be one hash-agg:\n$plan")
+  }
+
+  test("hostProfile: counts, distinct urls, rep id, v:-encoded host key") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "https://b.com/1", 100L),
+      (11L, "https://b.com/1/", 50L),   // same canonical URL
+      (12L, "https://b.com/2", 25L),
+      (13L, "http://c.com/", 7L),
+      (14L, "no-scheme", 999L)          // excluded
+    ).toDF("doc_id", "url", "n_chars")
+    val got = UrlOps.hostProfile(docs, "url", "doc_id", "n_chars")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got("b.com") == (("v:b.com", 3L, 2L, 175L, 10L)), got.toString)
+    assert(got("c.com") == (("v:c.com", 1L, 1L, 7L, 13L)), got.toString)
+    assert(got.size == 2)
+    // the host_key column is capAdmitBatch-compatible: encoded keys
+    // pass the admit guard verbatim
+    val consumed = got.map { case (_, (k, n, _, _, _)) => k -> n }
+    DataPrep.capAdmitBatch(docs.filter(col("doc_id") =!= 14L)
+      .withColumn("host", UrlOps.urlHost(col("url"))),
+      consumed, "host", "doc_id", k = 5).collect() // must not throw
+  }
+}

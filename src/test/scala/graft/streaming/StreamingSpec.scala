@@ -863,13 +863,14 @@ class StreamingSpec extends SparkSpec {
         .foldLeft(base) { case (m, (g, t)) => m + (g -> (m.getOrElse(g, 0L) + t)) }
       // exact-allocation-at-every-prefix: after EVERY batch each
       // stratum's cumulative eval count is exactly floor(rank*pct/100)
-      prefixCounts += ((base.getOrElse("A", 0L), base.getOrElse("B", 0L)))
+      // base keys carry the domainKey encoding ("v:"+stratum)
+      prefixCounts += ((base.getOrElse("v:A", 0L), base.getOrElse("v:B", 0L)))
       val evalByStratum = rows.filter(r => chained(r._1)).groupBy(_._2)
         .view.mapValues(_.size.toLong).toMap
       assert(evalByStratum.getOrElse("A", 0L) ==
-        base.getOrElse("A", 0L) * pct / 100, s"A at $base: $evalByStratum")
+        base.getOrElse("v:A", 0L) * pct / 100, s"A at $base: $evalByStratum")
       assert(evalByStratum.getOrElse("B", 0L) ==
-        base.getOrElse("B", 0L) * pct / 100, s"B at $base: $evalByStratum")
+        base.getOrElse("v:B", 0L) * pct / 100, s"B at $base: $evalByStratum")
     }
     // chained == one-shot over the concatenated line (batches in arrival
     // order, (md5(id), id) order within a batch): replay driver-side
@@ -913,7 +914,9 @@ class StreamingSpec extends SparkSpec {
         .foldLeft(base) { case (m, (g, t)) =>
           m + (g -> (m.getOrElse(g, 0L) + t)) }
     }
-    assert(base == Map("null" -> 480L), s"$base")
+    // the NULL group keys as "n" (collision-free domainKey encoding,
+    // r13: a group literally named "null" can no longer share its line)
+    assert(base == Map("n" -> 480L), s"$base")
     assert(admitted.size == 3,
       s"null group must admit exactly 3 across batches, got ${admitted.toSeq.sorted}")
     // stratified at 25% over batches of 3: eval fires at GLOBAL ranks

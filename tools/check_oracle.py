@@ -3,16 +3,46 @@
 
 Runs DuckDB oracle SQL (from Verify's oracle_sql.json) against the same
 parquet tables and compares with the Spark results Verify dumped.
-Usage: check_oracle.py <sfDir> <verifyOutDir>
+Usage: check_oracle.py <sfDir> <verifyOutDir> [--cap SECONDS]
+
+Guards (round-13 lessons):
+  * Every Spark result dir in outDir must have an oracle entry — a query
+    missing from oracle_sql.json is a loud [MISS], not a silent skip
+    (a filtered re-dump into a reused dir hid 13 queries in round 12).
+  * Each oracle runs under a wall-time cap (default 60 s): a runaway
+    oracle (e.g. a non-MATERIALIZED multi-referenced CTE cascade that
+    DuckDB inlines exponentially) fails THIS gate loudly instead of
+    starving the driver's whole correctness budget.
 """
 import glob
 import json
 import math
 import os
 import sys
+import threading
+import time
 
 import duckdb
 import pandas as pd
+
+ORACLE_CAP_SEC = 60.0
+
+
+def run_capped(con, sql, cap):
+    """Run sql on con; duckdb.interrupt() it if it exceeds cap seconds."""
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(cap):
+            con.interrupt()
+
+    w = threading.Thread(target=watchdog, daemon=True)
+    t0 = time.monotonic()
+    w.start()
+    try:
+        return con.execute(sql).df(), time.monotonic() - t0
+    finally:
+        done.set()
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -50,6 +80,9 @@ def values_equal(a, b) -> bool:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    cap = ORACLE_CAP_SEC
+    if "--cap" in sys.argv:
+        cap = float(sys.argv[sys.argv.index("--cap") + 1])
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -57,6 +90,15 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    # Loud MISS for any dumped Spark result with no oracle entry: a
+    # query that silently vanishes from the gate is worse than a
+    # failing one.
+    dumped = {os.path.basename(d) for d in glob.glob(f"{out_dir}/*")
+              if os.path.isdir(d) and glob.glob(f"{d}/*.parquet")}
+    for name in sorted(dumped - set(oracle)):
+        print(f"[MISS] {name}: spark output present but NO oracle entry")
+        n_bad += 1
+    slow = []
     for name in sorted(oracle):
         sql = oracle[name]
         spark_path = f"{out_dir}/{name}"
@@ -67,9 +109,26 @@ def main():
         try:
             got = canon(con.execute(
                 f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df())
-            want = canon(con.execute(sql).df())
+            want, secs = run_capped(con, sql, cap)
+            want = canon(want)
+            if secs > cap:
+                print(f"[SLOW] {name}: oracle took {secs:.1f}s (cap {cap:.0f}s)")
+                n_bad += 1
+                continue
+            if secs > cap / 2:
+                slow.append((name, secs))
+        except duckdb.InterruptException:
+            print(f"[TIME] {name}: oracle exceeded {cap:.0f}s wall cap — "
+                  "check for multi-referenced plain CTEs (needs MATERIALIZED)")
+            n_bad += 1
+            continue
         except Exception as e:
-            print(f"[ERR ] {name}: {str(e).splitlines()[0][:200]}")
+            msg = str(e).splitlines()[0][:200]
+            if "INTERRUPT" in msg.upper() or "interrupted" in msg.lower():
+                print(f"[TIME] {name}: oracle exceeded {cap:.0f}s wall cap — "
+                      "check for multi-referenced plain CTEs (needs MATERIALIZED)")
+            else:
+                print(f"[ERR ] {name}: {msg}")
             n_bad += 1
             continue
         if list(got.columns) != list(want.columns):
@@ -95,6 +154,9 @@ def main():
         else:
             print(f"[ OK ] {name}: {len(got)} rows")
             n_ok += 1
+    for name, secs in slow:
+        print(f"[WARN] {name}: oracle took {secs:.1f}s (> half the "
+              f"{cap:.0f}s cap) — consider MATERIALIZED / smaller fixture")
     print(f"\n{n_ok} ok, {n_bad} bad")
     sys.exit(1 if n_bad else 0)
 
