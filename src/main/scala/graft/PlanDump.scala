@@ -42,7 +42,9 @@ object PlanDump {
     "q160_c4_clean", "q161_quality_classifier",
     // q162 is eager-driver (iterative persist/count loop) — excluded
     "q163_export_manifest", "q164_encoding_audit",
-    "q165_source_concentration", "q166_readability")
+    "q165_source_concentration", "q166_readability",
+    // round 13 (q169's model learn collects pins — still lazy-plannable)
+    "q167_url_dedup", "q168_host_profile", "q169_langid_ngram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -258,6 +258,24 @@ object ScaleProbe {
         val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         println(s"""{"metric":"scaleprobe-r12c","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
 
+      case "r13ops" =>
+        // round-13 additions at probe decades: URL canonical dedup +
+        // host profile (stateless canonicalize scan + one hash-agg —
+        // expect linear), char-trigram language ID (learn over half the
+        // corpus + dense-model broadcast scoring — expect linear with a
+        // constant model term)
+        val out = scaledDocsDir(spark, src, copies)
+        val names = Seq("q167_url_dedup", "q168_host_profile",
+          "q169_langid_ngram")
+        val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
+        val times = names.map { name =>
+          val (_, t) = timed(SparkEntry.queries(name)(spark, out)
+            .write.format("noop").mode("overwrite").save())
+          name -> t
+        }
+        val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        println(s"""{"metric":"scaleprobe-r13ops","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
+
       case "chainstages" =>
         // Five-stage wall/rows breakdown of the q93b curation chain
         // (VERDICT r11 stretch #9): each tap forces the stage frame and
