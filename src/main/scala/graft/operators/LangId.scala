@@ -47,16 +47,23 @@ import graft.sources.Tables
 object LangId {
 
   private def triBuckets(textCol: String, buckets: Int) = {
-    val lo = lower(col(textCol))
     // one row per character-trigram position; docs shorter than 3
-    // chars contribute nothing (sequence(1, len-2) needs len >= 3)
-    (df: DataFrame) => df
-      .filter(length(lo) >= 3)
-      .select(df.columns.map(col) :+
-        explode(sequence(lit(1), length(lo) - 2)).as("__i"): _*)
-      .select(df.columns.map(col) :+
-        pmod(conv(substring(md5(expr(s"substring(lower($textCol), __i, 3)")),
-          1, 6), 16, 10).cast("long"), lit(buckets.toLong)).as("bkt"): _*)
+    // chars contribute nothing (sequence(1, len-2) needs len >= 3).
+    // `lower(text)` is materialized as a column BEFORE the explode:
+    // referencing lower($textCol) inside the post-explode projection
+    // would re-lowercase the WHOLE document once per trigram row —
+    // O(len²) chars per doc (measured ~25% of q169's decade wall).
+    (df: DataFrame) => {
+      val keep = df.columns.filterNot(_ == textCol).map(col)
+      df
+        .filter(length(col(textCol)) >= 3)
+        .select(keep :+ lower(col(textCol)).as("__lo"): _*)
+        .select((keep :+ col("__lo")) :+
+          explode(sequence(lit(1), length(col("__lo")) - 2)).as("__i"): _*)
+        .select(keep :+
+          pmod(conv(substring(md5(col("__lo").substr(col("__i"), lit(3))),
+            1, 6), 16, 10).cast("long"), lit(buckets.toLong)).as("bkt"): _*)
+    }
   }
 
   /** Learn the stored LID model from a labeled corpus: one row per
