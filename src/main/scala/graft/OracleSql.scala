@@ -18,8 +18,14 @@ package graft
   *     (PARTITION …)` — start with PARTITION/ORDER/ROWS/RANGE and are
   *     left alone),
   *   - it is not already MATERIALIZED,
-  *   - it does not reference itself (recursive CTEs cannot be
-  *     materialized),
+  *   - it is not recursive. A CTE can only be recursive when the
+  *     statement begins `WITH RECURSIVE` (SQL standard; DuckDB agrees),
+  *     so only then does a body mention of the CTE's own name mark it
+  *     recursive. A plain statement's CTE whose body merely aliases a
+  *     COLUMN to the CTE's name (`sq AS (SELECT … AS sq FROM ps)`) is
+  *     NOT recursive and must still be rewritten — the earlier
+  *     any-word-occurrence check silently skipped exactly that common
+  *     shape (ADVICE r13),
   *   - the full statement references it at least twice outside its own
   *     header (single-reference CTEs stay plain so DuckDB can still
   *     inline + push filters through them).
@@ -54,7 +60,12 @@ object OracleSql {
     ("""(?i)\b""" + java.util.regex.Pattern.quote(word) + """\b""").r
       .findAllMatchIn(hay).size
 
+  /** True iff the statement can contain a recursive CTE at all. */
+  def isRecursiveStatement(sql: String): Boolean =
+    sql.dropWhile(_.isWhitespace).take(14).equalsIgnoreCase("with recursive")
+
   def materializeCtes(sql: String): String = {
+    val recursiveStmt = isRecursiveStatement(sql)
     // Collect (defStart, insertAt, name, bodyStart, bodyEnd) for every
     // qualifying plain CTE definition.
     val edits = DefPattern.findAllMatchIn(sql).flatMap { m =>
@@ -67,7 +78,7 @@ object OracleSql {
         val body = sql.substring(open + 1, close)
         val bodyIsSelect = body.dropWhile(_.isWhitespace)
           .take(6).equalsIgnoreCase("select")
-        val selfRef = wordCount(body, name) > 0
+        val selfRef = recursiveStmt && wordCount(body, name) > 0
         // references = total mentions − this definition's own header
         val refs = wordCount(sql, name) - 1
         if (bodyIsSelect && !selfRef && refs >= 2)

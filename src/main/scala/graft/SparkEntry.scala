@@ -13,7 +13,10 @@ import graft.plans.{ScaleOps, TopKPerKey}
   * and the oracle (the driver sorts columns by name before hashing).
   */
 object SparkEntry {
-  private def registry: Seq[GraftQuery] =
+  /** The single source of truth for the declared-operator inventory.
+    * Public so SparkEntrySpec derives its invariants from the same list —
+    * a hardcoded mirror desynchronized once (r13) and never will again. */
+  def registry: Seq[GraftQuery] =
     Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
       Multimodal.all ++ Sketches.all ++ MapReduceParity.all ++ Windows.all ++
       Curation.all ++ CurationChain.all ++ SqlSurface.all ++ ScaleOps.all ++

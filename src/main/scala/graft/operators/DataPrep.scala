@@ -733,7 +733,15 @@ object DataPrep {
     * group): build and advance them with [[ppsGroupTotals]], never with
     * raw group names — a raw key misses every lookup, reads base 0, and
     * silently breaks the chained ≡ one-shot law, so it is refused
-    * loudly here (the capAdmitBatch guard). */
+    * loudly here (the capAdmitBatch guard).
+    *
+    * MIGRATION (r13 keying change): consumed-state lines persisted by
+    * pre-r13 versions (e.g. Streams.PpsAdmission state tables) carry
+    * RAW group keys and are invalid under this encoding — this guard
+    * throws on the first admit rather than silently reading base 0.
+    * Re-key stored lines (`raw → "v:"+raw`, NULL group → `"n"`) or
+    * rebuild the line by replaying ppsGroupTotals over the admitted
+    * batches; do not suppress the guard. */
   private def frozenBase(baseTotals: Map[String, Long],
       groupCol: String): Column = {
     baseTotals.keys.find(kk => !(kk == "n" || kk.startsWith("v:"))).foreach { bad =>

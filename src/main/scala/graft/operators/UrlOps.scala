@@ -54,6 +54,21 @@ object UrlOps {
         regexp_replace(regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", ""))
   }
 
+  /** Host component of an ALREADY-CANONICAL URL. [[canonicalizeUrl]]
+    * already lowercased the host, stripped one leading `www.` and
+    * dropped default ports — so this must NOT re-strip `www.`: a raw
+    * `www.www.a.com` canonicalizes to host `www.a.com`, and running
+    * [[urlHost]] (which strips again) over the canonical form would
+    * yield `a.com`, disagreeing with [[hostProfile]]'s `urlHost(raw)`
+    * key that feeds the same `v:`-encoded per-host cap (ADVICE r13).
+    * The two operators now provably share one host key: for any raw
+    * host h, host-of-canonical(h) == urlHost(h). Non-default explicit
+    * ports survive canonicalization and are still removed here. */
+  private def hostOfCanonical(canonUrl: Column): Column =
+    regexp_replace(
+      regexp_extract(regexp_replace(canonUrl, SchemeRe, ""), "^([^/?#]*)", 1),
+      ":[0-9]+$", "")
+
   /** Full canonical URL per the object scaladoc; NULL when the input
     * is NULL or has no `scheme://` prefix. */
   def canonicalizeUrl(url: Column): Column = {
@@ -83,8 +98,10 @@ object UrlOps {
     * the keep-first convention) with the collapse count. Scheme-less /
     * NULL URLs are EXCLUDED (their canonical key is NULL; folding all
     * of them into one "null URL" cluster would mass-delete unrelated
-    * docs — route them to quarantine instead). One hash-agg + one
-    * self-semi-join on the canonical key; no windows, no sort. */
+    * docs — route them to quarantine instead). A single groupBy/agg on
+    * the canonical key (keep-first via `min(id)`, collapse count in
+    * the same pass) plus a stateless host projection of the group key;
+    * no joins, no windows, no sort. */
   def urlDedup(docs: DataFrame, urlCol: String, idCol: String): DataFrame = {
     val canon = docs
       .withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
@@ -92,9 +109,7 @@ object UrlOps {
     canon
       .groupBy(col("canonical_url"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
-      .withColumn("host", urlHost(
-        // the kept row's canonical url IS a url — host parses from it
-        col("canonical_url")))
+      .withColumn("host", hostOfCanonical(col("canonical_url")))
       .select(col(idCol), col("canonical_url"), col("host"), col("n_dups"))
   }
 
@@ -120,6 +135,86 @@ object UrlOps {
       .withColumn("host_key", concat(lit("v:"), col("host")))
       .select(col("host"), col("host_key"), col("n_docs"), col("n_urls"),
         col("total_chars"), col("rep_doc_id"))
+
+  /** Validate + fold a stored host block/allow list: keys must carry
+    * the [[DataPrep.capAdmitBatch]] `v:` encoding (hostnames cannot
+    * contain ':' — RFC 1123 — so no raw host can slip past; same guard
+    * discipline as the consumed-state maps), rules must be non-NULL
+    * (an unattributable drop is a ledger hole), and duplicate host_key
+    * rows fold to `min(rule)` so a doc can never fan out through the
+    * gate join. */
+  private def validatedList(list: DataFrame, what: String): DataFrame = {
+    require(Seq("host_key", "rule").forall(list.columns.contains),
+      s"$what needs (host_key, rule) columns, got " +
+        list.columns.mkString("(", ", ", ")"))
+    list.select(
+        when(col("host_key").isNull || !col("host_key").startsWith("v:"),
+          raise_error(concat(lit(s"$what key '"), col("host_key"),
+            lit("' is not domainKey-encoded ('v:'+host) — build keys as " +
+              "'v:' || host (hostProfile.host_key), never raw hosts"))))
+          .otherwise(col("host_key")).as("host_key"),
+        when(col("rule").isNull,
+          raise_error(lit(s"$what: NULL rule — every listed host needs " +
+            "an attributable rule for the drop ledger")))
+          .otherwise(col("rule")).as("rule"))
+      .groupBy(col("host_key")).agg(min(col("rule")).as("rule"))
+  }
+
+  /** Host blocklist gate — the standard crawl-hygiene companion to
+    * [[hostProfile]] (VERDICT r13 next #6): keep docs whose canonical
+    * host is NOT on a stored blocklist `(host_key, rule)` keyed by the
+    * `v:`-encoded host. Scheme-less docs (NULL host) are dropped too —
+    * quarantine, not pass-through (an ungateable row must not slip a
+    * host policy). The blocklist is a stored policy artifact (thousands
+    * to low millions of hosts — KBs to ~100 MB): broadcast left-anti
+    * join, so the corpus NEVER shuffles; survivors keep every input
+    * column plus `host`/`host_key`. */
+  def hostGate(docs: DataFrame, urlCol: String,
+      blocklist: DataFrame): DataFrame = {
+    val bl = validatedList(blocklist, "hostGate blocklist")
+    docs
+      .withColumn("host", urlHost(col(urlCol)))
+      .filter(col("host").isNotNull)
+      .withColumn("host_key", concat(lit("v:"), col("host")))
+      .join(broadcast(bl.select(col("host_key"))), Seq("host_key"),
+        "left_anti")
+  }
+
+  /** Allowlist twin of [[hostGate]]: keep ONLY docs whose host is on
+    * the stored list (broadcast left-semi join — same never-shuffle
+    * shape). Scheme-less docs cannot match and are dropped. */
+  def hostAllowGate(docs: DataFrame, urlCol: String,
+      allowlist: DataFrame): DataFrame = {
+    val al = validatedList(allowlist, "hostAllowGate allowlist")
+    docs
+      .withColumn("host", urlHost(col(urlCol)))
+      .withColumn("host_key", concat(lit("v:"), col("host")))
+      .join(broadcast(al.select(col("host_key"))), Seq("host_key"),
+        "left_semi")
+  }
+
+  /** Per-rule drop accounting for [[hostGate]], riding the q134
+    * cascade ledger verbatim ([[DataPrep.cascadeAccounting]]): stage 0
+    * is the scheme-less quarantine, then one stage per distinct rule in
+    * lexicographic order with first-fail attribution (disjoint by
+    * construction — a host folds to one rule). Rules are a bounded
+    * policy enum: ≤ 15 here (+ quarantine = cascadeAccounting's 16-
+    * stage cap); the distinct-rules read is O(rules) on the driver. */
+  def hostGateLedger(docs: DataFrame, urlCol: String,
+      blocklist: DataFrame): DataFrame = {
+    val bl = validatedList(blocklist, "hostGate blocklist")
+    val rules = bl.select(col("rule")).distinct().sort(col("rule"))
+      .limit(17).collect().map(_.getString(0))
+    require(rules.nonEmpty && rules.length <= 15,
+      s"1..15 distinct blocklist rules (ledger stages), got ${rules.length}")
+    val joined = docs
+      .withColumn("__host", urlHost(col(urlCol)))
+      .join(broadcast(bl),
+        concat(lit("v:"), col("__host")) === bl("host_key"), "left")
+    DataPrep.cascadeAccounting(joined,
+      ("schemeless_quarantine" -> col("__host").isNotNull) +:
+        rules.toSeq.map(r => r -> !(col("rule") <=> lit(r))))
+  }
 
   // ---------------------------------------------------------------- q167
   // Declared crawl-hygiene query over deterministic messy URLs derived
@@ -198,7 +293,9 @@ object UrlOps {
     Some(s"""
       WITH $canonSql
       SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, canonical_url,
-             regexp_replace(regexp_replace(lower(regexp_extract(regexp_replace(canonical_url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)), ':[0-9]+$$', ''), '^www\\.', '') AS host,
+             -- host of the CANONICAL url: no www re-strip (canonicalize
+             -- already stripped one) so the key matches q168's urlHost(raw)
+             regexp_replace(regexp_extract(regexp_replace(canonical_url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1), ':[0-9]+$$', '') AS host,
              CAST(COUNT(*) AS BIGINT) AS n_dups
       FROM canon
       WHERE canonical_url IS NOT NULL
@@ -224,5 +321,81 @@ object UrlOps {
       GROUP BY host
       ORDER BY host"""))
 
-  val all: Seq[GraftQuery] = Seq(q167, q168)
+  // ----------------------------------------------------------- q170/q170b
+  // Host-gate fixtures: the q167 messy URLs plus a planted scheme-less
+  // shape every 97th doc (exercises the quarantine stage — the messy
+  // fixture alone is always schemed), gated by a 4-host / 2-rule
+  // literal blocklist over the fixture's {source}.example.com hosts.
+  private def gateUrl(): Column =
+    when(pmod(col("doc_id"), lit(97)) === 0,
+      concat(lit("relative/path/"), col("doc_id").cast("string")))
+      .otherwise(messyUrl())
+
+  private val gateUrlSql = s"""
+      CASE WHEN doc_id % 97 = 0
+           THEN 'relative/path/' || CAST(doc_id AS VARCHAR)
+           ELSE $urlSqlCase END"""
+
+  private val blockRows = Seq(
+    "v:src1.example.com" -> "spam", "v:src7.example.com" -> "spam",
+    "v:src2.example.com" -> "adult", "v:src12.example.com" -> "adult")
+
+  private val blockSqlValues = blockRows
+    .map { case (k, r) => s"('$k', '$r')" }.mkString(", ")
+
+  // raw-url host (urlHost semantics: lower, strip one www., strip port;
+  // NULL when scheme-less) — replayed for both gate oracles
+  private val gateHostSql = s"""
+      u AS (SELECT doc_id, $gateUrlSql AS url FROM documents),
+      h AS (SELECT doc_id,
+                   CASE WHEN regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '' THEN NULL
+                        ELSE regexp_replace(regexp_replace(lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)), ':[0-9]+$$', ''), '^www\\.', '')
+                   END AS host
+            FROM u),
+      bl AS (SELECT host_key, MIN(rule) AS rule
+             FROM (VALUES $blockSqlValues) AS v(host_key, rule)
+             GROUP BY host_key)"""
+
+  private val q170 = GraftQuery(
+    "q170_host_gate",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).withColumn("url", gateUrl())
+      hostGate(docs, "url", blockRows.toDF("host_key", "rule"))
+        .select(col("doc_id"), col("host"), col("host_key"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $gateHostSql
+      SELECT doc_id, host, 'v:' || host AS host_key
+      FROM h
+      WHERE host IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM bl WHERE bl.host_key = 'v:' || h.host)
+      ORDER BY doc_id"""))
+
+  private val q170b = GraftQuery(
+    "q170b_host_gate_ledger",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).withColumn("url", gateUrl())
+      hostGateLedger(docs, "url", blockRows.toDF("host_key", "rule"))
+    },
+    Some(s"""
+      WITH $gateHostSql,
+      j AS (SELECT h.doc_id, h.host, b.rule
+            FROM h LEFT JOIN bl b ON b.host_key = 'v:' || h.host),
+      c AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+                   CAST(SUM(CASE WHEN host IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+                   CAST(SUM(CASE WHEN host IS NOT NULL AND rule = 'adult' THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(SUM(CASE WHEN host IS NOT NULL AND rule = 'spam' THEN 1 ELSE 0 END) AS BIGINT) AS d2
+            FROM j)
+      SELECT 0 AS stage, 'schemeless_quarantine' AS name, total AS n_in,
+             d0 AS n_drop, total - d0 AS n_out FROM c
+      UNION ALL
+      SELECT 1, 'adult', total - d0, d1, total - d0 - d1 FROM c
+      UNION ALL
+      SELECT 2, 'spam', total - d0 - d1, d2, total - d0 - d1 - d2 FROM c
+      ORDER BY stage"""))
+
+  val all: Seq[GraftQuery] = Seq(q167, q168, q170, q170b)
 }

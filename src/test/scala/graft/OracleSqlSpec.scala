@@ -34,6 +34,17 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(OracleSql.materializeCtes(sql) == sql)
   }
 
+  test("a column aliased to the CTE's own name is NOT recursive (ADVICE r13)") {
+    // `sq AS (SELECT … AS sq FROM ps)` in a plain (non-RECURSIVE)
+    // statement must still be materialized when multi-referenced — the
+    // old any-word-occurrence self-ref check silently skipped it.
+    val sql = "WITH ps AS (SELECT 1 AS x), " +
+      "sq AS (SELECT x * x AS sq FROM ps) " +
+      "SELECT * FROM sq JOIN sq s2 USING (sq)"
+    val out = OracleSql.materializeCtes(sql)
+    assert(out.contains("sq AS MATERIALIZED (SELECT x * x AS sq"))
+  }
+
   test("leaves already-MATERIALIZED CTEs alone (no double keyword)") {
     val sql = "WITH a AS MATERIALIZED (SELECT 1 AS x) " +
       "SELECT * FROM a JOIN a a2 USING (x)"
@@ -73,6 +84,7 @@ class OracleSqlSpec extends AnyFunSuite {
     // would inline it exponentially). Recursive CTEs are exempt.
     val defP = """(?i)\b([a-zA-Z_][a-zA-Z0-9_]*)\s+AS\s+\(""".r
     for ((name, sql) <- SparkEntry.oracleSql) {
+      val recursiveStmt = OracleSql.isRecursiveStatement(sql)
       for (m <- defP.findAllMatchIn(sql)) {
         val cte = m.group(1)
         val refs =
@@ -96,7 +108,10 @@ class OracleSqlSpec extends AnyFunSuite {
           val body = sql.substring(open + 1, close)
           val isSelect =
             body.dropWhile(_.isWhitespace).take(6).equalsIgnoreCase("select")
-          val selfRef =
+          // same rule as materializeCtes: self-reference only possible
+          // in a WITH RECURSIVE statement (a plain CTE aliasing a column
+          // to its own name is not recursive and must be materialized)
+          val selfRef = recursiveStmt &&
             ("""(?i)\b""" + java.util.regex.Pattern.quote(cte) + """\b""").r
               .findAllMatchIn(body).nonEmpty
           assert(!(isSelect && !selfRef && refs >= 2),

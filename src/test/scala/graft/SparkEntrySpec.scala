@@ -12,9 +12,15 @@ class SparkEntrySpec extends AnyFunSuite {
   // estimates now ship error-law oracles (exact stats + within-5% bools)
   private val rowsOnly = Set.empty[String]
 
+  // derived from SparkEntry.registry itself — never a hardcoded module
+  // mirror (r13 lesson: the mirror desynchronized when modules were added)
+  private val static = SparkEntry.registry
+
   test("every declared query has a unique, conventionally named key") {
-    val names = SparkEntry.queries.keys.toSeq
-    assert(names.size == names.distinct.size, "duplicate query names")
+    val names = static.map(_.name)
+    assert(names.size == names.distinct.size, "duplicate query names in registry")
+    // queries.toMap would silently collapse a duplicate key — size must agree
+    assert(SparkEntry.queries.size == names.size, "queries map lost a registry entry")
     val bad = names.filterNot(_.matches("^q[0-9]+[a-z]*_[a-z0-9_]+$"))
     assert(bad.isEmpty, s"unconventional names: $bad")
   }
@@ -25,16 +31,6 @@ class SparkEntrySpec extends AnyFunSuite {
     // oracleSql only includes generated oracles once their query ran;
     // compare against static declarations instead: a query is exempt
     // only if in the rows-only set or its oracle is generated at run time
-    val static = Seq(
-      graft.operators.Relational.all, graft.operators.TextAnalysis.all,
-      graft.operators.Dedup.all, graft.operators.Similarity.all,
-      graft.operators.Multimodal.all, graft.operators.Sketches.all,
-      graft.operators.MapReduceParity.all, graft.operators.Windows.all,
-      graft.operators.Curation.all, graft.operators.CurationChain.all,
-      graft.operators.SqlSurface.all,
-      graft.plans.ScaleOps.all, graft.plans.TopKPerKey.all,
-      graft.operators.DataPrep.all, graft.operators.Profiler.all,
-      graft.operators.Graph.all).flatten
     assert(static.map(_.name).toSet == declared, "registry drift vs SparkEntry")
     val uncovered = static.filter(q =>
       q.oracle.isEmpty && q.oracleGen.isEmpty && !rowsOnly(q.name))
@@ -51,16 +47,6 @@ class SparkEntrySpec extends AnyFunSuite {
   test("every static oracle aliases the same column names the query emits") {
     // cheap textual guard for the driver's sorted-column hash compare:
     // each emitted column name must literally appear in the oracle SQL
-    val static = Seq(
-      graft.operators.Relational.all, graft.operators.TextAnalysis.all,
-      graft.operators.Dedup.all, graft.operators.Similarity.all,
-      graft.operators.Multimodal.all, graft.operators.Sketches.all,
-      graft.operators.MapReduceParity.all, graft.operators.Windows.all,
-      graft.operators.Curation.all, graft.operators.CurationChain.all,
-      graft.operators.SqlSurface.all,
-      graft.plans.ScaleOps.all, graft.plans.TopKPerKey.all,
-      graft.operators.DataPrep.all, graft.operators.Profiler.all,
-      graft.operators.Graph.all).flatten
     val spark = SparkSpec.session
     val sf = "/root/testdata/sf0.001"
     val offenders = static.filter(_.oracle.isDefined).flatMap { q =>

@@ -67,12 +67,20 @@ class LangIdSpec extends SparkSpec {
 
   test("langIdScore: empty model refused loudly; null lang refused at learn") {
     import spark.implicits._
-    val empty = LangId.langIdModel(
-      Seq((1L, "ab", "en")).toDF("doc_id", "text", "lang"), // too short
-      "text", "lang")
+    // a corpus with zero >= 3-char docs now refuses at FOLD time (no
+    // shards to pin a hash space from), not silently later at score time
+    val err0 = intercept[IllegalArgumentException] {
+      LangId.langIdModel(
+        Seq((1L, "ab", "en")).toDF("doc_id", "text", "lang"), // too short
+        "text", "lang")
+    }
+    assert(err0.getMessage.contains("no shards"), err0.getMessage)
+    // an empty model TABLE (e.g. a filtered-to-nothing stored artifact)
+    // still refuses at score time
+    val model = LangId.langIdModel(labeled, "text", "lang", buckets = 64)
     val err = intercept[IllegalArgumentException] {
       LangId.langIdScore(Seq((1L, "some text")).toDF("doc_id", "text"),
-        "doc_id", "text", empty)
+        "doc_id", "text", model.filter(lit(false)))
     }
     assert(err.getMessage.contains("empty"), err.getMessage)
     val nullLang = intercept[Exception] {
@@ -81,5 +89,35 @@ class LangIdSpec extends SparkSpec {
           .toDF("doc_id", "text", "lang"), "text", "lang").collect()
     }
     assert(nullLang.getMessage.contains("NULL lang"), nullLang.getMessage)
+  }
+
+  test("shard fold law: fold(disjoint shards) == learn-once, incl. parquet round-trip") {
+    val once = LangId.langIdModel(labeled, "text", "lang", buckets = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val shardA = LangId.langIdCountShard(
+      labeled.filter(col("doc_id") <= 2), "text", "lang", buckets = 64)
+    val shardB = LangId.langIdCountShard(
+      labeled.filter(col("doc_id") > 2), "text", "lang", buckets = 64)
+    val folded = LangId.langIdModelFromShards(shardA.unionByName(shardB))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(folded == once, "fold(shards) must equal learn-once exactly")
+    // parquet round-trip: stored shards re-read fold identically (the
+    // artifact is LONG counts + an INT pin — nothing lossy)
+    val dir = java.nio.file.Files.createTempDirectory("langid_shards").toString
+    shardA.write.parquet(s"$dir/a")
+    shardB.write.parquet(s"$dir/b")
+    val reread = LangId.langIdModelFromShards(
+        spark.read.parquet(s"$dir/a").unionByName(spark.read.parquet(s"$dir/b")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(reread == once, "parquet round-trip changed the folded model")
+  }
+
+  test("shard fold refuses mismatched hash-space pins") {
+    val a = LangId.langIdCountShard(labeled, "text", "lang", buckets = 64)
+    val b = LangId.langIdCountShard(labeled, "text", "lang", buckets = 128)
+    val err = intercept[IllegalArgumentException] {
+      LangId.langIdModelFromShards(a.unionByName(b))
+    }
+    assert(err.getMessage.contains("hash spaces"), err.getMessage)
   }
 }

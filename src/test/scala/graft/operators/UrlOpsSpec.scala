@@ -79,6 +79,90 @@ class UrlOpsSpec extends SparkSpec {
       s"urlDedup must be one hash-agg:\n$plan")
   }
 
+  test("urlDedup and hostProfile agree on the host key (double-www, ADVICE r13)") {
+    // raw www.www.a.com: canonicalize strips ONE www -> host www.a.com.
+    // urlDedup must not re-strip when deriving host from the canonical
+    // URL, or its key ('a.com') would diverge from hostProfile's
+    // urlHost(raw) key ('www.a.com') feeding the same v:-encoded cap.
+    import spark.implicits._
+    val docs = Seq((1L, "https://www.www.a.com/x", 10L))
+      .toDF("doc_id", "url", "n_chars")
+    val dedupHost = UrlOps.urlDedup(docs, "url", "doc_id")
+      .select(col("host")).collect().head.getString(0)
+    val profileHost = UrlOps.hostProfile(docs, "url", "doc_id", "n_chars")
+      .select(col("host")).collect().head.getString(0)
+    assert(dedupHost == "www.a.com", dedupHost)
+    assert(profileHost == dedupHost,
+      s"host keys diverge: dedup=$dedupHost profile=$profileHost")
+  }
+
+  test("hostGate: blocked dropped, allowed kept, scheme-less quarantined; broadcast anti join") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://spam.bad.com/x"),       // blocked (rule spam)
+      (2L, "https://WWW.Spam.BAD.com:443/y"), // same host canonically -> blocked
+      (3L, "https://good.com/z"),           // kept
+      (4L, "no-scheme-here"),               // quarantined (dropped)
+      (5L, "http://adsite.com/a")           // blocked (rule adult)
+    ).toDF("doc_id", "url")
+    val bl = Seq("v:spam.bad.com" -> "spam", "v:adsite.com" -> "adult")
+      .toDF("host_key", "rule")
+    val kept = UrlOps.hostGate(docs, "url", bl)
+      .select(col("doc_id"), col("host"), col("host_key"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(kept == Set((3L, "good.com", "v:good.com")), kept.toString)
+    // scale shape: the corpus side must not shuffle — broadcast anti join
+    val plan = UrlOps.hostGate(docs, "url", bl)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"hostGate must be a broadcast left-anti join:\n$plan")
+
+    // allowlist twin: ONLY listed hosts survive; scheme-less never match
+    val allowKept = UrlOps.hostAllowGate(docs, "url",
+        Seq("v:good.com" -> "curated").toDF("host_key", "rule"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(allowKept == Set(3L), allowKept.toString)
+  }
+
+  test("hostGateLedger: first-fail per-rule accounting on the q134 ledger shape") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://spam.bad.com/x"), (2L, "https://spam.bad.com/y"),
+      (3L, "https://good.com/z"), (4L, "no-scheme"),
+      (5L, "http://adsite.com/a")
+    ).toDF("doc_id", "url")
+    val bl = Seq("v:spam.bad.com" -> "spam", "v:adsite.com" -> "adult")
+      .toDF("host_key", "rule")
+    val got = UrlOps.hostGateLedger(docs, "url", bl)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0, "schemeless_quarantine", 5L, 1L, 4L),
+      (1, "adult", 4L, 1L, 3L),
+      (2, "spam", 3L, 2L, 1L)), got.mkString(", "))
+  }
+
+  test("hostGate guards: raw keys, NULL rules refused; duplicate keys fold") {
+    import spark.implicits._
+    val docs = Seq((1L, "https://a.com/x")).toDF("doc_id", "url")
+    val rawKey = intercept[Exception] {
+      UrlOps.hostGate(docs, "url",
+        Seq("a.com" -> "spam").toDF("host_key", "rule")).collect()
+    }
+    assert(rawKey.getMessage.contains("domainKey-encoded"), rawKey.getMessage)
+    val nullRule = intercept[Exception] {
+      UrlOps.hostGateLedger(docs, "url",
+        Seq(("v:a.com", null: String)).toDF("host_key", "rule"))
+    }
+    assert(nullRule.getMessage.contains("NULL rule"), nullRule.getMessage)
+    // duplicate host_key rows fold to min(rule): the doc drops ONCE
+    val ledger = UrlOps.hostGateLedger(docs, "url",
+      Seq("v:a.com" -> "spam", "v:a.com" -> "adult").toDF("host_key", "rule"))
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(ledger == Map("schemeless_quarantine" -> 0L, "adult" -> 1L),
+      ledger.toString)
+  }
+
   test("hostProfile: counts, distinct urls, rep id, v:-encoded host key") {
     import spark.implicits._
     val docs = Seq(

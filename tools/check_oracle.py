@@ -29,20 +29,33 @@ ORACLE_CAP_SEC = 60.0
 
 
 def run_capped(con, sql, cap):
-    """Run sql on con; duckdb.interrupt() it if it exceeds cap seconds."""
+    """Run sql on con; duckdb.interrupt() it if it exceeds cap seconds.
+
+    Returns (df, secs, watchdog_fired). watchdog_fired=True means
+    con.interrupt() was called — even if the query happened to finish in
+    the race window, the connection may carry a PENDING interrupt that
+    would abort the NEXT execute (mis-attributing the failure to the
+    wrong query). The caller must reconnect whenever fired is True.
+    """
     done = threading.Event()
+    fired = threading.Event()
 
     def watchdog():
         if not done.wait(cap):
+            fired.set()
             con.interrupt()
 
     w = threading.Thread(target=watchdog, daemon=True)
     t0 = time.monotonic()
     w.start()
     try:
-        return con.execute(sql).df(), time.monotonic() - t0
+        df = con.execute(sql).df()
+        secs = time.monotonic() - t0
     finally:
         done.set()
+        # join so fired's final state is visible to the caller
+        w.join(timeout=5)
+    return df, secs, fired.is_set()
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -78,16 +91,21 @@ def values_equal(a, b) -> bool:
     return str(a) == str(b)
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    cap = ORACLE_CAP_SEC
-    if "--cap" in sys.argv:
-        cap = float(sys.argv[sys.argv.index("--cap") + 1])
+def make_con(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    cap = ORACLE_CAP_SEC
+    if "--cap" in sys.argv:
+        cap = float(sys.argv[sys.argv.index("--cap") + 1])
+    con = make_con(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     # Loud MISS for any dumped Spark result with no oracle entry: a
@@ -109,8 +127,13 @@ def main():
         try:
             got = canon(con.execute(
                 f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df())
-            want, secs = run_capped(con, sql, cap)
+            want, secs, fired = run_capped(con, sql, cap)
             want = canon(want)
+            if fired:
+                # the query finished in the interrupt race window; the
+                # connection may carry a pending interrupt — discard it
+                # so the NEXT query isn't aborted and mis-attributed
+                con = make_con(sf_dir)
             if secs > cap:
                 print(f"[SLOW] {name}: oracle took {secs:.1f}s (cap {cap:.0f}s)")
                 n_bad += 1
@@ -121,12 +144,14 @@ def main():
             print(f"[TIME] {name}: oracle exceeded {cap:.0f}s wall cap — "
                   "check for multi-referenced plain CTEs (needs MATERIALIZED)")
             n_bad += 1
+            con = make_con(sf_dir)  # interrupted connection may be poisoned
             continue
         except Exception as e:
             msg = str(e).splitlines()[0][:200]
             if "INTERRUPT" in msg.upper() or "interrupted" in msg.lower():
                 print(f"[TIME] {name}: oracle exceeded {cap:.0f}s wall cap — "
                       "check for multi-referenced plain CTEs (needs MATERIALIZED)")
+                con = make_con(sf_dir)
             else:
                 print(f"[ERR ] {name}: {msg}")
             n_bad += 1
