@@ -1648,7 +1648,7 @@ object TextAnalysis {
     * with the same (cnt DESC, a, b) tie-break, and the identical
     * gaps-and-islands merge application. */
   private def bpeOracle(steps: Int, segment: Boolean = false,
-      encode: Boolean = false): String = {
+      encode: Boolean = false, budget: Option[Long] = None): String = {
     val rounds = (1 to steps).map { k =>
       val v = s"v${k - 1}"
       s"""
@@ -1685,7 +1685,23 @@ object TextAnalysis {
               FROM q$k GROUP BY w, n)"""
     }.mkString(",")
     val out =
-      if (encode)
+      if (budget.isDefined)
+        // q155's md5-order budget walk, denominated in BPE tokens: the
+        // per-doc encode aggregate feeds the same cumsum/crossing rule
+        s"""SELECT doc_id, source, n_bpe_tokens, cum_tokens
+           FROM (SELECT doc_id, source, n_bpe_tokens,
+                        CAST(SUM(n_bpe_tokens) OVER (PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                 FROM (SELECT d.doc_id, d.source,
+                              CAST(SUM(len(v.s)) AS BIGINT) AS n_bpe_tokens
+                       FROM (SELECT doc_id, source,
+                                    unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                                       x -> x <> '')) AS w
+                             FROM documents) d JOIN v$steps v USING (w)
+                       GROUP BY d.doc_id, d.source))
+           WHERE cum_tokens - n_bpe_tokens < ${budget.get}"""
+      else if (encode)
         s"""SELECT d.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
                CAST(SUM(len(v.s)) AS BIGINT) AS n_bpe_tokens
            FROM (SELECT doc_id,
@@ -1707,7 +1723,8 @@ object TextAnalysis {
                     list_transform(range(1, len(w) + 1), i -> w[i:i]) || ['</w>'] AS s
              FROM w0),$rounds
       $out
-      ORDER BY ${if (encode) "doc_id" else if (segment) "w" else "step"}"""
+      ORDER BY ${if (encode || budget.isDefined) "doc_id"
+        else if (segment) "w" else "step"}"""
   }
 
   private val q156 = GraftQuery(
@@ -1760,6 +1777,31 @@ object TextAnalysis {
     (s, dir) => bpeEncode(Tables.documents(s, dir), "doc_id", "text",
       steps = 8),
     Some(bpeOracle(8, segment = false, encode = true)))
+
+  // ----------------------------------------- q155b BPE-true token budget
+  // q155 denominates its per-source budget in whitespace tokens — a
+  // proxy. This variant feeds [[bpeEncode]]'s per-doc BPE token counts
+  // (what a trainer actually consumes) into the SAME md5-order budget
+  // walk ([[DataPrep.tokenBudgetSelect]]; VERDICT r13 next #7). Shape:
+  // the vocab-sized encode join + one cumsum — the q155 class plus one
+  // broadcast join. Docs with zero tokenizer words have no BPE count
+  // and are absent (nothing to budget), unlike q155 where they ride the
+  // line at zero cost; both are selection-semantics choices, replayed
+  // exactly by each query's oracle.
+  private val q155b = GraftQuery(
+    "q155b_token_budget_bpe",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val enc = bpeEncode(docs, "doc_id", "text", steps = 8)
+        .select(col("doc_id"), col("n_bpe_tokens"))
+      DataPrep.tokenBudgetSelect(
+        docs.select(col("doc_id"), col("source")).join(enc, Seq("doc_id")),
+        "source", "doc_id", "n_bpe_tokens", budgetTokens = 3000L)
+        .select(col("doc_id"), col("source"), col("n_bpe_tokens"),
+          col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(bpeOracle(8, budget = Some(3000L))))
 
   // --------------------------------------------- q154 vocabulary coverage
   // Tokenizer-design question answered exactly: the smallest vocabulary
@@ -2076,6 +2118,6 @@ object TextAnalysis {
       ORDER BY doc_id"""))
 
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
-    q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154, q156, q156b, q156c, q157, q157b,
+    q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154, q155b, q156, q156b, q156c, q157, q157b,
     q160, q161, q161b, q166)
 }

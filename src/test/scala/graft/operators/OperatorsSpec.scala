@@ -691,6 +691,45 @@ class OperatorsSpec extends SparkSpec {
       seg.toString)
   }
 
+  test("BPE-denominated token budget: kept totals satisfy the budget law per group") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // q155b composition: bpeEncode counts feed tokenBudgetSelect — the
+    // kept set per source must start under budget and cross it (unless
+    // the source runs dry), in BPE tokens, not whitespace tokens
+    val docs = (1 to 24).map(i => (i.toLong,
+      if (i % 2 == 0) "a" else "b",
+      Seq.fill(1 + i % 4)("abab cd").mkString(" "))) // 2-8 words/doc
+      .toDF("doc_id", "source", "text")
+    val enc = graft.operators.TextAnalysis
+      .bpeEncode(docs, "doc_id", "text", steps = 2)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val budget = 40L
+    val kept = graft.operators.DataPrep.tokenBudgetSelect(
+        docs.select(col("doc_id"), col("source")).join(enc, Seq("doc_id")),
+        "source", "doc_id", "n_bpe_tokens", budget)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    kept.groupBy(_._2).foreach { case (src, rows) =>
+      rows.foreach { case (id, _, n, cum) =>
+        assert(cum - n < budget, s"doc $id of $src starts at ${cum - n}") }
+      assert(rows.map(_._3).sum >= budget,
+        s"$src kept under budget despite more docs available")
+    }
+    // BPE counts are the real denomination: with 2 merges every word is
+    // still multi-symbol, so the BPE budget admits FEWER docs than the
+    // same numeric budget in whitespace tokens would
+    val wsKept = graft.operators.DataPrep.tokenBudgetSelect(
+        docs.select(col("doc_id"), col("source"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens", budget)
+      .collect()
+    assert(kept.length < wsKept.length,
+      s"BPE budget kept ${kept.length} >= whitespace ${wsKept.length}")
+  }
+
   test("dsirScore: target-like docs rank above novel docs; bit-identical under repartitioning") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
