@@ -786,6 +786,43 @@ object Pipeline {
       model: DataFrame): DataFrame =
     operators.LangId.langIdScore(batch, idCol, textCol, model)
 
+  /** Additive per-shard language-ID trigram counts (stored artifact) — q169b. */
+  def langIdCountShard(docs: DataFrame, textCol: String, langCol: String,
+      buckets: Int = 4096): DataFrame =
+    operators.LangId.langIdCountShard(docs, textCol, langCol, buckets)
+
+  /** Fold stored count shards into the scoring model (≡ learn-once) — q169b. */
+  def langIdModelFromShards(shards: DataFrame,
+      scale: Long = 1000000L): DataFrame =
+    operators.LangId.langIdModelFromShards(shards, scale)
+
+  /** Drop docs whose host is on a stored `(host_key, rule)` blocklist — q170. */
+  def hostGate(docs: DataFrame, urlCol: String, blocklist: DataFrame): DataFrame =
+    operators.UrlOps.hostGate(docs, urlCol, blocklist)
+
+  /** Keep ONLY docs whose host is on a stored allowlist — q170 twin. */
+  def hostAllowGate(docs: DataFrame, urlCol: String,
+      allowlist: DataFrame): DataFrame =
+    operators.UrlOps.hostAllowGate(docs, urlCol, allowlist)
+
+  /** Per-rule drop ledger for [[hostGate]] (q134 cascade shape) — q170b. */
+  def hostGateLedger(docs: DataFrame, urlCol: String,
+      blocklist: DataFrame): DataFrame =
+    operators.UrlOps.hostGateLedger(docs, urlCol, blocklist)
+
+  /** Extracted visible text of an HTML column (script/style/tag strip,
+    * entity decode, whitespace fold) — q171. */
+  def htmlText(html: Column): Column = operators.Extraction.htmlText(html)
+
+  /** Per-doc HTML extraction audit (lengths + md5 of extracted text) — q171. */
+  def htmlExtract(docs: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    operators.Extraction.htmlExtract(docs, idCol, htmlCol)
+
+  /** Fixed char-window chunking with overlap — q172. */
+  def chunkText(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, overlap: Int): DataFrame =
+    operators.Extraction.chunkText(docs, idCol, textCol, window, overlap)
+
   // ---- streaming ------------------------------------------------------------
   /** Ingestion-side dedup of a document stream against a static corpus. */
   def incrementalDedupStream(docs: DataFrame, corpusHashes: DataFrame): DataFrame =

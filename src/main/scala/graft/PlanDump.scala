@@ -44,7 +44,10 @@ object PlanDump {
     "q163_export_manifest", "q164_encoding_audit",
     "q165_source_concentration", "q166_readability",
     // round 13 (q169's model learn collects pins — still lazy-plannable)
-    "q167_url_dedup", "q168_host_profile", "q169_langid_ngram")
+    "q167_url_dedup", "q168_host_profile", "q169_langid_ngram",
+    // round 14
+    "q169b_langid_shard_fold", "q170_host_gate", "q170b_host_gate_ledger",
+    "q155b_token_budget_bpe", "q171_html_extract", "q172_chunk_text")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Ingestion-side text extraction — the two standard stages that sit
+  * BEFORE every quality/dedup pass in a web-crawl pipeline and that the
+  * engine still lacked at round 14:
+  *
+  *   - HTML → text extraction (the trafilatura/jusText job reduced to
+  *     its deterministic core): drop script/style subtrees, strip tags,
+  *     decode the bounded entity set, collapse whitespace. Everything
+  *     is a chain of codegen'd `regexp_replace`/`replace` columns —
+  *     zero UDFs, one stateless scan projection, trivially linear at
+  *     100 TB (the wordcount-scan class with no shuffle at all).
+  *   - Fixed-window document chunking with overlap (the RAG/packing
+  *     prep step): deterministic char-window starts via
+  *     `sequence(... step)` + substring — the chunk set is a pure
+  *     function of (text, window, overlap), exactly replayable, and
+  *     the explode is output-proportional (no shuffle until the caller
+  *     aggregates).
+  *
+  * Both declared queries avoid emitting full text bodies: they pin an
+  * md5 of every extracted/chunked string (the q66 redaction-proof
+  * convention) so the oracle hash-compare covers byte-identical
+  * extraction without megabyte result rows.
+  */
+object Extraction {
+
+  /** Regex inventory, shared verbatim (same RE2/Java-compatible syntax)
+    * by the Spark columns and the DuckDB oracles:
+    *   - script/style subtrees: `(?is)<script\b...` — lazy body match,
+    *     dotall so blocks spanning newlines die whole. CASE-INSENSITIVE
+    *     because real crawls carry `<SCRIPT>`.
+    *   - tags: `<[^>]*>` AFTER subtree removal.
+    *   - whitespace: explicit `[ \t\n\r]+` (Java `\s` and RE2 `\s`
+    *     disagree on VT — the explicit class is engine-portable).
+    */
+  private val ScriptRe = "(?is)<(script|style)\\b[^>]*>.*?</(script|style)>"
+  private val TagRe = "<[^>]*>"
+  private val WsRe = "[ \\t\\n\\r]+"
+
+  /** Extracted visible text of an HTML column. Entity decode covers the
+    * bounded named set every extractor handles (`&amp;` LAST so
+    * `&amp;lt;` decodes to the literal `&lt;`, not to `<` — the
+    * double-escape rule). */
+  def htmlText(html: Column): Column = {
+    val noBlocks = regexp_replace(html, ScriptRe, " ")
+    val noTags = regexp_replace(noBlocks, TagRe, " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    trim(regexp_replace(decoded, WsRe, " "))
+  }
+
+  /** Per-doc extraction audit: raw/extracted lengths plus the md5 of
+    * the extracted text — the stateless one-scan projection a pipeline
+    * chains straight into tokenization. */
+  def htmlExtract(docs: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    docs.select(col(idCol),
+      length(col(htmlCol)).cast("long").as("n_raw"),
+      htmlText(col(htmlCol)).as("__x"))
+      .select(col(idCol), col("n_raw"),
+        length(col("__x")).cast("long").as("n_text"),
+        md5(col("__x")).as("text_md5"))
+
+  /** Fixed char-window chunking with overlap: windows start at
+    * 1, 1+step, 1+2·step, … (step = window − overlap) and every start
+    * strictly inside the text emits one chunk (the final chunk may be
+    * short; a doc shorter than one window emits exactly one chunk).
+    * Deterministic chunk ids = (doc, ordinal). */
+  def chunkText(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, overlap: Int): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    require(overlap >= 0 && overlap < window,
+      s"overlap in [0, window), got $overlap (window $window)")
+    val step = window - overlap
+    docs
+      .select(col(idCol), col(textCol))
+      .filter(length(col(textCol)) >= 1)
+      .select(col(idCol),
+        posexplode(sequence(lit(1), length(col(textCol)), lit(step)))
+          .as(Seq("chunk_id", "__start")),
+        col(textCol))
+      .select(col(idCol), col("chunk_id"),
+        col(textCol).substr(col("__start"), lit(window)).as("__c"))
+      .select(col(idCol), col("chunk_id"),
+        length(col("__c")).cast("long").as("n_chars"),
+        md5(col("__c")).as("chunk_md5"))
+  }
+
+  // ---------------------------------------------------------------- q171
+  // Deterministic HTML wrapping of the documents fixture exercises every
+  // extraction rule: case-mixed script/style blocks with attributes,
+  // nested tags, a self-closing tag, all six entities (incl. the
+  // &amp;lt; double-escape), and multi-whitespace runs.
+  private def messyHtml(): Column =
+    concat(
+      lit("<html>\n<head><TITLE>doc</TITLE><STYLE type=\"text/css\">p { color: red; }\n.x{}</STYLE>" +
+        "<script src=\"a.js\"></script></head>\n<body onload=\"init()\">\n<h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1>\n<script>\nvar x = '<p>not text</p>';\n</script><p>"),
+      col("text"),
+      lit("</p>\n<div>&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp; &amp;lt;</div><br/>\n</body></html>"))
+
+  private val messyHtmlSql = """
+      '<html>' || chr(10) || '<head><TITLE>doc</TITLE><STYLE type="text/css">p { color: red; }' || chr(10) || '.x{}</STYLE><script src="a.js"></script></head>' || chr(10) || '<body onload="init()">' || chr(10) || '<h1>Doc ' ||
+      CAST(doc_id AS VARCHAR) ||
+      '</h1>' || chr(10) || '<script>' || chr(10) || 'var x = ''<p>not text</p>'';' || chr(10) || '</script><p>' ||
+      text ||
+      '</p>' || chr(10) || '<div>&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp; &amp;lt;</div><br/>' || chr(10) || '</body></html>'"""
+
+  private val q171 = GraftQuery(
+    "q171_html_extract",
+    (s, dir) => htmlExtract(
+        Tables.documents(s, dir).withColumn("html", messyHtml()),
+        "doc_id", "html")
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH raw AS (SELECT doc_id, $messyHtmlSql AS html FROM documents),
+      x AS (SELECT doc_id, CAST(len(html) AS BIGINT) AS n_raw,
+                   trim(regexp_replace(
+                     replace(replace(replace(replace(replace(replace(
+                       regexp_replace(
+                         regexp_replace(html, '(?is)<(script|style)\\b[^>]*>.*?</(script|style)>', ' ', 'g'),
+                         '<[^>]*>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                     '[ \\t\\n\\r]+', ' ', 'g')) AS t
+            FROM raw)
+      SELECT doc_id, n_raw, CAST(len(t) AS BIGINT) AS n_text,
+             md5(t) AS text_md5
+      FROM x
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q172
+  private val q172 = GraftQuery(
+    "q172_chunk_text",
+    (s, dir) => chunkText(Tables.documents(s, dir), "doc_id", "text",
+        window = 120, overlap = 20)
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(i AS INT) AS chunk_id,
+             CAST(len(text[1 + i * 100 : i * 100 + 120]) AS BIGINT) AS n_chars,
+             md5(text[1 + i * 100 : i * 100 + 120]) AS chunk_md5
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(len(text) / 100.0) AS BIGINT))) AS i
+            FROM documents WHERE len(text) >= 1)
+      ORDER BY doc_id, chunk_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q171, q172)
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ExtractionSpec extends SparkSpec {
+
+  test("htmlText: scripts/styles die whole, tags strip, entities decode, whitespace folds") {
+    import spark.implicits._
+    val fixtures = Seq(
+      // script subtree dies including its text (even with tag-ish content)
+      ("<p>a</p><script>var x = '<b>no</b>';</script><p>b</p>", "a b"),
+      // style dies; case-insensitive, attributes allowed
+      ("<STYLE type=\"x\">p{color:red}\n.y{}</STYLE>hi", "hi"),
+      // multi-line script (dotall)
+      ("<script>\nline1\nline2\n</script>ok", "ok"),
+      // plain tags (incl. self-closing) become spaces, runs fold
+      ("<h1>Title</h1>\n\n<br/>  <div>body</div>", "Title body"),
+      // entity set, incl. the &amp;lt; double-escape rule: literal "&lt;"
+      ("&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp; &amp;lt;",
+        "<tag> \"q\" 's' & &lt;"),
+      // no html at all is a no-op modulo whitespace folding
+      ("just  plain\ttext", "just plain text")
+    )
+    val got = fixtures.map(_._1).toDF("h")
+      .select(col("h"), Extraction.htmlText(col("h")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    fixtures.foreach { case (in, want) =>
+      assert(got(in) == want, s"$in -> '${got(in)}', want '$want'")
+    }
+  }
+
+  test("htmlExtract: one stateless scan, no shuffle, no UDF") {
+    import spark.implicits._
+    val docs = Seq((1L, "<p>a</p>")).toDF("doc_id", "html")
+    val plan = Extraction.htmlExtract(docs, "doc_id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"),
+      s"extraction must be a pure projection:\n$plan")
+  }
+
+  test("chunkText: boundaries, overlap, short docs, determinism") {
+    import spark.implicits._
+    // window 10, overlap 3 -> step 7: starts 1, 8, 15, ...
+    val docs = Seq(
+      (1L, "abcdefghijklmnop"), // len 16 -> starts 1, 8, 15
+      (2L, "short"),            // len 5  -> one (short) chunk
+      (3L, "")                  // empty  -> no chunks
+    ).toDF("doc_id", "text")
+    val got = Extraction.chunkText(docs, "doc_id", "text", window = 10,
+        overlap = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getString(3)))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(1L).map(c => c._2 -> c._3).sortBy(_._1).toSeq ==
+      Seq(0 -> 10L, 1 -> 9L, 2 -> 2L), byDoc(1L).mkString(","))
+    // chunk 0 of doc 1 is exactly chars 1-10
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("abcdefghij".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(byDoc(1L).find(_._2 == 0).get._4 == expectMd5)
+    assert(byDoc(2L).map(c => c._2 -> c._3).toSeq == Seq(0 -> 5L))
+    assert(!byDoc.contains(3L), "empty docs emit no chunks")
+    // adjacent chunks overlap by exactly `overlap` chars
+    val c0 = "abcdefghij"; val c1 = "hijklmnop"
+    assert(c0.takeRight(3) == c1.take(3))
+    // guards
+    intercept[IllegalArgumentException] {
+      Extraction.chunkText(docs, "doc_id", "text", window = 5, overlap = 5)
+    }
+  }
+}
