@@ -276,6 +276,26 @@ object ScaleProbe {
         val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         println(s"""{"metric":"scaleprobe-r13ops","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
 
+      case "r14ops" =>
+        // round-14 additions at probe decades: host gate + ledger
+        // (stateless host scan + broadcast anti/left join — expect
+        // linear), langid shard fold (two quarter-corpus shard learns +
+        // fold — expect ~q169-shaped), BPE-true budget (adds the encode
+        // join to the q155 class), HTML extraction (pure regexp scan —
+        // expect linear), chunking (output-proportional explode)
+        val out = scaledDocsDir(spark, src, copies)
+        val names = Seq("q170_host_gate", "q170b_host_gate_ledger",
+          "q169b_langid_shard_fold", "q155b_token_budget_bpe",
+          "q171_html_extract", "q172_chunk_text")
+        val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
+        val times = names.map { name =>
+          val (_, t) = timed(SparkEntry.queries(name)(spark, out)
+            .write.format("noop").mode("overwrite").save())
+          name -> t
+        }
+        val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        println(s"""{"metric":"scaleprobe-r14ops","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
+
       case "chainstages" =>
         // Five-stage wall/rows breakdown of the q93b curation chain
         // (VERDICT r11 stretch #9): each tap forces the stage frame and

@@ -1792,8 +1792,12 @@ object TextAnalysis {
     "q155b_token_budget_bpe",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
+      // the per-doc token profile is the STORED artifact in production
+      // (tokenBudgetSelect's "stored length profile" contract); persist
+      // the narrow (id, count) frame here so the cumsum's two passes +
+      // AQE re-plans don't re-run the encode join per evaluation
       val enc = bpeEncode(docs, "doc_id", "text", steps = 8)
-        .select(col("doc_id"), col("n_bpe_tokens"))
+        .select(col("doc_id"), col("n_bpe_tokens")).persist()
       DataPrep.tokenBudgetSelect(
         docs.select(col("doc_id"), col("source")).join(enc, Seq("doc_id")),
         "source", "doc_id", "n_bpe_tokens", budgetTokens = 3000L)
