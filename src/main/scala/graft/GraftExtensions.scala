@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BoundaryBucket, DotProduct, ImageHeader, Md5Hash60, MediaHeader, SquaredDistance, WordNGrams, WordShingles, YamrPartition}
+import graft.functions.{BoundaryBucket, DotProduct, ImageHeader, Md5Hash60, MediaHeader, NfcNormalize, SquaredDistance, WordNGrams, WordShingles, YamrPartition}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst functions for SQL use, the TopKPerKey planner strategy, and
@@ -44,6 +44,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "image_header(payload) takes 1 argument")
         ImageHeader(children.head)
+      }))
+    // Unicode NFC canonical form (named after DuckDB's builtin so the
+    // same SQL runs in both engines) — the pre-hash normalization every
+    // byte-keyed dedup stage needs
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfc_normalize(s) takes 1 argument")
+        NfcNormalize(children.head)
       }))
     // audio/video half of the multimodal surface — same SQL parity as
     // image_header (VERDICT r10 missing #1)

@@ -823,6 +823,10 @@ object Pipeline {
       window: Int, overlap: Int): DataFrame =
     operators.Extraction.chunkText(docs, idCol, textCol, window, overlap)
 
+  /** Unicode NFC canonical form (codegen'd; the pre-hash normalization
+    * for byte-keyed dedup) — q173, SQL name `nfc_normalize`. */
+  def nfcNormalize(text: Column): Column = functions.NfcNormalize(text)
+
   // ---- streaming ------------------------------------------------------------
   /** Ingestion-side dedup of a document stream against a static corpus. */
   def incrementalDedupStream(docs: DataFrame, corpusHashes: DataFrame): DataFrame =

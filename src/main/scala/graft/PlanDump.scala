@@ -47,7 +47,8 @@ object PlanDump {
     "q167_url_dedup", "q168_host_profile", "q169_langid_ngram",
     // round 14
     "q169b_langid_shard_fold", "q170_host_gate", "q170b_host_gate_ledger",
-    "q155b_token_budget_bpe", "q171_html_extract", "q172_chunk_text")
+    "q155b_token_budget_bpe", "q171_html_extract", "q172_chunk_text",
+    "q173_nfc_normalize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

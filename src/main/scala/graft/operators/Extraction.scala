@@ -153,5 +153,48 @@ object Extraction {
             FROM documents WHERE len(text) >= 1)
       ORDER BY doc_id, chunk_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q171, q172)
+  // ---------------------------------------------------------------- q173
+  // Unicode NFC normalization audit ([[graft.functions.NfcNormalize]] —
+  // the pre-hash canonicalization every byte-keyed dedup stage needs):
+  // planted composed/decomposed forms (NFC-stable `café`, decomposed
+  // `cafe`+U+0301, combining ring/diaeresis) exercise both the changed
+  // and already-normal paths; the oracle replays with DuckDB's builtin
+  // `nfc_normalize` — same name the expression registers in SQL.
+  private def accentedText(): Column = {
+    val m = pmod(col("doc_id"), lit(4))
+    when(m === 0, concat(col("text"), lit(" café")))
+      .when(m === 1, concat(col("text"), lit(" café")))
+      .when(m === 2, concat(col("text"), lit(" Ångström")))
+      .otherwise(col("text"))
+  }
+
+  private val q173 = GraftQuery(
+    "q173_nfc_normalize",
+    (s, dir) => {
+      val t = accentedText()
+      val n = graft.functions.NfcNormalize(t)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(t).cast("long").as("n_raw"),
+          length(n).cast("long").as("n_nfc"),
+          (n =!= t).as("changed"),
+          md5(n).as("nfc_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH r AS (SELECT doc_id,
+                        CASE doc_id % 4
+                          WHEN 0 THEN text || ' cafe' || chr(769)
+                          WHEN 1 THEN text || ' caf' || chr(233)
+                          WHEN 2 THEN text || ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                          ELSE text END AS t
+                 FROM documents),
+      n AS (SELECT doc_id, t, nfc_normalize(t) AS nf FROM r)
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_raw,
+             CAST(len(nf) AS BIGINT) AS n_nfc,
+             nf <> t AS changed, md5(nf) AS nfc_md5
+      FROM n
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q171, q172, q173)
 }

@@ -69,6 +69,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(mh.getString(0) == "wav" && mh.getInt(1) == 8000 &&
         mh.getInt(2) == 1 && mh.getBoolean(3) && mh.getString(4) == "unknown",
         mh.toString)
+      // nfc_normalize from SQL: decomposed e+U+0301 composes to U+00E9
+      // (same builtin name as DuckDB, so oracles replay the identical SQL)
+      // NOTE: Spark SQL's chr() is ASCII-only (wraps mod 256), unlike
+      // DuckDB's code-point chr() -- embed the combining mark directly
+      val nf = s.sql(
+        "SELECT nfc_normalize('cafe\u0301') AS n, " +
+          "length(nfc_normalize('cafe\u0301')) AS l, " +
+          "nfc_normalize(CAST(NULL AS STRING)) AS z")
+        .collect()(0)
+      assert(nf.getString(0) == "café" && nf.getInt(1) == 4
+        && nf.isNullAt(2), nf.toString)
       // boundary_bucket from SQL: foldable array literal compiles into
       // the codegen'd binary search; strictly-below count semantics
       val bb = s.sql(
