@@ -810,6 +810,14 @@ object Pipeline {
       blocklist: DataFrame): DataFrame =
     operators.UrlOps.hostGateLedger(docs, urlCol, blocklist)
 
+  /** Canonical path of a URL (fragment dropped, trailing slash folded). */
+  def urlPath(url: Column): Column = operators.UrlOps.urlPath(url)
+
+  /** Drop docs matching stored (host, path-prefix) block rules — q174. */
+  def pathPrefixGate(docs: DataFrame, urlCol: String,
+      rules: DataFrame): DataFrame =
+    operators.UrlOps.pathPrefixGate(docs, urlCol, rules)
+
   /** Extracted visible text of an HTML column (script/style/tag strip,
     * entity decode, whitespace fold) — q171. */
   def htmlText(html: Column): Column = operators.Extraction.htmlText(html)

@@ -69,6 +69,17 @@ object UrlOps {
       regexp_extract(regexp_replace(canonUrl, SchemeRe, ""), "^([^/?#]*)", 1),
       ":[0-9]+$", "")
 
+  /** Canonical PATH component of a URL (fragment dropped, one trailing
+    * `/` folded, case preserved — the same path rules [[canonicalizeUrl]]
+    * applies); NULL for scheme-less / NULL input. The key for
+    * path-pattern gates ([[pathPrefixGate]]). */
+  def urlPath(url: Column): Column = {
+    val rest = regexp_replace(url, SchemeRe, "")
+    val pqf = regexp_replace(regexp_replace(rest, "^[^/?#]*", ""), "#.*$", "")
+    when(regexp_extract(url, SchemeRe, 1) === "", lit(null))
+      .otherwise(regexp_replace(regexp_extract(pqf, "^([^?]*)", 1), "/$", ""))
+  }
+
   /** Full canonical URL per the object scaladoc; NULL when the input
     * is NULL or has no `scheme://` prefix. */
   def canonicalizeUrl(url: Column): Column = {
@@ -214,6 +225,47 @@ object UrlOps {
     DataPrep.cascadeAccounting(joined,
       ("schemeless_quarantine" -> col("__host").isNotNull) +:
         rules.toSeq.map(r => r -> !(col("rule") <=> lit(r))))
+  }
+
+  /** Path-prefix blocklist gate — the URL-PATTERN refinement of
+    * [[hostGate]] that real crawl filters need (blocking every path
+    * under `bad.com/ads` without losing all of `bad.com`): stored rules
+    * `(host_key,
+    * path_prefix, rule)`, a doc drops iff its `v:`-host matches a rule
+    * AND its canonical path starts with that rule's prefix. Multiple
+    * prefixes per host are legitimate and NOT folded (an anti join
+    * cannot duplicate survivors). An empty prefix blocks the whole host
+    * (`startsWith("")` is true — pinned in the spec). Plan: stateless
+    * host+path projection into a broadcast LeftAnti hash join on the
+    * host key with the prefix test as the join condition — the corpus
+    * never shuffles; scheme-less docs quarantined as in [[hostGate]]. */
+  def pathPrefixGate(docs: DataFrame, urlCol: String,
+      rules: DataFrame): DataFrame = {
+    require(Seq("host_key", "path_prefix", "rule")
+        .forall(rules.columns.contains),
+      s"path rules need (host_key, path_prefix, rule), got " +
+        rules.columns.mkString("(", ", ", ")"))
+    val r = rules.select(
+      when(col("host_key").isNull || !col("host_key").startsWith("v:"),
+        raise_error(concat(lit("pathPrefixGate rule key '"), col("host_key"),
+          lit("' is not domainKey-encoded ('v:'+host)"))))
+        .otherwise(col("host_key")).as("__rk"),
+      when(col("path_prefix").isNull,
+        raise_error(lit("pathPrefixGate: NULL path_prefix — use '' to " +
+          "block a whole host explicitly")))
+        .otherwise(col("path_prefix")).as("__rp"),
+      when(col("rule").isNull,
+        raise_error(lit("pathPrefixGate: NULL rule — every rule needs an " +
+          "attributable name")))
+        .otherwise(col("rule")).as("__rr"))
+    docs
+      .withColumn("host", urlHost(col(urlCol)))
+      .withColumn("path", urlPath(col(urlCol)))
+      .filter(col("host").isNotNull)
+      .withColumn("host_key", concat(lit("v:"), col("host")))
+      .join(broadcast(r.select(col("__rk"), col("__rp"))),
+        col("host_key") === col("__rk") && col("path").startsWith(col("__rp")),
+        "left_anti")
   }
 
   // ---------------------------------------------------------------- q167
@@ -397,5 +449,44 @@ object UrlOps {
       SELECT 2, 'spam', total - d0 - d1, d2, total - d0 - d1 - d2 FROM c
       ORDER BY stage"""))
 
-  val all: Seq[GraftQuery] = Seq(q167, q168, q170, q170b)
+  // ---------------------------------------------------------------- q174
+  // Path-prefix gate on the q170 fixture URLs: two prefixes on one host
+  // (src3: /p/1* and /p/4*), an empty prefix blocking a whole host
+  // (src5), and the scheme-less quarantine all exercised together.
+  private val pathRuleRows = Seq(
+    ("v:src3.example.com", "/p/1", "ads"),
+    ("v:src3.example.com", "/p/4", "ads"),
+    ("v:src5.example.com", "", "blocked_host"))
+
+  private val q174 = GraftQuery(
+    "q174_path_prefix_gate",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).withColumn("url", gateUrl())
+      pathPrefixGate(docs, "url",
+          pathRuleRows.toDF("host_key", "path_prefix", "rule"))
+        .select(col("doc_id"), col("host"), col("path"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH u AS (SELECT doc_id, $gateUrlSql AS url FROM documents),
+      h AS (SELECT doc_id,
+                   CASE WHEN regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '' THEN NULL
+                        ELSE regexp_replace(regexp_replace(lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)), ':[0-9]+$$', ''), '^www\\.', '')
+                   END AS host,
+                   CASE WHEN regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '' THEN NULL
+                        ELSE regexp_replace(regexp_extract(regexp_replace(regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#]*', ''), '#.*$$', ''), '^([^?]*)', 1), '/$$', '')
+                   END AS path
+            FROM u),
+      rules AS (SELECT * FROM (VALUES ${pathRuleRows.map { case (k, p, r) =>
+        s"('$k', '$p', '$r')" }.mkString(", ")}) AS v(host_key, path_prefix, rule))
+      SELECT doc_id, host, path
+      FROM h
+      WHERE host IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM rules r
+                        WHERE r.host_key = 'v:' || h.host
+                          AND starts_with(h.path, r.path_prefix))
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q167, q168, q170, q170b, q174)
 }

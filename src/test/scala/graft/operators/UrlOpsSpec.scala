@@ -142,6 +142,43 @@ class UrlOpsSpec extends SparkSpec {
       (2, "spam", 3L, 2L, 1L)), got.mkString(", "))
   }
 
+  test("pathPrefixGate: prefix semantics, multi-prefix hosts, empty prefix, trailing-slash fold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://bad.com/ads/banner"),     // blocked (/ads)
+      (2L, "https://bad.com/ads"),            // blocked (exact prefix)
+      (3L, "https://bad.com/adstext"),        // blocked — prefix is a STRING prefix
+      (4L, "https://bad.com/article/1"),      // kept (host has only /ads + /track rules)
+      (5L, "https://bad.com/track/x"),        // blocked (second prefix, same host)
+      (6L, "https://all.bad.com/anything"),   // blocked (empty prefix = whole host)
+      (7L, "https://good.com/ads/ok"),        // kept (no rule for this host)
+      (8L, "no-scheme"),                      // quarantined
+      (9L, "https://bad.com/ads/")            // blocked: trailing slash folds to /ads
+    ).toDF("doc_id", "url")
+    val rules = Seq(
+      ("v:bad.com", "/ads", "ads"),
+      ("v:bad.com", "/track", "tracking"),
+      ("v:all.bad.com", "", "blocked_host")
+    ).toDF("host_key", "path_prefix", "rule")
+    val kept = UrlOps.pathPrefixGate(docs, "url", rules)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L, 7L), kept.toString)
+    // corpus side must not shuffle: broadcast anti join with the prefix
+    // test as the join condition
+    val plan = UrlOps.pathPrefixGate(docs, "url", rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti")
+      && plan.toLowerCase.contains("startswith"),
+      s"pathPrefixGate must be a broadcast anti join with a prefix condition:\n$plan")
+    // guards: NULL prefix refused (use '' explicitly for whole-host)
+    val err = intercept[Exception] {
+      UrlOps.pathPrefixGate(docs, "url",
+        Seq(("v:bad.com", null: String, "r")).toDF("host_key", "path_prefix", "rule"))
+        .collect()
+    }
+    assert(err.getMessage.contains("NULL path_prefix"), err.getMessage)
+  }
+
   test("hostGate guards: raw keys, NULL rules refused; duplicate keys fold") {
     import spark.implicits._
     val docs = Seq((1L, "https://a.com/x")).toDF("doc_id", "url")
