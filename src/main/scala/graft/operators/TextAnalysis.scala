@@ -2038,6 +2038,45 @@ object TextAnalysis {
       FROM m
       ORDER BY doc_id"""))
 
+  // ------------------------------------ q175 quality-gate agreement audit
+  // Filter-design observability: the three quality gates (Gopher rule
+  // set, C4 line rules, learned linear classifier) disagree on real
+  // corpora, and WHICH cells of the 2×2×2 agreement cube are populated
+  // is the signal a curation team tunes thresholds by. One row per
+  // (gopher_keep, c4_keep, clf_keep) with the doc count and the MINIMUM
+  // doc id as a deterministic inspectable example. Cost: the three
+  // stateless gate scans + two doc-keyed joins + one 8-group agg —
+  // nothing new shuffles beyond the gates themselves. The oracle embeds
+  // the three gates' own oracles verbatim as derived tables, so any
+  // divergence in ANY gate resurfaces here too.
+  private val q175 = GraftQuery(
+    "q175_gate_agreement",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val g = gopherQualityFull(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("gopher_keep"))
+      val c = c4Clean(docs, "doc_id", "text", Seq("casino", "lottery"))
+        .select(col("doc_id"), col("keep").as("c4_keep"))
+      val l = linearQualityScore(docs, "doc_id", "text",
+          weights = seededWeights(s, 4096))
+        .select(col("doc_id"), col("keep").as("clf_keep"))
+      g.join(c, Seq("doc_id")).join(l, Seq("doc_id"))
+        .groupBy(col("gopher_keep"), col("c4_keep"), col("clf_keep"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("example_doc_id"))
+        .orderBy(col("gopher_keep"), col("c4_keep"), col("clf_keep"))
+    },
+    Some(s"""
+      WITH g AS (SELECT doc_id, keep AS gopher_keep FROM (${q148b.oracle.get}) gq),
+      c AS (SELECT doc_id, keep AS c4_keep FROM (${q160.oracle.get}) cq),
+      l AS (SELECT doc_id, keep AS clf_keep FROM (${q161.oracle.get}) lq)
+      SELECT gopher_keep, c4_keep, clf_keep,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
+      FROM g JOIN c USING (doc_id) JOIN l USING (doc_id)
+      GROUP BY gopher_keep, c4_keep, clf_keep
+      ORDER BY gopher_keep, c4_keep, clf_keep"""))
+
   // q161b pins the PRUNED-model path: only positive-weight buckets ship
   // (the sparse table a magnitude-pruned model persists); every other
   // bucket takes the left-join 0 default — exercised here on ~half of
@@ -2123,5 +2162,5 @@ object TextAnalysis {
 
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
     q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154, q155b, q156, q156b, q156c, q157, q157b,
-    q160, q161, q161b, q166)
+    q160, q161, q161b, q166, q175)
 }

@@ -224,6 +224,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("host + path gates are stateless: streamed kept set == batch kept set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // stream-static broadcast anti joins: the stored block rules are the
+    // static side, so the gates apply per-trigger with zero state — the
+    // ingestion-time shape a crawl pipeline runs them in
+    val docs = Seq(
+      (1L, "https://spam.bad.com/x"), (2L, "https://good.com/a"),
+      (3L, "no-scheme"), (4L, "https://ok.com/ads/banner"),
+      (5L, "https://ok.com/article"), (6L, "https://good.com/ads/fine"))
+    val bl = Seq("v:spam.bad.com" -> "spam").toDF("host_key", "rule")
+    val rules = Seq(("v:ok.com", "/ads", "ads"))
+      .toDF("host_key", "path_prefix", "rule")
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "url")
+    val gated = graft.operators.UrlOps.pathPrefixGate(
+      graft.operators.UrlOps.hostGate(df, "url", bl), "url", rules)
+    val q = gated.select(col("doc_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(s"gate_test_${System.nanoTime()}")
+      .start()
+    try {
+      mem.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table(q.name).collect().map(_.getLong(0)).toSet
+      val batch = graft.operators.UrlOps.pathPrefixGate(
+          graft.operators.UrlOps.hostGate(
+            docs.toDF("doc_id", "url"), "url", bl), "url", rules)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed == Set(2L, 5L, 6L), streamed.toString)
+    } finally q.stop()
+  }
+
   test("streaming bloom decontamination: stateless admit gate == batch kept set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
