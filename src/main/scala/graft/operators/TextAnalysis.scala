@@ -1648,7 +1648,8 @@ object TextAnalysis {
     * with the same (cnt DESC, a, b) tie-break, and the identical
     * gaps-and-islands merge application. */
   private def bpeOracle(steps: Int, segment: Boolean = false,
-      encode: Boolean = false, budget: Option[Long] = None): String = {
+      encode: Boolean = false, budget: Option[Long] = None,
+      fertility: Boolean = false): String = {
     val rounds = (1 to steps).map { k =>
       val v = s"v${k - 1}"
       s"""
@@ -1685,7 +1686,26 @@ object TextAnalysis {
               FROM q$k GROUP BY w, n)"""
     }.mkString(",")
     val out =
-      if (budget.isDefined)
+      if (fertility)
+        // per-source tokenizer-fertility rollup over the per-doc encode:
+        // exact LONG sums, ONE final division per ratio (bit-stable)
+        s"""SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(n_words) AS BIGINT) AS sum_words,
+               CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+               CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_bpe) AS DOUBLE) AS chars_per_token,
+               CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) AS tokens_per_word
+           FROM (SELECT d.doc_id, d.source, d.n_chars,
+                        CAST(COUNT(*) AS BIGINT) AS n_words,
+                        CAST(SUM(len(v.s)) AS BIGINT) AS n_bpe
+                 FROM (SELECT doc_id, source, len(text) AS n_chars,
+                              unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                                 x -> x <> '')) AS w
+                       FROM documents) d JOIN v$steps v USING (w)
+                 GROUP BY d.doc_id, d.source, d.n_chars)
+           GROUP BY source"""
+      else if (budget.isDefined)
         // q155's md5-order budget walk, denominated in BPE tokens: the
         // per-doc encode aggregate feeds the same cumsum/crossing rule
         s"""SELECT doc_id, source, n_bpe_tokens, cum_tokens
@@ -1723,7 +1743,8 @@ object TextAnalysis {
                     list_transform(range(1, len(w) + 1), i -> w[i:i]) || ['</w>'] AS s
              FROM w0),$rounds
       $out
-      ORDER BY ${if (encode || budget.isDefined) "doc_id"
+      ORDER BY ${if (fertility) "source"
+        else if (encode || budget.isDefined) "doc_id"
         else if (segment) "w" else "step"}"""
   }
 
@@ -2038,6 +2059,39 @@ object TextAnalysis {
       FROM m
       ORDER BY doc_id"""))
 
+  // ----------------------------------------- q176 tokenizer fertility audit
+  // The metric tokenizer teams actually track per corpus slice: how many
+  // characters one BPE token covers (and how many tokens a whitespace
+  // word splits into) per source. High fertility drift on a source means
+  // the tokenizer under-serves it (wrong script, exotic vocab) and its
+  // effective context window shrinks. Exact LONG sums per source over
+  // the q156c encode join; each ratio is ONE final double division of
+  // exact integers (bit-stable under any partitioning — the q161
+  // convention). Docs with zero tokenizer words are absent (nothing to
+  // measure), matching q156c.
+  private val q176 = GraftQuery(
+    "q176_tokenizer_fertility",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val enc = bpeEncode(docs, "doc_id", "text", steps = 8)
+      docs.select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .join(enc, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_words")).as("sum_words"),
+          sum(col("n_bpe_tokens")).as("sum_bpe_tokens"))
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          col("sum_words"), col("sum_bpe_tokens"),
+          (col("sum_chars").cast("double") /
+            col("sum_bpe_tokens").cast("double")).as("chars_per_token"),
+          (col("sum_bpe_tokens").cast("double") /
+            col("sum_words").cast("double")).as("tokens_per_word"))
+        .orderBy(col("source"))
+    },
+    Some(bpeOracle(8, fertility = true)))
+
   // ------------------------------------ q175 quality-gate agreement audit
   // Filter-design observability: the three quality gates (Gopher rule
   // set, C4 line rules, learned linear classifier) disagree on real
@@ -2162,5 +2216,5 @@ object TextAnalysis {
 
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
     q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154, q155b, q156, q156b, q156c, q157, q157b,
-    q160, q161, q161b, q166, q175)
+    q160, q161, q161b, q166, q175, q176)
 }
