@@ -60,9 +60,13 @@ object OracleSql {
     ("""(?i)\b""" + java.util.regex.Pattern.quote(word) + """\b""").r
       .findAllMatchIn(hay).size
 
-  /** True iff the statement can contain a recursive CTE at all. */
+  /** True iff the statement can contain a recursive CTE at all. Word
+    * boundaries matter both ways: `WITH recursive_docs AS …` is NOT a
+    * recursive statement (a 14-char prefix check would misread it and
+    * skip materialization), and `WITH\nRECURSIVE` IS one (code-review
+    * r14). */
   def isRecursiveStatement(sql: String): Boolean =
-    sql.dropWhile(_.isWhitespace).take(14).equalsIgnoreCase("with recursive")
+    """(?is)^\s*with\s+recursive\b""".r.findFirstIn(sql).isDefined
 
   def materializeCtes(sql: String): String = {
     val recursiveStmt = isRecursiveStatement(sql)

@@ -49,6 +49,12 @@ object NfcNormalize {
 
   /** NFC form of `s`; returns `s` itself (no copy) when already NFC. */
   def compute(s: UTF8String): UTF8String = {
+    // pure-ASCII fast path WITHOUT the String round-trip: numBytes ==
+    // numChars iff every code point is single-byte UTF-8 (ASCII), and
+    // ASCII is always NFC — the overwhelmingly common crawl row pays one
+    // byte scan and zero allocation (code-review r14: the toString-first
+    // version allocated a String per row before isNormalized ran)
+    if (s.numBytes == s.numChars) return s
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))

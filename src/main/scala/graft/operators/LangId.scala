@@ -120,26 +120,33 @@ object LangId {
       .agg(sum(col("c")).as("c"),
         min(col("buckets")).as("__bmin"), max(col("buckets")).as("__bmax"))
       .persist()
-    // bounded driver read: one row of global pin extremes
-    val pins = folded.agg(min(col("__bmin")), max(col("__bmax"))).collect().head
-    require(!pins.isNullAt(0), "langIdModelFromShards: no shards — learn " +
-      "at least one langIdCountShard over a >= 3-char labeled corpus")
-    require(pins.getInt(0) == pins.getInt(1),
-      "langIdModelFromShards: shards from different hash spaces " +
-        s"(buckets pins ${pins.getInt(0)}..${pins.getInt(1)}) — " +
-        "refold per space")
-    val buckets = pins.getInt(0)
-    val counts = folded.select(col("lang"), col("bkt"), col("c"))
-    val langs = counts.select(col("lang")).distinct()
-    val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
-    langs.crossJoin(
-        langs.sparkSession.range(buckets.toLong).select(col("id").as("bkt")))
-      .join(counts, Seq("lang", "bkt"), "left")
-      .join(totals, Seq("lang"))
-      .select(col("lang"), col("bkt"),
-        expr(s"((coalesce(c, 0L) + 1L) * ${scale}L) div (tot + ${buckets}L)")
-          .as("w"),
-        lit(buckets).as("buckets"), lit(scale).as("scale"))
+    try {
+      // bounded driver read: one row of global pin extremes
+      val pins = folded.agg(min(col("__bmin")), max(col("__bmax"))).collect().head
+      require(!pins.isNullAt(0), "langIdModelFromShards: no shards — learn " +
+        "at least one langIdCountShard over a >= 3-char labeled corpus")
+      require(pins.getInt(0) == pins.getInt(1),
+        "langIdModelFromShards: shards from different hash spaces " +
+          s"(buckets pins ${pins.getInt(0)}..${pins.getInt(1)}) — " +
+          "refold per space")
+      val buckets = pins.getInt(0)
+      val counts = folded.select(col("lang"), col("bkt"), col("c"))
+      val langs = counts.select(col("lang")).distinct()
+      val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
+      langs.crossJoin(
+          langs.sparkSession.range(buckets.toLong).select(col("id").as("bkt")))
+        .join(counts, Seq("lang", "bkt"), "left")
+        .join(totals, Seq("lang"))
+        .select(col("lang"), col("bkt"),
+          expr(s"((coalesce(c, 0L) + 1L) * ${scale}L) div (tot + ${buckets}L)")
+            .as("w"),
+          lit(buckets).as("buckets"), lit(scale).as("scale"))
+        // eagerly materialize the (model-sized) result and cut lineage so
+        // the folded cache can be RELEASED in the finally below — no
+        // cached frame outlives this call (code-review r14; the graph
+        // house rule). localCheckpoint blocks free with the model's GC.
+        .localCheckpoint()
+    } finally folded.unpersist()
   }
 
   /** Learn the stored LID model from a labeled corpus: one row per

