@@ -357,13 +357,7 @@ object UrlOps {
       ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- q168
-  private val q168 = GraftQuery(
-    "q168_host_profile",
-    (s, dir) => hostProfile(
-        Tables.documents(s, dir).withColumn("url", messyUrl()),
-        "url", "doc_id", "n_chars")
-      .orderBy(col("host")),
-    Some(s"""
+  private val hostProfileOracle = s"""
       WITH $canonSql
       SELECT host, 'v:' || host AS host_key,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -373,7 +367,72 @@ object UrlOps {
       FROM canon
       WHERE canonical_url IS NOT NULL
       GROUP BY host
-      ORDER BY host"""))
+      ORDER BY host"""
+
+  private val q168 = GraftQuery(
+    "q168_host_profile",
+    (s, dir) => hostProfile(
+        Tables.documents(s, dir).withColumn("url", messyUrl()),
+        "url", "doc_id", "n_chars")
+      .orderBy(col("host")),
+    Some(hostProfileOracle))
+
+  // ---------------------------------------------------------------- q168b
+  // Stored-shard fold law for the host profile: profile folded from TWO
+  // disjoint URL-level shards (even/odd doc_id halves) must equal the
+  // one-shot q168 — so q168b shares q168's oracle verbatim. The spec
+  // additionally pins the parquet round-trip.
+  private val q168b = GraftQuery(
+    "q168b_host_profile_fold",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("url", messyUrl())
+      val a = hostProfileShard(docs.filter(col("doc_id") % 2 === 0),
+        "url", "doc_id", "n_chars")
+      val b = hostProfileShard(docs.filter(col("doc_id") % 2 =!= 0),
+        "url", "doc_id", "n_chars")
+      hostProfileFromShards(a.unionByName(b)).orderBy(col("host"))
+    },
+    Some(hostProfileOracle))
+
+  /** Additive per-batch artifact for [[hostProfile]] — the stored-shard
+    * fold the incremental-crawl path needs (the q169b/`bm25StatsMerge`
+    * discipline). The artifact is URL-level, one row per (host,
+    * canonical_url): host-level `n_urls` is a COUNT(DISTINCT) and not
+    * additive, but URL-level (n_docs, chars, min id) triples are — fold
+    * shards by summing, then roll up to hosts. Shard size is
+    * distinct-URLs-per-batch (corpus-class, persisted as parquet, folded
+    * distributed — never collected). */
+  def hostProfileShard(docs: DataFrame, urlCol: String, idCol: String,
+      charsCol: String): DataFrame =
+    docs
+      .withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+      .filter(col("canonical_url").isNotNull)
+      .withColumn("host", urlHost(col(urlCol)))
+      .groupBy(col("host"), col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(charsCol).cast("long")).as("total_chars"),
+        min(col(idCol)).as("rep_doc_id"))
+
+  /** Fold stored [[hostProfileShard]]s into the [[hostProfile]] frame:
+    * `fromShards(shard(b1) ∪ shard(b2)) ≡ hostProfile(b1 ∪ b2)` exactly
+    * (integer sums and mins in any order — pinned by q168b sharing
+    * q168's oracle verbatim). Two hash-aggs: URL-level refold, then the
+    * host rollup where `n_urls` is a plain count of the now-unique URL
+    * rows. */
+  def hostProfileFromShards(shards: DataFrame): DataFrame =
+    shards
+      .groupBy(col("host"), col("canonical_url"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_chars")).as("total_chars"),
+        min(col("rep_doc_id")).as("rep_doc_id"))
+      .groupBy(col("host"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_urls"),
+        sum(col("total_chars")).as("total_chars"),
+        min(col("rep_doc_id")).as("rep_doc_id"))
+      .withColumn("host_key", concat(lit("v:"), col("host")))
+      .select(col("host"), col("host_key"), col("n_docs"), col("n_urls"),
+        col("total_chars"), col("rep_doc_id"))
 
   // ----------------------------------------------------------- q170/q170b
   // Host-gate fixtures: the q167 messy URLs plus a planted scheme-less
@@ -490,5 +549,5 @@ object UrlOps {
                           AND starts_with(h.path, r.path_prefix))
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q167, q168, q170, q170b, q174)
+  val all: Seq[GraftQuery] = Seq(q167, q168, q168b, q170, q170b, q174)
 }

@@ -142,6 +142,32 @@ class UrlOpsSpec extends SparkSpec {
       (2, "spam", 3L, 2L, 1L)), got.mkString(", "))
   }
 
+  test("hostProfile shard fold law: fold(disjoint shards) == one-shot, incl. parquet round-trip") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "https://b.com/1", 100L),
+      (11L, "https://b.com/1/", 50L),  // same canonical URL, other shard
+      (12L, "https://b.com/2", 25L),
+      (13L, "http://c.com/", 7L),
+      (14L, "no-scheme", 999L)
+    ).toDF("doc_id", "url", "n_chars")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val once = canon(UrlOps.hostProfile(docs, "url", "doc_id", "n_chars"))
+    val a = UrlOps.hostProfileShard(docs.filter(col("doc_id") % 2 === 0),
+      "url", "doc_id", "n_chars")
+    val b = UrlOps.hostProfileShard(docs.filter(col("doc_id") % 2 =!= 0),
+      "url", "doc_id", "n_chars")
+    assert(canon(UrlOps.hostProfileFromShards(a.unionByName(b))) == once)
+    // parquet round-trip: stored shards re-read fold identically
+    val dir = java.nio.file.Files.createTempDirectory("host_shards").toString
+    a.write.parquet(s"$dir/a"); b.write.parquet(s"$dir/b")
+    val reread = UrlOps.hostProfileFromShards(
+      spark.read.parquet(s"$dir/a").unionByName(spark.read.parquet(s"$dir/b")))
+    assert(canon(reread) == once, "parquet round-trip changed the fold")
+  }
+
   test("pathPrefixGate: prefix semantics, multi-prefix hosts, empty prefix, trailing-slash fold") {
     import spark.implicits._
     val docs = Seq(
