@@ -286,7 +286,11 @@ object ScaleProbe {
         val out = scaledDocsDir(spark, src, copies)
         val names = Seq("q170_host_gate", "q170b_host_gate_ledger",
           "q169b_langid_shard_fold", "q155b_token_budget_bpe",
-          "q171_html_extract", "q172_chunk_text")
+          "q171_html_extract", "q172_chunk_text",
+          // round-14 close additions
+          "q168b_host_profile_fold", "q173_nfc_normalize",
+          "q174_path_prefix_gate", "q175_gate_agreement",
+          "q176_tokenizer_fertility")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out)
