@@ -49,7 +49,8 @@ object PlanDump {
     "q169b_langid_shard_fold", "q170_host_gate", "q170b_host_gate_ledger",
     "q155b_token_budget_bpe", "q171_html_extract", "q172_chunk_text",
     "q173_nfc_normalize", "q174_path_prefix_gate", "q175_gate_agreement",
-    "q176_tokenizer_fertility", "q168b_host_profile_fold")
+    "q176_tokenizer_fertility", "q168b_host_profile_fold",
+    "q175b_gate_kappa")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

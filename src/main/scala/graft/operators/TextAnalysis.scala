@@ -2106,33 +2106,126 @@ object TextAnalysis {
   // nothing new shuffles beyond the gates themselves. The oracle embeds
   // the three gates' own oracles verbatim as derived tables, so any
   // divergence in ANY gate resurfaces here too.
-  private val q175 = GraftQuery(
-    "q175_gate_agreement",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val g = gopherQualityFull(docs, "doc_id", "text")
-        .select(col("doc_id"), col("keep").as("gopher_keep"))
-      val c = c4Clean(docs, "doc_id", "text", Seq("casino", "lottery"))
-        .select(col("doc_id"), col("keep").as("c4_keep"))
-      val l = linearQualityScore(docs, "doc_id", "text",
-          weights = seededWeights(s, 4096))
-        .select(col("doc_id"), col("keep").as("clf_keep"))
-      g.join(c, Seq("doc_id")).join(l, Seq("doc_id"))
-        .groupBy(col("gopher_keep"), col("c4_keep"), col("clf_keep"))
-        .agg(count(lit(1)).as("n_docs"),
-          min(col("doc_id")).as("example_doc_id"))
-        .orderBy(col("gopher_keep"), col("c4_keep"), col("clf_keep"))
-    },
-    Some(s"""
+  /** Per-doc keep flags of the three gates joined on doc_id — shared by
+    * q175 (agreement cube) and q175b (pairwise kappa). */
+  private def gateFlags(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val g = gopherQualityFull(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val c = c4Clean(docs, "doc_id", "text", Seq("casino", "lottery"))
+      .select(col("doc_id"), col("keep").as("c4_keep"))
+    val l = linearQualityScore(docs, "doc_id", "text",
+        weights = seededWeights(s, 4096))
+      .select(col("doc_id"), col("keep").as("clf_keep"))
+    g.join(c, Seq("doc_id")).join(l, Seq("doc_id"))
+  }
+
+  /** SQL prefix shared by q175/q175b: the three gates' own oracles as
+    * derived tables, joined per doc. */
+  private lazy val gateFlagsSql = s"""
       WITH g AS (SELECT doc_id, keep AS gopher_keep FROM (${q148b.oracle.get}) gq),
       c AS (SELECT doc_id, keep AS c4_keep FROM (${q160.oracle.get}) cq),
-      l AS (SELECT doc_id, keep AS clf_keep FROM (${q161.oracle.get}) lq)
+      l AS (SELECT doc_id, keep AS clf_keep FROM (${q161.oracle.get}) lq)"""
+
+  private val q175 = GraftQuery(
+    "q175_gate_agreement",
+    (s, dir) => gateFlags(s, dir)
+      .groupBy(col("gopher_keep"), col("c4_keep"), col("clf_keep"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("example_doc_id"))
+      .orderBy(col("gopher_keep"), col("c4_keep"), col("clf_keep")),
+    Some(s"""
+      $gateFlagsSql
       SELECT gopher_keep, c4_keep, clf_keep,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
       FROM g JOIN c USING (doc_id) JOIN l USING (doc_id)
       GROUP BY gopher_keep, c4_keep, clf_keep
       ORDER BY gopher_keep, c4_keep, clf_keep"""))
+
+  // ------------------------------- q175b pairwise Cohen's kappa per gate
+  // Raw agreement is inflated when both gates mostly say the same thing
+  // by chance; kappa = (p_o − p_e)/(1 − p_e) corrects for the marginal
+  // rates and is THE standard inter-rater statistic. All cell counts are
+  // exact LONGs; the arithmetic runs in DECIMAL(38,0) on the Spark side
+  // and HUGEINT in DuckDB because the p_e cross-products reach n² (2^63
+  // overflows past ~3·10⁹ docs — real corpus sizes); kappa itself is ONE
+  // final double division of two exact integers (both engines convert
+  // the same integer to the same nearest double), NULL when 1 − p_e = 0
+  // (both gates constant — kappa undefined, refuse-visibly).
+  /** Pairwise Cohen's kappa over a per-item boolean-flag frame: one
+    * output row per `(labelA, labelB, colA, colB)` pair with the item
+    * count, raw agreement count, and kappa. DECIMAL(38,0) arithmetic
+    * (the p_e cross-products reach n²), ONE final double division,
+    * NULL kappa when 1 − p_e = 0. Single scan, one global agg. */
+  def pairwiseKappa(flags: DataFrame,
+      pairs: Seq[(String, String, String, String)]): DataFrame = {
+    require(pairs.nonEmpty && pairs.size <= 16, "1..16 flag pairs")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val counts = flags.agg(
+      count(lit(1)).as("n"),
+      pairs.flatMap { case (pa, pb, x, y) => Seq(
+        sum(when(col(x) && col(y), 1L).otherwise(0L)).as(s"${pa}_${pb}_a"),
+        sum(when(col(x) && !col(y), 1L).otherwise(0L)).as(s"${pa}_${pb}_b"),
+        sum(when(!col(x) && col(y), 1L).otherwise(0L)).as(s"${pa}_${pb}_c"))
+      }: _*)
+    val rows = pairs.map { case (pa, pb, _, _) =>
+      val n = dec(col("n"))
+      val a = dec(col(s"${pa}_${pb}_a")); val b = dec(col(s"${pa}_${pb}_b"))
+      val cc = dec(col(s"${pa}_${pb}_c")); val d = n - a - b - cc
+      val pe = (a + b) * (a + cc) + (d + cc) * (d + b)
+      val num = n * (a + d) - pe
+      val den = n * n - pe
+      struct(lit(pa).as("gate_a"), lit(pb).as("gate_b"),
+        col("n").as("n_docs"),
+        (col(s"${pa}_${pb}_a") + col("n") - col(s"${pa}_${pb}_a")
+          - col(s"${pa}_${pb}_b") - col(s"${pa}_${pb}_c")).as("n_agree"),
+        when(den === dec(lit(0L)), lit(null).cast("double"))
+          .otherwise(num.cast("double") / den.cast("double")).as("kappa"))
+    }
+    counts.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.gate_a"), col("r.gate_b"), col("r.n_docs"),
+        col("r.n_agree"), col("r.kappa"))
+      .orderBy(col("gate_a"), col("gate_b"))
+  }
+
+  private val q175b = GraftQuery(
+    "q175b_gate_kappa",
+    (s, dir) => pairwiseKappa(gateFlags(s, dir), Seq(
+      ("gopher", "c4", "gopher_keep", "c4_keep"),
+      ("gopher", "clf", "gopher_keep", "clf_keep"),
+      ("c4", "clf", "c4_keep", "clf_keep"))),
+    Some {
+      val pairs = Seq(("gopher", "c4", "gopher_keep", "c4_keep"),
+        ("gopher", "clf", "gopher_keep", "clf_keep"),
+        ("c4", "clf", "c4_keep", "clf_keep"))
+      val sums = pairs.flatMap { case (pa, pb, x, y) => Seq(
+        s"CAST(SUM(CASE WHEN $x AND $y THEN 1 ELSE 0 END) AS HUGEINT) AS ${pa}_${pb}_a",
+        s"CAST(SUM(CASE WHEN $x AND NOT $y THEN 1 ELSE 0 END) AS HUGEINT) AS ${pa}_${pb}_b",
+        s"CAST(SUM(CASE WHEN NOT $x AND $y THEN 1 ELSE 0 END) AS HUGEINT) AS ${pa}_${pb}_c")
+      }.mkString(",\n                   ")
+      val rows = pairs.map { case (pa, pb, _, _) =>
+        val (aa, bb, cc) = (s"${pa}_${pb}_a", s"${pa}_${pb}_b", s"${pa}_${pb}_c")
+        val d = s"(n - $aa - $bb - $cc)"
+        val pe = s"(($aa + $bb) * ($aa + $cc) + ($d + $cc) * ($d + $bb))"
+        s"""SELECT '$pa' AS gate_a, '$pb' AS gate_b,
+               CAST(n AS BIGINT) AS n_docs,
+               CAST($aa + $d AS BIGINT) AS n_agree,
+               CASE WHEN n * n - $pe = 0 THEN NULL
+                    ELSE CAST(n * ($aa + $d) - $pe AS DOUBLE)
+                         / CAST(n * n - $pe AS DOUBLE) END AS kappa
+           FROM s"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      $gateFlagsSql,
+      j AS (SELECT gopher_keep, c4_keep, clf_keep
+            FROM g JOIN c USING (doc_id) JOIN l USING (doc_id)),
+      s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   $sums
+            FROM j)
+      $rows
+      ORDER BY gate_a, gate_b"""
+    })
 
   // q161b pins the PRUNED-model path: only positive-weight buckets ship
   // (the sparse table a magnitude-pruned model persists); every other
@@ -2219,5 +2312,5 @@ object TextAnalysis {
 
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
     q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154, q155b, q156, q156b, q156c, q157, q157b,
-    q160, q161, q161b, q166, q175, q176)
+    q160, q161, q161b, q166, q175, q175b, q176)
 }

@@ -730,6 +730,32 @@ class OperatorsSpec extends SparkSpec {
       s"BPE budget kept ${kept.length} >= whitespace ${wsKept.length}")
   }
 
+  test("pairwiseKappa: hand-computed value, perfect/inverse agreement, undefined case") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a=40 both-keep, b=10, c=10, d=40 -> po=0.8, pe=0.5, kappa=0.6 exact
+    val flags = ((1 to 40).map(_ => (true, true)) ++
+      (1 to 10).map(_ => (true, false)) ++
+      (1 to 10).map(_ => (false, true)) ++
+      (1 to 40).map(_ => (false, false))).toDF("x", "y")
+    val got = graft.operators.TextAnalysis.pairwiseKappa(flags,
+      Seq(("x", "y", "x", "y"))).collect().head
+    assert(got.getLong(2) == 100L && got.getLong(3) == 80L)
+    assert(got.getDouble(4) == 0.6, got.getDouble(4).toString)
+    // perfect agreement -> 1.0; perfect disagreement -> kappa < 0
+    val perfect = Seq((true, true), (false, false), (true, true))
+      .toDF("x", "y")
+    assert(graft.operators.TextAnalysis.pairwiseKappa(perfect,
+      Seq(("x", "y", "x", "y"))).collect().head.getDouble(4) == 1.0)
+    val inverse = Seq((true, false), (false, true)).toDF("x", "y")
+    assert(graft.operators.TextAnalysis.pairwiseKappa(inverse,
+      Seq(("x", "y", "x", "y"))).collect().head.getDouble(4) < 0)
+    // both raters constant -> pe = 1 -> kappa undefined -> NULL
+    val const = Seq((true, true), (true, true)).toDF("x", "y")
+    assert(graft.operators.TextAnalysis.pairwiseKappa(const,
+      Seq(("x", "y", "x", "y"))).collect().head.isNullAt(4))
+  }
+
   test("dsirScore: target-like docs rank above novel docs; bit-identical under repartitioning") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
