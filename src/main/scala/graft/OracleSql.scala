@@ -60,13 +60,41 @@ object OracleSql {
     ("""(?i)\b""" + java.util.regex.Pattern.quote(word) + """\b""").r
       .findAllMatchIn(hay).size
 
+  /** Strip leading whitespace and SQL comments (`-- …\n` line comments
+    * and `/* … */` block comments, any number, any order) so prefix
+    * classification sees the first real token. Unterminated block
+    * comments strip to end-of-string (the statement is broken anyway —
+    * classification must still terminate). */
+  private def dropLeadingComments(sql: String): String = {
+    var s = sql
+    var changed = true
+    while (changed) {
+      val t = s.dropWhile(_.isWhitespace)
+      val u =
+        if (t.startsWith("--")) {
+          val nl = t.indexOf('\n')
+          if (nl < 0) "" else t.substring(nl + 1)
+        } else if (t.startsWith("/*")) {
+          val end = t.indexOf("*/", 2)
+          if (end < 0) "" else t.substring(end + 2)
+        } else t
+      changed = u != s
+      s = u
+    }
+    s
+  }
+
   /** True iff the statement can contain a recursive CTE at all. Word
     * boundaries matter both ways: `WITH recursive_docs AS …` is NOT a
     * recursive statement (a 14-char prefix check would misread it and
     * skip materialization), and `WITH\nRECURSIVE` IS one (code-review
+    * r14). Leading comments are stripped first: `-- note\nWITH RECURSIVE`
+    * IS recursive, and anchoring on the raw string would misclassify it
+    * and inject MATERIALIZED into a genuinely recursive CTE (ADVICE
     * r14). */
   def isRecursiveStatement(sql: String): Boolean =
-    """(?is)^\s*with\s+recursive\b""".r.findFirstIn(sql).isDefined
+    """(?is)^\s*with\s+recursive\b""".r
+      .findFirstIn(dropLeadingComments(sql)).isDefined
 
   def materializeCtes(sql: String): String = {
     val recursiveStmt = isRecursiveStatement(sql)

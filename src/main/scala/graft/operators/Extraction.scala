@@ -32,14 +32,24 @@ object Extraction {
 
   /** Regex inventory, shared verbatim (same RE2/Java-compatible syntax)
     * by the Spark columns and the DuckDB oracles:
-    *   - script/style subtrees: `(?is)<script\b...` — lazy body match,
-    *     dotall so blocks spanning newlines die whole. CASE-INSENSITIVE
-    *     because real crawls carry `<SCRIPT>`.
+    *   - script/style subtrees: one per-tag alternative each — lazy body
+    *     match, dotall so blocks spanning newlines die whole.
+    *     CASE-INSENSITIVE because real crawls carry `<SCRIPT>`. PER-TAG,
+    *     not `<(script|style)…</(script|style)>`: the grouped form let a
+    *     `<script>` be closed by `</style>` (ADVICE r14), truncating the
+    *     kill early and leaking script body into "visible text". A
+    *     backreference (`</\1>`) would be the compact fix but DuckDB's
+    *     RE2 has no backreferences, so the engine-portable form is the
+    *     two-alternative union. KNOWN LEAK (documented, both engines
+    *     identical): an UNCLOSED `<script>` in a truncated crawl doc
+    *     never matches, so its body survives tag-strip as text — callers
+    *     gating truncated crawls should length-gate upstream.
     *   - tags: `<[^>]*>` AFTER subtree removal.
     *   - whitespace: explicit `[ \t\n\r]+` (Java `\s` and RE2 `\s`
     *     disagree on VT — the explicit class is engine-portable).
     */
-  private val ScriptRe = "(?is)<(script|style)\\b[^>]*>.*?</(script|style)>"
+  private val ScriptRe =
+    "(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>"
   private val TagRe = "<[^>]*>"
   private val WsRe = "[ \\t\\n\\r]+"
 
@@ -126,7 +136,7 @@ object Extraction {
                    trim(regexp_replace(
                      replace(replace(replace(replace(replace(replace(
                        regexp_replace(
-                         regexp_replace(html, '(?is)<(script|style)\\b[^>]*>.*?</(script|style)>', ' ', 'g'),
+                         regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>', ' ', 'g'),
                          '<[^>]*>', ' ', 'g'),
                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),

@@ -2161,6 +2161,13 @@ object TextAnalysis {
   def pairwiseKappa(flags: DataFrame,
       pairs: Seq[(String, String, String, String)]): DataFrame = {
     require(pairs.nonEmpty && pairs.size <= 16, "1..16 flag pairs")
+    // duplicate labels would mint duplicate aggregate aliases and die
+    // later as an opaque ambiguous-reference AnalysisException (ADVICE
+    // r14) — refuse here with the actual offenders named
+    require(pairs.map(p => (p._1, p._2)).distinct.size == pairs.size,
+      "duplicate gate pair labels: " + pairs.map(p => s"${p._1}/${p._2}")
+        .groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+        .mkString(", "))
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val counts = flags.agg(
       count(lit(1)).as("n"),

@@ -151,7 +151,9 @@ object UrlOps {
     * [[pathPrefixGate]] — one validation surface, no drift). */
   private def encodedKeyOrRaise(c: Column, what: String): Column =
     when(c.isNull || !c.startsWith("v:"),
-      raise_error(concat(lit(s"$what key '"), c,
+      // coalesce: a NULL key must keep the diagnostic — concat(NULL)
+      // is NULL and raise_error(NULL) loses the message (ADVICE r14)
+      raise_error(concat(lit(s"$what key '"), coalesce(c, lit("NULL")),
         lit("' is not domainKey-encoded ('v:'+host) — build keys as " +
           "'v:' || host (hostProfile.host_key), never raw hosts"))))
       .otherwise(c)

@@ -60,6 +60,25 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(!OracleSql.isRecursiveStatement(named))
   }
 
+  test("leading SQL comments do not hide WITH RECURSIVE (ADVICE r14)") {
+    val rec = "SELECT n + 1 FROM r WHERE n < 5) SELECT * FROM r " +
+      "JOIN r r2 USING (n)"
+    // line comment, block comment, and a stack of both — all recursive
+    val line = "-- a note\nWITH RECURSIVE r AS (SELECT 1 AS n UNION ALL " + rec
+    val block = "/* a\nnote */ WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL " + rec
+    val both = "  -- x\n /* y */ -- z\nWITH RECURSIVE r AS (SELECT 1 AS n UNION ALL " + rec
+    for (sql <- Seq(line, block, both)) {
+      assert(OracleSql.isRecursiveStatement(sql), sql.take(30))
+      // and therefore the self-referencing CTE is NOT materialized
+      assert(OracleSql.materializeCtes(sql) == sql, sql.take(30))
+    }
+    // comments before a NON-recursive statement change nothing
+    val plain = "-- note\nWITH a AS (SELECT 1 AS x) " +
+      "SELECT * FROM a JOIN a a2 USING (x)"
+    assert(!OracleSql.isRecursiveStatement(plain))
+    assert(OracleSql.materializeCtes(plain).contains("a AS MATERIALIZED"))
+  }
+
   test("leaves already-MATERIALIZED CTEs alone (no double keyword)") {
     val sql = "WITH a AS MATERIALIZED (SELECT 1 AS x) " +
       "SELECT * FROM a JOIN a a2 USING (x)"

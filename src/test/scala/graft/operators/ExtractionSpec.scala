@@ -21,7 +21,12 @@ class ExtractionSpec extends SparkSpec {
       ("&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp; &amp;lt;",
         "<tag> \"q\" 's' & &lt;"),
       // no html at all is a no-op modulo whitespace folding
-      ("just  plain\ttext", "just plain text")
+      ("just  plain\ttext", "just plain text"),
+      // a <script> is NOT closed by </style> (per-tag patterns — ADVICE
+      // r14): the whole script body incl. the stray </style> dies
+      ("<p>a</p><script>x</style>y</script><p>b</p>", "a b"),
+      // and the style twin
+      ("<style>.x{}</script>z</style>ok", "ok")
     )
     val got = fixtures.map(_._1).toDF("h")
       .select(col("h"), Extraction.htmlText(col("h")).as("t"))

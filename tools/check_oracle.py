@@ -55,7 +55,11 @@ def run_capped(con, sql, cap):
         done.set()
         # join so fired's final state is visible to the caller
         w.join(timeout=5)
-    return df, secs, fired.is_set()
+    # a watchdog still alive after the join timeout (con.interrupt()
+    # blocked) may interrupt LATER — treat it as fired so the caller
+    # reconnects instead of letting the late interrupt abort the NEXT
+    # query and mis-attribute the failure (ADVICE r14)
+    return df, secs, fired.is_set() or w.is_alive()
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -89,6 +93,17 @@ def values_equal(a, b) -> bool:
         except (TypeError, ValueError):
             return False
     return str(a) == str(b)
+
+
+def reconnect(con, sf_dir):
+    """Swap in a fresh connection, closing the old one (a replaced
+    connection left open leaks and can still receive a late watchdog
+    interrupt — ADVICE r14)."""
+    try:
+        con.close()
+    except Exception:
+        pass
+    return make_con(sf_dir)
 
 
 def make_con(sf_dir):
@@ -133,7 +148,7 @@ def main():
                 # the query finished in the interrupt race window; the
                 # connection may carry a pending interrupt — discard it
                 # so the NEXT query isn't aborted and mis-attributed
-                con = make_con(sf_dir)
+                con = reconnect(con, sf_dir)
             if secs > cap:
                 print(f"[SLOW] {name}: oracle took {secs:.1f}s (cap {cap:.0f}s)")
                 n_bad += 1
@@ -144,7 +159,7 @@ def main():
             print(f"[TIME] {name}: oracle exceeded {cap:.0f}s wall cap — "
                   "check for multi-referenced plain CTEs (needs MATERIALIZED)")
             n_bad += 1
-            con = make_con(sf_dir)  # interrupted connection may be poisoned
+            con = reconnect(con, sf_dir)  # interrupted connection may be poisoned
             continue
         except Exception as e:
             msg = str(e).splitlines()[0][:200]
@@ -158,7 +173,7 @@ def main():
             # ~cap seconds can race the watchdog (interrupt fires on the
             # now-idle connection) and the caller never learns fired=True —
             # keeping the connection would poison the NEXT query
-            con = make_con(sf_dir)
+            con = reconnect(con, sf_dir)
             continue
         if list(got.columns) != list(want.columns):
             print(f"[COLS] {name}: spark={list(got.columns)} oracle={list(want.columns)}")
