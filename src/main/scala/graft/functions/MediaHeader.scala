@@ -19,17 +19,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * bytes yield `valid = false`, so it runs unguarded over a crawl
   * column.
   *
-  * Output struct: `(format, sample_rate, channels, bits, brand, valid)`.
+  * Output struct:
+  * `(format, sample_rate, channels, bits, brand, duration_ms, n_samples, valid)`.
   *   - `format` — `wav` (12-byte RIFF....WAVE preamble present), `mp4`
   *     (8-byte box header with type 'ftyp'), else `unknown`.
   *   - `sample_rate`/`channels`/`bits` — WAV fmt-chunk fields (−1 for
   *     mp4/unknown or when the chunk walk fails).
   *   - `brand` — the mp4 major brand as 4 ASCII chars ("" otherwise).
-  *   - `valid` — true iff the format-specific payload actually parsed.
+  *   - `duration_ms`/`n_samples` — WAV audio duration in integer
+  *     milliseconds (`data_size · 1000 div byte_rate`) and per-channel
+  *     frame count (`data_size div block_align`), both exact LONG
+  *     divisions of header fields; −1 unless the fmt chunk parsed AND a
+  *     `data` chunk header was seen AND the divisor field is ≥ 1. The
+  *     DECLARED data size is used even when the payload bytes are
+  *     truncated — it is what the header promises, which is the right
+  *     basis for a "drop audio < 1 s" curation gate over partial
+  *     crawls (VERDICT r14 next #7).
+  *   - `valid` — true iff the format-specific payload actually parsed
+  *     (for WAV: the fmt chunk; duration fields may still be −1 when
+  *     the data chunk is absent).
   *
-  * The WAV fmt chunk is found by a bounded chunk walk (chunks are
-  * id(4) + size(4 LE) + data, word-aligned), not a fixed offset — a
-  * LIST/INFO chunk before fmt is legal RIFF and still parses.
+  * The WAV fmt and data chunks are found by ONE bounded chunk walk
+  * (chunks are id(4) + size(4 LE) + data, word-aligned), not fixed
+  * offsets — a LIST/INFO chunk before fmt is legal RIFF and still
+  * parses, and data-before-fmt (legal, rare) parses too.
   */
 case class MediaHeader(child: Expression) extends UnaryExpression {
 
@@ -54,12 +67,14 @@ object MediaHeader {
     StructField("channels", IntegerType, nullable = false),
     StructField("bits", IntegerType, nullable = false),
     StructField("brand", StringType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
     StructField("valid", BooleanType, nullable = false)))
 
   private def row(fmt: String, rate: Int, ch: Int, bits: Int, brand: String,
-      ok: Boolean): InternalRow =
+      durMs: Long, nSamples: Long, ok: Boolean): InternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), rate, ch,
-      bits, UTF8String.fromString(brand), ok))
+      bits, UTF8String.fromString(brand), durMs, nSamples, ok))
 
   private def u16le(b: Array[Byte], p: Int): Int =
     ((b(p + 1) & 0xff) << 8) | (b(p) & 0xff)
@@ -88,24 +103,50 @@ object MediaHeader {
       // the cursor past the buffer end, not wrap it negative into an
       // out-of-bounds read (ADVICE r10 — never-throws contract)
       var p = 12L
-      while (p + 8 <= b.length) {
+      var rate = -1
+      var ch = -1
+      var bits = -1
+      var byteRate = 0L
+      var blockAlign = 0
+      var fmtOk = false
+      var dataSize = -1L
+      while (p + 8 <= b.length && !(fmtOk && dataSize >= 0L)) {
         val q = p.toInt // p + 8 <= b.length <= Int.MaxValue, so exact
         val size = u32le(b, q + 4)
-        if (tag(b, q, "fmt ")) {
+        if (tag(b, q, "fmt ") && !fmtOk) {
           // fmt payload: audio_fmt(2) channels(2) rate(4) byte_rate(4)
           // block_align(2) bits(2) — 16 bytes minimum (PCM)
           if (size >= 16L && p + 8 + 16 <= b.length) {
-            val ch = u16le(b, q + 10)
-            val rate = u32le(b, q + 12)
-            val bits = u16le(b, q + 22)
-            if (ch >= 1 && ch <= 64 && rate >= 1L && rate <= Int.MaxValue)
-              return row("wav", rate.toInt, ch, bits, "", ok = true)
+            val c = u16le(b, q + 10)
+            val r = u32le(b, q + 12)
+            if (c >= 1 && c <= 64 && r >= 1L && r <= Int.MaxValue) {
+              ch = c
+              rate = r.toInt
+              byteRate = u32le(b, q + 16)
+              blockAlign = u16le(b, q + 20)
+              bits = u16le(b, q + 22)
+              fmtOk = true
+            }
           }
-          return row("wav", -1, -1, -1, "", ok = false)
+          // an unparseable fmt chunk is terminal — the file's declared
+          // audio format is broken, duration fields are meaningless
+          if (!fmtOk) return row("wav", -1, -1, -1, "", -1L, -1L, ok = false)
+        } else if (dataSize < 0L && tag(b, q, "data")) {
+          dataSize = size // declared size; see scaladoc on truncation
         }
         p += 8L + size + (size & 1L) // u32le ∈ [0, 2^32): never negative
       }
-      row("wav", -1, -1, -1, "", ok = false)
+      if (!fmtOk) row("wav", -1, -1, -1, "", -1L, -1L, ok = false)
+      else {
+        // exact integer divisions; data_size·1000 < 2^42 — no overflow
+        val dur =
+          if (dataSize >= 0L && byteRate >= 1L) dataSize * 1000L / byteRate
+          else -1L
+        val ns =
+          if (dataSize >= 0L && blockAlign >= 1) dataSize / blockAlign
+          else -1L
+        row("wav", rate, ch, bits, "", dur, ns, ok = true)
+      }
     } else if (b.length >= 8 && tag(b, 4, "ftyp")) {
       // ISO BMFF: box size covers the whole ftyp box, must be >= 16
       // (header 8 + major 4 + minor 4); the brand is 4 printable ASCII
@@ -113,18 +154,18 @@ object MediaHeader {
       if (boxSize >= 16L && b.length >= 12 &&
           (8 until 12).forall(i => isPrintableAscii(b(i) & 0xff))) {
         val brand = new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        row("mp4", -1, -1, -1, brand, ok = true)
-      } else row("mp4", -1, -1, -1, "", ok = false)
-    } else row("unknown", -1, -1, -1, "", ok = false)
+        row("mp4", -1, -1, -1, brand, -1L, -1L, ok = true)
+      } else row("mp4", -1, -1, -1, "", -1L, -1L, ok = false)
+    } else row("unknown", -1, -1, -1, "", -1L, -1L, ok = false)
   }
 
   def apply(c: Column): Column = columnOf(new MediaHeader(expressionOf(c)))
 
-  /** Plain-Scala form for per-partition consumers:
-    * (format, sample_rate, channels, bits, brand, valid). */
-  def parse(b: Array[Byte]): (String, Int, Int, Int, String, Boolean) = {
+  /** Plain-Scala form for per-partition consumers: (format, sample_rate,
+    * channels, bits, brand, duration_ms, n_samples, valid). */
+  def parse(b: Array[Byte]): (String, Int, Int, Int, String, Long, Long, Boolean) = {
     val r = compute(b)
     (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2), r.getInt(3),
-      r.getUTF8String(4).toString, r.getBoolean(5))
+      r.getUTF8String(4).toString, r.getLong(5), r.getLong(6), r.getBoolean(7))
   }
 }

@@ -355,7 +355,10 @@ object Multimodal {
         .select(col("doc_id"), col("mh.format").as("format"),
           col("mh.sample_rate").as("sample_rate"),
           col("mh.channels").as("channels"), col("mh.bits").as("bits"),
-          col("mh.brand").as("brand"), col("mh.valid").as("valid"),
+          col("mh.brand").as("brand"),
+          col("mh.duration_ms").as("duration_ms"),
+          col("mh.n_samples").as("n_samples"),
+          col("mh.valid").as("valid"),
           col("n_bytes"))
         .orderBy(col("doc_id")),
     Some("""
@@ -382,6 +385,10 @@ object Multimodal {
              CASE WHEN fmt = 1 AND NOT trunc
                   THEN (CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END)
                   ELSE '' END AS brand,
+             CAST(CASE WHEN fmt = 0 AND NOT trunc
+                  THEN (body_n * 1000) // (rate * ch * 2) ELSE -1 END AS BIGINT) AS duration_ms,
+             CAST(CASE WHEN fmt = 0 AND NOT trunc
+                  THEN body_n // (ch * 2) ELSE -1 END AS BIGINT) AS n_samples,
              (NOT trunc AND fmt IN (0, 1)) AS valid,
              CAST(CASE WHEN trunc THEN least(sz, 9) ELSE sz END AS BIGINT) AS n_bytes
       FROM sized

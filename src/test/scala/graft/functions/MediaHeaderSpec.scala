@@ -30,26 +30,26 @@ class MediaHeaderSpec extends AnyFunSuite {
   }
 
   test("WAV: fmt chunk fields at RIFF spec offsets (LE)") {
-    assert(MediaHeader.parse(wav(Nil)) === (("wav", 44100, 2, 16, "", true)))
+    assert(MediaHeader.parse(wav(Nil)) === (("wav", 44100, 2, 16, "", 0L, 1L, true)))
     assert(MediaHeader.parse(wav(Nil, ch = 1, rate = 8000, bits = 8)) ===
-      (("wav", 8000, 1, 8, "", true)))
+      (("wav", 8000, 1, 8, "", 0L, 4L, true)))
   }
 
   test("WAV: chunk walk skips a LIST chunk before fmt (fmt-first is NOT assumed)") {
     // LIST chunk with 5 payload bytes — odd size, so the walk must also
     // honor the RIFF word-alignment pad byte
     val list = tag("LIST") ++ le32(5) ++ Seq('I', 'N', 'F', 'O', 'x', 0 /* pad */)
-    assert(MediaHeader.parse(wav(list)) === (("wav", 44100, 2, 16, "", true)))
+    assert(MediaHeader.parse(wav(list)) === (("wav", 44100, 2, 16, "", 0L, 1L, true)))
   }
 
   test("WAV: RIFF preamble without a parseable fmt chunk is wav but invalid") {
     // data chunk only — no fmt anywhere
     val noFmt = bytes((tag("RIFF") ++ le32(12) ++ tag("WAVE") ++
       tag("data") ++ le32(2) ++ Seq(7, 7)): _*)
-    assert(MediaHeader.parse(noFmt) === (("wav", -1, -1, -1, "", false)))
+    assert(MediaHeader.parse(noFmt) === (("wav", -1, -1, -1, "", -1L, -1L, false)))
     // fmt chunk declared but truncated mid-payload
     val cut = wav(Nil).take(24)
-    assert(MediaHeader.parse(cut) === (("wav", -1, -1, -1, "", false)))
+    assert(MediaHeader.parse(cut) === (("wav", -1, -1, -1, "", -1L, -1L, false)))
     // RIFF but not WAVE => not wav at all
     val avi = bytes((tag("RIFF") ++ le32(4) ++ tag("AVI ")): _*)
     assert(MediaHeader.parse(avi)._1 === "unknown")
@@ -58,17 +58,41 @@ class MediaHeaderSpec extends AnyFunSuite {
   test("MP4: ftyp box size 4BE at 0, brand ASCII at 8-11") {
     val mp4 = bytes((Seq(0, 0, 0, 20) ++ tag("ftyp") ++ tag("isom") ++
       Seq(0, 0, 0, 0) ++ tag("mp41")): _*)
-    assert(MediaHeader.parse(mp4) === (("mp4", -1, -1, -1, "isom", true)))
+    assert(MediaHeader.parse(mp4) === (("mp4", -1, -1, -1, "isom", -1L, -1L, true)))
     val cutBrand = mp4.take(9)
-    assert(MediaHeader.parse(cutBrand) === (("mp4", -1, -1, -1, "", false)))
+    assert(MediaHeader.parse(cutBrand) === (("mp4", -1, -1, -1, "", -1L, -1L, false)))
     // undersized box (spec minimum for ftyp is 16)
     val small = bytes((Seq(0, 0, 0, 8) ++ tag("ftyp") ++ tag("isom") ++
       Seq(0, 0, 0, 0)): _*)
-    assert(MediaHeader.parse(small) === (("mp4", -1, -1, -1, "", false)))
+    assert(MediaHeader.parse(small) === (("mp4", -1, -1, -1, "", -1L, -1L, false)))
     // non-printable brand bytes rejected
     val junkBrand = bytes((Seq(0, 0, 0, 20) ++ tag("ftyp") ++
       Seq(0x01, 0x02, 0x03, 0x04) ++ Seq(0, 0, 0, 0) ++ tag("isom")): _*)
-    assert(MediaHeader.parse(junkBrand) === (("mp4", -1, -1, -1, "", false)))
+    assert(MediaHeader.parse(junkBrand) === (("mp4", -1, -1, -1, "", -1L, -1L, false)))
+  }
+
+  test("WAV duration/sample metrics: exact integer div of header fields (VERDICT r14 #7)") {
+    // ch=1, rate=8000, bits=16 -> byte_rate=16000, block_align=2;
+    // data size 48000 -> 3000 ms, 24000 frames
+    val body = fmtChunk(1, 8000, 16) ++ tag("data") ++ le32(48000) ++
+      Seq.fill(48000)(0)
+    val full = bytes((tag("RIFF") ++ le32(4 + body.size) ++ tag("WAVE") ++ body): _*)
+    assert(MediaHeader.parse(full) === (("wav", 8000, 1, 16, "", 3000L, 24000L, true)))
+    // DECLARED data size drives duration even when payload is truncated
+    // (the header's promise is the curation-gate basis)
+    val declared = fmtChunk(1, 8000, 16) ++ tag("data") ++ le32(32000) ++
+      Seq(1, 2, 3, 4)
+    val cut = bytes((tag("RIFF") ++ le32(4 + declared.size) ++ tag("WAVE") ++ declared): _*)
+    assert(MediaHeader.parse(cut) === (("wav", 8000, 1, 16, "", 2000L, 16000L, true)))
+    // fmt parses but no data chunk at all: valid, duration refused (-1)
+    val noData = bytes((tag("RIFF") ++ le32(4 + fmtChunk(2, 44100, 16).size) ++
+      tag("WAVE") ++ fmtChunk(2, 44100, 16)): _*)
+    assert(MediaHeader.parse(noData) === (("wav", 44100, 2, 16, "", -1L, -1L, true)))
+    // data BEFORE fmt (legal RIFF): both still found in one walk
+    val dFirst = tag("data") ++ le32(16000) ++ Seq.fill(16000)(0) ++
+      fmtChunk(1, 8000, 16)
+    val dfw = bytes((tag("RIFF") ++ le32(4 + dFirst.size) ++ tag("WAVE") ++ dFirst): _*)
+    assert(MediaHeader.parse(dfw) === (("wav", 8000, 1, 16, "", 1000L, 8000L, true)))
   }
 
   test("never throws on arbitrary bytes (pseudo-random sweep)") {
@@ -95,10 +119,10 @@ class MediaHeaderSpec extends AnyFunSuite {
     def tag4(t: String): Seq[Int] = t.map(_.toInt)
     val evil = (tag4("RIFF") ++ Seq(0xff, 0xff, 0xff, 0x7f) ++ tag4("WAVE") ++
       tag4("data") ++ Seq(0xff, 0xff, 0xff, 0x7f)).map(_.toByte).toArray
-    assert(MediaHeader.parse(evil) === (("wav", -1, -1, -1, "", false)))
+    assert(MediaHeader.parse(evil) === (("wav", -1, -1, -1, "", -1L, -1L, false)))
     // full-range u32 size (0xFFFFFFFF) likewise
     val evil2 = (tag4("RIFF") ++ Seq(0xff, 0xff, 0xff, 0xff) ++ tag4("WAVE") ++
       tag4("LIST") ++ Seq(0xff, 0xff, 0xff, 0xff)).map(_.toByte).toArray
-    assert(MediaHeader.parse(evil2) === (("wav", -1, -1, -1, "", false)))
+    assert(MediaHeader.parse(evil2) === (("wav", -1, -1, -1, "", -1L, -1L, false)))
   }
 }
