@@ -170,6 +170,19 @@ object LangId {
     * emitting an arbitrary language at score 0). */
   def langIdScore(batch: DataFrame, idCol: String, textCol: String,
       model: DataFrame): DataFrame = {
+    val r = row_number().over(
+      Window.partitionBy(col(idCol))
+        .orderBy(col("score").desc, col("lang")))
+    perLangScores(batch, idCol, textCol, model)
+      .withColumn("__r", r).filter(col("__r") === 1)
+      .select(col(idCol), col("lang").as("pred_lang"), col("score"))
+  }
+
+  /** Shared (doc, lang, score) frame behind [[langIdScore]] /
+    * [[langIdScoreMargin]]: explode trigrams, per-doc bucket counts,
+    * broadcast-join the dense model, one hash-agg. Exact LONG scores. */
+  private def perLangScores(batch: DataFrame, idCol: String,
+      textCol: String, model: DataFrame): DataFrame = {
     val pins = model.select(col("buckets"), col("scale")).limit(1).collect()
     require(pins.nonEmpty, "langIdScore: model table is empty — " +
       "langIdModel over a corpus with no >= 3-char labeled documents " +
@@ -178,16 +191,41 @@ object LangId {
     val dc = triBuckets(textCol, buckets)(batch.select(col(idCol), col(textCol)))
       .groupBy(col(idCol), col("bkt")).agg(count(lit(1)).as("cnt"))
     // dense model => inner join covers every (doc bucket, lang) pair
-    val scored = dc
-      .join(broadcast(model.select(col("lang"), col("bkt"), col("w"))),
+    dc.join(broadcast(model.select(col("lang"), col("bkt"), col("w"))),
         Seq("bkt"))
       .groupBy(col(idCol), col("lang"))
       .agg(sum(col("cnt") * col("w")).as("score"))
-    val r = row_number().over(
-      Window.partitionBy(col(idCol))
-        .orderBy(col("score").desc, col("lang")))
-    scored.withColumn("__r", r).filter(col("__r") === 1)
-      .select(col(idCol), col("lang").as("pred_lang"), col("score"))
+  }
+
+  /** [[langIdScore]] with CONFIDENCE fields (VERDICT r14 next #4 — the
+    * CCNet p>0.5 analog, in the house exact-integer scheme): per doc,
+    * the argmax language plus
+    *   - `margin` — top-1 score − top-2 score as an exact LONG; NULL
+    *     when the model knows a single language (no runner-up exists —
+    *     refuse-visibly rather than claim an infinite margin),
+    *   - `confident` — true iff the top language holds a strict
+    *     majority of the doc's total trigram-coverage mass across ALL
+    *     model languages: `2·score₁ > Σ_lang score` — one exact integer
+    *     comparison, no division, bit-replayable. (Headroom: score ≤
+    *     n_trigrams·scale ≈ 10¹⁵ for a 10⁹-char doc; ×2 and a 200-lang
+    *     total stay orders inside LONG.)
+    * Docs below the trigram floor (< 3 chars of lowercased text)
+    * produce no trigrams and are ABSENT, exactly as in [[langIdScore]]:
+    * an evidence-free doc gets no confident-looking row at all.
+    * Same plan shape as langIdScore plus one per-doc window sum. */
+  def langIdScoreMargin(batch: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val ordered = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("lang"))
+    val whole = Window.partitionBy(col(idCol))
+    perLangScores(batch, idCol, textCol, model)
+      .withColumn("__r", row_number().over(ordered))
+      .withColumn("__s2", lead(col("score"), 1).over(ordered))
+      .withColumn("__tot", sum(col("score")).over(whole))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("lang").as("pred_lang"), col("score"),
+        (col("score") - col("__s2")).as("margin"),
+        (col("score") * lit(2L) > col("__tot")).as("confident"))
   }
 
   // ---------------------------------------------------------------- q169
@@ -204,7 +242,9 @@ object LangId {
         (col("pred_lang") === col("lang")).as("is_correct"))
       .orderBy(col("doc_id"))
 
-  private val langIdOracle = """
+  /** Shared learn+score CTE prefix (through the per-(doc,lang) exact
+    * scores `sc`) for the q169/q169b/q169c oracles. */
+  private val langIdScoreCtes = """
       WITH lo AS (SELECT doc_id, lang, lower(text) AS lo FROM documents),
       tri AS (SELECT doc_id, lang,
                      ('0x' || substr(md5(substring(lo, i, 3)), 1, 6))::BIGINT % 4096 AS bkt
@@ -223,7 +263,9 @@ object LangId {
              FROM tri WHERE doc_id % 2 <> 0 GROUP BY doc_id, bkt),
       sc AS (SELECT dc.doc_id, m.lang, CAST(SUM(dc.cnt * m.w) AS BIGINT) AS score
              FROM dc JOIN model m ON dc.bkt = m.bkt
-             GROUP BY dc.doc_id, m.lang),
+             GROUP BY dc.doc_id, m.lang)"""
+
+  private val langIdOracle = langIdScoreCtes + """,
       best AS (SELECT doc_id, lang AS pred_lang, score,
                       ROW_NUMBER() OVER (PARTITION BY doc_id
                                          ORDER BY score DESC, lang) AS r
@@ -233,6 +275,25 @@ object LangId {
       FROM best b JOIN documents d ON b.doc_id = d.doc_id
       WHERE b.r = 1
       ORDER BY b.doc_id"""
+
+  // margin/confidence tail: identical score frame, plus LEAD for the
+  // runner-up gap and a per-doc total for the exact majority test.
+  // DuckDB's window SUM(BIGINT) is HUGEINT, so the majority comparison
+  // lifts score to HUGEINT explicitly; margin stays BIGINT − BIGINT.
+  private val langIdMarginOracle = langIdScoreCtes + """,
+      best AS (SELECT doc_id, lang AS pred_lang, score,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, lang) AS r,
+                      LEAD(score) OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, lang) AS s2,
+                      SUM(score) OVER (PARTITION BY doc_id) AS tot
+               FROM sc)
+      SELECT doc_id, pred_lang, score,
+             CAST(score - s2 AS BIGINT) AS margin,
+             (2 * CAST(score AS HUGEINT) > tot) AS confident
+      FROM best
+      WHERE r = 1
+      ORDER BY doc_id"""
 
   private val q169 = GraftQuery(
     "q169_langid_ngram",
@@ -262,5 +323,23 @@ object LangId {
     },
     Some(langIdOracle))
 
-  val all: Seq[GraftQuery] = Seq(q169, q169b)
+  // ---------------------------------------------------------------- q169c
+  // Confidence-margin scoring (VERDICT r14 next #4): same even-half
+  // model, odd-half batch as q169, emitting the top-1/top-2 score gap
+  // and the exact-majority `confident` flag. Hash-compares the margin
+  // LONGs and the flag; the 5-language planted corpus guarantees a
+  // runner-up exists, so NULL margins appear only via the single-language
+  // law pinned in LangIdSpec.
+  private val q169c = GraftQuery(
+    "q169c_langid_margin",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      langIdScoreMargin(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text",
+        langIdModel(docs.filter(col("doc_id") % 2 === 0), "text", "lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some(langIdMarginOracle))
+
+  val all: Seq[GraftQuery] = Seq(q169, q169b, q169c)
 }

@@ -65,6 +65,45 @@ class LangIdSpec extends SparkSpec {
     assert(a == b, s"$a != $b")
   }
 
+  test("langIdScoreMargin: margin = top1 - top2, exact-majority flag, laws (VERDICT r14 #4)") {
+    import spark.implicits._
+    val model = LangId.langIdModel(labeled, "text", "lang", buckets = 64)
+    val batch = Seq(
+      (10L, "the cat and the dog sat on the shore"),
+      (11L, "le chien est dans le jardin sur la table"),
+      (12L, "xy") // < 3 chars -> below the trigram floor -> ABSENT
+    ).toDF("doc_id", "text")
+    // cross-check against the raw per-doc (lang, score) pairs via the
+    // plain scorer run once per language filter
+    val got = LangId.langIdScoreMargin(batch, "doc_id", "text", model)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      .toMap
+    assert(got(10L)._1 == "en" && got(11L)._1 == "fr", got.toString)
+    assert(!got.contains(12L), "sub-trigram docs must be absent")
+    // with a 2-language model the margin always exists and is positive
+    // here (clean separation), and s1 = s2 + margin reconstructs the
+    // runner-up; majority flag == (2*s1 > s1 + s2)
+    got.foreach { case (id, (_, s1, m, conf)) =>
+      assert(m.nonEmpty && m.get > 0L, s"doc $id margin $m")
+      val s2 = s1 - m.get
+      assert(conf == (2L * s1 > s1 + s2), s"doc $id majority flag")
+    }
+    // single-language model: no runner-up -> margin NULL (refused), and
+    // the top language trivially holds the whole mass -> confident
+    val en = LangId.langIdModel(labeled.filter(col("lang") === "en"),
+      "text", "lang", buckets = 64)
+    val one = LangId.langIdScoreMargin(
+      Seq((20L, "the cat sat")).toDF("doc_id", "text"), "doc_id", "text", en)
+      .collect().head
+    assert(one.getString(1) == "en" && one.isNullAt(3) && one.getBoolean(4))
+    // agreement law: pred_lang/score identical to the plain scorer
+    val plain = LangId.langIdScore(batch, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(plain == got.map { case (k, v) => k -> (v._1, v._2) })
+  }
+
   test("langIdScore: empty model refused loudly; null lang refused at learn") {
     import spark.implicits._
     // a corpus with zero >= 3-char docs now refuses at FOLD time (no
