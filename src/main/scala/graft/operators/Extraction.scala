@@ -53,18 +53,62 @@ object Extraction {
   private val TagRe = "<[^>]*>"
   private val WsRe = "[ \\t\\n\\r]+"
 
+  /** Numeric-character-reference pattern: `&#NNN;` (≤ 7 digits) and
+    * `&#xHH;` (≤ 6 hex digits) — long enough for any Unicode scalar,
+    * bounded so a pathological digit run cannot blow up the marker. */
+  private val NumEntRe = "&#(x[0-9a-fA-F]{1,6}|[0-9]{1,7});"
+
+  /** Decode numeric character references (`&#65;` → `A`, `&#x42;` →
+    * `B`) for codepoints in PRINTABLE ASCII [32, 126] — the
+    * engine-portable bound (VERDICT r14 next #3): Spark's `chr` is
+    * ASCII-mod-256 while DuckDB's is full Unicode, so the two agree
+    * exactly on [32, 126] and nowhere above; out-of-range references
+    * (`&#8364;`) pass through UNDECODED, visibly, rather than decode
+    * differently per engine. Zero UDFs: mark every reference with C0
+    * sentinels (`code`), split on the open sentinel, decode
+    * each segment's code prefix inside a codegen'd `transform`, and
+    * stitch with `array_join` — one stateless projection.
+    *
+    * KNOWN LIMIT (both engines identical): input text that itself
+    * carries the C0 sentinel bytes can confuse the marking — a natural
+    * `` is restored verbatim (guarded), a natural ``
+    * inside a marked segment is pathological and may garble that
+    * segment. Real crawl pipelines strip C0 controls upstream
+    * (they are invalid in HTML anyway). */
+  def decodeNumericEntities(c: Column): Column = {
+    val marked = regexp_replace(c, NumEntRe, "$1")
+    val parts = split(marked, "", -1)
+    val decodedTail = transform(slice(parts, lit(2), size(parts)), x => {
+      val code = substring_index(x, "", 1)
+      val rest = x.substr(length(code) + lit(2), length(x))
+      // branch-guarded casts (never throw under ANSI): the rlike gates
+      // guarantee the cast input is numeric before it runs
+      val cp = when(code.rlike("^x[0-9a-fA-F]{1,6}$"),
+          conv(x.substr(lit(2), length(code) - 1), 16, 10).cast("long"))
+        .when(code.rlike("^[0-9]{1,7}$"), code.cast("long"))
+      when(instr(x, "") === 0, concat(lit(""), x))
+        .otherwise(concat(
+          when(cp.isNotNull && cp.between(32, 126), call_function("chr", cp))
+            .otherwise(concat(lit("&#"), code, lit(";"))),
+          rest))
+    })
+    concat(element_at(parts, 1), array_join(decodedTail, ""))
+  }
+
   /** Extracted visible text of an HTML column. Entity decode covers the
-    * bounded named set every extractor handles (`&amp;` LAST so
-    * `&amp;lt;` decodes to the literal `&lt;`, not to `<` — the
-    * double-escape rule). */
+    * bounded named set every extractor handles plus numeric character
+    * references in printable ASCII ([[decodeNumericEntities]]);
+    * `&amp;` LAST so `&amp;lt;` decodes to the literal `&lt;` and
+    * `&amp;#65;` to the literal `&#65;`, not to `<`/`A` — the
+    * double-escape rule, single-pass like a real HTML tokenizer. */
   def htmlText(html: Column): Column = {
     val noBlocks = regexp_replace(html, ScriptRe, " ")
     val noTags = regexp_replace(noBlocks, TagRe, " ")
-    val decoded = Seq(
-      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val named = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&nbsp;" -> " ")
       .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
-    trim(regexp_replace(decoded, WsRe, " "))
+    val numeric = decodeNumericEntities(named)
+    trim(regexp_replace(replace(numeric, lit("&amp;"), lit("&")), WsRe, " "))
   }
 
   /** Per-doc extraction audit: raw/extracted lengths plus the md5 of
@@ -115,14 +159,15 @@ object Extraction {
       col("doc_id").cast("string"),
       lit("</h1>\n<script>\nvar x = '<p>not text</p>';\n</script><p>"),
       col("text"),
-      lit("</p>\n<div>&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp; &amp;lt;</div><br/>\n</body></html>"))
+      lit("</p>\n<div>&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp; &amp;lt;" +
+        " &#65;&#x42; &#8364; &amp;#65;</div><br/>\n</body></html>"))
 
   private val messyHtmlSql = """
       '<html>' || chr(10) || '<head><TITLE>doc</TITLE><STYLE type="text/css">p { color: red; }' || chr(10) || '.x{}</STYLE><script src="a.js"></script></head>' || chr(10) || '<body onload="init()">' || chr(10) || '<h1>Doc ' ||
       CAST(doc_id AS VARCHAR) ||
       '</h1>' || chr(10) || '<script>' || chr(10) || 'var x = ''<p>not text</p>'';' || chr(10) || '</script><p>' ||
       text ||
-      '</p>' || chr(10) || '<div>&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp; &amp;lt;</div><br/>' || chr(10) || '</body></html>'"""
+      '</p>' || chr(10) || '<div>&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp; &amp;lt; &#65;&#x42; &#8364; &amp;#65;</div><br/>' || chr(10) || '</body></html>'"""
 
   private val q171 = GraftQuery(
     "q171_html_extract",
@@ -132,16 +177,35 @@ object Extraction {
       .orderBy(col("doc_id")),
     Some(s"""
       WITH raw AS (SELECT doc_id, $messyHtmlSql AS html FROM documents),
-      x AS (SELECT doc_id, CAST(len(html) AS BIGINT) AS n_raw,
-                   trim(regexp_replace(
-                     replace(replace(replace(replace(replace(replace(
-                       regexp_replace(
-                         regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>', ' ', 'g'),
-                         '<[^>]*>', ' ', 'g'),
-                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                       '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+      s1 AS (SELECT doc_id, CAST(len(html) AS BIGINT) AS n_raw,
+                    replace(replace(replace(replace(
+                      regexp_replace(
+                        regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                        '<[^>]*>', ' ', 'g'),
+                      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' ') AS t0
+             FROM raw),
+      s2 AS (SELECT doc_id, n_raw,
+                    string_split(regexp_replace(t0, '&#(x[0-9a-fA-F]{1,6}|[0-9]{1,7});', chr(1) || '\\1' || chr(2), 'g'), chr(1)) AS parts
+             FROM s1),
+      s3 AS (SELECT doc_id, n_raw,
+                    parts[1] || array_to_string(list_transform(parts[2:], x ->
+                      CASE WHEN strpos(x, chr(2)) = 0 THEN chr(1) || x
+                           ELSE (CASE WHEN (CASE WHEN regexp_full_match(split_part(x, chr(2), 1), 'x[0-9a-fA-F]{1,6}')
+                                                 THEN TRY_CAST('0x' || split_part(x, chr(2), 1)[2:] AS BIGINT)
+                                                 WHEN regexp_full_match(split_part(x, chr(2), 1), '[0-9]{1,7}')
+                                                 THEN TRY_CAST(split_part(x, chr(2), 1) AS BIGINT)
+                                                 END) BETWEEN 32 AND 126
+                                      THEN chr(CAST((CASE WHEN regexp_full_match(split_part(x, chr(2), 1), 'x[0-9a-fA-F]{1,6}')
+                                                 THEN TRY_CAST('0x' || split_part(x, chr(2), 1)[2:] AS BIGINT)
+                                                 ELSE TRY_CAST(split_part(x, chr(2), 1) AS BIGINT) END) AS INT))
+                                      ELSE '&#' || split_part(x, chr(2), 1) || ';' END)
+                                || substr(x, len(split_part(x, chr(2), 1)) + 2)
+                      END), '') AS t1
+             FROM s2),
+      x AS (SELECT doc_id, n_raw,
+                   trim(regexp_replace(replace(t1, '&amp;', '&'),
                      '[ \\t\\n\\r]+', ' ', 'g')) AS t
-            FROM raw)
+            FROM s3)
       SELECT doc_id, n_raw, CAST(len(t) AS BIGINT) AS n_text,
              md5(t) AS text_md5
       FROM x

@@ -26,7 +26,18 @@ class ExtractionSpec extends SparkSpec {
       // r14): the whole script body incl. the stray </style> dies
       ("<p>a</p><script>x</style>y</script><p>b</p>", "a b"),
       // and the style twin
-      ("<style>.x{}</script>z</style>ok", "ok")
+      ("<style>.x{}</script>z</style>ok", "ok"),
+      // numeric character references: decimal + hex decode in printable
+      // ASCII; out-of-range (&#8364; euro, &#x1F600; emoji) pass through
+      // UNDECODED; &#39; rides the generic numeric path
+      ("&#65;&#x42;&#x63; &#39;s&#39; &#8364; &#x1F600; end",
+        "ABc 's' &#8364; &#x1F600; end"),
+      // boundary codepoints: 32 (space) and 126 (~) decode, 31 and 127 not
+      ("[&#32;][&#126;][&#31;][&#127;]", "[ ][~][&#31;][&#127;]"),
+      // double-escape: &amp;#65; is a LITERAL &#65;, decoded single-pass
+      ("&amp;#65; and &#38;#66;", "&#65; and &#66;"),
+      // malformed references pass through untouched
+      ("&#; &#x; &#xg1; &#12345678; no-semi &#65", "&#; &#x; &#xg1; &#12345678; no-semi &#65")
     )
     val got = fixtures.map(_._1).toDF("h")
       .select(col("h"), Extraction.htmlText(col("h")).as("t"))
