@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** WARC record parsing (ISO 28500 — the WARC/1.0 web-archive format
+  * every real crawl pipeline starts from; VERDICT r14 next #1), pushing
+  * the engine's ingestion frontier one stage upstream of HTML
+  * ([[Extraction.htmlText]] consumes what this emits).
+  *
+  * A WARC record is:
+  * {{{
+  *   WARC/1.0<CRLF>
+  *   <header-field>: <value><CRLF>   (any number, names case-insensitive)
+  *   <CRLF>
+  *   <body: Content-Length octets><CRLF><CRLF>
+  * }}}
+  *
+  * [[warcParse]] takes ONE RECORD PER ROW in a string column (the
+  * record-splitting of a raw `.warc` stream is a framing concern the
+  * source layer handles; see scaladoc there) and is the q171
+  * discipline end to end: every field is a codegen'd
+  * `regexp_extract`/`substring_index`/`instr` column — zero UDFs, one
+  * stateless scan projection, no shuffle, trivially linear at 100 TB —
+  * and the body is pinned as (length, md5), never materialized into
+  * the result (the q66 redaction-proof convention).
+  *
+  * Refusal semantics (never-throws, crawl-grade): a record missing the
+  * version line, the blank-line separator, a parseable `Content-Length`
+  * (≤ 18 digits), or a `WARC-Type` is `valid = false` with every field
+  * that DID parse still emitted — a malformed-record triage query needs
+  * the partial fields. The body is taken as `Content-Length` CHARS
+  * after the first blank line (this operator reads a STRING column;
+  * char = octet for the ASCII transport WARC headers mandate, and both
+  * engines count identically for any UTF-8 body, so the pin is
+  * portable); a declared length past the record end truncates to what
+  * is present rather than failing.
+  */
+object Warc {
+
+  private val CRLF = "\r\n"
+
+  /** `(?mi)` header-field extractor: line-anchored, case-insensitive
+    * (RFC-style field names), value = rest of line (CR excluded by the
+    * char class), NULL when the field is absent. */
+  private def field(hdr: Column, name: String): Column =
+    when(regexp_extract(hdr, s"(?mi)^$name:[ \\t]*([^\\r\\n]*)", 1) === "",
+      lit(null).cast("string"))
+      .otherwise(regexp_extract(hdr, s"(?mi)^$name:[ \\t]*([^\\r\\n]*)", 1))
+
+  /** Parse one WARC record per row of `recCol`; emits
+    * `(idCol, warc_version, warc_type, target_uri, record_id,
+    * content_length, n_headers, body_len, body_md5, valid)`. */
+  def warcParse(records: DataFrame, idCol: String, recCol: String): DataFrame = {
+    val rec = col(recCol)
+    val version0 = regexp_extract(rec, "^WARC/([0-9]+\\.[0-9]+)\\r\\n", 1)
+    val version = when(version0 === "", lit(null).cast("string"))
+      .otherwise(version0)
+    val sep = instr(rec, CRLF + CRLF) // 1-based char pos; 0 = absent
+    val hdr = substring_index(rec, CRLF + CRLF, 1)
+    val clRaw = field(hdr, "Content-Length")
+    // branch-guarded cast (ANSI-safe): only digit runs reach the cast
+    val contentLength = when(clRaw.rlike("^[0-9]{1,18}$"), clRaw.cast("long"))
+    val bodyRaw = when(sep >= 1, rec.substr(sep + lit(4), length(rec)))
+    val body = when(contentLength.isNotNull,
+      bodyRaw.substr(lit(1),
+        least(contentLength, length(bodyRaw).cast("long")).cast("int")))
+    records.select(col(idCol),
+      version.as("warc_version"),
+      field(hdr, "WARC-Type").as("warc_type"),
+      field(hdr, "WARC-Target-URI").as("target_uri"),
+      field(hdr, "WARC-Record-ID").as("record_id"),
+      contentLength.as("content_length"),
+      when(sep >= 1, (size(split(hdr, CRLF)) - 1).cast("long"))
+        .as("n_headers"),
+      length(body).cast("long").as("body_len"),
+      md5(body).as("body_md5"),
+      (version.isNotNull && sep >= 1 &&
+        field(hdr, "WARC-Type").isNotNull && contentLength.isNotNull)
+        .as("valid"))
+  }
+
+  // ---------------------------------------------------------------- q177
+  // In-plan-synthesized WARC corpus over the documents fixture (the q131
+  // construction⊗parse convention — the oracle recomputes every expected
+  // field from the same arithmetic, so a wrong build or a wrong parse
+  // both break the hash): response/request/metadata rotation, a
+  // lowercase `content-length` variant exercising case-insensitive field
+  // names, and two bail-outs — a 20-char truncation (no blank line) and
+  // a non-WARC HTTP prefix (version anchor fails).
+  private def warcRecord(): Column = {
+    val m3 = pmod(col("doc_id"), lit(3))
+    val wtype = when(m3 === 0, lit("response"))
+      .when(m3 === 1, lit("request")).otherwise(lit("metadata"))
+    val clName = when(pmod(col("doc_id"), lit(5)) === 0,
+      lit("content-length")).otherwise(lit("Content-Length"))
+    val full = concat(
+      lit("WARC/1.0" + CRLF),
+      lit("WARC-Type: "), wtype, lit(CRLF),
+      lit("WARC-Record-ID: <urn:uuid:"), col("doc_id").cast("string"),
+      lit(">" + CRLF),
+      lit("WARC-Date: 2026-01-01T00:00:00Z" + CRLF),
+      lit("WARC-Target-URI: http://"), col("source"),
+      lit(".example.com/doc/"), col("doc_id").cast("string"), lit(CRLF),
+      clName, lit(": "), length(col("text")).cast("string"),
+      lit(CRLF + CRLF),
+      col("text"), lit(CRLF + CRLF))
+    when(pmod(col("doc_id"), lit(13)) === 0, substring(full, 1, 20))
+      .when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(lit("HTTP/1.1 200 OK" + CRLF), full))
+      .otherwise(full)
+  }
+
+  private val q177 = GraftQuery(
+    "q177_warc_parse",
+    (s, dir) => warcParse(
+        Tables.documents(s, dir).withColumn("rec", warcRecord()),
+        "doc_id", "rec")
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN substr(whole, 1, 20)
+                    WHEN doc_id % 11 = 0 THEN 'HTTP/1.1 200 OK' || chr(13) || chr(10) || whole
+                    ELSE whole END AS rec
+        FROM (SELECT doc_id,
+                     'WARC/1.0' || chr(13) || chr(10) ||
+                     'WARC-Type: ' || (CASE CAST(doc_id % 3 AS INT)
+                         WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+                         ELSE 'metadata' END) || chr(13) || chr(10) ||
+                     'WARC-Record-ID: <urn:uuid:' || CAST(doc_id AS VARCHAR) || '>' || chr(13) || chr(10) ||
+                     'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10) ||
+                     'WARC-Target-URI: http://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ||
+                     (CASE WHEN doc_id % 5 = 0 THEN 'content-length' ELSE 'Content-Length' END) ||
+                     ': ' || CAST(len(text) AS VARCHAR) || chr(13) || chr(10) || chr(13) || chr(10) ||
+                     text || chr(13) || chr(10) || chr(13) || chr(10) AS whole
+              FROM documents)),
+      p AS (
+        SELECT doc_id, rec,
+               NULLIF(regexp_extract(rec, '^WARC/([0-9]+\.[0-9]+)\r\n', 1), '') AS warc_version,
+               strpos(rec, chr(13)||chr(10)||chr(13)||chr(10)) AS sep,
+               split_part(rec, chr(13)||chr(10)||chr(13)||chr(10), 1) AS hdr
+        FROM raw),
+      f AS (
+        SELECT doc_id, rec, warc_version, sep, hdr,
+               NULLIF(regexp_extract(hdr, '(?mi)^WARC-Type:[ \t]*([^\r\n]*)', 1), '') AS warc_type,
+               NULLIF(regexp_extract(hdr, '(?mi)^WARC-Target-URI:[ \t]*([^\r\n]*)', 1), '') AS target_uri,
+               NULLIF(regexp_extract(hdr, '(?mi)^WARC-Record-ID:[ \t]*([^\r\n]*)', 1), '') AS record_id,
+               NULLIF(regexp_extract(hdr, '(?mi)^Content-Length:[ \t]*([^\r\n]*)', 1), '') AS cl_raw
+        FROM p),
+      g AS (
+        SELECT doc_id, warc_version, warc_type, target_uri, record_id, sep, hdr,
+               CASE WHEN regexp_full_match(cl_raw, '[0-9]{1,18}')
+                    THEN TRY_CAST(cl_raw AS BIGINT) END AS content_length,
+               CASE WHEN sep >= 1 THEN substr(rec, sep + 4) END AS body_raw
+        FROM f),
+      h AS (
+        SELECT doc_id, warc_version, warc_type, target_uri, record_id,
+               content_length, sep, hdr,
+               CASE WHEN content_length IS NOT NULL
+                    THEN substr(body_raw, 1, CAST(least(content_length, len(body_raw)) AS INT)) END AS body
+        FROM g)
+      SELECT doc_id, warc_version, warc_type, target_uri, record_id,
+             content_length,
+             CASE WHEN sep >= 1
+                  THEN CAST(len(string_split(hdr, chr(13)||chr(10))) - 1 AS BIGINT) END AS n_headers,
+             CAST(len(body) AS BIGINT) AS body_len,
+             md5(body) AS body_md5,
+             (warc_version IS NOT NULL AND sep >= 1 AND
+              warc_type IS NOT NULL AND content_length IS NOT NULL) AS valid
+      FROM h
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q177)
+}
