@@ -133,6 +133,99 @@ object CurationChain {
       DataPrep.epochMix(curated, "doc_id", "clean_text", "source", targetDocs))
   }
 
+  // ------------------------------------------------- q93c crawl ingest
+  /** The CRAWL-NATIVE chain (VERDICT r14 next #2) — the ingest prefix a
+    * real curation team runs BEFORE the q93b chain, composed end to end
+    * from individually-verified operators:
+    *
+    *   WARC parse (q177) → HTML extract (q171) → NFC normalize (q173) →
+    *   host blocklist gate (q170) → path-prefix gate (q174) →
+    *   language-ID gate with a stored model (q169) → the q93b chain.
+    *
+    * Stage shapes at 100 TB: WARC/HTML/NFC are ONE stateless scan
+    * (fused codegen projections, no shuffle); the host/path gates are
+    * broadcast anti joins against KB-sized stored policy lists (the
+    * corpus never shuffles); language ID is the q169 wordcount class
+    * (trigram explode → broadcast model join → per-doc argmax); the
+    * ingested corpus is then localCheckpoint'ed — in production this
+    * boundary is the parquet write between the ingest fleet and the
+    * curation fleet — and the chain proper runs downstream.
+    *
+    * Fixture: [[Warc.crawlRecord]] builds response records whose bodies
+    * HTML-wrap the document text (decomposed accents so NFC composes
+    * visibly, entities, script blocks), with malformed rotations the
+    * parse drops and `/ads/` paths the path gate drops; the host gate
+    * blocks `min(source).example.com` (a 1-row stored policy); the LID
+    * model learns from the even-doc_id half's planted labels (the q169
+    * convention) and the gate keeps predicted-English crawl docs. */
+  def crawlChain(docs: DataFrame, targetDocs: Long,
+      spanK: Int = 0): DataFrame = {
+    // WARC build ⊗ parse: only valid response bodies survive
+    val bodies = Warc.warcBodies(
+      docs.withColumn("rec", Warc.crawlRecord()), "doc_id", "rec",
+      keep = Seq("source"))
+    // HTML → text → NFC, still the same stateless scan
+    val extracted = bodies.select(col("doc_id"), col("source"),
+      col("target_uri"),
+      graft.functions.NfcNormalize(
+        Extraction.htmlText(col("body"))).as("text"))
+    // stored host policy: block the lexicographically-first source's
+    // host (1 row, data-derived, broadcast)
+    val blockList = docs.agg(min(col("source")).as("s"))
+      .select(concat(lit("v:"), col("s"), lit(".example.com"))
+        .as("host_key"), lit("blocked_source").as("rule"))
+    val hostGated = UrlOps.hostGate(extracted, "target_uri", blockList)
+    // stored path policy: /ads is blocked on EVERY crawl host
+    val pathRules = docs.select(col("source")).distinct()
+      .select(concat(lit("v:"), col("source"), lit(".example.com"))
+          .as("host_key"),
+        lit("/ads").as("path_prefix"), lit("ads").as("rule"))
+    val pathGated = UrlOps.pathPrefixGate(hostGated, "target_uri", pathRules)
+      .select(col("doc_id"), col("source"), col("text"))
+    // language-ID gate: stored model from the labeled half, keep
+    // predicted-English; prediction becomes the crawl doc's lang
+    val model = LangId.langIdModel(
+      docs.filter(col("doc_id") % 2 === 0), "text", "lang")
+    val ing = pathGated
+      .join(LangId.langIdScore(pathGated, "doc_id", "text", model)
+          .filter(col("pred_lang") === "en")
+          .select(col("doc_id"), col("pred_lang").as("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("text"), col("lang"))
+      // the production ingest/curation fleet boundary (a parquet write
+      // there); also cuts the ingest lineage out of the chain's many
+      // self-references
+      .localCheckpoint()
+    chainStaged(ing, targetDocs, spanK, probe = None)
+  }
+
+  // The ingest replay: surviving-parse reconstruction from the
+  // construction arithmetic (the q131 convention — a wrong build or a
+  // wrong parse both break the hash), the shared q171 extract cascade,
+  // DuckDB's own nfc_normalize, the gate predicates in construction
+  // terms (host = source-derived, path = the %7 rotation), and the
+  // shared q169 learn/score cascade.
+  private def crawlIngestCtes: String = s"""
+      cr AS MATERIALIZED (SELECT doc_id, source, lang,
+              ${Warc.crawlHtmlSql} AS html,
+              CAST(doc_id % 7 = 0 AS BOOLEAN) AS is_ads
+            FROM documents
+            WHERE doc_id % 13 <> 0 AND doc_id % 11 <> 0),
+      ${Extraction.htmlTextSql("cr", "html", "ext",
+        Seq("doc_id", "source", "is_ads"))},
+      gated AS MATERIALIZED (SELECT doc_id, source,
+               nfc_normalize(__text) AS ntext
+             FROM ext
+             WHERE NOT is_ads
+               AND source <> (SELECT min(source) FROM documents)),
+      ${LangId.langIdSqlCtes(
+        "(SELECT lang, text FROM documents WHERE doc_id % 2 = 0)",
+        "gated", "ntext", "lid")},
+      ing AS MATERIALIZED (SELECT g.doc_id, g.source, l.pred_lang AS lang,
+               g.ntext AS text
+             FROM gated g JOIN lid l USING (doc_id)
+             WHERE l.pred_lang = 'en'),"""
+
   // ---------------------------------------------------------------- q93
   // The chain as a declared query: 500-doc target epoch over the curated
   // corpus. The oracle replays every stage in one WITH cascade — the
@@ -143,11 +236,16 @@ object CurationChain {
   // contract fails the hash. q93b runs the same chain with the q95
   // substring-dedup stage enabled (spanK); its oracle splices the span
   // replay between the paragraph stage and the mix arithmetic.
-  private val oracleCore = """
-      WITH RECURSIVE
+  /** The chain replay cascade. `src` is the corpus CTE/table feeding the
+    * chain (must expose doc_id, source, lang, text); `prefix` is an
+    * optional CTE chunk (ending with a comma) spliced ahead of `tok` —
+    * the q93c ingest stages define their `src` there. */
+  private def oracleCore(src: String = "documents",
+      prefix: String = "") = s"""
+      WITH RECURSIVE $prefix
       tok AS MATERIALIZED (SELECT doc_id, source, lang, text,
-                     list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
-              FROM documents),
+                     list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS t
+              FROM $src),
       kept AS MATERIALIZED (SELECT doc_id, source, text, t FROM tok
                WHERE lang = 'en' AND len(t) BETWEEN 20 AND 1000
                  AND CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS DOUBLE) / len(t) > 0.02),
@@ -273,7 +371,7 @@ object CurationChain {
     "q93_curation_chain",
     (s, dir) => curationChain(Tables.documents(s, dir), targetDocs = 500L)
       .orderBy(col("doc_id")),
-    Some(oracleCore + oracleTail("fintext", 500L)))
+    Some(oracleCore() + oracleTail("fintext", 500L)))
 
   // ---------------------------------------------------------------- q93b
   // The chain WITH the span stage (VERDICT r7 #4): spanK-token repeated
@@ -291,8 +389,23 @@ object CurationChain {
       (s, dir) => curationChain(Tables.documents(s, dir), targetDocs = 500L,
           spanK = K)
         .orderBy(col("doc_id")),
-      Some(oracleCore + oracleSpanStage(K) + oracleTail("sfin", 500L)))
+      Some(oracleCore() + oracleSpanStage(K) + oracleTail("sfin", 500L)))
   }
 
-  val all: Seq[GraftQuery] = Seq(q93, q93b)
+  // ---------------------------------------------------------------- q93c
+  // The crawl-native chain as a declared query: the full ingest prefix
+  // spliced ahead of the q93b chain (span stage on, K = 4 — the q93b
+  // pin), single-oracle WITH-cascade replay of all ten stages.
+  private val q93c = {
+    val K = 4
+    GraftQuery(
+      "q93c_crawl_chain",
+      (s, dir) => crawlChain(Tables.documents(s, dir), targetDocs = 500L,
+          spanK = K)
+        .orderBy(col("doc_id")),
+      Some(oracleCore("ing", crawlIngestCtes) + oracleSpanStage(K) +
+        oracleTail("sfin", 500L)))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q93, q93b, q93c)
 }

@@ -95,6 +95,42 @@ object Extraction {
     concat(element_at(parts, 1), array_join(decodedTail, ""))
   }
 
+  /** DuckDB replay of [[htmlText]] as a reusable CTE chain (single
+    * source of truth for the q171 oracle AND every downstream composed
+    * oracle, e.g. the q93c crawl chain): reads `htmlCol` from CTE
+    * `src`, carries `keep` columns through, and defines CTE `out`
+    * holding them plus the extracted text as `__text`. */
+  private[operators] def htmlTextSql(src: String, htmlCol: String,
+      out: String, keep: Seq[String]): String = {
+    val kk = keep.map(_ + ", ").mkString
+    s"""
+      ${out}_e1 AS (SELECT $kk replace(replace(replace(replace(
+                      regexp_replace(
+                        regexp_replace($htmlCol, '(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                        '<[^>]*>', ' ', 'g'),
+                      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' ') AS __t0
+             FROM $src),
+      ${out}_e2 AS (SELECT $kk string_split(regexp_replace(__t0, '&#(x[0-9a-fA-F]{1,6}|[0-9]{1,7});', chr(1) || '\\1' || chr(2), 'g'), chr(1)) AS __parts
+             FROM ${out}_e1),
+      ${out}_e3 AS (SELECT $kk __parts[1] || array_to_string(list_transform(__parts[2:], x ->
+                      CASE WHEN strpos(x, chr(2)) = 0 THEN chr(1) || x
+                           ELSE (CASE WHEN (CASE WHEN regexp_full_match(split_part(x, chr(2), 1), 'x[0-9a-fA-F]{1,6}')
+                                                 THEN TRY_CAST('0x' || split_part(x, chr(2), 1)[2:] AS BIGINT)
+                                                 WHEN regexp_full_match(split_part(x, chr(2), 1), '[0-9]{1,7}')
+                                                 THEN TRY_CAST(split_part(x, chr(2), 1) AS BIGINT)
+                                                 END) BETWEEN 32 AND 126
+                                      THEN chr(CAST((CASE WHEN regexp_full_match(split_part(x, chr(2), 1), 'x[0-9a-fA-F]{1,6}')
+                                                 THEN TRY_CAST('0x' || split_part(x, chr(2), 1)[2:] AS BIGINT)
+                                                 ELSE TRY_CAST(split_part(x, chr(2), 1) AS BIGINT) END) AS INT))
+                                      ELSE '&#' || split_part(x, chr(2), 1) || ';' END)
+                                || substr(x, len(split_part(x, chr(2), 1)) + 2)
+                      END), '') AS __t1
+             FROM ${out}_e2),
+      $out AS (SELECT $kk trim(regexp_replace(replace(__t1, '&amp;', '&'),
+                 '[ \\t\\n\\r]+', ' ', 'g')) AS __text
+               FROM ${out}_e3)"""
+  }
+
   /** Extracted visible text of an HTML column. Entity decode covers the
     * bounded named set every extractor handles plus numeric character
     * references in printable ASCII ([[decodeNumericEntities]]);
@@ -177,38 +213,12 @@ object Extraction {
       .orderBy(col("doc_id")),
     Some(s"""
       WITH raw AS (SELECT doc_id, $messyHtmlSql AS html FROM documents),
-      s1 AS (SELECT doc_id, CAST(len(html) AS BIGINT) AS n_raw,
-                    replace(replace(replace(replace(
-                      regexp_replace(
-                        regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>', ' ', 'g'),
-                        '<[^>]*>', ' ', 'g'),
-                      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' ') AS t0
-             FROM raw),
-      s2 AS (SELECT doc_id, n_raw,
-                    string_split(regexp_replace(t0, '&#(x[0-9a-fA-F]{1,6}|[0-9]{1,7});', chr(1) || '\\1' || chr(2), 'g'), chr(1)) AS parts
-             FROM s1),
-      s3 AS (SELECT doc_id, n_raw,
-                    parts[1] || array_to_string(list_transform(parts[2:], x ->
-                      CASE WHEN strpos(x, chr(2)) = 0 THEN chr(1) || x
-                           ELSE (CASE WHEN (CASE WHEN regexp_full_match(split_part(x, chr(2), 1), 'x[0-9a-fA-F]{1,6}')
-                                                 THEN TRY_CAST('0x' || split_part(x, chr(2), 1)[2:] AS BIGINT)
-                                                 WHEN regexp_full_match(split_part(x, chr(2), 1), '[0-9]{1,7}')
-                                                 THEN TRY_CAST(split_part(x, chr(2), 1) AS BIGINT)
-                                                 END) BETWEEN 32 AND 126
-                                      THEN chr(CAST((CASE WHEN regexp_full_match(split_part(x, chr(2), 1), 'x[0-9a-fA-F]{1,6}')
-                                                 THEN TRY_CAST('0x' || split_part(x, chr(2), 1)[2:] AS BIGINT)
-                                                 ELSE TRY_CAST(split_part(x, chr(2), 1) AS BIGINT) END) AS INT))
-                                      ELSE '&#' || split_part(x, chr(2), 1) || ';' END)
-                                || substr(x, len(split_part(x, chr(2), 1)) + 2)
-                      END), '') AS t1
-             FROM s2),
-      x AS (SELECT doc_id, n_raw,
-                   trim(regexp_replace(replace(t1, '&amp;', '&'),
-                     '[ \\t\\n\\r]+', ' ', 'g')) AS t
-            FROM s3)
-      SELECT doc_id, n_raw, CAST(len(t) AS BIGINT) AS n_text,
-             md5(t) AS text_md5
-      FROM x
+      raw0 AS (SELECT doc_id, CAST(len(html) AS BIGINT) AS n_raw, html
+               FROM raw),
+      ${htmlTextSql("raw0", "html", "xt", Seq("doc_id", "n_raw"))}
+      SELECT doc_id, n_raw, CAST(len(__text) AS BIGINT) AS n_text,
+             md5(__text) AS text_md5
+      FROM xt
       ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- q172

@@ -242,6 +242,47 @@ object LangId {
         (col("pred_lang") === col("lang")).as("is_correct"))
       .orderBy(col("doc_id"))
 
+  /** DuckDB replay of learn-then-argmax-score as a reusable CTE chunk
+    * (for COMPOSED oracles, e.g. the q93c crawl chain): learn a
+    * 4096-bucket model from `learnSrc` (must expose `lang`, `text`),
+    * score `scoreSrc` (must expose `doc_id` and `scoreText`), and
+    * define CTE `out` = `(doc_id, pred_lang, score)`. Same arithmetic
+    * as [[langIdModel]]/[[langIdScore]] defaults, verbatim. */
+  private[operators] def langIdSqlCtes(learnSrc: String, scoreSrc: String,
+      scoreText: String, out: String): String = s"""
+      ${out}_ltri AS MATERIALIZED (SELECT lang,
+               ('0x' || substr(md5(substring(lo, i, 3)), 1, 6))::BIGINT % 4096 AS bkt
+             FROM (SELECT lang, lo, unnest(range(1, len(lo) - 1)) AS i
+                   FROM (SELECT lang, lower(text) AS lo FROM $learnSrc)
+                   WHERE len(lo) >= 3)),
+      ${out}_cnts AS MATERIALIZED (SELECT lang, bkt, CAST(COUNT(*) AS BIGINT) AS c
+             FROM ${out}_ltri GROUP BY lang, bkt),
+      ${out}_langs AS MATERIALIZED (SELECT DISTINCT lang FROM $learnSrc),
+      ${out}_tot AS MATERIALIZED (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot
+             FROM ${out}_cnts GROUP BY lang),
+      ${out}_model AS MATERIALIZED (SELECT l.lang, b.range AS bkt,
+               CAST(((COALESCE(c.c, 0) + 1) * 1000000) // (t.tot + 4096) AS BIGINT) AS w
+             FROM ${out}_langs l CROSS JOIN range(4096) b
+             LEFT JOIN ${out}_cnts c ON c.lang = l.lang AND c.bkt = b.range
+             JOIN ${out}_tot t ON t.lang = l.lang),
+      ${out}_dc AS MATERIALIZED (SELECT doc_id, bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM (SELECT doc_id,
+                          ('0x' || substr(md5(substring(lo, i, 3)), 1, 6))::BIGINT % 4096 AS bkt
+                   FROM (SELECT doc_id, lo, unnest(range(1, len(lo) - 1)) AS i
+                         FROM (SELECT doc_id, lower($scoreText) AS lo FROM $scoreSrc)
+                         WHERE len(lo) >= 3))
+             GROUP BY doc_id, bkt),
+      ${out}_sc AS MATERIALIZED (SELECT dc.doc_id, m.lang,
+               CAST(SUM(dc.cnt * m.w) AS BIGINT) AS score
+             FROM ${out}_dc dc JOIN ${out}_model m ON dc.bkt = m.bkt
+             GROUP BY dc.doc_id, m.lang),
+      $out AS MATERIALIZED (SELECT doc_id, pred_lang, score
+             FROM (SELECT doc_id, lang AS pred_lang, score,
+                          ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY score DESC, lang) AS r
+                   FROM ${out}_sc)
+             WHERE r = 1)"""
+
   /** Shared learn+score CTE prefix (through the per-(doc,lang) exact
     * scores `sc`) for the q169/q169b/q169c oracles. */
   private val langIdScoreCtes = """

@@ -51,11 +51,9 @@ object Warc {
       lit(null).cast("string"))
       .otherwise(regexp_extract(hdr, s"(?mi)^$name:[ \\t]*([^\\r\\n]*)", 1))
 
-  /** Parse one WARC record per row of `recCol`; emits
-    * `(idCol, warc_version, warc_type, target_uri, record_id,
-    * content_length, n_headers, body_len, body_md5, valid)`. */
-  def warcParse(records: DataFrame, idCol: String, recCol: String): DataFrame = {
-    val rec = col(recCol)
+  /** The shared parse columns: (version, sep, hdr, content_length,
+    * body) — every consumer derives from these five. */
+  private def parsed(rec: Column): (Column, Column, Column, Column, Column) = {
     val version0 = regexp_extract(rec, "^WARC/([0-9]+\\.[0-9]+)\\r\\n", 1)
     val version = when(version0 === "", lit(null).cast("string"))
       .otherwise(version0)
@@ -68,6 +66,15 @@ object Warc {
     val body = when(contentLength.isNotNull,
       bodyRaw.substr(lit(1),
         least(contentLength, length(bodyRaw).cast("long")).cast("int")))
+    (version, sep, hdr, contentLength, body)
+  }
+
+  /** Parse one WARC record per row of `recCol`; emits
+    * `(idCol, warc_version, warc_type, target_uri, record_id,
+    * content_length, n_headers, body_len, body_md5, valid)`. */
+  def warcParse(records: DataFrame, idCol: String, recCol: String): DataFrame = {
+    val rec = col(recCol)
+    val (version, sep, hdr, contentLength, body) = parsed(rec)
     records.select(col(idCol),
       version.as("warc_version"),
       field(hdr, "WARC-Type").as("warc_type"),
@@ -81,6 +88,69 @@ object Warc {
       (version.isNotNull && sep >= 1 &&
         field(hdr, "WARC-Type").isNotNull && contentLength.isNotNull)
         .as("valid"))
+  }
+
+  /** The chain-ingest form ([[graft.operators.CurationChain]] q93c):
+    * VALID `response` records only, with the body TEXT itself (the one
+    * consumer allowed to materialize bodies — it feeds them straight
+    * into [[Extraction.htmlText]]), as
+    * `(idCol, target_uri, body)`. Same stateless projection as
+    * [[warcParse]] plus the validity filter — still zero UDFs, no
+    * shuffle. */
+  def warcBodies(records: DataFrame, idCol: String, recCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    val rec = col(recCol)
+    val (version, sep, hdr, contentLength, body) = parsed(rec)
+    val kept = keep.map(col)
+    records.select((col(idCol) +: kept) ++ Seq(
+        field(hdr, "WARC-Target-URI").as("target_uri"),
+        body.as("body"),
+        (version.isNotNull && sep >= 1 && contentLength.isNotNull &&
+          field(hdr, "WARC-Type") === "response").as("__keep")): _*)
+      .filter(col("__keep"))
+      .select((col(idCol) +: kept) ++
+        Seq(col("target_uri"), col("body")): _*)
+  }
+
+  // ------------------------------------------- q93c crawl-corpus builder
+  /** The q93c crawl fixture: every record is a `response` whose body is
+    * an HTML wrap of the document text exercising the downstream
+    * extract/normalize stages (script kill, numeric + named entities,
+    * a DECOMPOSED `cafe`+U+0301 so NFC visibly composes), with the
+    * q177 malformed rotation (%13 truncated → no separator, %11 HTTP
+    * prefix → version anchor fails) and a path rotation (%7 → `/ads/`)
+    * for the path-prefix gate. The q93c oracle reconstructs the
+    * SURVIVING parse state from this arithmetic (the q131
+    * construction⊗parse convention). */
+  private[operators] def crawlHtml(): Column =
+    concat(
+      lit("<html><head><script>var x = '<b>no</b>';</script>" +
+        "<STYLE>p{}</STYLE></head><body><p>"),
+      col("text"),
+      lit("</p><div>cafe\u0301 &#65;&amp;B</div></body></html>"))
+
+  private[operators] val crawlHtmlSql: String =
+    "'<html><head><script>var x = ''<b>no</b>'';</script>" +
+      "<STYLE>p{}</STYLE></head><body><p>' || text || " +
+      "'</p><div>cafe' || chr(769) || ' &#65;&amp;B</div></body></html>'"
+
+  private[operators] def crawlRecord(): Column = {
+    val html = crawlHtml()
+    val uri = concat(lit("http://"), col("source"), lit(".example.com"),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("/ads/"))
+        .otherwise(lit("/doc/")),
+      col("doc_id").cast("string"))
+    val full = concat(
+      lit("WARC/1.0" + CRLF),
+      lit("WARC-Type: response" + CRLF),
+      lit("WARC-Target-URI: "), uri, lit(CRLF),
+      lit("Content-Length: "), length(html).cast("string"),
+      lit(CRLF + CRLF),
+      html, lit(CRLF + CRLF))
+    when(pmod(col("doc_id"), lit(13)) === 0, substring(full, 1, 20))
+      .when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(lit("HTTP/1.1 200 OK" + CRLF), full))
+      .otherwise(full)
   }
 
   // ---------------------------------------------------------------- q177

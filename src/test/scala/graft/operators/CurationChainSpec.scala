@@ -54,4 +54,38 @@ class CurationChainSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("q93c crawl ingest: malformed/blocked/ads/non-en docs never reach the epoch") {
+    val docs = Tables.documents(spark, sf001)
+    val out = graft.SparkEntry.queries("q93c_crawl_chain")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length == out.length)
+    // WARC-malformed rotations dropped at parse
+    assert(out.forall(r => r._1 % 13 != 0 && r._1 % 11 != 0),
+      "a malformed WARC record leaked into the epoch")
+    // path gate: /ads paths dropped
+    assert(out.forall(_._1 % 7 != 0), "an /ads doc leaked past the path gate")
+    // host gate: the blocked source's host never appears
+    val blocked = docs.agg(min(col("source"))).collect().head.getString(0)
+    assert(out.forall(_._2 != blocked), s"blocked host $blocked leaked")
+    // language gate: every surviving doc was PREDICTED en by the stored
+    // model (subset check: survivors ⊆ predicted-en of the ingested set)
+    val model = LangId.langIdModel(
+      docs.filter(col("doc_id") % 2 === 0), "text", "lang")
+    val ingested = docs
+      .filter(col("doc_id") % 13 =!= 0 && col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        graft.functions.NfcNormalize(
+          Extraction.htmlText(Warc.crawlHtml())).as("text"))
+    val predEn = LangId.langIdScore(ingested, "doc_id", "text", model)
+      .filter(col("pred_lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => predEn.contains(r._1)),
+      "a doc the stored model did not predict en reached the epoch")
+    // deterministic: rerun is bit-identical
+    val again = graft.SparkEntry.queries("q93c_crawl_chain")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+  }
 }
