@@ -1799,6 +1799,73 @@ object TextAnalysis {
       steps = 8),
     Some(bpeOracle(8, segment = false, encode = true)))
 
+  // ------------------------------------ q156d/q156e stored BPE artifact
+  // The tokenizer as a STORED artifact (VERDICT r14 next #5 — the
+  // q169b/q157b stored-state discipline): q155b/q176 re-ran the learn
+  // loop per probe because the only way to the segmentation was
+  // bpeLearn. The artifact persists the final vocab (w, n, symbol list)
+  // WITH a loud `bpe_steps` param pin; probe-side segment/encode then
+  // run WITHOUT re-learning — one corpus tokenize + a broadcast
+  // vocab join, nothing else. Parquet round-trip safe (strings + LONGs
+  // + a string array); round-trip ≡ learned is spec-pinned.
+  /** Learn once, persist: the segmentation vocab plus the param pin. */
+  def bpeVocabArtifact(docs: DataFrame, textCol: String,
+      steps: Int): DataFrame =
+    bpeLearn(docs, textCol, steps)._1.withColumn("bpe_steps", lit(steps))
+
+  /** Pin guard shared by the stored-artifact consumers: refuses an
+    * empty artifact and mixed `bpe_steps` pins (vocab shards from
+    * different tokenizers must never fold — the langIdModelFromShards
+    * rule). Bounded driver read: one row of pin extremes. */
+  private def pinnedVocab(vocab: DataFrame, what: String): DataFrame = {
+    val pins = vocab.agg(min(col("bpe_steps")), max(col("bpe_steps")))
+      .collect().head
+    require(!pins.isNullAt(0),
+      s"$what: empty stored vocab artifact — rebuild with bpeVocabArtifact")
+    require(pins.getInt(0) == pins.getInt(1),
+      s"$what: mixed bpe_steps pins (${pins.getInt(0)}..${pins.getInt(1)}) " +
+        "— artifacts from different tokenizers must not mix")
+    vocab
+  }
+
+  /** Probe-side segmentation straight from the stored artifact — must
+    * equal [[bpeSegment]] bit-for-bit (q156d shares q156b's oracle). */
+  def bpeSegmentStored(vocab: DataFrame): DataFrame =
+    pinnedVocab(vocab, "bpeSegmentStored")
+      .select(col("w"), col("n"), concat_ws(" ", col("s")).as("seg"))
+      .orderBy(col("w"))
+
+  /** Probe-side corpus encode from the stored artifact — [[bpeEncode]]
+    * without the learn loop (same inner-join OOV contract: a word
+    * absent from the artifact's corpus is absent from the count;
+    * appended corpora re-learn or handle OOV upstream). */
+  def bpeEncodeStored(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val v = pinnedVocab(vocab, "bpeEncodeStored")
+      .select(col("w"), size(col("s")).cast("long").as("w_tokens"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(v), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("w_tokens")).as("n_bpe_tokens"))
+      .orderBy(col(idCol))
+  }
+
+  private val q156d = GraftQuery(
+    "q156d_bpe_stored_segment",
+    (s, dir) => bpeSegmentStored(
+      bpeVocabArtifact(Tables.documents(s, dir), "text", steps = 8)),
+    Some(bpeOracle(8, segment = true)))
+
+  private val q156e = GraftQuery(
+    "q156e_bpe_stored_encode",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      bpeEncodeStored(docs, "doc_id", "text",
+        bpeVocabArtifact(docs, "text", steps = 8))
+    },
+    Some(bpeOracle(8, segment = false, encode = true)))
+
   // ----------------------------------------- q155b BPE-true token budget
   // q155 denominates its per-source budget in whitespace tokens — a
   // proxy. This variant feeds [[bpeEncode]]'s per-doc BPE token counts
@@ -2318,6 +2385,6 @@ object TextAnalysis {
       ORDER BY doc_id"""))
 
   val all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q78, q82, q96, q97,
-    q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154, q155b, q156, q156b, q156c, q157, q157b,
+    q113, q119, q121, q129, q130, q140, q144, q148, q148b, q154, q155b, q156, q156b, q156c, q156d, q156e, q157, q157b,
     q160, q161, q161b, q166, q175, q175b, q176)
 }

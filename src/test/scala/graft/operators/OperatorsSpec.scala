@@ -691,6 +691,44 @@ class OperatorsSpec extends SparkSpec {
       seg.toString)
   }
 
+  test("stored BPE artifact: stored == learned, parquet round-trip, pin refusals (VERDICT r14 #5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "aaaa aaaa cd"), (2L, "aaaa bb cd cd"))
+      .toDF("doc_id", "text")
+    val ta = graft.operators.TextAnalysis
+    val artifact = ta.bpeVocabArtifact(docs, "text", steps = 4)
+    // stored segmentation == learned segmentation, bit-for-bit
+    val learned = ta.bpeSegment(docs, "text", steps = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val stored = ta.bpeSegmentStored(artifact)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(stored == learned)
+    // stored encode == learned encode
+    val encL = ta.bpeEncode(docs, "doc_id", "text", steps = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val encS = ta.bpeEncodeStored(docs, "doc_id", "text", artifact)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(encS == encL)
+    // parquet round-trip: the artifact IS the stored state
+    val dir = java.nio.file.Files.createTempDirectory("bpe_vocab").toString
+    artifact.write.mode("overwrite").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    assert(ta.bpeSegmentStored(reread)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq == learned, "parquet round-trip changed the segmentation")
+    // pin refusals: empty artifact, mixed steps pins
+    val e1 = intercept[IllegalArgumentException] {
+      ta.bpeSegmentStored(artifact.filter(lit(false)))
+    }
+    assert(e1.getMessage.contains("empty"), e1.getMessage)
+    val other = ta.bpeVocabArtifact(docs, "text", steps = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      ta.bpeEncodeStored(docs, "doc_id", "text", artifact.unionByName(other))
+    }
+    assert(e2.getMessage.contains("mixed bpe_steps"), e2.getMessage)
+  }
+
   test("BPE-denominated token budget: kept totals satisfy the budget law per group") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
