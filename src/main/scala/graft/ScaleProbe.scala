@@ -300,6 +300,50 @@ object ScaleProbe {
         val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         println(s"""{"metric":"scaleprobe-r14ops","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
 
+      case "r15ops" =>
+        // round-15 additions at probe decades: WARC parse (stateless
+        // regexp scan — expect linear), langid margin (q169 + one window
+        // sum), stored-BPE segment/encode (one corpus tokenize + a
+        // vocab-confined learn whose cost is corpus-INDEPENDENT given
+        // the fixed synthetic vocab), unigram segmentation (same
+        // vocab-confined class), and the crawl chain (the q93b class
+        // plus the ingest prefix scans)
+        val out = scaledDocsDir(spark, src, copies)
+        val names = Seq("q177_warc_parse", "q169c_langid_margin",
+          "q156d_bpe_stored_segment", "q156e_bpe_stored_encode",
+          "q178_unigram_segment", "q93c_crawl_chain")
+        val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
+        val times = names.map { name =>
+          val (_, t) = timed(SparkEntry.queries(name)(spark, out)
+            .write.format("noop").mode("overwrite").save())
+          name -> t
+        }
+        val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        println(s"""{"metric":"scaleprobe-r15ops","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
+
+      case "bpestored" =>
+        // The stored-tokenizer payoff (VERDICT r14 next #5): learn once
+        // and WRITE the artifact, then time the probe-side encode that
+        // only tokenizes the corpus and broadcast-joins the stored vocab
+        // — versus the learn-included q156c path. The probe must scale
+        // like the q30 wordcount class (one tokenize + hash agg); the
+        // learn pays the per-round vocab windows.
+        val out = scaledDocsDir(spark, src, copies)
+        val docs = graft.sources.Tables.load(spark, out, "documents")
+        val nDocs = docs.count()
+        val artPath = s"$out/bpe_vocab_s8.parquet"
+        val (_, tLearn) = timed(
+          graft.operators.TextAnalysis.bpeVocabArtifact(docs, "text", steps = 8)
+            .write.mode("overwrite").parquet(artPath))
+        val stored = spark.read.parquet(artPath)
+        val (_, tProbe) = timed(
+          graft.operators.TextAnalysis.bpeEncodeStored(docs, "doc_id", "text", stored)
+            .write.format("noop").mode("overwrite").save())
+        val (_, tLearned) = timed(
+          graft.operators.TextAnalysis.bpeEncode(docs, "doc_id", "text", steps = 8)
+            .write.format("noop").mode("overwrite").save())
+        println(s"""{"metric":"scaleprobe-bpestored","copies":$copies,"n_docs":$nDocs,"learn_write_sec":$tLearn,"stored_encode_sec":$tProbe,"learn_encode_sec":$tLearned,"src":"$src"}""")
+
       case "chainstages" =>
         // Five-stage wall/rows breakdown of the q93b curation chain
         // (VERDICT r11 stretch #9): each tap forces the stage frame and
