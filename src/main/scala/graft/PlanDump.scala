@@ -50,7 +50,11 @@ object PlanDump {
     "q155b_token_budget_bpe", "q171_html_extract", "q172_chunk_text",
     "q173_nfc_normalize", "q174_path_prefix_gate", "q175_gate_agreement",
     "q176_tokenizer_fertility", "q168b_host_profile_fold",
-    "q175b_gate_kappa")
+    "q175b_gate_kappa",
+    // round 15 (q93c/q156d/q156e/q178 collect pins or run driver EM
+    // loops before planning — lazy-plannable but expensive to explain;
+    // the stateless/scan-class additions are audited here)
+    "q177_warc_parse", "q169c_langid_margin")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -792,6 +792,15 @@ class OperatorsSpec extends SparkSpec {
     val const = Seq((true, true), (true, true)).toDF("x", "y")
     assert(graft.operators.TextAnalysis.pairwiseKappa(const,
       Seq(("x", "y", "x", "y"))).collect().head.isNullAt(4))
+    // duplicate (labelA, labelB) pairs refuse LOUDLY with the offender
+    // named, not as a downstream ambiguous-alias AnalysisException
+    // (ADVICE r14)
+    val dup = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.pairwiseKappa(flags,
+        Seq(("x", "y", "x", "y"), ("x", "y", "y", "x")))
+    }
+    assert(dup.getMessage.contains("duplicate gate pair") &&
+      dup.getMessage.contains("x/y"), dup.getMessage)
   }
 
   test("dsirScore: target-like docs rank above novel docs; bit-identical under repartitioning") {
