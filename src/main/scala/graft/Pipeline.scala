@@ -619,7 +619,9 @@ object Pipeline {
     operators.DataPrep.capAdmitBatch(batch, consumed, domainCol, idCol, k)
 
   /** Exact winsorization cuts + clip accounting (q153); apply with
-    * [[winsorizeClip]]. */
+    * [[winsorizeClip]]. EAGERNESS CAVEAT (also at the impl): computing
+    * the exact cuts runs bounded driver passes when you CALL this —
+    * it is not a lazy frame builder; schedule it like an action. */
   def winsorizeStats(df: DataFrame, valueCol: String,
       orderCols: Seq[String], pLo: Int, pHi: Int): DataFrame =
     operators.Windows.winsorizeStats(df, valueCol, orderCols, pLo, pHi)

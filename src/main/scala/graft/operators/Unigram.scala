@@ -195,7 +195,7 @@ object Unigram {
                    (CASE WHEN e.j = t.wend THEN 0 ELSE x.d END) = t.dtot)"""
   }
 
-  private def unigramOracle: String = s"""
+  private def unigramOracleCore: String = s"""
       WITH w0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
                SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
                                          x -> x <> '')) AS w
@@ -216,7 +216,9 @@ object Unigram {
       cost1 AS MATERIALIZED (SELECT c0.p,
                CAST($CBIG // (COALESCE(c1.c, 0) + 1) AS BIGINT) AS cost
              FROM c0 LEFT JOIN c1 USING (p)),
-      ${viterbiCtes("b", "cost1")}
+      ${viterbiCtes("b", "cost1")}"""
+
+  private def unigramOracle: String = s"""$unigramOracleCore
       SELECT w, n, string_agg(p, ' ' ORDER BY i) AS seg,
              CAST(COUNT(*) AS BIGINT) AS n_pieces,
              CAST(dtot // 4294967296 AS BIGINT) AS cost
@@ -229,5 +231,39 @@ object Unigram {
     (s, dir) => unigramSegment(Tables.documents(s, dir), "text"),
     Some(unigramOracle))
 
-  val all: Seq[GraftQuery] = Seq(q178)
+  /** Corpus encode under the learned unigram tokenizer — the q156c
+    * analog: per-doc word and unigram-piece counts via one corpus
+    * tokenize + a broadcast join of the (vocab-sized) segmentation.
+    * Same inner-join contract as `bpeEncode`: words outside the learned
+    * vocab (only the > MAXW-char exclusions here) are absent from the
+    * count. */
+  def unigramEncode(docs: DataFrame, idCol: String, textCol: String,
+      maxPieceLen: Int = 4): DataFrame = {
+    val vocab = unigramSegment(docs, textCol, maxPieceLen)
+      .select(col("w"), col("n_pieces"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(vocab), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_unigram_tokens"))
+      .orderBy(col(idCol))
+  }
+
+  private val q178b = GraftQuery(
+    "q178b_unigram_encode",
+    (s, dir) => unigramEncode(Tables.documents(s, dir), "doc_id", "text"),
+    Some(s"""$unigramOracleCore,
+      vseg AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pieces
+             FROM pathb GROUP BY w)
+      SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(v.n_pieces) AS BIGINT) AS n_unigram_tokens
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                      x -> x <> '')) AS w
+            FROM documents) d
+      JOIN vseg v USING (w)
+      GROUP BY d.doc_id
+      ORDER BY d.doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q178, q178b)
 }

@@ -90,6 +90,22 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("unigramEncode: per-doc counts are the exact fold of the segmentation") {
+    import spark.implicits._
+    val corpus = Seq((1L, "abab cd abab"), (2L, "cd cd xyz"))
+    val docs = corpus.toDF("doc_id", "text")
+    val pieces = Unigram.unigramSegment(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val got = Unigram.unigramEncode(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    corpus.foreach { case (id, text) =>
+      val ws = text.split(" ").toSeq
+      val want = (id, ws.size.toLong, ws.map(pieces).sum)
+      val row = got.find(_._1 == id).get
+      assert(row == want, s"doc $id: $row, want $want")
+    }
+  }
+
   test("deterministic under repartition; > 32-char words excluded (documented bound)") {
     import spark.implicits._
     val long = "a" * 40
