@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, CurationChain, DataPrep, Dedup, Extraction, Graph, LangId, MapReduceParity, Multimodal, Profiler, Relational, Similarity, Sketches, SqlSurface, TextAnalysis, Unigram, UrlOps, Warc, Windows}
+import graft.operators.{Curation, CurationChain, DataPrep, Dedup, Extraction, Graph, LangId, MapReduceParity, Multimodal, Pii, Profiler, Relational, Similarity, Sketches, SqlSurface, TextAnalysis, Unigram, UrlOps, Warc, Windows}
 import graft.plans.{ScaleOps, TopKPerKey}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,8 @@ object SparkEntry {
       Multimodal.all ++ Sketches.all ++ MapReduceParity.all ++ Windows.all ++
       Curation.all ++ CurationChain.all ++ SqlSurface.all ++ ScaleOps.all ++
       TopKPerKey.all ++ DataPrep.all ++ Profiler.all ++ Graph.all ++
-      UrlOps.all ++ LangId.all ++ Extraction.all ++ Warc.all ++ Unigram.all
+      UrlOps.all ++ LangId.all ++ Extraction.all ++ Warc.all ++
+      Unigram.all ++ Pii.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
