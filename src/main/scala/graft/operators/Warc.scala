@@ -244,5 +244,70 @@ object Warc {
       FROM h
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q177)
+  // ---------------------------------------------------------------- q177b
+  // FILE round-trip through the source layer: the same per-doc records
+  // as q177 but WELL-FORMED (framing fidelity is this query's subject;
+  // malformed handling is q177's), written as ONE `.warc` file, re-read
+  // via [[graft.sources.WarcSource.readWarcRecords]] (length-driven
+  // framing), parsed, and re-keyed by the doc id carried in
+  // WARC-Record-ID. The oracle reconstructs every field from the
+  // construction arithmetic — a framing bug (lost/merged/split record)
+  // breaks the row count or a hash; a parse bug breaks the fields.
+  private def cleanRecord(): Column = {
+    val m3 = pmod(col("doc_id"), lit(3))
+    val wtype = when(m3 === 0, lit("response"))
+      .when(m3 === 1, lit("request")).otherwise(lit("metadata"))
+    val clName = when(pmod(col("doc_id"), lit(5)) === 0,
+      lit("content-length")).otherwise(lit("Content-Length"))
+    concat(
+      lit("WARC/1.0" + CRLF),
+      lit("WARC-Type: "), wtype, lit(CRLF),
+      lit("WARC-Record-ID: <urn:uuid:"), col("doc_id").cast("string"),
+      lit(">" + CRLF),
+      lit("WARC-Date: 2026-01-01T00:00:00Z" + CRLF),
+      lit("WARC-Target-URI: http://"), col("source"),
+      lit(".example.com/doc/"), col("doc_id").cast("string"), lit(CRLF),
+      clName, lit(": "), length(col("text")).cast("string"),
+      lit(CRLF + CRLF),
+      col("text"), lit(CRLF + CRLF))
+  }
+
+  private val q177b = GraftQuery(
+    "q177b_warc_file_roundtrip",
+    (s, dir) => {
+      // fixture boundary: write the synthesized crawl as a real .warc
+      // file (one per verify SF dir), the artifact a production ingest
+      // fleet receives; text-writer row separators ('\n') between
+      // records are exactly the inter-record noise the splitter's
+      // resync-skip is specified to ignore
+      val out = "/root/repo/target/tmp/warc_q177b_" +
+        new java.io.File(dir).getName
+      Tables.documents(s, dir).withColumn("rec", cleanRecord())
+        .select(col("rec")).coalesce(1)
+        .write.mode("overwrite").text(out)
+      warcParse(graft.sources.WarcSource.readWarcRecords(s, out),
+          "rec_no", "rec")
+        .withColumn("doc_id",
+          regexp_extract(col("record_id"), "uuid:([0-9]+)", 1).cast("long"))
+        .select(col("doc_id"), col("warc_version"), col("warc_type"),
+          col("target_uri"), col("record_id"), col("content_length"),
+          col("n_headers"), col("body_len"), col("body_md5"), col("valid"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             '1.0' AS warc_version,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'response'
+                  WHEN 1 THEN 'request' ELSE 'metadata' END AS warc_type,
+             'http://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+             '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+             CAST(len(text) AS BIGINT) AS content_length,
+             CAST(5 AS BIGINT) AS n_headers,
+             CAST(len(text) AS BIGINT) AS body_len,
+             md5(text) AS body_md5,
+             TRUE AS valid
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q177, q177b)
 }
