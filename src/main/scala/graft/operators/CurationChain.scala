@@ -159,34 +159,48 @@ object CurationChain {
     * model learns from the even-doc_id half's planted labels (the q169
     * convention) and the gate keeps predicted-English crawl docs. */
   def crawlChain(docs: DataFrame, targetDocs: Long,
-      spanK: Int = 0): DataFrame = {
+      spanK: Int = 0): DataFrame =
+    crawlChainStaged(docs, targetDocs, spanK, probe = None)
+
+  /** [[crawlChain]] with the stage-boundary tap extended over the
+    * INGEST prefix too (the q93b `chainStaged` telemetry discipline —
+    * VERDICT r14 next #2's done-criterion): `probe = None` is the
+    * byte-identical declared q93c path. */
+  private[graft] def crawlChainStaged(docs: DataFrame, targetDocs: Long,
+      spanK: Int,
+      probe: Option[(String, DataFrame) => Unit]): DataFrame = {
+    def tap(name: String, df: DataFrame): DataFrame = {
+      probe.foreach(_(name, df)); df
+    }
     // WARC build ⊗ parse: only valid response bodies survive
-    val bodies = Warc.warcBodies(
+    val bodies = tap("warc_parse", Warc.warcBodies(
       docs.withColumn("rec", Warc.crawlRecord()), "doc_id", "rec",
-      keep = Seq("source"))
+      keep = Seq("source")))
     // HTML → text → NFC, still the same stateless scan
-    val extracted = bodies.select(col("doc_id"), col("source"),
-      col("target_uri"),
+    val extracted = tap("extract_nfc", bodies.select(col("doc_id"),
+      col("source"), col("target_uri"),
       graft.functions.NfcNormalize(
-        Extraction.htmlText(col("body"))).as("text"))
+        Extraction.htmlText(col("body"))).as("text")))
     // stored host policy: block the lexicographically-first source's
     // host (1 row, data-derived, broadcast)
     val blockList = docs.agg(min(col("source")).as("s"))
       .select(concat(lit("v:"), col("s"), lit(".example.com"))
         .as("host_key"), lit("blocked_source").as("rule"))
-    val hostGated = UrlOps.hostGate(extracted, "target_uri", blockList)
+    val hostGated = tap("host_gate",
+      UrlOps.hostGate(extracted, "target_uri", blockList))
     // stored path policy: /ads is blocked on EVERY crawl host
     val pathRules = docs.select(col("source")).distinct()
       .select(concat(lit("v:"), col("source"), lit(".example.com"))
           .as("host_key"),
         lit("/ads").as("path_prefix"), lit("ads").as("rule"))
-    val pathGated = UrlOps.pathPrefixGate(hostGated, "target_uri", pathRules)
-      .select(col("doc_id"), col("source"), col("text"))
+    val pathGated = tap("path_gate",
+      UrlOps.pathPrefixGate(hostGated, "target_uri", pathRules)
+        .select(col("doc_id"), col("source"), col("text")))
     // language-ID gate: stored model from the labeled half, keep
     // predicted-English; prediction becomes the crawl doc's lang
     val model = LangId.langIdModel(
       docs.filter(col("doc_id") % 2 === 0), "text", "lang")
-    val ing = pathGated
+    val ing = tap("langid_gate", pathGated
       .join(LangId.langIdScore(pathGated, "doc_id", "text", model)
           .filter(col("pred_lang") === "en")
           .select(col("doc_id"), col("pred_lang").as("lang")),
@@ -195,8 +209,8 @@ object CurationChain {
       // the production ingest/curation fleet boundary (a parquet write
       // there); also cuts the ingest lineage out of the chain's many
       // self-references
-      .localCheckpoint()
-    chainStaged(ing, targetDocs, spanK, probe = None)
+      .localCheckpoint())
+    chainStaged(ing, targetDocs, spanK, probe)
   }
 
   // The ingest replay: surviving-parse reconstruction from the
