@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** robots.txt parsing + the RFC 9309 crawl-permission gate — the
+  * STANDARDS-based member of the crawl-hygiene family (q170 host gate
+  * and q174 path gate enforce in-house policy; this one enforces the
+  * site's own policy, which every polite production crawler must).
+  *
+  * [[robotsRules]] parses robots.txt bodies (one row per host) into
+  * `(host, agent, rule, path_prefix)`:
+  *   - comments (`#` to end of line) stripped, lines trimmed; blank and
+  *     junk lines ignored entirely (RFC 9309 §2.2 — unrecognized lines
+  *     are skipped and do NOT break groups);
+  *   - a GROUP is a maximal run of consecutive `User-agent:` lines (all
+  *     sharing the following rules — the multi-agent group form)
+  *     followed by its `Allow:`/`Disallow:` lines; detected as
+  *     gaps-and-islands over the retained lines (new group = UA line
+  *     whose previous retained line is not UA), all window functions
+  *     over KB-sized per-host frames;
+  *   - EMPTY-value directives (`Disallow:` with no path) match nothing
+  *     per the RFC and are dropped at parse; directives before any
+  *     group are orphans and dropped.
+  *
+  * [[robotsAudit]]/[[robotsGate]] evaluate a crawl batch for one agent
+  * per RFC 9309 §2.2.1/§5.2:
+  *   - group selection: if the host has rules for the SPECIFIC agent
+  *     (exact product-token match, lowercased — substring matching is
+  *     a deliberate non-goal, documented), ONLY those apply; else the
+  *     `*` group; a host with no rules allows everything;
+  *   - rule matching: applicable rules whose prefix starts the doc's
+  *     canonical path; the LONGEST match wins, ties break to ALLOW
+  *     (least-restrictive, §5.2); no match ⇒ allowed;
+  *   - scheme-less docs (NULL host) are quarantined like [[UrlOps.hostGate]].
+  *
+  * Scale shape: parsing is per-host windows over KB frames; the gate
+  * aggregates each host's applicable rules into ONE array row
+  * (broadcast — robots tables are KBs per host, bounded hosts), and
+  * the corpus-side verdict is a codegen `filter`/`transform`/
+  * `array_max` over that array: the corpus NEVER shuffles, exactly the
+  * q170/q174 never-shuffle class. Longest-match tie-break is
+  * structural: `array_max` over `struct(prefix_len, is_allow)` — for
+  * equal lengths `true > false`, so allow wins without a second pass.
+  */
+object Robots {
+
+  /** Parse robots.txt bodies into `(host, agent, rule, path_prefix)`. */
+  def robotsRules(robots: DataFrame, hostCol: String,
+      bodyCol: String): DataFrame = {
+    val lines = robots.select(col(hostCol).as("host"),
+        posexplode(split(col(bodyCol), "\n")).as(Seq("i", "l")))
+      .select(col("host"), col("i"),
+        trim(regexp_replace(col("l"), "#.*", "")).as("line"))
+    val cls = lines.select(col("host"), col("i"),
+        col("line").rlike("(?i)^user-agent:").as("is_ua"),
+        lower(regexp_extract(col("line"), "(?i)^(allow|disallow):", 1))
+          .as("kind"),
+        lower(trim(regexp_extract(col("line"),
+          "(?i)^user-agent:[ \\t]*(.*)", 1))).as("ua_val"),
+        trim(regexp_extract(col("line"),
+          "(?i)^(allow|disallow):[ \\t]*(.*)", 2)).as("dir_val"))
+      // retained lines only: UA lines, and directives with a non-empty
+      // value (empty = matches nothing per RFC -> dropped at parse)
+      .filter(col("is_ua") ||
+        (col("kind").isin("allow", "disallow") && col("dir_val") =!= ""))
+    val w = Window.partitionBy(col("host")).orderBy(col("i"))
+    val g = cls
+      .withColumn("ng", (col("is_ua") &&
+        !coalesce(lag(col("is_ua"), 1).over(w), lit(false))).cast("int"))
+      .withColumn("gid", sum(col("ng"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val agents = g.filter(col("is_ua"))
+      .select(col("host"), col("gid"), col("ua_val").as("agent"))
+    val dirs = g.filter(!col("is_ua") && col("gid") > 0)
+      .select(col("host"), col("gid"), col("kind").as("rule"),
+        col("dir_val").as("path_prefix"))
+    agents.join(dirs, Seq("host", "gid"))
+      .select(col("host"), col("agent"), col("rule"), col("path_prefix"))
+  }
+
+  /** Per-doc RFC 9309 verdict audit:
+    * `(idCol, host, path, n_matched, best_len, best_rule, allowed)`. */
+  def robotsAudit(docs: DataFrame, idCol: String, urlCol: String,
+      rules: DataFrame, agent: String): DataFrame = {
+    require(agent.nonEmpty && agent != "*",
+      "pass the crawler's own product token, not '*'")
+    val a = lit(agent.toLowerCase(java.util.Locale.ROOT))
+    // group selection on the RULES side (rules-sized, never the corpus):
+    // hosts with a specific-agent group drop their '*' rows
+    val hostsSpecific = rules.filter(col("agent") === a)
+      .select(col("host")).distinct().withColumn("__sp", lit(true))
+    val applicable = rules.filter(col("agent") === a || col("agent") === "*")
+      .join(hostsSpecific, Seq("host"), "left")
+      .filter(col("agent") === a || col("__sp").isNull)
+      .groupBy(col("host"))
+      .agg(collect_list(struct(
+        length(col("path_prefix")).as("plen"),
+        (col("rule") === "allow").as("is_allow"),
+        col("path_prefix").as("prefix"))).as("__rules"))
+    val matches = filter(col("__rules"),
+      r => col("path").startsWith(r.getField("prefix")))
+    val best = array_max(transform(matches,
+      r => struct(r.getField("plen").as("plen"),
+        r.getField("is_allow").as("is_allow"))))
+    docs
+      .withColumn("host", UrlOps.urlHost(col(urlCol)))
+      .withColumn("path", UrlOps.urlPath(col(urlCol)))
+      .filter(col("host").isNotNull)
+      .join(broadcast(applicable), Seq("host"), "left")
+      .withColumn("__best", best)
+      .select(col(idCol), col("host"), col("path"),
+        coalesce(size(matches), lit(0)).cast("long").as("n_matched"),
+        col("__best.plen").cast("long").as("best_len"),
+        when(col("__best").isNull, lit(null).cast("string"))
+          .when(col("__best.is_allow"), lit("allow"))
+          .otherwise(lit("disallow")).as("best_rule"),
+        (col("__best").isNull || col("__best.is_allow")).as("allowed"))
+  }
+
+  /** The gate form: keep only [[robotsAudit]]-allowed docs (every input
+    * column survives; scheme-less docs quarantined). */
+  def robotsGate(docs: DataFrame, idCol: String, urlCol: String,
+      rules: DataFrame, agent: String): DataFrame =
+    docs.join(
+      robotsAudit(docs, idCol, urlCol, rules, agent)
+        .filter(col("allowed")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
+  // ---------------------------------------------------------------- q180
+  // Fixture: one robots.txt per crawl host (three policy shapes by the
+  // source ordinal — a two-group file exercising multi-UA groups +
+  // longest-match + allow-tie, a star-only file with an empty directive
+  // and a root Allow, and a junk-bearing file with an orphan directive
+  // and a specific deny-all group), evaluated for agent "graftbot" over
+  // the q177 URL shapes plus /private//tmp//ads rotations. The oracle
+  // replays the full parse (comment strip, retained-line grouping,
+  // orphan/empty drops) and the RFC evaluation with a window instead of
+  // the array fold — same declared semantics, independently expressed.
+  private def robotsBody(): Column = {
+    val k = pmod(expr("CAST(substring(source, 4) AS INT)"), lit(3))
+    when(k === 0, lit(
+      "# policy\nUser-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+        "Disallow: /tmp/\n\nUser-agent: graftbot\nUser-agent: otherbot\n" +
+        "Disallow: /doc/\nAllow: /doc/open"))
+      .when(k === 1, lit(
+        "User-agent: *  # the only group\nDisallow: /ads\nDisallow:\nAllow: /"))
+      .otherwise(lit(
+        "junk line without colon\nDisallow: /orphan\n" +
+          "User-agent: graftbot\nDisallow: /"))
+  }
+
+  private def docUrl(): Column = {
+    val m = pmod(col("doc_id"), lit(7))
+    val id = col("doc_id").cast("string")
+    concat(lit("http://"), col("source"), lit(".example.com"),
+      when(m === 0, concat(lit("/private/x"), id))
+        .when(m === 1, lit("/private/ok/x"))
+        .when(m === 2, lit("/tmp/f"))
+        .when(m === 3, concat(lit("/doc/page"), id))
+        .when(m === 4, lit("/doc/open/1"))
+        .when(m === 5, lit("/ads/z"))
+        .otherwise(lit("/")))
+  }
+
+  private val q180 = GraftQuery(
+    "q180_robots_gate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("url", docUrl())
+      val robots = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          robotsBody().as("body"))
+      robotsAudit(docs, "doc_id", "url",
+          robotsRules(robots, "host", "body"), agent = "graftbot")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH hosts AS (SELECT DISTINCT source,
+                            source || '.example.com' AS host FROM documents),
+      bodies AS (SELECT host,
+               CASE CAST(CAST(substring(source, 4) AS INT) % 3 AS INT)
+                 WHEN 0 THEN '# policy' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp/' || chr(10) || chr(10) || 'User-agent: graftbot' || chr(10) || 'User-agent: otherbot' || chr(10) || 'Disallow: /doc/' || chr(10) || 'Allow: /doc/open'
+                 WHEN 1 THEN 'User-agent: *  # the only group' || chr(10) || 'Disallow: /ads' || chr(10) || 'Disallow:' || chr(10) || 'Allow: /'
+                 ELSE 'junk line without colon' || chr(10) || 'Disallow: /orphan' || chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /'
+               END AS body
+             FROM hosts),
+      lines AS (SELECT host, i, trim(regexp_replace(l, '#.*', '')) AS line
+             FROM (SELECT host,
+                          generate_subscripts(string_split(body, chr(10)), 1) AS i,
+                          unnest(string_split(body, chr(10))) AS l
+                   FROM bodies)),
+      cls AS (SELECT host, i,
+               regexp_matches(line, '(?i)^user-agent:') AS is_ua,
+               lower(regexp_extract(line, '(?i)^(allow|disallow):', 1)) AS kind,
+               lower(trim(regexp_extract(line, '(?i)^user-agent:[ \t]*(.*)', 1))) AS ua_val,
+               trim(regexp_extract(line, '(?i)^(allow|disallow):[ \t]*(.*)', 2)) AS dir_val
+             FROM lines
+             WHERE regexp_matches(line, '(?i)^user-agent:')
+                OR (lower(regexp_extract(line, '(?i)^(allow|disallow):', 1)) IN ('allow', 'disallow')
+                    AND trim(regexp_extract(line, '(?i)^(allow|disallow):[ \t]*(.*)', 2)) <> '')),
+      g0 AS (SELECT *, CASE WHEN is_ua AND NOT COALESCE(
+                    LAG(is_ua) OVER (PARTITION BY host ORDER BY i), FALSE)
+                    THEN 1 ELSE 0 END AS ng
+             FROM cls),
+      g AS (SELECT *, CAST(SUM(ng)
+                  OVER (PARTITION BY host ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gid
+            FROM g0),
+      agents AS (SELECT host, gid, ua_val AS agent FROM g WHERE is_ua),
+      dirs AS (SELECT host, gid, kind AS rule, dir_val AS path_prefix
+               FROM g WHERE NOT is_ua AND gid > 0),
+      rules AS (SELECT a.host, a.agent, d.rule, d.path_prefix
+                FROM agents a JOIN dirs d USING (host, gid)),
+      sp AS (SELECT DISTINCT host FROM rules WHERE agent = 'graftbot'),
+      applicable AS (SELECT r.host, r.rule, r.path_prefix
+                     FROM rules r LEFT JOIN sp ON r.host = sp.host
+                     WHERE r.agent = 'graftbot'
+                        OR (r.agent = '*' AND sp.host IS NULL)),
+      d0 AS (SELECT doc_id, source || '.example.com' AS host,
+               CASE CAST(doc_id % 7 AS INT)
+                 WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN '/private/ok/x'
+                 WHEN 2 THEN '/tmp/f'
+                 WHEN 3 THEN '/doc/page' || CAST(doc_id AS VARCHAR)
+                 WHEN 4 THEN '/doc/open/1'
+                 WHEN 5 THEN '/ads/z'
+                 ELSE ''
+               END AS path
+             FROM documents),
+      m AS (SELECT d.doc_id, d.host, d.path, a.rule,
+                   len(a.path_prefix) AS plen,
+                   ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                     ORDER BY len(a.path_prefix) DESC,
+                              (a.rule = 'allow') DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY d.doc_id) AS nm
+            FROM d0 d JOIN applicable a
+              ON d.host = a.host AND starts_with(d.path, a.path_prefix))
+      SELECT d.doc_id, d.host, d.path,
+             CAST(COALESCE(m.nm, 0) AS BIGINT) AS n_matched,
+             CAST(m.plen AS BIGINT) AS best_len,
+             m.rule AS best_rule,
+             (m.rule IS NULL OR m.rule = 'allow') AS allowed
+      FROM d0 d LEFT JOIN m ON d.doc_id = m.doc_id AND m.rn = 1
+      ORDER BY d.doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q180)
+}

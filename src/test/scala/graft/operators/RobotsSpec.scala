@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** RFC 9309 laws on hand-written robots.txt fixtures (spec-truth, not
+  * the q180 builder). */
+class RobotsSpec extends SparkSpec {
+
+  private def rules(bodies: (String, String)*) = {
+    import spark.implicits._
+    Robots.robotsRules(bodies.toSeq.toDF("host", "body"), "host", "body")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+  }
+
+  test("parse: groups, multi-UA sharing, comments, orphan/empty/junk drops") {
+    val body =
+      "# top comment\n" +
+        "Disallow: /orphan\n" + // before any group -> dropped
+        "User-agent: A\n" +
+        "User-agent: B\n" + // same group as A
+        "Disallow: /x # trailing comment\n" +
+        "Allow:\n" + // empty value -> dropped
+        "garbage, no colon\n" + // junk -> ignored, group survives
+        "Allow: /x/ok\n" +
+        "\n" +
+        "user-AGENT: C\n" + // case-insensitive field names
+        "DISALLOW: /y\n"
+    val got = rules("h" -> body)
+    assert(got == Set(
+      ("h", "a", "disallow", "/x"),
+      ("h", "a", "allow", "/x/ok"),
+      ("h", "b", "disallow", "/x"),
+      ("h", "b", "allow", "/x/ok"),
+      ("h", "c", "disallow", "/y")), got.toString)
+  }
+
+  test("gate: specific group beats star, longest match wins, ties allow, no-rules allows") {
+    import spark.implicits._
+    val r = rules(
+      "h1" -> ("User-agent: *\nDisallow: /\n\n" +
+        "User-agent: bot\nDisallow: /priv\nAllow: /priv/pub"),
+      "h2" -> "User-agent: *\nDisallow: /a\nAllow: /a", // tie -> allow
+      "h3" -> "User-agent: other\nDisallow: /")
+      .toSeq.toDF("host", "agent", "rule", "path_prefix")
+    val docs = Seq(
+      (1L, "http://h1/anything"), // star's Disallow / must NOT apply (specific group exists)
+      (2L, "http://h1/priv/x"), // disallow /priv (len 5)
+      (3L, "http://h1/priv/pub/x"), // allow /priv/pub (len 9) beats /priv
+      (4L, "http://h2/a"), // equal-length allow+disallow -> allow
+      (5L, "http://h3/x"), // only 'other' agent rules -> star absent -> allowed
+      (6L, "http://h4/x"), // host with no robots at all -> allowed
+      (7L, "no-scheme/x") // quarantined (NULL host)
+    ).toDF("doc_id", "url")
+    val got = Robots.robotsAudit(docs, "doc_id", "url", r, "bot")
+      .collect().map(x => x.getLong(0) -> x.getBoolean(6)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true,
+      5L -> true, 6L -> true), got.toString)
+    // the gate form keeps exactly the allowed ids and all columns
+    val kept = Robots.robotsGate(docs, "doc_id", "url", r, "bot")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L))
+    // star token refused as the caller's own agent
+    intercept[IllegalArgumentException] {
+      Robots.robotsGate(docs, "doc_id", "url", r, "*")
+    }
+  }
+
+  test("gate plan: corpus never shuffles (broadcast rules array + codegen fold)") {
+    import spark.implicits._
+    val r = rules("h" -> "User-agent: *\nDisallow: /x")
+      .toSeq.toDF("host", "agent", "rule", "path_prefix")
+    val docs = Seq((1L, "http://h/x")).toDF("doc_id", "url")
+    val plan = Robots.robotsAudit(docs, "doc_id", "url", r, "bot")
+      .queryExecution.executedPlan.toString
+    // the only exchanges allowed are on the rules side (tiny) feeding the
+    // broadcast; the docs scan itself must flow into a BroadcastHashJoin
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle:\n$plan")
+  }
+}
