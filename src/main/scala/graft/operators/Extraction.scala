@@ -183,6 +183,82 @@ object Extraction {
         md5(col("__c")).as("chunk_md5"))
   }
 
+  /** Invisible/control-character class (round 15 — closes the C0
+    * caveat [[decodeNumericEntities]] documents): C0 controls except
+    * tab/LF/CR, DEL, zero-width space/non-joiner/joiner, word joiner,
+    * BOM-as-ZWNBSP, and soft hyphen. Java and RE2 spell the class
+    * differently (`\uXXXX` vs `\x{XXXX}`) — two dialect strings, ONE
+    * semantic class, both enumerated here so they cannot drift apart
+    * silently. */
+  private val InvisibleRe =
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u00AD\\u200B-\\u200D\\u2060\\uFEFF]"
+  private val InvisibleReDuck =
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{00AD}\\x{200B}-\\x{200D}\\x{2060}\\x{FEFF}]"
+
+  /** Strip invisible characters (the crawl-cleaning stage upstream of
+    * [[htmlText]] that makes its C0-sentinel caveat moot, and the
+    * dedup-hygiene twin of NFC: a zero-width space splits tokens and
+    * defeats byte-keyed dedup while rendering identically). */
+  def stripInvisible(text: Column): Column =
+    regexp_replace(text, InvisibleRe, "")
+
+  /** Per-doc invisible-character audit: count, cleaned length, cleaned
+    * md5, and a changed flag — the q173 NFC-audit shape. */
+  def invisibleAudit(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    val c = stripInvisible(t)
+    docs.select(col(idCol),
+      regexp_count(t, lit(InvisibleRe)).cast("long").as("n_invisible"),
+      length(c).cast("long").as("n_clean"),
+      (length(t) =!= length(c)).as("changed"),
+      md5(c).as("clean_md5"))
+  }
+
+  // ---------------------------------------------------------------- q181
+  // Planted invisible characters by doc rotation: ZWSP inside a word
+  // (the dedup-defeating case), a BOM prefix, a NUL + DEL pair, a soft
+  // hyphen, a ZWJ run, and a clean control row; tab/LF/CR must SURVIVE
+  // (they are whitespace, not noise). Oracle replays with the RE2
+  // spelling of the same class.
+  private def invisText(): Column = {
+    val m = pmod(col("doc_id"), lit(6))
+    when(m === 0, concat(lit("pre\u200Bfix "), col("text")))
+      .when(m === 1, concat(lit("\uFEFF"), col("text")))
+      .when(m === 2, concat(col("text"), lit(" a\u0001b\u007Fc")))
+      .when(m === 3, concat(lit("co\u00ADoperate "), col("text")))
+      .when(m === 4, concat(col("text"), lit(" x\u200D\u200D\u200Cy")))
+      .otherwise(concat(lit("tab\there "), col("text")))
+  }
+
+  private val q181 = GraftQuery(
+    "q181_invisible_strip",
+    (s, dir) => invisibleAudit(
+        Tables.documents(s, dir).withColumn("it", invisText()),
+        "doc_id", "it")
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH r AS (SELECT doc_id,
+               CASE CAST(doc_id % 6 AS INT)
+                 WHEN 0 THEN 'pre' || chr(8203) || 'fix ' || text
+                 WHEN 1 THEN chr(65279) || text
+                 WHEN 2 THEN text || ' a' || chr(1) || 'b' || chr(127) || 'c'
+                 WHEN 3 THEN 'co' || chr(173) || 'operate ' || text
+                 WHEN 4 THEN text || ' x' || chr(8205) || chr(8205) || chr(8204) || 'y'
+                 ELSE 'tab' || chr(9) || 'here ' || text
+               END AS t
+             FROM documents),
+      c AS (SELECT doc_id, t,
+               regexp_replace(t, '$InvisibleReDuck', '', 'g') AS ct
+            FROM r)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '$InvisibleReDuck')) AS BIGINT) AS n_invisible,
+             CAST(len(ct) AS BIGINT) AS n_clean,
+             len(t) <> len(ct) AS changed,
+             md5(ct) AS clean_md5
+      FROM c
+      ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- q171
   // Deterministic HTML wrapping of the documents fixture exercises every
   // extraction rule: case-mixed script/style blocks with attributes,
@@ -280,5 +356,5 @@ object Extraction {
       FROM n
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q171, q172, q173)
+  val all: Seq[GraftQuery] = Seq(q171, q172, q173, q181)
 }

@@ -56,6 +56,34 @@ class ExtractionSpec extends SparkSpec {
       s"extraction must be a pure projection:\n$plan")
   }
 
+  test("stripInvisible: zero-width/control/BOM/SHY die, whitespace survives") {
+    import spark.implicits._
+    val fixtures = Seq(
+      ("pre​fix", "prefix"), // ZWSP inside a word — the dedup defeater
+      ("﻿bom", "bom"),
+      ("abc", "abc"), // C0 + DEL
+      ("co­operate", "cooperate"), // soft hyphen
+      ("x‍‍‌y", "xy"), // ZWJ run + ZWNJ
+      ("w⁠j", "wj"), // word joiner
+      ("tab\there\nand\rreturn ok", "tab\there\nand\rreturn ok") // kept
+    )
+    val got = fixtures.map(_._1).toDF("t")
+      .select(col("t"), Extraction.stripInvisible(col("t")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    fixtures.foreach { case (in, want) =>
+      assert(got(in) == want, s"${in.map(_.toInt)} -> '${got(in)}'")
+    }
+    // audit columns: count, changed flag, md5 pin; pure projection
+    val docs = Seq((1L, "a​b"), (2L, "cd")).toDF("doc_id", "t")
+    val rows = Extraction.invisibleAudit(docs, "doc_id", "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows(1L) == ((1L, 2L, true)) && rows(2L) == ((0L, 2L, false)))
+    val plan = Extraction.invisibleAudit(docs, "doc_id", "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("chunkText: boundaries, overlap, short docs, determinism") {
     import spark.implicits._
     // window 10, overlap 3 -> step 7: starts 1, 8, 15, ...
