@@ -200,5 +200,56 @@ object MapReduceParity {
       SELECT CAST(region AS INT) AS region, word, cnt FROM p
       ORDER BY word"""))
 
-  val all: Seq[GraftQuery] = Seq(q45, q45b, q46, q47, q74, q75)
+  // ---------------------------------------------------------------- q182
+  // Interchange-format fidelity (round 15): the corpus — with a planted
+  // HOSTILE suffix exercising every escaping path (embedded comma,
+  // double quote, newline, backslash, non-ASCII é) — is written to CSV
+  // (quoted/escaped, multiLine), JSONL (\n/\"/\\ escapes), and ORC
+  // (binary), read back through each reader, and folded to one
+  // fingerprint row per format: row count, Σ doc_id, and an
+  // order-independent Σ of 40-bit md5(text) pieces in DECIMAL(38,0)
+  // (the q175b HUGEINT convention — LONG would overflow past ~10⁶
+  // docs). The oracle computes the fold ONCE from the documents table
+  // and expects it back from all three formats verbatim — any writer/
+  // reader corruption (quote mangling, newline splitting, charset
+  // drift) breaks that format's hash row.
+  private val q182 = GraftQuery(
+    "q182_format_roundtrip",
+    (s, dir) => {
+      val hostile = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" ,\"q\"\n\\é")).as("text"))
+      val base = s"/root/repo/target/tmp/q182_${Integer.toHexString(dir.hashCode)}"
+      hostile.write.mode("overwrite").option("header", "true")
+        .csv(s"$base/csv")
+      hostile.write.mode("overwrite").json(s"$base/jsonl")
+      hostile.write.mode("overwrite").orc(s"$base/orc")
+      val schema = "doc_id BIGINT, text STRING"
+      val back = Seq(
+        "csv" -> s.read.schema(schema).option("header", "true")
+          .option("multiLine", "true").csv(s"$base/csv"),
+        "jsonl" -> s.read.schema(schema).json(s"$base/jsonl"),
+        "orc" -> s.read.orc(s"$base/orc"))
+      back.map { case (fmt, df) =>
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).cast("decimal(38,0)").as("sum_id"),
+          sum(conv(substring(md5(col("text")), 1, 10), 16, 10)
+            .cast("long").cast("decimal(38,0)")).as("text_fold"))
+          .select(lit(fmt).as("fmt"), col("n_rows"), col("sum_id"),
+            col("text_fold"))
+      }.reduce(_ unionByName _).orderBy(col("fmt"))
+    },
+    Some("""
+      WITH x AS (SELECT doc_id,
+                        text || ' ,"q"' || chr(10) || '\é' AS t
+                 FROM documents),
+      f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id) AS HUGEINT) AS sum_id,
+                   CAST(SUM(('0x' || substr(md5(t), 1, 10))::BIGINT) AS HUGEINT) AS text_fold
+            FROM x)
+      SELECT v.fmt, f.n_rows, f.sum_id, f.text_fold
+      FROM f CROSS JOIN (VALUES ('csv'), ('jsonl'), ('orc')) v(fmt)
+      ORDER BY v.fmt"""))
+
+  val all: Seq[GraftQuery] = Seq(q45, q45b, q46, q47, q74, q75, q182)
 }
