@@ -193,9 +193,14 @@ object CurationChain {
       .select(concat(lit("v:"), col("source"), lit(".example.com"))
           .as("host_key"),
         lit("/ads").as("path_prefix"), lit("ads").as("rule"))
+    // checkpoint HERE, not only at `ing`: the langid join below reads
+    // pathGated on BOTH sides (docs + scores), and without the cut the
+    // whole ingest prefix (WARC regex scan, extract, NFC, two gates)
+    // executes twice per action (code-review r15)
     val pathGated = tap("path_gate",
       UrlOps.pathPrefixGate(hostGated, "target_uri", pathRules)
-        .select(col("doc_id"), col("source"), col("text")))
+        .select(col("doc_id"), col("source"), col("text"))
+        .localCheckpoint())
     // language-ID gate: stored model from the labeled half, keep
     // predicted-English; prediction becomes the crawl doc's lang
     val model = LangId.langIdModel(

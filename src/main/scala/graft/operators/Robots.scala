@@ -25,17 +25,29 @@ import graft.sources.Tables
   *     over KB-sized per-host frames;
   *   - EMPTY-value directives (`Disallow:` with no path) match nothing
   *     per the RFC and are dropped at parse; directives before any
-  *     group are orphans and dropped.
+  *     group are orphans and dropped;
+  *   - a group with ZERO directives still emits ONE row with NULL
+  *     rule/prefix: per §2.2.1 an empty group is an allow-everything
+  *     STATEMENT for its agent, and the gate's group selection must
+  *     see it (it shields the agent from the `*` group; code-review
+  *     r15) — dropping it would flip the verdict for every path.
   *
   * [[robotsAudit]]/[[robotsGate]] evaluate a crawl batch for one agent
-  * per RFC 9309 §2.2.1/§5.2:
-  *   - group selection: if the host has rules for the SPECIFIC agent
+  * per RFC 9309 §2.2.1/§2.2.3/§5.2:
+  *   - group selection: if the host has A GROUP for the specific agent
   *     (exact product-token match, lowercased — substring matching is
-  *     a deliberate non-goal, documented), ONLY those apply; else the
-  *     `*` group; a host with no rules allows everything;
-  *   - rule matching: applicable rules whose prefix starts the doc's
-  *     canonical path; the LONGEST match wins, ties break to ALLOW
-  *     (least-restrictive, §5.2); no match ⇒ allowed;
+  *     a deliberate non-goal, documented), ONLY its rules apply — even
+  *     when the group is empty; else the `*` group; a host with no
+  *     robots rules at all allows everything;
+  *   - path: the RAW request path (uncanonicalized — the RFC compares
+  *     octets; the site root is `/`, and trailing slashes are
+  *     significant), query/fragment dropped;
+  *   - rule matching: `*` in a rule matches any character sequence and
+  *     a trailing `$` anchors the end (§2.2.3 — both MUST-support);
+  *     wildcard rules compile to anchored RE2/Java regexes at
+  *     rules-prep time (metachars escaped), literal rules stay a
+  *     startsWith; the match with the LONGEST PATTERN wins, ties break
+  *     to ALLOW (least-restrictive, §5.2); no match ⇒ allowed;
   *   - scheme-less docs (NULL host) are quarantined like [[UrlOps.hostGate]].
   *
   * Scale shape: parsing is per-host windows over KB frames; the gate
@@ -44,7 +56,7 @@ import graft.sources.Tables
   * the corpus-side verdict is a codegen `filter`/`transform`/
   * `array_max` over that array: the corpus NEVER shuffles, exactly the
   * q170/q174 never-shuffle class. Longest-match tie-break is
-  * structural: `array_max` over `struct(prefix_len, is_allow)` — for
+  * structural: `array_max` over `struct(pattern_len, is_allow)` — for
   * equal lengths `true > false`, so allow wins without a second pass.
   */
 object Robots {
@@ -79,8 +91,38 @@ object Robots {
     val dirs = g.filter(!col("is_ua") && col("gid") > 0)
       .select(col("host"), col("gid"), col("kind").as("rule"),
         col("dir_val").as("path_prefix"))
-    agents.join(dirs, Seq("host", "gid"))
+    // LEFT join: an empty group survives as one NULL-rule row (the
+    // §2.2.1 allow-everything statement — see scaladoc)
+    agents.join(dirs, Seq("host", "gid"), "left")
       .select(col("host"), col("agent"), col("rule"), col("path_prefix"))
+  }
+
+  /** RAW request path for RFC matching: scheme/host split as in
+    * [[UrlOps.urlHost]], query/fragment dropped, NO trailing-slash fold
+    * (the RFC compares octets), and the site root is `/` (code-review
+    * r15 — `urlPath`'s canonical `""` made `Disallow: /` unable to
+    * block the root URL). */
+  private def rawPath(url: Column): Column = {
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val pqf = regexp_replace(regexp_replace(rest, "^[^/?#]*", ""),
+      "#.*$", "")
+    val p = regexp_extract(pqf, "^([^?]*)", 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** Compile a rule pattern: `*` → any sequence, trailing `$` → end
+    * anchor, everything else literal (metachars escaped). Returns
+    * (needs_regex, anchored_regex) columns. */
+  private def compiledRule(p: Column): (Column, Column) = {
+    val wild = p.contains("*") || p.endsWith("$")
+    // escape every regex metachar (the class includes * and $; the
+    // wildcard semantics are re-introduced below)
+    val escaped = regexp_replace(p, "([.\\[\\](){}+?^$|*\\\\])", "\\\\$1")
+    val starred = replace(escaped, lit("\\*"), lit(".*"))
+    val rx = when(p.endsWith("$"),
+        concat(lit("^"), regexp_replace(starred, "\\\\\\$$", ""), lit("$")))
+      .otherwise(concat(lit("^"), starred))
+    (wild, rx)
   }
 
   /** Per-doc RFC 9309 verdict audit:
@@ -91,25 +133,30 @@ object Robots {
       "pass the crawler's own product token, not '*'")
     val a = lit(agent.toLowerCase(java.util.Locale.ROOT))
     // group selection on the RULES side (rules-sized, never the corpus):
-    // hosts with a specific-agent group drop their '*' rows
+    // hosts with a specific-agent GROUP — including an EMPTY one (a
+    // NULL-rule row; §2.2.1 allow-everything) — drop their '*' rows
     val hostsSpecific = rules.filter(col("agent") === a)
       .select(col("host")).distinct().withColumn("__sp", lit(true))
+    val (wild, rx) = compiledRule(col("path_prefix"))
     val applicable = rules.filter(col("agent") === a || col("agent") === "*")
       .join(hostsSpecific, Seq("host"), "left")
       .filter(col("agent") === a || col("__sp").isNull)
+      .filter(col("rule").isNotNull) // empty groups carry no rules
       .groupBy(col("host"))
       .agg(collect_list(struct(
         length(col("path_prefix")).as("plen"),
         (col("rule") === "allow").as("is_allow"),
-        col("path_prefix").as("prefix"))).as("__rules"))
-    val matches = filter(col("__rules"),
-      r => col("path").startsWith(r.getField("prefix")))
+        col("path_prefix").as("prefix"),
+        wild.as("wild"), rx.as("rx"))).as("__rules"))
+    val matches = filter(col("__rules"), r =>
+      when(r.getField("wild"), regexp_like(col("path"), r.getField("rx")))
+        .otherwise(col("path").startsWith(r.getField("prefix"))))
     val best = array_max(transform(matches,
       r => struct(r.getField("plen").as("plen"),
         r.getField("is_allow").as("is_allow"))))
     docs
       .withColumn("host", UrlOps.urlHost(col(urlCol)))
-      .withColumn("path", UrlOps.urlPath(col(urlCol)))
+      .withColumn("path", rawPath(col(urlCol)))
       .filter(col("host").isNotNull)
       .join(broadcast(applicable), Seq("host"), "left")
       .withColumn("__best", best)
@@ -133,29 +180,34 @@ object Robots {
 
   // ---------------------------------------------------------------- q180
   // Fixture: one robots.txt per crawl host (three policy shapes by the
-  // source ordinal — a two-group file exercising multi-UA groups +
-  // longest-match + allow-tie, a star-only file with an empty directive
-  // and a root Allow, and a junk-bearing file with an orphan directive
-  // and a specific deny-all group), evaluated for agent "graftbot" over
-  // the q177 URL shapes plus /private//tmp//ads rotations. The oracle
-  // replays the full parse (comment strip, retained-line grouping,
-  // orphan/empty drops) and the RFC evaluation with a window instead of
-  // the array fold — same declared semantics, independently expressed.
+  // source ordinal — a two-group file exercising multi-UA groups,
+  // longest-match, allow-tie, AND a §2.2.3 wildcard rule
+  // (`Disallow: /*.pdf$`); a star file with an empty directive, a root
+  // Allow, and an EMPTY graftbot group that must shield graftbot from
+  // the star rules; a junk-bearing file with an orphan directive and a
+  // specific deny-all group that must block the site ROOT too),
+  // evaluated for agent "graftbot" over /private//tmp//doc//ads/pdf/
+  // root path rotations. The oracle replays the full parse (comment
+  // strip, retained-line grouping, orphan/empty drops, empty-group
+  // NULL-rule rows) and the RFC evaluation — wildcard compilation
+  // included — with a window instead of the array fold: same declared
+  // semantics, independently expressed.
   private def robotsBody(): Column = {
     val k = pmod(expr("CAST(substring(source, 4) AS INT)"), lit(3))
     when(k === 0, lit(
       "# policy\nUser-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
         "Disallow: /tmp/\n\nUser-agent: graftbot\nUser-agent: otherbot\n" +
-        "Disallow: /doc/\nAllow: /doc/open"))
+        "Disallow: /doc/\nAllow: /doc/open\nDisallow: /*.pdf$"))
       .when(k === 1, lit(
-        "User-agent: *  # the only group\nDisallow: /ads\nDisallow:\nAllow: /"))
+        "User-agent: *  # star group\nDisallow: /ads\nDisallow:\nAllow: /\n" +
+          "\nUser-agent: graftbot"))
       .otherwise(lit(
         "junk line without colon\nDisallow: /orphan\n" +
           "User-agent: graftbot\nDisallow: /"))
   }
 
   private def docUrl(): Column = {
-    val m = pmod(col("doc_id"), lit(7))
+    val m = pmod(col("doc_id"), lit(8))
     val id = col("doc_id").cast("string")
     concat(lit("http://"), col("source"), lit(".example.com"),
       when(m === 0, concat(lit("/private/x"), id))
@@ -164,6 +216,7 @@ object Robots {
         .when(m === 3, concat(lit("/doc/page"), id))
         .when(m === 4, lit("/doc/open/1"))
         .when(m === 5, lit("/ads/z"))
+        .when(m === 6, concat(lit("/files/r"), id, lit(".pdf")))
         .otherwise(lit("/")))
   }
 
@@ -183,8 +236,8 @@ object Robots {
                             source || '.example.com' AS host FROM documents),
       bodies AS (SELECT host,
                CASE CAST(CAST(substring(source, 4) AS INT) % 3 AS INT)
-                 WHEN 0 THEN '# policy' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp/' || chr(10) || chr(10) || 'User-agent: graftbot' || chr(10) || 'User-agent: otherbot' || chr(10) || 'Disallow: /doc/' || chr(10) || 'Allow: /doc/open'
-                 WHEN 1 THEN 'User-agent: *  # the only group' || chr(10) || 'Disallow: /ads' || chr(10) || 'Disallow:' || chr(10) || 'Allow: /'
+                 WHEN 0 THEN '# policy' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp/' || chr(10) || chr(10) || 'User-agent: graftbot' || chr(10) || 'User-agent: otherbot' || chr(10) || 'Disallow: /doc/' || chr(10) || 'Allow: /doc/open' || chr(10) || 'Disallow: /*.pdf$'
+                 WHEN 1 THEN 'User-agent: *  # star group' || chr(10) || 'Disallow: /ads' || chr(10) || 'Disallow:' || chr(10) || 'Allow: /' || chr(10) || chr(10) || 'User-agent: graftbot'
                  ELSE 'junk line without colon' || chr(10) || 'Disallow: /orphan' || chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /'
                END AS body
              FROM hosts),
@@ -213,22 +266,30 @@ object Robots {
       agents AS (SELECT host, gid, ua_val AS agent FROM g WHERE is_ua),
       dirs AS (SELECT host, gid, kind AS rule, dir_val AS path_prefix
                FROM g WHERE NOT is_ua AND gid > 0),
-      rules AS (SELECT a.host, a.agent, d.rule, d.path_prefix
-                FROM agents a JOIN dirs d USING (host, gid)),
+      rules AS MATERIALIZED (SELECT a.host, a.agent, d.rule, d.path_prefix
+                FROM agents a LEFT JOIN dirs d USING (host, gid)),
       sp AS (SELECT DISTINCT host FROM rules WHERE agent = 'graftbot'),
-      applicable AS (SELECT r.host, r.rule, r.path_prefix
-                     FROM rules r LEFT JOIN sp ON r.host = sp.host
-                     WHERE r.agent = 'graftbot'
-                        OR (r.agent = '*' AND sp.host IS NULL)),
+      applicable AS MATERIALIZED (
+            SELECT r.host, r.rule, r.path_prefix,
+                   (r.path_prefix LIKE '%*%' OR r.path_prefix LIKE '%$') AS wild,
+                   CASE WHEN r.path_prefix LIKE '%$'
+                        THEN '^' || regexp_replace(replace(regexp_replace(r.path_prefix, '([.\[\](){}+?^$|*\\])', '\\\1', 'g'), '\*', '.*'), '\\\$$', '') || '$'
+                        ELSE '^' || replace(regexp_replace(r.path_prefix, '([.\[\](){}+?^$|*\\])', '\\\1', 'g'), '\*', '.*')
+                   END AS rx
+            FROM rules r LEFT JOIN sp ON r.host = sp.host
+            WHERE (r.agent = 'graftbot'
+                   OR (r.agent = '*' AND sp.host IS NULL))
+              AND r.rule IS NOT NULL),
       d0 AS (SELECT doc_id, source || '.example.com' AS host,
-               CASE CAST(doc_id % 7 AS INT)
+               CASE CAST(doc_id % 8 AS INT)
                  WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
                  WHEN 1 THEN '/private/ok/x'
                  WHEN 2 THEN '/tmp/f'
                  WHEN 3 THEN '/doc/page' || CAST(doc_id AS VARCHAR)
                  WHEN 4 THEN '/doc/open/1'
                  WHEN 5 THEN '/ads/z'
-                 ELSE ''
+                 WHEN 6 THEN '/files/r' || CAST(doc_id AS VARCHAR) || '.pdf'
+                 ELSE '/'
                END AS path
              FROM documents),
       m AS (SELECT d.doc_id, d.host, d.path, a.rule,
@@ -238,7 +299,9 @@ object Robots {
                               (a.rule = 'allow') DESC) AS rn,
                    COUNT(*) OVER (PARTITION BY d.doc_id) AS nm
             FROM d0 d JOIN applicable a
-              ON d.host = a.host AND starts_with(d.path, a.path_prefix))
+              ON d.host = a.host
+             AND (CASE WHEN a.wild THEN regexp_matches(d.path, a.rx)
+                       ELSE starts_with(d.path, a.path_prefix) END))
       SELECT d.doc_id, d.host, d.path,
              CAST(COALESCE(m.nm, 0) AS BIGINT) AS n_matched,
              CAST(m.plen AS BIGINT) AS best_len,

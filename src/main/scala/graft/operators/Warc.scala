@@ -147,11 +147,17 @@ object Warc {
       lit("Content-Length: "), length(html).cast("string"),
       lit(CRLF + CRLF),
       html, lit(CRLF + CRLF))
+    malformedRotation(full)
+  }
+
+  /** The shared malformed-record rotation (%13 truncation kills the
+    * blank line, %11 HTTP prefix kills the version anchor) — one
+    * definition for the q177 and q93c fixtures (code-review r15). */
+  private def malformedRotation(full: Column): Column =
     when(pmod(col("doc_id"), lit(13)) === 0, substring(full, 1, 20))
       .when(pmod(col("doc_id"), lit(11)) === 0,
         concat(lit("HTTP/1.1 200 OK" + CRLF), full))
       .otherwise(full)
-  }
 
   // ---------------------------------------------------------------- q177
   // In-plan-synthesized WARC corpus over the documents fixture (the q131
@@ -161,28 +167,9 @@ object Warc {
   // lowercase `content-length` variant exercising case-insensitive field
   // names, and two bail-outs — a 20-char truncation (no blank line) and
   // a non-WARC HTTP prefix (version anchor fails).
-  private def warcRecord(): Column = {
-    val m3 = pmod(col("doc_id"), lit(3))
-    val wtype = when(m3 === 0, lit("response"))
-      .when(m3 === 1, lit("request")).otherwise(lit("metadata"))
-    val clName = when(pmod(col("doc_id"), lit(5)) === 0,
-      lit("content-length")).otherwise(lit("Content-Length"))
-    val full = concat(
-      lit("WARC/1.0" + CRLF),
-      lit("WARC-Type: "), wtype, lit(CRLF),
-      lit("WARC-Record-ID: <urn:uuid:"), col("doc_id").cast("string"),
-      lit(">" + CRLF),
-      lit("WARC-Date: 2026-01-01T00:00:00Z" + CRLF),
-      lit("WARC-Target-URI: http://"), col("source"),
-      lit(".example.com/doc/"), col("doc_id").cast("string"), lit(CRLF),
-      clName, lit(": "), length(col("text")).cast("string"),
-      lit(CRLF + CRLF),
-      col("text"), lit(CRLF + CRLF))
-    when(pmod(col("doc_id"), lit(13)) === 0, substring(full, 1, 20))
-      .when(pmod(col("doc_id"), lit(11)) === 0,
-        concat(lit("HTTP/1.1 200 OK" + CRLF), full))
-      .otherwise(full)
-  }
+  // ONE header template ([[cleanRecord]]) + the shared malformed
+  // rotation — q177 and q177b can no longer drift (code-review r15)
+  private def warcRecord(): Column = malformedRotation(cleanRecord())
 
   private val q177 = GraftQuery(
     "q177_warc_parse",

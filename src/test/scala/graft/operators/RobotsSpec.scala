@@ -69,6 +69,38 @@ class RobotsSpec extends SparkSpec {
     }
   }
 
+  test("RFC corrections (code-review r15): root path, trailing slash, wildcards, empty groups") {
+    import spark.implicits._
+    val r = rules(
+      "hr" -> "User-agent: *\nDisallow: /", // must block the site ROOT
+      "ht" -> "User-agent: *\nDisallow: /dir/", // trailing slash significant
+      "hw" -> "User-agent: *\nDisallow: /*.pdf$\nAllow: /files",
+      "he" -> "User-agent: *\nDisallow: /\n\nUser-agent: bot" // EMPTY bot group
+    ).toSeq.toDF("host", "agent", "rule", "path_prefix")
+    // the empty group must survive parsing as a NULL-rule row
+    assert(Robots.robotsRules(
+        Seq("he" -> "User-agent: *\nDisallow: /\n\nUser-agent: bot")
+          .toDF("host", "body"), "host", "body")
+      .filter(col("agent") === "bot").collect()
+      .map(x => (x.isNullAt(2), x.isNullAt(3))).toSeq == Seq((true, true)))
+    val docs = Seq(
+      (1L, "http://hr/"), // raw path '/' matches Disallow / -> BLOCKED
+      (2L, "http://ht/dir/"), // '/dir/' matches '/dir/' -> blocked
+      (3L, "http://ht/dir"), // '/dir' does NOT match '/dir/' -> allowed
+      (4L, "http://hw/files/a.pdf"), // wildcard+anchor (len 7) beats Allow /files (6)
+      (5L, "http://hw/files/a.pdfx"), // $ anchor fails -> Allow /files wins
+      (6L, "http://hw/x.pdf"), // wildcard matches anywhere under /
+      (7L, "http://he/anything") // empty bot group shields from star's Disallow /
+    ).toDF("doc_id", "url")
+    val got = Robots.robotsAudit(docs, "doc_id", "url", r, "bot")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getBoolean(6), Option(x.getString(2))))).toMap
+    assert(got(1L)._1 == false && got(1L)._2.contains("/"), got(1L).toString)
+    assert(got(2L)._1 == false && got(3L)._1 == true)
+    assert(got(4L)._1 == false && got(5L)._1 == true && got(6L)._1 == false)
+    assert(got(7L)._1 == true)
+  }
+
   test("gate plan: corpus never shuffles (broadcast rules array + codegen fold)") {
     import spark.implicits._
     val r = rules("h" -> "User-agent: *\nDisallow: /x")
