@@ -75,7 +75,19 @@ object Extraction {
     * inside a marked segment is pathological and may garble that
     * segment. Real crawl pipelines strip C0 controls upstream
     * (they are invalid in HTML anyway). */
-  def decodeNumericEntities(c: Column): Column = {
+  def decodeNumericEntities(c: Column): Column =
+    decodeNumeric(c, shieldAmp = false)
+
+  /** Implementation behind [[decodeNumericEntities]]. With
+    * `shieldAmp = true` a decoded AMPERSAND (`&#38;`) is emitted as a
+    * U+0003 sentinel instead of `&`, so [[htmlText]]'s later
+    * `&amp;`-last replace cannot RE-DECODE it (`&#38;amp;lt;` must
+    * yield the literal `&amp;lt;`, exactly like a single-pass HTML
+    * tokenizer — code-review r15); htmlText swaps the sentinel back
+    * after the amp replace. The standalone public form decodes `&`
+    * directly. */
+  private[operators] def decodeNumeric(c: Column,
+      shieldAmp: Boolean): Column = {
     val marked = regexp_replace(c, NumEntRe, "$1")
     val parts = split(marked, "", -1)
     val decodedTail = transform(slice(parts, lit(2), size(parts)), x => {
@@ -86,9 +98,13 @@ object Extraction {
       val cp = when(code.rlike("^x[0-9a-fA-F]{1,6}$"),
           conv(x.substr(lit(2), length(code) - 1), 16, 10).cast("long"))
         .when(code.rlike("^[0-9]{1,7}$"), code.cast("long"))
+      val ch =
+        if (shieldAmp) when(cp === 38, lit(""))
+          .otherwise(call_function("chr", cp))
+        else call_function("chr", cp)
       when(instr(x, "") === 0, concat(lit(""), x))
         .otherwise(concat(
-          when(cp.isNotNull && cp.between(32, 126), call_function("chr", cp))
+          when(cp.isNotNull && cp.between(32, 126), ch)
             .otherwise(concat(lit("&#"), code, lit(";"))),
           rest))
     })
@@ -119,14 +135,17 @@ object Extraction {
                                                  WHEN regexp_full_match(split_part(x, chr(2), 1), '[0-9]{1,7}')
                                                  THEN TRY_CAST(split_part(x, chr(2), 1) AS BIGINT)
                                                  END) BETWEEN 32 AND 126
-                                      THEN chr(CAST((CASE WHEN regexp_full_match(split_part(x, chr(2), 1), 'x[0-9a-fA-F]{1,6}')
+                                      THEN (CASE WHEN (CASE WHEN regexp_full_match(split_part(x, chr(2), 1), 'x[0-9a-fA-F]{1,6}')
                                                  THEN TRY_CAST('0x' || split_part(x, chr(2), 1)[2:] AS BIGINT)
-                                                 ELSE TRY_CAST(split_part(x, chr(2), 1) AS BIGINT) END) AS INT))
+                                                 ELSE TRY_CAST(split_part(x, chr(2), 1) AS BIGINT) END) = 38 THEN chr(3) ELSE chr(CAST((CASE WHEN regexp_full_match(split_part(x, chr(2), 1), 'x[0-9a-fA-F]{1,6}')
+                                                 THEN TRY_CAST('0x' || split_part(x, chr(2), 1)[2:] AS BIGINT)
+                                                 ELSE TRY_CAST(split_part(x, chr(2), 1) AS BIGINT) END) AS INT)) END)
                                       ELSE '&#' || split_part(x, chr(2), 1) || ';' END)
                                 || substr(x, len(split_part(x, chr(2), 1)) + 2)
                       END), '') AS __t1
              FROM ${out}_e2),
-      $out AS (SELECT $kk trim(regexp_replace(replace(__t1, '&amp;', '&'),
+      $out AS (SELECT $kk trim(regexp_replace(
+                 replace(replace(__t1, '&amp;', '&'), chr(3), '&'),
                  '[ \\t\\n\\r]+', ' ', 'g')) AS __text
                FROM ${out}_e3)"""
   }
@@ -143,8 +162,10 @@ object Extraction {
     val named = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&nbsp;" -> " ")
       .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
-    val numeric = decodeNumericEntities(named)
-    trim(regexp_replace(replace(numeric, lit("&amp;"), lit("&")), WsRe, " "))
+    val numeric = decodeNumeric(named, shieldAmp = true)
+    trim(regexp_replace(
+      replace(replace(numeric, lit("&amp;"), lit("&")),
+        lit(""), lit("&")), WsRe, " "))
   }
 
   /** Per-doc extraction audit: raw/extracted lengths plus the md5 of
@@ -272,14 +293,14 @@ object Extraction {
       lit("</h1>\n<script>\nvar x = '<p>not text</p>';\n</script><p>"),
       col("text"),
       lit("</p>\n<div>&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp; &amp;lt;" +
-        " &#65;&#x42; &#8364; &amp;#65;</div><br/>\n</body></html>"))
+        " &#65;&#x42; &#8364; &amp;#65; &#38;amp;lt;</div><br/>\n</body></html>"))
 
   private val messyHtmlSql = """
       '<html>' || chr(10) || '<head><TITLE>doc</TITLE><STYLE type="text/css">p { color: red; }' || chr(10) || '.x{}</STYLE><script src="a.js"></script></head>' || chr(10) || '<body onload="init()">' || chr(10) || '<h1>Doc ' ||
       CAST(doc_id AS VARCHAR) ||
       '</h1>' || chr(10) || '<script>' || chr(10) || 'var x = ''<p>not text</p>'';' || chr(10) || '</script><p>' ||
       text ||
-      '</p>' || chr(10) || '<div>&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp; &amp;lt; &#65;&#x42; &#8364; &amp;#65;</div><br/>' || chr(10) || '</body></html>'"""
+      '</p>' || chr(10) || '<div>&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp; &amp;lt; &#65;&#x42; &#8364; &amp;#65; &#38;amp;lt;</div><br/>' || chr(10) || '</body></html>'"""
 
   private val q171 = GraftQuery(
     "q171_html_extract",

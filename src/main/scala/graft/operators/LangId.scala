@@ -283,52 +283,36 @@ object LangId {
                    FROM ${out}_sc)
              WHERE r = 1)"""
 
-  /** Shared learn+score CTE prefix (through the per-(doc,lang) exact
-    * scores `sc`) for the q169/q169b/q169c oracles. */
-  private val langIdScoreCtes = """
-      WITH lo AS (SELECT doc_id, lang, lower(text) AS lo FROM documents),
-      tri AS (SELECT doc_id, lang,
-                     ('0x' || substr(md5(substring(lo, i, 3)), 1, 6))::BIGINT % 4096 AS bkt
-              FROM (SELECT doc_id, lang, lo, unnest(range(1, len(lo) - 1)) AS i
-                    FROM lo WHERE len(lo) >= 3)),
-      cnts AS (SELECT lang, bkt, CAST(COUNT(*) AS BIGINT) AS c
-               FROM tri WHERE doc_id % 2 = 0 GROUP BY lang, bkt),
-      langs AS (SELECT DISTINCT lang FROM documents WHERE doc_id % 2 = 0),
-      tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cnts GROUP BY lang),
-      model AS (SELECT l.lang, b.range AS bkt,
-                       CAST(((COALESCE(c.c, 0) + 1) * 1000000) // (t.tot + 4096) AS BIGINT) AS w
-                FROM langs l CROSS JOIN range(4096) b
-                LEFT JOIN cnts c ON c.lang = l.lang AND c.bkt = b.range
-                JOIN tot t ON t.lang = l.lang),
-      dc AS (SELECT doc_id, bkt, CAST(COUNT(*) AS BIGINT) AS cnt
-             FROM tri WHERE doc_id % 2 <> 0 GROUP BY doc_id, bkt),
-      sc AS (SELECT dc.doc_id, m.lang, CAST(SUM(dc.cnt * m.w) AS BIGINT) AS score
-             FROM dc JOIN model m ON dc.bkt = m.bkt
-             GROUP BY dc.doc_id, m.lang)"""
+  /** ONE learn+score cascade for the q169/q169b/q169c oracles,
+    * expressed through the SAME generator the composed oracles (q93c)
+    * use — a smoothing or bucket change can no longer drift between
+    * the standalone and composed replays (code-review r15). Exposes
+    * `lid` (argmax rows) and `lid_sc` (per-(doc, lang) exact scores). */
+  private lazy val lidCtes = langIdSqlCtes(
+    "(SELECT lang, text FROM documents WHERE doc_id % 2 = 0)",
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 2 <> 0)",
+    "text", "lid")
 
-  private val langIdOracle = langIdScoreCtes + """,
-      best AS (SELECT doc_id, lang AS pred_lang, score,
-                      ROW_NUMBER() OVER (PARTITION BY doc_id
-                                         ORDER BY score DESC, lang) AS r
-               FROM sc)
+  private lazy val langIdOracle = s"""
+      WITH $lidCtes
       SELECT b.doc_id, b.pred_lang, b.score,
              b.pred_lang = d.lang AS is_correct
-      FROM best b JOIN documents d ON b.doc_id = d.doc_id
-      WHERE b.r = 1
+      FROM lid b JOIN documents d ON b.doc_id = d.doc_id
       ORDER BY b.doc_id"""
 
   // margin/confidence tail: identical score frame, plus LEAD for the
   // runner-up gap and a per-doc total for the exact majority test.
   // DuckDB's window SUM(BIGINT) is HUGEINT, so the majority comparison
   // lifts score to HUGEINT explicitly; margin stays BIGINT − BIGINT.
-  private val langIdMarginOracle = langIdScoreCtes + """,
+  private lazy val langIdMarginOracle = s"""
+      WITH $lidCtes,
       best AS (SELECT doc_id, lang AS pred_lang, score,
                       ROW_NUMBER() OVER (PARTITION BY doc_id
                                          ORDER BY score DESC, lang) AS r,
                       LEAD(score) OVER (PARTITION BY doc_id
                                         ORDER BY score DESC, lang) AS s2,
                       SUM(score) OVER (PARTITION BY doc_id) AS tot
-               FROM sc)
+               FROM lid_sc)
       SELECT doc_id, pred_lang, score,
              CAST(score - s2 AS BIGINT) AS margin,
              (2 * CAST(score AS HUGEINT) > tot) AS confident

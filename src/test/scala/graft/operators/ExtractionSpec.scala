@@ -36,6 +36,9 @@ class ExtractionSpec extends SparkSpec {
       ("[&#32;][&#126;][&#31;][&#127;]", "[ ][~][&#31;][&#127;]"),
       // double-escape: &amp;#65; is a LITERAL &#65;, decoded single-pass
       ("&amp;#65; and &#38;#66;", "&#65; and &#66;"),
+      // single-pass both ways: a numeric-escaped ampersand must not be
+      // re-read as the start of &amp;/&lt; (code-review r15)
+      ("&#38;amp;lt; then &#38;lt; then &#38;#38;", "&amp;lt; then &lt; then &#38;"),
       // malformed references pass through untouched
       ("&#; &#x; &#xg1; &#12345678; no-semi &#65", "&#; &#x; &#xg1; &#12345678; no-semi &#65")
     )
