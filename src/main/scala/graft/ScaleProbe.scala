@@ -311,7 +311,11 @@ object ScaleProbe {
         val out = scaledDocsDir(spark, src, copies)
         val names = Seq("q177_warc_parse", "q169c_langid_margin",
           "q156d_bpe_stored_segment", "q156e_bpe_stored_encode",
-          "q178_unigram_segment", "q93c_crawl_chain")
+          "q178_unigram_segment", "q93c_crawl_chain",
+          // round-15 close additions
+          "q177b_warc_file_roundtrip", "q178b_unigram_encode",
+          "q179_pii_scan", "q180_robots_gate", "q181_invisible_strip",
+          "q182_format_roundtrip")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out)

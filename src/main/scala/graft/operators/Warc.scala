@@ -262,15 +262,17 @@ object Warc {
   private val q177b = GraftQuery(
     "q177b_warc_file_roundtrip",
     (s, dir) => {
-      // fixture boundary: write the synthesized crawl as a real .warc
-      // file (one per verify SF dir), the artifact a production ingest
-      // fleet receives; text-writer row separators ('\n') between
-      // records are exactly the inter-record noise the splitter's
-      // resync-skip is specified to ignore
+      // fixture boundary: write the synthesized crawl as real .warc
+      // files (a SET of part files, natural partitioning — the
+      // production shape: framing parallelism is per FILE, and a
+      // single coalesced file measurably degenerated the x100 decade
+      // probe to one framing task); text-writer row separators ('\n')
+      // between records are exactly the inter-record noise the
+      // splitter's resync-skip is specified to ignore
       val out = "/root/repo/target/tmp/warc_q177b_" +
         new java.io.File(dir).getName
       Tables.documents(s, dir).withColumn("rec", cleanRecord())
-        .select(col("rec")).coalesce(1)
+        .select(col("rec"))
         .write.mode("overwrite").text(out)
       warcParse(graft.sources.WarcSource.readWarcRecords(s, out),
           "rec_no", "rec")
