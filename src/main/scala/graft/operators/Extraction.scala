@@ -280,6 +280,85 @@ object Extraction {
       FROM c
       ORDER BY doc_id"""))
 
+
+  // ---------------------------------------------------------------- q183
+  /** Sentence segmentation — the linguistic sibling of [[chunkText]]
+    * (RAG/packing pipelines chunk by sentences when structure matters;
+    * per-sentence stats feed the C4/Gopher sentence gates): a boundary
+    * is TERMINAL PUNCTUATION ([.!?]) followed by whitespace. RE2 has no
+    * lookbehind, so the engine-portable form marks boundaries with a
+    * backreference replace (`([.!?])[ \t\n\r]+` -> `$1` + U+0001) and
+    * splits on the sentinel — the [[decodeNumericEntities]] sentinel
+    * discipline, with the same documented natural-sentinel caveat
+    * ([[stripInvisible]] upstream makes it moot). Abbreviation
+    * handling ("Dr. Smith") is a documented NON-goal: both engines
+    * split identically, and the declared semantics stay a pure
+    * regex — the honest baseline every rule-based splitter builds on.
+    * One mark + one split + an output-proportional explode; sentences
+    * are pinned as (len, words, md5), never emitted. */
+  def sentenceSplit(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val marked = regexp_replace(col(textCol),
+      "([.!?])[ \\t\\n\\r]+", "$1")
+    docs
+      .select(col(idCol), posexplode(split(marked, "", -1))
+        .as(Seq("sent_id", "__s")))
+      .filter(trim(col("__s")) =!= "")
+      .select(col(idCol), col("sent_id"),
+        length(col("__s")).cast("long").as("n_chars"),
+        size(graft.functions.TextFunctions.tokens(col("__s")))
+          .cast("long").as("n_words"),
+        md5(col("__s")).as("sent_md5"))
+  }
+
+  // Fixture: render the token stream into ~10-word sentences with a
+  // rotating terminal mark (./!/?), the q93 paragraph-render pattern —
+  // so the splitter must recover exactly the planted sentence set.
+  private def sentenceText(): Column = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val mark = when(pmod(col("doc_id"), lit(3)) === 0, lit("."))
+      .when(pmod(col("doc_id"), lit(3)) === 1, lit("!"))
+      .otherwise(lit("?"))
+    concat(concat_ws("", transform(
+      sequence(lit(1), ceil(size(toks) / lit(10.0)).cast("int")),
+      i => concat(concat_ws(" ", slice(toks, (i - 1) * 10 + 1, lit(10))),
+        mark, lit(" ")))))
+  }
+
+  private val q183 = GraftQuery(
+    "q183_sentence_split",
+    (s, dir) => sentenceSplit(
+        Tables.documents(s, dir).withColumn("st", sentenceText())
+          .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= 1),
+        "doc_id", "st")
+      .orderBy(col("doc_id"), col("sent_id")),
+    Some("""
+      WITH toks AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+             FROM documents),
+      mk AS (SELECT doc_id, t,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '.'
+                    WHEN 1 THEN '!' ELSE '?' END AS mark
+             FROM toks WHERE len(t) >= 1),
+      st AS (SELECT doc_id,
+               array_to_string(list_transform(
+                 range(1, CAST(ceil(len(t) / 10.0) AS BIGINT) + 1),
+                 i -> array_to_string(t[(i-1)*10+1 : i*10], ' ') || mark || ' '), '') AS s
+             FROM mk),
+      sp AS (SELECT doc_id,
+               generate_subscripts(parts, 1) - 1 AS sent_id,
+               unnest(parts) AS sent
+             FROM (SELECT doc_id,
+                          string_split(regexp_replace(s, '([.!?])[ \t\n\r]+', '\1' || chr(1), 'g'), chr(1)) AS parts
+                   FROM st))
+      SELECT doc_id, CAST(sent_id AS INT) AS sent_id,
+             CAST(len(sent) AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split_regex(lower(sent), '\W+'), x -> x <> '')) AS BIGINT) AS n_words,
+             md5(sent) AS sent_md5
+      FROM sp
+      WHERE trim(sent) <> ''
+      ORDER BY doc_id, sent_id"""))
+
   // ---------------------------------------------------------------- q171
   // Deterministic HTML wrapping of the documents fixture exercises every
   // extraction rule: case-mixed script/style blocks with attributes,
@@ -377,5 +456,5 @@ object Extraction {
       FROM n
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q171, q172, q173, q181)
+  val all: Seq[GraftQuery] = Seq(q171, q172, q173, q181, q183)
 }

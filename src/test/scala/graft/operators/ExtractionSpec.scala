@@ -87,6 +87,33 @@ class ExtractionSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("sentenceSplit: punct+space boundaries, terminal kept, no-boundary docs whole") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "first one. second two! third three? tail"),
+      (2L, "no boundary at all"),
+      (3L, "dot.without space stays"), // punct NOT followed by ws: no split
+      (4L, "multi  space.  after")    // ws run after punct is one boundary
+    ).toDF("doc_id", "t")
+    val got = Extraction.sentenceSplit(docs, "doc_id", "t")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    // doc 1: four sentences, terminal punct kept with its sentence
+    assert(got(1L).map(x => (x._2, x._3)).sortBy(_._1).toSeq ==
+      Seq((0, 10L), (1, 11L), (2, 12L), (3, 4L)), got(1L).mkString(","))
+    assert(got(2L).map(_._2).toSeq == Seq(0), "no boundary -> one sentence")
+    assert(got(3L).map(_._2).toSeq == Seq(0), "punct without space is no boundary")
+    assert(got(4L).size == 2, got(4L).mkString(","))
+    // md5 pins the exact sentence text (terminal punct included)
+    val md5s = Extraction.sentenceSplit(docs, "doc_id", "t")
+      .filter(col("doc_id") === 1 && col("sent_id") === 0)
+      .collect().head.getString(4)
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("first one.".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5s == expect)
+  }
+
   test("chunkText: boundaries, overlap, short docs, determinism") {
     import spark.implicits._
     // window 10, overlap 3 -> step 7: starts 1, 8, 15, ...
