@@ -188,8 +188,8 @@ object Graph {
   // iteration replay from the data with the same fixed-order arithmetic
   // (damping as a quoted literal, incoming mass as exact floor-scaled
   // BIGINT sums).
-  private val DAMP = 0.85
-  private val ITERS = 3
+  private[operators] val DAMP = 0.85
+  private[operators] val ITERS = 3
 
   private def unrolledOracle(k: Int): String = {
     val d = s"CAST('$DAMP' AS DOUBLE)"
@@ -236,7 +236,14 @@ object Graph {
   // the same 3 iterations with the sink CTEs: exact LONG sink-mass
   // folds, integer-div per-node share, identical double op order —
   // rank doubles hash-compare bit-for-bit, the q114 discipline.
-  private def sinkOracle(k: Int): String = {
+  /** The unrolled sink-handling replay over a caller-supplied edge list:
+    * `prefixCtes` (possibly empty, each ending in `,`) come first, then
+    * `edgesBody` must produce `(src, dst, w)`, and the chain ends in the
+    * top-k rank selection. ONE home for the bit-exact iteration
+    * arithmetic — q147 and the link-graph host centrality (q186) both
+    * call this, so the two oracles can never drift apart. */
+  private[operators] def sinkOracleOver(prefixCtes: String,
+      edgesBody: String, k: Int): String = {
     val d = s"CAST('$DAMP' AS DOUBLE)"
     val iterCtes = (1 to ITERS).map { i =>
       s"""s$i AS (
@@ -253,10 +260,7 @@ object Graph {
          |                 JOIN it${i - 1} r ON e.src = r.node
          |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
     }
-    s"""WITH edges AS (SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
-       |                      'p' || CAST(l_partkey AS VARCHAR) AS dst,
-       |                      COUNT(*) AS w
-       |               FROM lineitem GROUP BY 1, 2),
+    s"""WITH ${prefixCtes}edges AS ($edgesBody),
        |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
        |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
        |nni AS (SELECT COUNT(*) AS n FROM nodes),
@@ -268,6 +272,12 @@ object Graph {
        |ORDER BY rank DESC, node
        |LIMIT $k""".stripMargin
   }
+
+  private def sinkOracle(k: Int): String = sinkOracleOver("",
+    """SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+      |       'p' || CAST(l_partkey AS VARCHAR) AS dst,
+      |       COUNT(*) AS w
+      |FROM lineitem GROUP BY 1, 2""".stripMargin, k)
 
   private val q147 = GraftQuery(
     "q147_pagerank_sinks",

@@ -1,0 +1,288 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Hyperlink extraction and the host-level web graph — the crawl-side
+  * signals every web-corpus pipeline derives upstream of text cleaning
+  * (ABSENT in the reference, whose ingestion starts at opaque text
+  * records; this is the §2.14 extension class): per-document `<a>`
+  * link extraction (href resolution, rel=nofollow, anchor text), the
+  * host→host link graph, host centrality (the Common Crawl
+  * harmonic/PageRank host-ranking use, here the engine's exact
+  * sink-handling [[Graph.pageRank]]), and per-target-host anchor-text
+  * top-k (the classic indexing signal: what the web calls a page).
+  *
+  * Extraction semantics (declared, both engines replay the same
+  * regexes): only well-formed `<a …>…</a>` elements count (an
+  * unclosed `<a>` in a truncated document is dropped, the
+  * [[Extraction]] unclosed-tag discipline); `href` may be double- or
+  * single-quoted (double wins if both appear); empty and
+  * fragment-only (`#…`) hrefs are dropped; absolute `http(s)` links
+  * resolve to their host with the [[UrlOps]] host rules (lowercase,
+  * port dropped, one leading `www.` stripped); non-http(s) schemes
+  * (`mailto:`, `javascript:`, `ftp:` …) are dropped; scheme-less
+  * hrefs are relative → the document's own base host. Anchor text is
+  * the element's inner text, tag-stripped, whitespace-collapsed,
+  * trimmed. `rel` values containing `nofollow` flag the link (the
+  * graph builder skips them, per the robots-meta convention).
+  *
+  * Scale: extraction is ONE stateless regexp scan + a per-doc explode
+  * bounded by the document's link count — embarrassingly parallel, no
+  * shuffle. The host graph is one hash-agg on (src_host, dst_host)
+  * (wordcount class: partial maps absorb the per-host skew before the
+  * exchange). Centrality runs [[Graph.pageRank]] — per-iteration
+  * shuffle bounded by the HOST edge list, which is orders smaller
+  * than the corpus (hosts, not documents). Anchor top-k runs the
+  * bounded-heap TopKPerKeyExec, never a per-host sort.
+  */
+object LinkGraph {
+
+  // ------------------------------------------------------------ regexes
+  // Shared Java/RE2-portable subset: no backrefs, no lookaround; `\b`,
+  // lazy `.*?`, and inline (?is) behave identically in both engines.
+  // Element body is an explicit alternation (NOT lazy `.*?`): `[^<]`,
+  // or `<` opening any tag that is neither `<a\b` nor `</a\b`. A lazy
+  // body would let an UNCLOSED `<a>` swallow every following anchor up
+  // to the next `</a>`; with the alternation the unclosed anchor simply
+  // fails to match (dropped) and the next anchor survives — the
+  // browser's implicit-close behavior, and RE2-expressible (no
+  // lookahead, which DuckDB's RE2 lacks). Known edge: a literal `<`
+  // immediately before another `<` inside an anchor body breaks that
+  // anchor's match (both engines identically).
+  private val AnchorElemRe =
+    "(?is)<a\\b[^>]*>(?:[^<]|<(?:[^/a<]|/[^a<]|a\\w|/a\\w))*</a>"
+  private val HrefDqRe = "(?is)\\bhref\\s*=\\s*\"([^\"]*)\""
+  private val HrefSqRe = "(?is)\\bhref\\s*=\\s*'([^']*)'"
+  private val NofollowRe = "(?is)\\brel\\s*=\\s*[\"'][^\"']*nofollow"
+  private val InnerRe = "(?is)^<a\\b[^>]*>(.*)</a>$"
+  private val AbsRe = "(?i)^https?://"
+  private val AbsHostRe = "(?i)^https?://([^/:?#]*)"
+  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:"
+
+  /** Per-document link extraction: one row per KEPT link —
+    * `(idCol, base_host, link_no, kind, dst_host, nofollow, anchor)`.
+    * `link_no` is the element's position among ALL extracted `<a>`
+    * elements of the document (a stable provenance offset — dropped
+    * links leave holes, deliberately). `kind` is `abs` | `rel`;
+    * `base_host` is the document's own host, passed through (relative
+    * links resolve to it, and it is the graph builder's src). */
+  def extractLinks(docs: DataFrame, idCol: String, htmlCol: String,
+      baseHostCol: String): DataFrame = {
+    val elems = docs.select(col(idCol), col(baseHostCol).as("base_host"),
+      posexplode(regexp_extract_all(col(htmlCol), lit(AnchorElemRe), lit(0)))
+        .as(Seq("link_no", "elem")))
+    val dq = regexp_extract(col("elem"), HrefDqRe, 1)
+    val sq = regexp_extract(col("elem"), HrefSqRe, 1)
+    val withHref = elems.select(col(idCol), col("base_host"),
+      col("link_no").cast("int").as("link_no"), col("elem"),
+      when(dq =!= "", dq).otherwise(sq).as("href"))
+    val isAbs = col("href").rlike(AbsRe)
+    val absHost = regexp_replace(
+      lower(regexp_extract(col("href"), AbsHostRe, 1)), "^www\\.", "")
+    withHref
+      .filter(col("href") =!= "" && !col("href").startsWith("#") &&
+        (isAbs || !col("href").rlike(SchemeRe)))
+      .select(col(idCol), col("base_host"), col("link_no"),
+        when(isAbs, lit("abs")).otherwise(lit("rel")).as("kind"),
+        when(isAbs, absHost).otherwise(col("base_host")).as("dst_host"),
+        col("elem").rlike(NofollowRe).as("nofollow"),
+        trim(regexp_replace(regexp_replace(
+          regexp_extract(col("elem"), InnerRe, 1),
+          "<[^>]+>", " "), "\\s+", " ")).as("anchor"))
+      .filter(col("dst_host") =!= "")
+  }
+
+  /** Host→host edge list from extracted links: followable
+    * (non-nofollow) EXTERNAL absolute links only (relative links and
+    * self-references are intra-site navigation, not graph edges) —
+    * `(src_host, dst_host, w)`, one hash-agg. */
+  def hostEdges(links: DataFrame, srcHostCol: String): DataFrame =
+    links
+      .filter(col("kind") === "abs" && !col("nofollow") &&
+        col("dst_host") =!= col(srcHostCol))
+      .groupBy(col(srcHostCol).as("src"), col("dst_host").as("dst"))
+      .agg(count(lit(1)).as("w"))
+
+  /** Top-k anchor tokens per target host over followable links — what
+    * the web says a host is about. Heavy lifting (per-host ordering of
+    * the full token-count frame) runs in the bounded-heap
+    * TopKPerKeyExec; the rank column is minted afterwards by a window
+    * over the ALREADY ≤ k-row groups (cheap by construction). */
+  def anchorTopK(links: DataFrame, k: Int): DataFrame = {
+    val counts = links.filter(!col("nofollow"))
+      .select(col("dst_host"),
+        explode(graft.functions.TextFunctions.tokens(col("anchor")))
+          .as("token"))
+      .groupBy(col("dst_host"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = graft.plans.TopKPerKey.topK(counts, Seq(col("dst_host")),
+      Seq(col("cnt").desc, col("token")), k)
+    top.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst_host"))
+        .orderBy(col("cnt").desc, col("token"))).cast("int"))
+  }
+
+  // ------------------------------------------------------- fixture HTML
+  // Deterministic link-bearing HTML derived from (doc_id, source) — the
+  // q167/q171 planted-fixture convention. Exercises every extraction
+  // rule: a tag-nested anchor with doc-varied text, a case-mixed
+  // single-quoted absolute href with port + fragment (present on even
+  // doc_ids only, so out-degree varies), a relative link, a nofollow ad
+  // link (every third doc), and four dropped shapes (mailto, fragment,
+  // no-href, javascript).
+  private def linkHtml(): Column = {
+    val id = col("doc_id").cast("string")
+    val h1 = pmod(col("doc_id"), lit(31)).cast("string")
+    val h2 = pmod(col("doc_id") * 2, lit(31)).cast("string")
+    val w = when(pmod(col("doc_id"), lit(3)) === 0, "alpha")
+      .when(pmod(col("doc_id"), lit(3)) === 1, "beta")
+      .otherwise("gamma")
+    concat(
+      lit("<html><body><h1>Doc "), id, lit("</h1>\n<a href=\"https://h"),
+      h1, lit(".example.org/p/"), id, lit("\"><b>Read</b> more "), w,
+      lit("</a>\n"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("<A HREF='HTTP://WWW.H"), h2, lit(".Example.ORG:80/q/"),
+          id, lit("?x=1#top'>second   LINK here</A>\n"))).otherwise(lit("")),
+      lit("<a href=\"/local/"), id, lit("\">relative link</a>\n"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("<a rel=\"nofollow\" href=\"https://ads.example.org/click\">sponsored spam</a>\n"))
+        .otherwise(lit("")),
+      lit("<a href=\"mailto:x@example.org\">mail me</a>\n" +
+        "<a href=\"#top\">back to top</a>\n" +
+        "<a name=\"anchor\">not a link</a>\n" +
+        "<a href=\"javascript:void(0)\">js link</a>\n</body></html>"))
+  }
+
+  private val linkHtmlSql = """
+      '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+      '<a href="https://h' || CAST(doc_id % 31 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) || '"><b>Read</b> more ' ||
+      CASE doc_id % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta' ELSE 'gamma' END || '</a>' || chr(10) ||
+      CASE WHEN doc_id % 2 = 0 THEN '<A HREF=''HTTP://WWW.H' || CAST((doc_id * 2) % 31 AS VARCHAR) || '.Example.ORG:80/q/' || CAST(doc_id AS VARCHAR) || '?x=1#top''>second   LINK here</A>' || chr(10) ELSE '' END ||
+      '<a href="/local/' || CAST(doc_id AS VARCHAR) || '">relative link</a>' || chr(10) ||
+      CASE WHEN doc_id % 3 = 0 THEN '<a rel="nofollow" href="https://ads.example.org/click">sponsored spam</a>' || chr(10) ELSE '' END ||
+      '<a href="mailto:x@example.org">mail me</a>' || chr(10) || '<a href="#top">back to top</a>' || chr(10) || '<a name="anchor">not a link</a>' || chr(10) || '<a href="javascript:void(0)">js link</a>' || chr(10) || '</body></html>'"""
+
+  /** The extraction replayed as DuckDB CTEs ending in `flt` with
+    * `(doc_id, source, link_no, kind, dst_host, nofollow, anchor)` —
+    * the shared prefix of all four oracles (one home, zero drift). */
+  private val linkCtes = s"""
+      hdocs AS (SELECT doc_id, source, $linkHtmlSql AS html FROM documents),
+      els AS (SELECT doc_id, source,
+               generate_subscripts(elems, 1) - 1 AS link_no,
+               unnest(elems) AS elem
+              FROM (SELECT doc_id, source,
+                     regexp_extract_all(html, '(?is)<a\\b[^>]*>(?:[^<]|<(?:[^/a<]|/[^a<]|a\\w|/a\\w))*</a>', 0) AS elems
+                    FROM hdocs)),
+      lk AS (SELECT doc_id, source, link_no, elem,
+              CASE WHEN regexp_extract(elem, '(?is)\\bhref\\s*=\\s*"([^"]*)"', 1) <> ''
+                   THEN regexp_extract(elem, '(?is)\\bhref\\s*=\\s*"([^"]*)"', 1)
+                   ELSE regexp_extract(elem, '(?is)\\bhref\\s*=\\s*''([^'']*)''', 1) END AS href,
+              regexp_matches(elem, '(?is)\\brel\\s*=\\s*["''][^"'']*nofollow') AS nofollow,
+              trim(regexp_replace(regexp_replace(regexp_extract(elem, '(?is)^<a\\b[^>]*>(.*)</a>$$', 1), '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor
+             FROM els),
+      flt AS (SELECT doc_id, source, CAST(link_no AS INT) AS link_no,
+               CASE WHEN regexp_matches(href, '(?i)^https?://') THEN 'abs' ELSE 'rel' END AS kind,
+               CASE WHEN regexp_matches(href, '(?i)^https?://')
+                    THEN regexp_replace(lower(regexp_extract(href, '(?i)^https?://([^/:?#]*)', 1)), '^www\\.', '')
+                    ELSE lower(source) || '.example.com' END AS dst_host,
+               nofollow, anchor
+              FROM lk
+              WHERE href <> '' AND href NOT LIKE '#%'
+                AND (regexp_matches(href, '(?i)^https?://')
+                     OR NOT regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:'))
+                AND (NOT regexp_matches(href, '(?i)^https?://')
+                     OR regexp_extract(href, '(?i)^https?://([^/:?#]*)', 1) <> ''))"""
+
+  private def fixtureLinks(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("html", linkHtml())
+      .withColumn("base_host",
+        concat(lower(col("source")), lit(".example.com")))
+    extractLinks(docs, "doc_id", "html", "base_host")
+  }
+
+  // ---------------------------------------------------------------- q184
+  private val q184 = GraftQuery(
+    "q184_link_extract",
+    (s, dir) => fixtureLinks(s, dir)
+      .select(col("doc_id"), col("link_no"), col("kind"), col("dst_host"),
+        col("nofollow"), col("anchor"))
+      .orderBy(col("doc_id"), col("link_no")),
+    Some(s"""
+      WITH $linkCtes
+      SELECT doc_id, link_no, kind, dst_host, nofollow, anchor
+      FROM flt
+      ORDER BY doc_id, link_no"""))
+
+  // ---------------------------------------------------------------- q185
+  private val edgesBody = """SELECT lower(source) || '.example.com' AS src,
+    |                 dst_host AS dst, COUNT(*) AS w
+    |          FROM flt
+    |          WHERE kind = 'abs' AND NOT nofollow
+    |            AND dst_host <> lower(source) || '.example.com'
+    |          GROUP BY 1, 2""".stripMargin
+
+  private val q185 = GraftQuery(
+    "q185_host_linkgraph",
+    (s, dir) => hostEdges(fixtureLinks(s, dir), "base_host")
+      .select(col("src").as("src_host"), col("dst").as("dst_host"),
+        col("w"))
+      .orderBy(col("src_host"), col("dst_host")),
+    Some(s"""
+      WITH $linkCtes
+      SELECT lower(source) || '.example.com' AS src_host,
+             dst_host, COUNT(*) AS w
+      FROM flt
+      WHERE kind = 'abs' AND NOT nofollow
+        AND dst_host <> lower(source) || '.example.com'
+      GROUP BY 1, 2
+      ORDER BY src_host, dst_host"""))
+
+  // ---------------------------------------------------------------- q186
+  // Host centrality over the EXTRACTED graph: html → links → host
+  // edges → 3 sink-handling PageRank iterations (every .example.org
+  // target is a sink — the dangling-mass path is non-vacuous, the q147
+  // shape). The oracle is [[Graph.sinkOracleOver]] with the link CTEs
+  // as prefix: the replay arithmetic is shared verbatim with q147.
+  private val q186 = GraftQuery(
+    "q186_host_centrality",
+    (s, dir) => {
+      val edges = hostEdges(fixtureLinks(s, dir), "base_host")
+        .localCheckpoint()
+      val n = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst"))).distinct().count()
+      Graph.pageRank(edges, iters = Graph.ITERS, damping = Graph.DAMP,
+        nNodes = n, handleSinks = true)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    },
+    Some(Graph.sinkOracleOver(linkCtes + ",\n", edgesBody, 20)))
+
+  // ---------------------------------------------------------------- q187
+  private val q187 = GraftQuery(
+    "q187_anchor_topk",
+    (s, dir) => anchorTopK(fixtureLinks(s, dir), k = 3)
+      .select(col("dst_host"), col("token"), col("cnt"), col("rk"))
+      .orderBy(col("dst_host"), col("rk")),
+    Some(s"""
+      WITH $linkCtes,
+      tok AS (SELECT dst_host,
+               unnest(list_filter(string_split_regex(lower(anchor), '\\W+'), x -> x <> '')) AS token
+              FROM flt WHERE NOT nofollow),
+      tc AS (SELECT dst_host, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      rk AS (SELECT dst_host, token, cnt,
+              CAST(row_number() OVER (PARTITION BY dst_host ORDER BY cnt DESC, token) AS INT) AS rk
+             FROM tc)
+      SELECT dst_host, token, cnt, rk
+      FROM rk WHERE rk <= 3
+      ORDER BY dst_host, rk"""))
+
+  val all: Seq[GraftQuery] = Seq(q184, q185, q186, q187)
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Extraction laws on hand-written HTML fixtures (spec-truth, not the
+  * q184 builder) plus graph-builder invariants. */
+class LinkGraphSpec extends SparkSpec {
+
+  private def links(html: String) = {
+    import spark.implicits._
+    LinkGraph.extractLinks(
+      Seq((1L, html, "base.example.com")).toDF("doc_id", "html", "base_host"),
+      "doc_id", "html", "base_host")
+      .collect()
+      .map(r => (r.getInt(2), r.getString(3), r.getString(4),
+        r.getBoolean(5), r.getString(6)))
+      .toList.sortBy(_._1)
+  }
+
+  test("href quoting: double, single, double wins when both present") {
+    val got = links(
+      """<a href="https://a.org/x">dq</a>""" +
+        """<a href='https://b.org/y'>sq</a>""" +
+        """<a href="https://c.org/z" data-x='https://wrong.org'>both</a>""")
+    assert(got.map(t => (t._2, t._3)) == List(
+      ("abs", "a.org"), ("abs", "b.org"), ("abs", "c.org")), got.toString)
+  }
+
+  test("drops: no-href, empty, fragment, mailto/javascript/ftp; keeps relative") {
+    val got = links(
+      """<a name="x">no href</a>""" +
+        """<a href="">empty</a>""" +
+        """<a href="#sec">frag</a>""" +
+        """<a href="mailto:a@b.c">mail</a>""" +
+        """<a href="javascript:void(0)">js</a>""" +
+        """<a href="ftp://f.org/x">ftp</a>""" +
+        """<a href="/rel/path">rel</a>""" +
+        """<a href="rel2.html">rel2</a>""")
+    assert(got.map(t => (t._2, t._3, t._5)) == List(
+      ("rel", "base.example.com", "rel"),
+      ("rel", "base.example.com", "rel2")), got.toString)
+  }
+
+  test("host resolution: lowercase, port dropped, one www. stripped; empty host dropped") {
+    val got = links(
+      """<a href="HTTPS://WWW.Ex.COM:8443/p">a</a>""" +
+        """<a href="http://www.www.d.org/q">b</a>""" +
+        """<a href="https:///nohost">c</a>""")
+    assert(got.map(_._3) == List("ex.com", "www.d.org"), got.toString)
+  }
+
+  test("unclosed <a> is dropped; <abbr> is not an anchor") {
+    val got = links(
+      """<a href="https://lost.org/x">truncated …""" +
+        """<abbr title="x">abbr</abbr>""" +
+        """<a href="https://kept.org/y">ok</a>""")
+    assert(got.map(_._3) == List("kept.org"), got.toString)
+  }
+
+  test("nofollow flag from rel, any quote style, token anywhere in value") {
+    val got = links(
+      """<a rel="nofollow" href="https://s1.org">x</a>""" +
+        """<a rel='ugc nofollow' href="https://s2.org">y</a>""" +
+        """<a rel="author" href="https://s3.org">z</a>""")
+    assert(got.map(t => (t._3, t._4)) == List(
+      ("s1.org", true), ("s2.org", true), ("s3.org", false)), got.toString)
+  }
+
+  test("anchor text: inner tags stripped, whitespace collapsed, trimmed") {
+    val got = links(
+      "<a href=\"https://t.org\">  <b>Bold</b>\n\tand   <i>italic</i> text </a>")
+    assert(got.map(_._5) == List("Bold and italic text"), got.toString)
+  }
+
+  test("link_no is the element offset among ALL anchors (dropped leave holes)") {
+    val got = links(
+      """<a href="#top">drop0</a>""" +
+        """<a href="https://k.org">keep1</a>""" +
+        """<a href="mailto:x@y.z">drop2</a>""" +
+        """<a href="/r">keep3</a>""")
+    assert(got.map(_._1) == List(1, 3), got.toString)
+  }
+
+  test("hostEdges: nofollow and self-references excluded, weights counted") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, "h.com", 0, "abs", "a.org", false, "x"),
+      (1L, "h.com", 1, "abs", "a.org", false, "y"),
+      (1L, "h.com", 2, "abs", "b.org", true, "spam"), // nofollow
+      (1L, "h.com", 3, "rel", "h.com", false, "self"), // self
+      (2L, "g.com", 0, "abs", "a.org", false, "z"))
+      .toDF("doc_id", "base_host", "link_no", "kind", "dst_host",
+        "nofollow", "anchor")
+    val got = LinkGraph.hostEdges(l, "base_host").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("h.com", "a.org", 2L), ("g.com", "a.org", 1L)),
+      got.toString)
+  }
+
+  test("anchorTopK: rank is total-ordered (cnt desc, token asc), k bounds held") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, "h.com", 0, "abs", "t.org", false, "red red blue"),
+      (2L, "h.com", 0, "abs", "t.org", false, "red blue green"),
+      (3L, "h.com", 0, "abs", "t.org", true, "red red red")) // nofollow: out
+      .toDF("doc_id", "base_host", "link_no", "kind", "dst_host",
+        "nofollow", "anchor")
+    val got = LinkGraph.anchorTopK(l, k = 2)
+      .orderBy(col("dst_host"), col("rk")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toList
+    assert(got == List(("t.org", "red", 3L, 1), ("t.org", "blue", 2L, 2)),
+      got.toString)
+  }
+}
