@@ -46,7 +46,7 @@ object Warc {
   /** `(?mi)` header-field extractor: line-anchored, case-insensitive
     * (RFC-style field names), value = rest of line (CR excluded by the
     * char class), NULL when the field is absent. */
-  private def field(hdr: Column, name: String): Column =
+  private[operators] def field(hdr: Column, name: String): Column =
     when(regexp_extract(hdr, s"(?mi)^$name:[ \\t]*([^\\r\\n]*)", 1) === "",
       lit(null).cast("string"))
       .otherwise(regexp_extract(hdr, s"(?mi)^$name:[ \\t]*([^\\r\\n]*)", 1))
