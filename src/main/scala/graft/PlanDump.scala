@@ -54,7 +54,12 @@ object PlanDump {
     // round 15 (q93c/q156d/q156e/q178 collect pins or run driver EM
     // loops before planning — lazy-plannable but expensive to explain;
     // the stateless/scan-class additions are audited here)
-    "q177_warc_parse", "q169c_langid_margin")
+    "q177_warc_parse", "q169c_langid_margin",
+    // round 15 link-graph family (q186 is eager-driver — iterative
+    // checkpoint loop like q162 — excluded; its per-iteration plan is
+    // q147's, already pinned)
+    "q184_link_extract", "q185_host_linkgraph", "q187_anchor_topk",
+    "q188_http_parse", "q188b_http_chain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

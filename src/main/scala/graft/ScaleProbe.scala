@@ -325,6 +325,26 @@ object ScaleProbe {
         val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         println(s"""{"metric":"scaleprobe-r15ops","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
 
+      case "r15links" =>
+        // link-graph family + q183 at probe decades: extraction and
+        // sentence split are stateless scans (expect linear); the host
+        // graph is one hash-agg (wordcount class); centrality's
+        // PageRank iterations run on the FIXED ~51-host graph, so its
+        // decade growth should be the extraction scan alone; anchor
+        // top-k is agg + bounded heap.
+        val out = scaledDocsDir(spark, src, copies)
+        val names = Seq("q183_sentence_split", "q184_link_extract",
+          "q185_host_linkgraph", "q186_host_centrality",
+          "q187_anchor_topk")
+        val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
+        val times = names.map { name =>
+          val (_, t) = timed(SparkEntry.queries(name)(spark, out)
+            .write.format("noop").mode("overwrite").save())
+          name -> t
+        }
+        val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        println(s"""{"metric":"scaleprobe-r15links","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
+
       case "bpestored" =>
         // The stored-tokenizer payoff (VERDICT r14 next #5): learn once
         // and WRITE the artifact, then time the probe-side encode that
