@@ -59,7 +59,8 @@ object PlanDump {
     // checkpoint loop like q162 — excluded; its per-iteration plan is
     // q147's, already pinned)
     "q184_link_extract", "q185_host_linkgraph", "q187_anchor_topk",
-    "q188_http_parse", "q188b_http_chain")
+    "q188_http_parse", "q188b_http_chain",
+    "q189_page_meta", "q190_canonical_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

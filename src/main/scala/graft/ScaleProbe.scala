@@ -335,7 +335,13 @@ object ScaleProbe {
         val out = scaledDocsDir(spark, src, copies)
         val names = Seq("q183_sentence_split", "q184_link_extract",
           "q185_host_linkgraph", "q186_host_centrality",
-          "q187_anchor_topk")
+          "q187_anchor_topk",
+          // HTTP layer: parse is a stateless scan; the chain adds the
+          // q93c-class html→text cascade on the survivor set
+          "q188_http_parse", "q188b_http_chain",
+          // page metadata: stateless scan; canonical dedup adds one
+          // hash-agg (the q167 class)
+          "q189_page_meta", "q190_canonical_dedup")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out)

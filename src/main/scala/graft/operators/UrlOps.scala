@@ -303,16 +303,22 @@ object UrlOps {
         ELSE 'https://' || upper(source) || '.example.com/p/' || CAST(doc_id // 7 AS VARCHAR) || '/'
       END"""
 
-  // The oracle replays the same canonicalization in DuckDB SQL. DuckDB
-  // regexp_replace is first-match-only without the 'g' flag — every
-  // pattern here is anchored, so first == only. list_sort is binary
-  // order, matching Spark array_sort on ASCII params.
-  private val canonSql = s"""
-      u AS (SELECT doc_id, source, n_chars, $urlSqlCase AS url FROM documents),
-      parts AS (SELECT doc_id, source, n_chars, url,
+  // DuckDB regexp_replace is first-match-only without the 'g' flag —
+  // every pattern below is anchored, so first == only. list_sort is
+  // binary order, matching Spark array_sort on ASCII params.
+  /** [[canonicalizeUrl]] replayed as DuckDB CTEs over a caller-supplied
+    * CTE `src` providing a `url` column plus `keep` columns; ends in
+    * CTE `canon` with `(keep…, host, canonical_url)`. ONE home for the
+    * replay — q167/q168 here and the canonical-link dedup (q190) share
+    * it verbatim. Claims the CTE names parts/hp/hx/qy/canon. */
+  private[operators] def canonicalizeSqlFrom(src: String,
+      keep: Seq[String]): String = {
+    val kk = keep.map(_ + ", ").mkString
+    s"""
+      parts AS (SELECT $kk url,
                        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
                        regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-                FROM u),
+                FROM $src),
       hp AS (SELECT *, lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
                     regexp_replace(regexp_replace(rest, '^[^/?#]*', ''), '#.*$$', '') AS pqf
              FROM parts),
@@ -329,7 +335,7 @@ object UrlOps {
                     COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
                       p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?$$'))), '&'), '') AS q2
              FROM hx),
-      canon AS (SELECT doc_id, source, n_chars, host,
+      canon AS (SELECT $kk host,
                        CASE WHEN scheme = '' THEN NULL ELSE
                          scheme || '://' || host ||
                          CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
@@ -339,6 +345,11 @@ object UrlOps {
                          CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END
                        END AS canonical_url
                 FROM qy)"""
+  }
+
+  private val canonSql =
+    s"""u AS (SELECT doc_id, source, n_chars, $urlSqlCase AS url FROM documents),""" +
+      canonicalizeSqlFrom("u", Seq("doc_id", "source", "n_chars"))
 
   private val q167 = GraftQuery(
     "q167_url_dedup",
