@@ -341,7 +341,10 @@ object ScaleProbe {
           "q188_http_parse", "q188b_http_chain",
           // page metadata: stateless scan; canonical dedup adds one
           // hash-agg (the q167 class)
-          "q189_page_meta", "q190_canonical_dedup")
+          "q189_page_meta", "q190_canonical_dedup",
+          // frontier: candidate agg + anti join + broadcast robots +
+          // bounded heap — the candidate agg is the only corpus term
+          "q191_crawl_frontier")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out)

@@ -64,7 +64,8 @@ object LinkGraph {
   private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:"
 
   /** Per-document link extraction: one row per KEPT link —
-    * `(idCol, base_host, link_no, kind, dst_host, nofollow, anchor)`.
+    * `(idCol, base_host, link_no, kind, dst_host, nofollow, anchor,
+    * dst_url)`.
     * `link_no` is the element's position among ALL extracted `<a>`
     * elements of the document (a stable provenance offset — dropped
     * links leave holes, deliberately). `kind` is `abs` | `rel`;
@@ -92,7 +93,16 @@ object LinkGraph {
         col("elem").rlike(NofollowRe).as("nofollow"),
         trim(regexp_replace(regexp_replace(
           regexp_extract(col("elem"), InnerRe, 1),
-          "<[^>]+>", " "), "\\s+", " ")).as("anchor"))
+          "<[^>]+>", " "), "\\s+", " ")).as("anchor"),
+        // resolved absolute URL: absolute hrefs verbatim; relative
+        // hrefs resolve ROOT-relative against the base host with a
+        // declared https scheme (<base href> and dot-segment
+        // resolution are documented non-goals — the frontier needs a
+        // deterministic key, not a browser)
+        when(isAbs, col("href")).otherwise(
+          concat(lit("https://"), col("base_host"),
+            when(col("href").startsWith("/"), col("href"))
+              .otherwise(concat(lit("/"), col("href"))))).as("dst_url"))
       .filter(col("dst_host") =!= "")
   }
 
@@ -191,7 +201,10 @@ object LinkGraph {
                CASE WHEN regexp_matches(href, '(?i)^https?://')
                     THEN regexp_replace(lower(regexp_extract(href, '(?i)^https?://([^/:?#]*)', 1)), '^www\\.', '')
                     ELSE lower(source) || '.example.com' END AS dst_host,
-               nofollow, anchor
+               nofollow, anchor,
+               CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+                    WHEN href LIKE '/%' THEN 'https://' || lower(source) || '.example.com' || href
+                    ELSE 'https://' || lower(source) || '.example.com/' || href END AS dst_url
               FROM lk
               WHERE href <> '' AND href NOT LIKE '#%'
                 AND (regexp_matches(href, '(?i)^https?://')
@@ -213,11 +226,11 @@ object LinkGraph {
     "q184_link_extract",
     (s, dir) => fixtureLinks(s, dir)
       .select(col("doc_id"), col("link_no"), col("kind"), col("dst_host"),
-        col("nofollow"), col("anchor"))
+        col("nofollow"), col("anchor"), col("dst_url"))
       .orderBy(col("doc_id"), col("link_no")),
     Some(s"""
       WITH $linkCtes
-      SELECT doc_id, link_no, kind, dst_host, nofollow, anchor
+      SELECT doc_id, link_no, kind, dst_host, nofollow, anchor, dst_url
       FROM flt
       ORDER BY doc_id, link_no"""))
 
@@ -284,5 +297,122 @@ object LinkGraph {
       FROM rk WHERE rk <= 3
       ORDER BY dst_host, rk"""))
 
-  val all: Seq[GraftQuery] = Seq(q184, q185, q186, q187)
+  // ---------------------------------------------------------------- q191
+  // The crawl FRONTIER — the composition a crawler actually schedules
+  // from, exercising four engine families in one declared operator:
+  // extracted links (this module) → canonical candidate URLs
+  // ([[UrlOps.canonicalizeUrl]], in-link count as priority) → already-
+  // crawled anti-join → RFC 9309 permission gate ([[Robots]], host
+  // batch with per-host policies incl. a graftbot override group) →
+  // per-host politeness budget (top-k by in-links via the bounded-heap
+  // TopKPerKeyExec). Fixture: the crawled set is every EVEN document's
+  // primary link target; example.org host policies rotate
+  // (k%3: /q/ disallowed / allow-all / deny-all) with a graftbot
+  // Allow-/ override group on k%5 hosts (group selection beats `*`).
+  //
+  // Scale: candidates are link-count-sized (one hash-agg); the crawled
+  // set joins on the canonical key (SortMergeJoin at 10^11 URLs, both
+  // sides keyed); robots rules are hosts-sized (broadcast); the budget
+  // is a bounded heap per host — no per-host sort, no corpus shuffle
+  // beyond the candidate agg.
+  /** Next-batch selection: `(host, url, n_inlinks, rk)`, at most
+    * `perHost` rows per host, priority = in-link count (link ROWS, not
+    * distinct sources), ties broken by url. */
+  def crawlFrontier(links: DataFrame, crawled: DataFrame,
+      robotsRules: DataFrame, agent: String, perHost: Int): DataFrame = {
+    val cand = links.filter(!col("nofollow"))
+      .withColumn("canonical_url",
+        UrlOps.canonicalizeUrl(col("dst_url")))
+      .filter(col("canonical_url").isNotNull)
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_inlinks"))
+    val fresh = cand.join(crawled, Seq("canonical_url"), "left_anti")
+    val allowed = Robots.robotsGate(fresh, "canonical_url",
+        "canonical_url", robotsRules, agent)
+      .withColumn("host", UrlOps.urlHost(col("canonical_url")))
+    val top = graft.plans.TopKPerKey.topK(allowed, Seq(col("host")),
+      Seq(col("n_inlinks").desc, col("canonical_url")), perHost)
+    top.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host"))
+          .orderBy(col("n_inlinks").desc, col("canonical_url"))).cast("int"))
+      .select(col("host"), col("canonical_url").as("url"),
+        col("n_inlinks"), col("rk"))
+  }
+
+  private def frontierRobotsBodies(
+      s: org.apache.spark.sql.SparkSession): DataFrame = {
+    val k3 = pmod(col("id"), lit(3))
+    val k5 = pmod(col("id"), lit(5))
+    s.range(31).select(
+      concat(lit("h"), col("id").cast("string"), lit(".example.org"))
+        .as("host"),
+      concat(
+        when(k3 === 0, lit("User-agent: *\nDisallow: /q/"))
+          .when(k3 === 1, lit("User-agent: *\nDisallow:"))
+          .otherwise(lit("User-agent: *\nDisallow: /")),
+        when(k5 === 0, lit("\n\nUser-agent: graftbot\nAllow: /"))
+          .otherwise(lit(""))).as("body"))
+  }
+
+  private val q191 = GraftQuery(
+    "q191_crawl_frontier",
+    (s, dir) => {
+      val crawled = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(concat(lit("https://h"),
+          pmod(col("doc_id"), lit(31)).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string"))
+          .as("canonical_url"))
+      val rules = Robots.robotsRules(frontierRobotsBodies(s),
+        "host", "body")
+      crawlFrontier(fixtureLinks(s, dir), crawled, rules,
+          agent = "graftbot", perHost = 2)
+        .orderBy(col("host"), col("rk"))
+    },
+    Some(s"""
+      WITH $linkCtes,
+      fo AS (SELECT dst_url AS url FROM flt WHERE NOT nofollow),
+      ${UrlOps.canonicalizeSqlFrom("fo", Nil)},
+      cand AS (SELECT canonical_url, COUNT(*) AS n_inlinks
+               FROM canon WHERE canonical_url IS NOT NULL
+               GROUP BY canonical_url),
+      crawled AS (SELECT 'https://h' || CAST(doc_id % 31 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url
+                  FROM documents WHERE doc_id % 2 = 0),
+      fresh AS (SELECT * FROM cand
+                WHERE canonical_url NOT IN (SELECT url FROM crawled)),
+      bodies AS (SELECT 'h' || CAST(k AS VARCHAR) || '.example.org' AS host,
+                   (CASE CAST(k % 3 AS INT)
+                      WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /q/'
+                      WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow:'
+                      ELSE 'User-agent: *' || chr(10) || 'Disallow: /' END) ||
+                   (CASE WHEN k % 5 = 0 THEN chr(10) || chr(10) || 'User-agent: graftbot' || chr(10) || 'Allow: /' ELSE '' END) AS body
+                 FROM range(31) t(k)),
+      req0 AS (SELECT canonical_url, n_inlinks,
+                 regexp_replace(canonical_url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+               FROM fresh),
+      req1 AS (SELECT canonical_url, n_inlinks,
+                 lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+                 regexp_extract(regexp_replace(regexp_replace(rest, '^[^/?#]*', ''), '#.*$$', ''), '^([^?]*)', 1) AS p
+               FROM req0),
+      -- host/path exactly as robotsAudit derives them (urlHost +
+      -- rawPath): port dropped, ONE leading www. stripped, query and
+      -- fragment dropped, site root is '/'
+      req AS (SELECT canonical_url, n_inlinks,
+                regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''), '^www\\.', '') AS host,
+                CASE WHEN p = '' THEN '/' ELSE p END AS path
+              FROM req1),
+      ${Robots.robotsEvalSqlFrom("req", "canonical_url", "graftbot")},
+      ok AS (SELECT v.canonical_url, v.host, r.n_inlinks
+             FROM verdict v JOIN req r USING (canonical_url)
+             WHERE v.allowed),
+      rk AS (SELECT host, canonical_url AS url, n_inlinks,
+               CAST(row_number() OVER (PARTITION BY host
+                 ORDER BY n_inlinks DESC, canonical_url) AS INT) AS rk
+             FROM ok)
+      SELECT host, url, n_inlinks, rk
+      FROM rk WHERE rk <= 2
+      ORDER BY host, rk"""))
+
+  val all: Seq[GraftQuery] = Seq(q184, q185, q186, q187, q191)
 }

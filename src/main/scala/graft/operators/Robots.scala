@@ -241,6 +241,34 @@ object Robots {
                  ELSE 'junk line without colon' || chr(10) || 'Disallow: /orphan' || chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /'
                END AS body
              FROM hosts),
+      d0 AS (SELECT doc_id, source || '.example.com' AS host,
+               CASE CAST(doc_id % 8 AS INT)
+                 WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN '/private/ok/x'
+                 WHEN 2 THEN '/tmp/f'
+                 WHEN 3 THEN '/doc/page' || CAST(doc_id AS VARCHAR)
+                 WHEN 4 THEN '/doc/open/1'
+                 WHEN 5 THEN '/ads/z'
+                 WHEN 6 THEN '/files/r' || CAST(doc_id AS VARCHAR) || '.pdf'
+                 ELSE '/'
+               END AS path
+             FROM documents),
+      """ + robotsEvalSqlFrom("d0", "doc_id", "graftbot") + """
+      SELECT doc_id, host, path, n_matched, best_len, best_rule, allowed
+      FROM verdict
+      ORDER BY doc_id"""))
+
+  /** The RFC 9309 parse + evaluation replayed as DuckDB CTEs: assumes a
+    * `bodies(host, body)` CTE exists and a request CTE `reqCte`
+    * providing `(keyCol, host, path)` with `keyCol` unique per row;
+    * ends in CTE `verdict` with `(keyCol, host, path, n_matched,
+    * best_len, best_rule, allowed)` — hosts with no rules allow.
+    * ONE home for the replay (q180 here, the crawl frontier q191).
+    * Claims the CTE names lines/cls/g0/g/agents/dirs/rules/sp/
+    * applicable/m/verdict. Built by token replacement, NOT string
+    * interpolation — the regex bodies are `$`-dense. */
+  private[operators] def robotsEvalSqlFrom(reqCte: String, keyCol: String,
+      agent: String): String = """
       lines AS (SELECT host, i, trim(regexp_replace(l, '#.*', '')) AS line
              FROM (SELECT host,
                           generate_subscripts(string_split(body, chr(10)), 1) AS i,
@@ -268,7 +296,7 @@ object Robots {
                FROM g WHERE NOT is_ua AND gid > 0),
       rules AS MATERIALIZED (SELECT a.host, a.agent, d.rule, d.path_prefix
                 FROM agents a LEFT JOIN dirs d USING (host, gid)),
-      sp AS (SELECT DISTINCT host FROM rules WHERE agent = 'graftbot'),
+      sp AS (SELECT DISTINCT host FROM rules WHERE agent = '@AGENT@'),
       applicable AS MATERIALIZED (
             SELECT r.host, r.rule, r.path_prefix,
                    (r.path_prefix LIKE '%*%' OR r.path_prefix LIKE '%$') AS wild,
@@ -277,38 +305,28 @@ object Robots {
                         ELSE '^' || replace(regexp_replace(r.path_prefix, '([.\[\](){}+?^$|*\\])', '\\\1', 'g'), '\*', '.*')
                    END AS rx
             FROM rules r LEFT JOIN sp ON r.host = sp.host
-            WHERE (r.agent = 'graftbot'
+            WHERE (r.agent = '@AGENT@'
                    OR (r.agent = '*' AND sp.host IS NULL))
               AND r.rule IS NOT NULL),
-      d0 AS (SELECT doc_id, source || '.example.com' AS host,
-               CASE CAST(doc_id % 8 AS INT)
-                 WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
-                 WHEN 1 THEN '/private/ok/x'
-                 WHEN 2 THEN '/tmp/f'
-                 WHEN 3 THEN '/doc/page' || CAST(doc_id AS VARCHAR)
-                 WHEN 4 THEN '/doc/open/1'
-                 WHEN 5 THEN '/ads/z'
-                 WHEN 6 THEN '/files/r' || CAST(doc_id AS VARCHAR) || '.pdf'
-                 ELSE '/'
-               END AS path
-             FROM documents),
-      m AS (SELECT d.doc_id, d.host, d.path, a.rule,
+      m AS (SELECT d.@KEY@, d.host, d.path, a.rule,
                    len(a.path_prefix) AS plen,
-                   ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                   ROW_NUMBER() OVER (PARTITION BY d.@KEY@
                      ORDER BY len(a.path_prefix) DESC,
                               (a.rule = 'allow') DESC) AS rn,
-                   COUNT(*) OVER (PARTITION BY d.doc_id) AS nm
-            FROM d0 d JOIN applicable a
+                   COUNT(*) OVER (PARTITION BY d.@KEY@) AS nm
+            FROM @REQ@ d JOIN applicable a
               ON d.host = a.host
              AND (CASE WHEN a.wild THEN regexp_matches(d.path, a.rx)
-                       ELSE starts_with(d.path, a.path_prefix) END))
-      SELECT d.doc_id, d.host, d.path,
+                       ELSE starts_with(d.path, a.path_prefix) END)),
+      verdict AS (
+      SELECT d.@KEY@, d.host, d.path,
              CAST(COALESCE(m.nm, 0) AS BIGINT) AS n_matched,
              CAST(m.plen AS BIGINT) AS best_len,
              m.rule AS best_rule,
              (m.rule IS NULL OR m.rule = 'allow') AS allowed
-      FROM d0 d LEFT JOIN m ON d.doc_id = m.doc_id AND m.rn = 1
-      ORDER BY d.doc_id"""))
+      FROM @REQ@ d LEFT JOIN m ON d.@KEY@ = m.@KEY@ AND m.rn = 1)"""
+    .replace("@REQ@", reqCte).replace("@KEY@", keyCol)
+    .replace("@AGENT@", agent)
 
   val all: Seq[GraftQuery] = Seq(q180)
 }

@@ -83,6 +83,48 @@ class LinkGraphSpec extends SparkSpec {
     assert(got.map(_._1) == List(1, 3), got.toString)
   }
 
+  test("dst_url: absolute verbatim; relative root-resolved against base with https") {
+    import spark.implicits._
+    val got = LinkGraph.extractLinks(
+      Seq((1L,
+        """<a href="HTTP://WWW.A.org:80/x?q=1">abs</a>""" +
+          """<a href="/p">r1</a><a href="p2.html">r2</a>""",
+        "base.example.com")).toDF("doc_id", "html", "base_host"),
+      "doc_id", "html", "base_host")
+      .collect().map(_.getString(7)).toList
+    assert(got == List("HTTP://WWW.A.org:80/x?q=1",
+      "https://base.example.com/p",
+      "https://base.example.com/p2.html"), got.toString)
+  }
+
+  test("crawlFrontier: crawled and disallowed removed, nofollow ignored, per-host budget by in-links") {
+    import spark.implicits._
+    def l(id: Long, url: String, nofollow: Boolean = false) =
+      (id, "src.com", 0, "abs", "h.org", nofollow, "t", url)
+    val links = Seq(
+      l(1, "https://h.org/a"), l(2, "https://h.org/a"),
+      l(3, "https://h.org/b"),
+      l(4, "https://h.org/c"), // robots-disallowed
+      l(5, "https://h.org/q"), // already crawled
+      l(6, "https://h.org/z", nofollow = true),
+      l(7, "https://blocked.org/x"))
+      .toDF("doc_id", "base_host", "link_no", "kind", "dst_host",
+        "nofollow", "anchor", "dst_url")
+    val crawled = Seq("https://h.org/q").toDF("canonical_url")
+    val rules = Robots.robotsRules(Seq(
+      ("h.org", "User-agent: *\nDisallow: /c"),
+      ("blocked.org", "User-agent: *\nDisallow: /"))
+      .toDF("host", "body"), "host", "body")
+    val got = LinkGraph.crawlFrontier(links, crawled, rules,
+        agent = "graftbot", perHost = 2)
+      .orderBy(col("host"), col("rk")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toList
+    assert(got == List(
+      ("h.org", "https://h.org/a", 2L, 1),
+      ("h.org", "https://h.org/b", 1L, 2)), got.toString)
+  }
+
   test("hostEdges: nofollow and self-references excluded, weights counted") {
     import spark.implicits._
     val l = Seq(
