@@ -55,9 +55,9 @@ object PlanDump {
     // loops before planning — lazy-plannable but expensive to explain;
     // the stateless/scan-class additions are audited here)
     "q177_warc_parse", "q169c_langid_margin",
-    // round 15 link-graph family (q186 is eager-driver — iterative
-    // checkpoint loop like q162 — excluded; its per-iteration plan is
-    // q147's, already pinned)
+    // round 15 link-graph family (q186 and q192 are eager-driver —
+    // checkpointed loops like q162 — excluded; q186's per-iteration
+    // plan is q147's, already pinned, and q192's is a keyed self-join)
     "q184_link_extract", "q185_host_linkgraph", "q187_anchor_topk",
     "q188_http_parse", "q188b_http_chain",
     "q189_page_meta", "q190_canonical_dedup", "q191_crawl_frontier")

@@ -344,7 +344,9 @@ object ScaleProbe {
           "q189_page_meta", "q190_canonical_dedup",
           // frontier: candidate agg + anti join + broadcast robots +
           // bounded heap — the candidate agg is the only corpus term
-          "q191_crawl_frontier")
+          "q191_crawl_frontier",
+          // redirect resolution: 3 urls-sized self-joins (doubling)
+          "q192_redirect_resolve")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out)
