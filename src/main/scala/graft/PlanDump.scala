@@ -60,7 +60,8 @@ object PlanDump {
     // plan is q147's, already pinned, and q192's is a keyed self-join)
     "q184_link_extract", "q185_host_linkgraph", "q187_anchor_topk",
     "q188_http_parse", "q188b_http_chain",
-    "q189_page_meta", "q190_canonical_dedup", "q191_crawl_frontier")
+    "q189_page_meta", "q190_canonical_dedup", "q191_crawl_frontier",
+    "q193_sitemap_parse")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -346,7 +346,9 @@ object ScaleProbe {
           // bounded heap — the candidate agg is the only corpus term
           "q191_crawl_frontier",
           // redirect resolution: 3 urls-sized self-joins (doubling)
-          "q192_redirect_resolve")
+          "q192_redirect_resolve",
+          // sitemap parse: stateless scan + bounded explode
+          "q193_sitemap_parse")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out)
