@@ -61,7 +61,8 @@ object PlanDump {
     "q184_link_extract", "q185_host_linkgraph", "q187_anchor_topk",
     "q188_http_parse", "q188b_http_chain",
     "q189_page_meta", "q190_canonical_dedup", "q191_crawl_frontier",
-    "q193_sitemap_parse")
+    "q193_sitemap_parse", "q194_host_blocklist",
+    "q194b_blocklist_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

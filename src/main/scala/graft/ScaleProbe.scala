@@ -348,7 +348,9 @@ object ScaleProbe {
           // redirect resolution: 3 urls-sized self-joins (doubling)
           "q192_redirect_resolve",
           // sitemap parse: stateless scan + bounded explode
-          "q193_sitemap_parse")
+          "q193_sitemap_parse",
+          // blocklist gen + closed-loop gate: audit scan + hosts agg
+          "q194_host_blocklist", "q194b_blocklist_roundtrip")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out)
