@@ -350,7 +350,9 @@ object ScaleProbe {
           // sitemap parse: stateless scan + bounded explode
           "q193_sitemap_parse",
           // blocklist gen + closed-loop gate: audit scan + hosts agg
-          "q194_host_blocklist", "q194b_blocklist_roundtrip")
+          "q194_host_blocklist", "q194b_blocklist_roundtrip",
+          // WARC sink: write + re-frame + parse, linear in bytes
+          "q195_warc_sink_roundtrip")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out)

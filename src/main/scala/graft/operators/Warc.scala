@@ -298,5 +298,61 @@ object Warc {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q177, q177b)
+  // ---------------------------------------------------------------- q195
+  /** WARC record BUILDER — the sink side of this module (ISO 28500
+    * writing, the Common Crawl WET shape: `conversion` records carry
+    * extracted text): one codegen concat per record, Content-Length
+    * framed from the body (chars; see the char≡octet transport note in
+    * the module scaladoc). What [[warcParse]] reads, this writes —
+    * q195 pins the full write → file → frame → parse loop. */
+  def warcRecord(wtype: Column, recordId: Column, date: Column,
+      uri: Column, body: Column): Column =
+    concat(
+      lit("WARC/1.0" + CRLF),
+      lit("WARC-Type: "), wtype, lit(CRLF),
+      lit("WARC-Record-ID: <urn:uuid:"), recordId, lit(">" + CRLF),
+      lit("WARC-Date: "), date, lit(CRLF),
+      lit("WARC-Target-URI: "), uri, lit(CRLF),
+      lit("Content-Length: "), length(body).cast("string"),
+      lit(CRLF + CRLF),
+      body, lit(CRLF + CRLF))
+
+  private val q195 = GraftQuery(
+    "q195_warc_sink_roundtrip",
+    (s, dir) => {
+      // the WET-production shape: extracted text out as conversion
+      // records, natural part files (framing parallelism is per FILE —
+      // the q177b lesson), re-framed and re-parsed, re-keyed by the
+      // carried record id
+      val out = "/root/repo/target/tmp/warc_q195_" +
+        new java.io.File(dir).getName
+      Tables.documents(s, dir)
+        .select(warcRecord(lit("conversion"),
+          col("doc_id").cast("string"),
+          lit("2026-02-02T00:00:00Z"),
+          concat(lit("http://"), col("source"), lit(".example.com/doc/"),
+            col("doc_id").cast("string")),
+          col("text")).as("rec"))
+        .write.mode("overwrite").text(out)
+      warcParse(graft.sources.WarcSource.readWarcRecords(s, out),
+          "rec_no", "rec")
+        .withColumn("doc_id",
+          regexp_extract(col("record_id"), "uuid:([0-9]+)", 1).cast("long"))
+        .select(col("doc_id"), col("warc_type"), col("target_uri"),
+          col("content_length"), col("body_len"), col("body_md5"),
+          col("valid"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             'conversion' AS warc_type,
+             'http://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+             CAST(len(text) AS BIGINT) AS content_length,
+             CAST(len(text) AS BIGINT) AS body_len,
+             md5(text) AS body_md5,
+             TRUE AS valid
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q177, q177b, q195)
 }

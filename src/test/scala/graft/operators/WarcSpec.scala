@@ -90,6 +90,21 @@ class WarcSpec extends SparkSpec {
     assert(got(2L).getBoolean(9))
   }
 
+  test("warcRecord builder round-trips through warcParse (write side ≡ read side)") {
+    import spark.implicits._
+    val rec = Seq((7L, "body text", "http://h/x"))
+      .toDF("id", "body", "uri")
+      .select(col("id"), Warc.warcRecord(lit("conversion"),
+        col("id").cast("string"), lit("2026-02-02T00:00:00Z"),
+        col("uri"), col("body")).as("rec"))
+    val r = Warc.warcParse(rec, "id", "rec").collect().head
+    assert(r.getString(1) == "1.0" && r.getString(2) == "conversion" &&
+      r.getString(3) == "http://h/x" &&
+      r.getString(4) == "<urn:uuid:7>" &&
+      r.getLong(5) == 9L && r.getLong(7) == 9L && r.getBoolean(9),
+      r.toString)
+  }
+
   test("one stateless scan: no shuffle, no UDF, codegen projection") {
     import spark.implicits._
     val docs = Seq((1L, "WARC/1.0\r\n\r\n")).toDF("id", "rec")
