@@ -352,7 +352,9 @@ object ScaleProbe {
           // blocklist gen + closed-loop gate: audit scan + hosts agg
           "q194_host_blocklist", "q194b_blocklist_roundtrip",
           // WARC sink: write + re-frame + parse, linear in bytes
-          "q195_warc_sink_roundtrip")
+          "q195_warc_sink_roundtrip",
+          // CDC: positional explode (the q95 class), linear in chars
+          "q196_cdc_chunks")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out)

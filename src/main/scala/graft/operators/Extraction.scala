@@ -456,5 +456,100 @@ object Extraction {
       FROM n
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q171, q172, q173, q181, q183)
+  // ---------------------------------------------------------------- q196
+  // Content-defined chunking (Rabin-style) — the dedup-world
+  // alternative to q172's fixed windows: boundaries are a pure
+  // function of LOCAL content (an 8-char window hash), so an insertion
+  // shifts only the chunks it touches while fixed windows shift every
+  // downstream chunk (the rsync/LBFS property that makes chunk-level
+  // dedup robust to edits). Deliberately the PLAIN Rabin scheme with
+  // no min/max chunk bounds: FastCDC-style bounds make breakpoint k
+  // depend on breakpoint k−1 (sequential), while the plain scheme is
+  // position-independent — every window tests in parallel, which is
+  // the property that matters at 100 TB. Arithmetic is exact LONG:
+  // coefficients are 131^k mod 2^20 literals, codepoint·coeff ≤
+  // 2^41, the 8-term sum < 2^44; the boundary test is `sum % 64 == 0`
+  // (64 | 2^20, so reducing mod 2^20 first would change nothing).
+  // Expected chunk ≈ 64 chars on the divisor; whole short docs are one
+  // chunk; chunk_no keeps construction holes (empty tail segments
+  // filtered, the q184 offset convention).
+
+  private val CdcW = 8
+  private val CdcDiv = 64
+  // 131^7 .. 131^0 mod 2^20
+  private val CdcCoef =
+    Seq(376843L, 170969L, 281459L, 898641L, 150939L, 17161L, 131L, 1L)
+
+  /** CDC chunks of `textCol`: `(idCol, chunk_no, start, n_chars,
+    * chunk_md5)` — `start` 0-based, chunk text pinned as md5 (the q172
+    * convention: stats, never payloads). One positional explode
+    * (corpus-chars-sized, the q95 class) + a per-doc bounded
+    * boundary fold; no UDFs. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol).as("__t"))
+    val pos = base
+      .filter(length(col("__t")) >= CdcW)
+      .select(col(idCol),
+        explode(sequence(lit(CdcW), length(col("__t")))).as("i"),
+        col("__t"))
+    val winSum = CdcCoef.zipWithIndex.map { case (c, j) =>
+      ascii(col("__t").substr(col("i") - lit(CdcW - 1 - j), lit(1))) *
+        lit(c)
+    }.reduce(_ + _)
+    val bps = pos.filter(pmod(winSum, lit(CdcDiv)) === 0)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("i").cast("long"))).as("__bps"))
+    val bounds = base.join(bps, Seq(idCol), "left")
+      .select(col(idCol), col("__t"),
+        concat(array(lit(0L)),
+          coalesce(col("__bps"), array().cast("array<long>")),
+          array(length(col("__t")).cast("long"))).as("__bs"))
+    bounds
+      .select(col(idCol), col("__t"),
+        posexplode(expr(
+          "transform(sequence(0, size(__bs) - 2), " +
+            "k -> struct(__bs[k] AS s, __bs[k + 1] AS e))"))
+          .as(Seq("chunk_no", "seg")))
+      .filter(col("seg.s") < col("seg.e"))
+      .select(col(idCol), col("chunk_no").cast("int").as("chunk_no"),
+        col("seg.s").as("start"),
+        (col("seg.e") - col("seg.s")).as("n_chars"),
+        md5(col("__t").substr((col("seg.s") + 1).cast("int"),
+          (col("seg.e") - col("seg.s")).cast("int"))).as("chunk_md5"))
+  }
+
+  private val q196 = GraftQuery(
+    "q196_cdc_chunks",
+    (s, dir) => cdcChunks(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"), col("chunk_no")),
+    Some("""
+      WITH pos AS (
+        SELECT doc_id, text, unnest(range(8, len(text) + 1)) AS i
+        FROM documents WHERE len(text) >= 8),
+      bp AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i FROM pos
+        WHERE (ascii(text[i-7:i-7]) * 376843 + ascii(text[i-6:i-6]) * 170969 +
+               ascii(text[i-5:i-5]) * 281459 + ascii(text[i-4:i-4]) * 898641 +
+               ascii(text[i-3:i-3]) * 150939 + ascii(text[i-2:i-2]) * 17161 +
+               ascii(text[i-1:i-1]) * 131 + ascii(text[i:i])) % 64 = 0),
+      bl AS (SELECT doc_id, list_sort(list(i)) AS bps FROM bp GROUP BY doc_id),
+      bounds AS (
+        SELECT d.doc_id, d.text,
+               list_concat(list_concat([CAST(0 AS BIGINT)], COALESCE(b.bps, [])),
+                           [CAST(len(d.text) AS BIGINT)]) AS bs
+        FROM documents d LEFT JOIN bl b USING (doc_id)),
+      ch AS (
+        SELECT doc_id, text,
+               CAST(generate_subscripts(bs, 1) - 1 AS INT) AS chunk_no,
+               unnest(bs) AS s,
+               bs[generate_subscripts(bs, 1) + 1] AS e
+        FROM bounds)
+      SELECT doc_id, chunk_no, s AS start,
+             e - s AS n_chars,
+             md5(substr(text, CAST(s + 1 AS INT), CAST(e - s AS INT))) AS chunk_md5
+      FROM ch
+      WHERE e IS NOT NULL AND s < e
+      ORDER BY doc_id, chunk_no"""))
+
+  val all: Seq[GraftQuery] = Seq(q171, q172, q173, q181, q183, q196)
 }

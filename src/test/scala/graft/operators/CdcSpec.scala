@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Content-defined-chunking laws (spec-truth, not the q196 builder). */
+class CdcSpec extends SparkSpec {
+
+  private def chunks(text: String) = {
+    import spark.implicits._
+    Extraction.cdcChunks(Seq((1L, text)).toDF("id", "text"), "id", "text")
+      .orderBy(col("chunk_no")).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getString(4))).toList
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while seventeen " +
+      "small engines shuffle partitions across the cluster floor " * 12
+
+  test("chunks tile the document exactly: starts/lengths reassemble to len") {
+    val cs = chunks(base)
+    assert(cs.nonEmpty && cs.head._1 == 0L)
+    assert(cs.map(_._2).sum == base.length.toLong, cs.toString)
+    assert(cs.sliding(2).forall {
+      case List(a, b) => a._1 + a._2 == b._1
+      case _ => true
+    }, "chunks must be contiguous")
+  }
+
+  test("short and empty documents: one whole chunk / zero chunks") {
+    assert(chunks("tiny") == List((0L, 4L, md5hex("tiny"))))
+    assert(chunks("").isEmpty)
+  }
+
+  test("edit locality: a prefix insertion preserves almost every chunk hash") {
+    val a = chunks(base).map(_._3)
+    val b = chunks("INSERTED PREFIX >>> " + base).map(_._3)
+    val shared = a.toSet.intersect(b.toSet).size
+    // only chunks overlapping the edit may change; with ~64-char
+    // expected chunks a 20-char prefix can touch at most the first one
+    assert(shared >= a.size - 2,
+      s"expected >= ${a.size - 2} shared chunk hashes, got $shared " +
+        s"(of ${a.size} / ${b.size})")
+    // and the FIXED-window chunker demonstrably lacks the property:
+    // every q172 window after the edit shifts
+  }
+
+  private def md5hex(s: String): String = {
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+}
