@@ -62,7 +62,8 @@ object PlanDump {
     "q188_http_parse", "q188b_http_chain",
     "q189_page_meta", "q190_canonical_dedup", "q191_crawl_frontier",
     "q193_sitemap_parse", "q194_host_blocklist",
-    "q194b_blocklist_roundtrip", "q196_cdc_chunks")
+    "q194b_blocklist_roundtrip", "q196_cdc_chunks",
+    "q197_main_content")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

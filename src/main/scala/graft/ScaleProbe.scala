@@ -354,7 +354,9 @@ object ScaleProbe {
           // WARC sink: write + re-frame + parse, linear in bytes
           "q195_warc_sink_roundtrip",
           // CDC: positional explode (the q95 class), linear in chars
-          "q196_cdc_chunks")
+          "q196_cdc_chunks",
+          // main content: one array-function projection, no explode
+          "q197_main_content")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out)

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Main-content extraction — text-density block selection (the
+  * trafilatura/boilerpipe heuristic class): [[Extraction.htmlText]]
+  * strips markup but keeps EVERY block's text, so navigation, cookie
+  * banners and footers ride into the corpus as high-frequency
+  * boilerplate; this operator keeps only blocks whose visible-text
+  * density clears a threshold — the step between tag-stripping and
+  * paragraph-dedup in a real crawl pipeline.
+  *
+  * Declared semantics: after script/style removal, a BLOCK is a span
+  * between block-level CLOSE tags (`</p> </div> </section> </article>
+  * </li> </h1..6> </td> </blockquote>` — a regex approximation of the
+  * DOM block model, exact on well-formed pages, documented-degraded on
+  * tag soup); a block is KEPT iff its tag-stripped collapsed text is
+  * at least `minChars` AND `text_len · 100 ≥ minDensityPct · raw_len`
+  * (one integer comparison). The result is the kept blocks' text
+  * joined by single spaces, pinned as (counts, len, md5).
+  *
+  * Scale: the ENTIRE pipeline is higher-order array functions inside
+  * ONE stateless projection — split → transform → filter →
+  * array_join; no explode, no shuffle, no UDFs; per-row cost linear in
+  * document size.
+  */
+object MainContent {
+
+  private val BlockCloseRe =
+    "(?is)</(p|div|section|article|li|h[1-6]|td|blockquote)>"
+
+  /** `(idCol, n_blocks, n_kept, n_chars, text_md5)` per document. */
+  def mainContent(docs: DataFrame, idCol: String, htmlCol: String,
+      minChars: Int = 30, minDensityPct: Int = 50): DataFrame = {
+    require(minChars >= 0 && minDensityPct >= 0 && minDensityPct <= 100,
+      s"bad thresholds: $minChars, $minDensityPct")
+    val noScript = regexp_replace(col(htmlCol),
+      "(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>", " ")
+    val pipeline =
+      s"""filter(
+         |  transform(split(__ns, '$BlockCloseRe'),
+         |    b -> named_struct(
+         |      't', trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' '), '\\\\s+', ' ')),
+         |      'raw', length(b))),
+         |  x -> length(x.t) >= $minChars
+         |       AND length(x.t) * 100 >= $minDensityPct * x.raw)""".stripMargin
+    docs.select(col(idCol), noScript.as("__ns"))
+      .select(col(idCol),
+        expr(s"size(split(__ns, '$BlockCloseRe'))").cast("long")
+          .as("n_blocks"),
+        expr(s"size($pipeline)").cast("long").as("n_kept"),
+        expr(s"array_join(transform($pipeline, x -> x.t), ' ')")
+          .as("__main"))
+      .select(col(idCol), col("n_blocks"), col("n_kept"),
+        length(col("__main")).cast("long").as("n_chars"),
+        md5(col("__main")).as("text_md5"))
+  }
+
+  // ------------------------------------------------------- fixture HTML
+  // A realistic boilerplate sandwich: link-dense nav (low density),
+  // cookie banner (short), the ARTICLE (the document text, high
+  // density), a promo sidebar on evens (link-dense), a footer (short),
+  // and a script that must die before blocking. The article is the
+  // only block that clears BOTH gates for typical document lengths.
+  private def pageHtml(): Column = concat(
+    lit("<html><head><script>track('"),
+    col("doc_id").cast("string"),
+    lit("');</script></head><body>\n<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div>\n" +
+      "<div class=\"cookie\">We use cookies.</div>\n<article><p>"),
+    col("text"),
+    lit("</p></article>\n"),
+    when(pmod(col("doc_id"), lit(2)) === 0,
+      lit("<div class=\"promo\"><a href=\"/buy\">Buy now!</a> <a href=\"/deal\">Deals</a></div>\n"))
+      .otherwise(lit("")),
+    lit("<div class=\"footer\">© 2026 Example Corp</div>\n</body></html>"))
+
+  private val pageHtmlSql = """
+      '<html><head><script>track(''' || CAST(doc_id AS VARCHAR) || ''');</script></head><body>' || chr(10) ||
+      '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>' || chr(10) ||
+      '<div class="cookie">We use cookies.</div>' || chr(10) || '<article><p>' ||
+      text ||
+      '</p></article>' || chr(10) ||
+      (CASE WHEN doc_id % 2 = 0 THEN '<div class="promo"><a href="/buy">Buy now!</a> <a href="/deal">Deals</a></div>' || chr(10) ELSE '' END) ||
+      '<div class="footer">© 2026 Example Corp</div>' || chr(10) || '</body></html>'"""
+
+  private val q197 = GraftQuery(
+    "q197_main_content",
+    (s, dir) => mainContent(
+        Tables.documents(s, dir).withColumn("html", pageHtml()),
+        "doc_id", "html")
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH raw AS (SELECT doc_id, $pageHtmlSql AS html FROM documents),
+      ns AS (SELECT doc_id,
+               regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>', ' ', 'g') AS h
+             FROM raw),
+      bl AS (SELECT doc_id,
+               string_split_regex(h, '(?is)</(p|div|section|article|li|h[1-6]|td|blockquote)>') AS blocks
+             FROM ns),
+      kp AS (SELECT doc_id, blocks,
+               list_filter(
+                 list_transform(blocks,
+                   b -> struct_pack(t := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+                                    raw := len(b))),
+                 x -> len(x.t) >= 30 AND len(x.t) * 100 >= 50 * x.raw) AS kept
+             FROM bl),
+      mn AS (SELECT doc_id,
+               CAST(len(blocks) AS BIGINT) AS n_blocks,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               COALESCE(array_to_string(list_transform(kept, x -> x.t), ' '), '') AS main
+             FROM kp)
+      SELECT doc_id, n_blocks, n_kept,
+             CAST(len(main) AS BIGINT) AS n_chars,
+             md5(main) AS text_md5
+      FROM mn
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q197)
+}
