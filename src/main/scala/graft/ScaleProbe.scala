@@ -356,7 +356,9 @@ object ScaleProbe {
           // CDC: positional explode (the q95 class), linear in chars
           "q196_cdc_chunks",
           // main content: one array-function projection, no explode
-          "q197_main_content")
+          "q197_main_content",
+          // chunk-store dedup: the q196 explode + two hash-aggs
+          "q199_chunk_store_dedup")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out)

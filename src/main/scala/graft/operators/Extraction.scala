@@ -518,14 +518,15 @@ object Extraction {
           (col("seg.e") - col("seg.s")).cast("int"))).as("chunk_md5"))
   }
 
-  private val q196 = GraftQuery(
-    "q196_cdc_chunks",
-    (s, dir) => cdcChunks(Tables.documents(s, dir), "doc_id", "text")
-      .orderBy(col("doc_id"), col("chunk_no")),
-    Some("""
-      WITH pos AS (
+  /** The CDC cascade as DuckDB CTEs over a caller-supplied CTE `src`
+    * providing `(doc_id, text)`; ends in CTE `chunks` with
+    * `(doc_id, chunk_no, start, n_chars, chunk_md5)` — shared by q196
+    * and the chunk-store dedup (q199). Claims pos/bp/bl/bounds/ch/
+    * chunks. */
+  private[operators] def cdcSqlFrom(src: String): String = s"""
+      pos AS (
         SELECT doc_id, text, unnest(range(8, len(text) + 1)) AS i
-        FROM documents WHERE len(text) >= 8),
+        FROM $src WHERE len(text) >= 8),
       bp AS (
         SELECT doc_id, CAST(i AS BIGINT) AS i FROM pos
         WHERE (ascii(text[i-7:i-7]) * 376843 + ascii(text[i-6:i-6]) * 170969 +
@@ -537,19 +538,89 @@ object Extraction {
         SELECT d.doc_id, d.text,
                list_concat(list_concat([CAST(0 AS BIGINT)], COALESCE(b.bps, [])),
                            [CAST(len(d.text) AS BIGINT)]) AS bs
-        FROM documents d LEFT JOIN bl b USING (doc_id)),
+        FROM $src d LEFT JOIN bl b USING (doc_id)),
       ch AS (
         SELECT doc_id, text,
                CAST(generate_subscripts(bs, 1) - 1 AS INT) AS chunk_no,
                unnest(bs) AS s,
                bs[generate_subscripts(bs, 1) + 1] AS e
-        FROM bounds)
-      SELECT doc_id, chunk_no, s AS start,
-             e - s AS n_chars,
-             md5(substr(text, CAST(s + 1 AS INT), CAST(e - s AS INT))) AS chunk_md5
-      FROM ch
-      WHERE e IS NOT NULL AND s < e
+        FROM bounds),
+      chunks AS (
+        SELECT doc_id, chunk_no, s AS start, e - s AS n_chars,
+               md5(substr(text, CAST(s + 1 AS INT), CAST(e - s AS INT))) AS chunk_md5
+        FROM ch
+        WHERE e IS NOT NULL AND s < e)"""
+
+  private val q196 = GraftQuery(
+    "q196_cdc_chunks",
+    (s, dir) => cdcChunks(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"), col("chunk_no")),
+    Some(s"""
+      WITH src AS (SELECT doc_id, text FROM documents),
+      ${cdcSqlFrom("src")}
+      SELECT doc_id, chunk_no, start, n_chars, chunk_md5
+      FROM chunks
       ORDER BY doc_id, chunk_no"""))
 
-  val all: Seq[GraftQuery] = Seq(q171, q172, q173, q181, q183, q196)
+  // ---------------------------------------------------------------- q199
+  // Chunk-STORE dedup — the CDC payoff measured: a storage/dedup model
+  // where each distinct chunk is stored once by its first owner (min
+  // doc id over the corpus), and every document reports how much of it
+  // is NOVEL. The fixture plants a prefix-edited copy of every
+  // document (id + 10^9, "EDIT: " prepended): under fixed windows
+  // every copy chunk would shift and look novel; under CDC the copies
+  // own almost nothing — edit locality made measurable. Shape: the
+  // q196 explode + one distinct-chunk agg + one per-doc agg (wordcount
+  // class, chunk-keyed).
+  private val q199 = GraftQuery(
+    "q199_chunk_store_dedup",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = base.unionAll(base.select(
+        (col("doc_id") + lit(1000000000L)).as("doc_id"),
+        concat(lit("EDIT: "), col("text")).as("text")))
+      val ch = cdcChunks(corpus, "doc_id", "text")
+      // store side: one row per distinct chunk, owned by min doc id;
+      // per-doc distinct sizes first (a doc repeating a chunk stores
+      // it once)
+      val perDoc = ch.groupBy(col("doc_id"), col("chunk_md5"))
+        .agg(count(lit(1)).as("n_occ"), min(col("n_chars")).as("clen"))
+      val owner = perDoc.groupBy(col("chunk_md5"))
+        .agg(min(col("doc_id")).as("owner"), min(col("clen")).as("clen"))
+      val novel = owner.groupBy(col("owner").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"),
+          sum(col("clen")).as("novel_chars"))
+      val totals = ch.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_chars")).as("total_chars"))
+      totals.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"), col("total_chars"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          coalesce(col("novel_chars"), lit(0L)).as("novel_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000, 'EDIT: ' || text FROM documents),
+      ${cdcSqlFrom("src")},
+      perdoc AS (SELECT doc_id, chunk_md5, COUNT(*) AS n_occ,
+                        MIN(n_chars) AS clen
+                 FROM chunks GROUP BY doc_id, chunk_md5),
+      owner AS (SELECT chunk_md5, MIN(doc_id) AS owner, MIN(clen) AS clen
+                FROM perdoc GROUP BY chunk_md5),
+      novel AS (SELECT owner AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel,
+                       CAST(SUM(clen) AS BIGINT) AS novel_chars
+                FROM owner GROUP BY owner),
+      totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+                 FROM chunks GROUP BY doc_id)
+      SELECT t.doc_id, t.n_chunks, t.total_chars,
+             COALESCE(n.n_novel, 0) AS n_novel,
+             COALESCE(n.novel_chars, 0) AS novel_chars
+      FROM totals t LEFT JOIN novel n USING (doc_id)
+      ORDER BY t.doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q171, q172, q173, q181, q183, q196, q199)
 }
