@@ -358,7 +358,9 @@ object ScaleProbe {
           // main content: one array-function projection, no explode
           "q197_main_content",
           // chunk-store dedup: the q196 explode + two hash-aggs
-          "q199_chunk_store_dedup")
+          "q199_chunk_store_dedup",
+          // feed parse: stateless scan + bounded explode
+          "q198_feed_parse")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out)
