@@ -443,6 +443,28 @@ object ScaleProbe {
           .mkString("{", ",", "}")
         println(s"""{"metric":"scaleprobe-crawlstages","copies":$copies,"n_docs":$nDocs,"stages":$qs,"src":"$src"}""")
 
+      case "httpstages" =>
+        // the q93d form: WARC → HTTP gate → main-content+NFC → host →
+        // path → langid → chain, same per-stage tap
+        val out = scaledDocsDir(spark, src, copies)
+        val docs = graft.sources.Tables.load(spark, out, "documents")
+        val nDocs = docs.count()
+        val b = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+        var last = System.nanoTime()
+        val probe = (name: String, df: org.apache.spark.sql.DataFrame) => {
+          val rows = df.count()
+          val now = System.nanoTime()
+          b += ((name, (now - last) / 1e9, rows)); last = now
+        }
+        val fin = graft.operators.CurationChain.crawlChainHttpStaged(
+          docs, targetDocs = 500L, spanK = 4, probe = Some(probe))
+        val (_, tMix) = timed(fin.write.format("noop").mode("overwrite").save())
+        val qs = (b.map { case (n2, t, r) =>
+          "\"" + n2 + "\":{\"sec\":" + t + ",\"rows\":" + r + "}"
+        } :+ ("\"epoch_mix_write\":{\"sec\":" + tMix + ",\"rows\":-1}"))
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"scaleprobe-httpstages","copies":$copies,"n_docs":$nDocs,"stages":$qs,"src":"$src"}""")
+
       case "q51stages" =>
         // Per-stage wall/rows for the dedup pipeline (VERDICT r11 next
         // #2): which stage grew is one read instead of a blind rerun.

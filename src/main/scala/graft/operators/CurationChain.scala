@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -218,6 +218,118 @@ object CurationChain {
     chainStaged(ing, targetDocs, spanK, probe)
   }
 
+  // ------------------------------------------------ q93d http ingest
+  /** The HTTP-COMPLETE crawl chain — q93c's ingest with the two stages
+    * a real crawl actually has between WARC and text: the HTTP
+    * response layer (q188: status/media-type gate — 404s and
+    * text/plain bodies never reach extraction) and main-content block
+    * selection (q197: boilerplate-free text INSTEAD of whole-page
+    * htmlText):
+    *
+    *   WARC → HTTP gate (200 ∧ text/html) → main-content blocks →
+    *   NFC → host gate → path gate → language-ID gate → the q93b chain.
+    *
+    * Same stage shapes as [[crawlChain]] (stateless scans + broadcast
+    * gates + the q169 class); the block-selection step is one
+    * array-function projection (q197). */
+  def crawlChainHttp(docs: DataFrame, targetDocs: Long,
+      spanK: Int = 0): DataFrame =
+    crawlChainHttpStaged(docs, targetDocs, spanK, probe = None)
+
+  private val CRLF = "\r\n"
+
+  /** q93d fixture record: WARC response whose body is an HTTP message
+    * (404s on %4=1, text/plain on %5=2) whose payload is the q93c HTML
+    * ([[Warc.crawlHtml]]), with the %7 `/ads/` path rotation in the
+    * WARC target URI. */
+  private def crawlHttpRecord(): Column = {
+    val html = Warc.crawlHtml()
+    val statusLine = when(pmod(col("doc_id"), lit(4)) === 1,
+      lit("HTTP/1.1 404 Not Found")).otherwise(lit("HTTP/1.1 200 OK"))
+    val ct = when(pmod(col("doc_id"), lit(5)) === 2, lit("text/plain"))
+      .otherwise(lit("text/html; charset=utf-8"))
+    val msg = concat(statusLine, lit(CRLF),
+      lit("Content-Type: "), ct, lit(CRLF),
+      lit("Content-Length: "), length(html).cast("string"),
+      lit(CRLF + CRLF), html)
+    val uri = concat(lit("http://"), col("source"), lit(".example.com"),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("/ads/"))
+        .otherwise(lit("/doc/")),
+      col("doc_id").cast("string"))
+    concat(lit("WARC/1.0" + CRLF),
+      lit("WARC-Type: response" + CRLF),
+      lit("WARC-Target-URI: "), uri, lit(CRLF),
+      lit("Content-Length: "), length(msg).cast("string"),
+      lit(CRLF + CRLF), msg, lit(CRLF + CRLF))
+  }
+
+  private[graft] def crawlChainHttpStaged(docs: DataFrame,
+      targetDocs: Long, spanK: Int,
+      probe: Option[(String, DataFrame) => Unit]): DataFrame = {
+    def tap(name: String, df: DataFrame): DataFrame = {
+      probe.foreach(_(name, df)); df
+    }
+    val bodies = tap("warc_parse", Warc.warcBodies(
+      docs.withColumn("rec", crawlHttpRecord()), "doc_id", "rec",
+      keep = Seq("source")))
+    val pages = tap("http_gate", Http.httpPayloads(bodies, "doc_id",
+      "body", keep = Seq("source", "target_uri")))
+    val extracted = tap("main_nfc", pages
+      .withColumn("__ns", MainContent.stripScriptStyle(col("payload")))
+      .select(col("doc_id"), col("source"), col("target_uri"),
+        graft.functions.NfcNormalize(
+          MainContent.mainTextCol("__ns", 30, 50)).as("text")))
+    val blockList = docs.agg(min(col("source")).as("s"))
+      .select(concat(lit("v:"), col("s"), lit(".example.com"))
+        .as("host_key"), lit("blocked_source").as("rule"))
+    val hostGated = tap("host_gate",
+      UrlOps.hostGate(extracted, "target_uri", blockList))
+    val pathRules = docs.select(col("source")).distinct()
+      .select(concat(lit("v:"), col("source"), lit(".example.com"))
+          .as("host_key"),
+        lit("/ads").as("path_prefix"), lit("ads").as("rule"))
+    val pathGated = tap("path_gate",
+      UrlOps.pathPrefixGate(hostGated, "target_uri", pathRules)
+        .select(col("doc_id"), col("source"), col("text"))
+        .localCheckpoint())
+    val model = LangId.langIdModel(
+      docs.filter(col("doc_id") % 2 === 0), "text", "lang")
+    val ing = tap("langid_gate", pathGated
+      .join(LangId.langIdScore(pathGated, "doc_id", "text", model)
+          .filter(col("pred_lang") === "en")
+          .select(col("doc_id"), col("pred_lang").as("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("text"), col("lang"))
+      .localCheckpoint())
+    chainStaged(ing, targetDocs, spanK, probe)
+  }
+
+  // q93d ingest replay: HTTP survivors by construction arithmetic
+  // (%4 404s and %5 text/plain never parse out), the SHARED q197
+  // main-content expression, DuckDB nfc_normalize, the same gate
+  // predicates and the shared q169 cascade.
+  private def crawlHttpIngestCtes: String = s"""
+      cr AS MATERIALIZED (SELECT doc_id, source, lang,
+              ${Warc.crawlHtmlSql} AS html,
+              CAST(doc_id % 7 = 0 AS BOOLEAN) AS is_ads
+            FROM documents
+            WHERE doc_id % 4 <> 1 AND doc_id % 5 <> 2),
+      mt AS MATERIALIZED (SELECT doc_id, source, is_ads,
+              ${MainContent.mainTextSqlExpr("html", 30, 50)} AS mtext
+            FROM cr),
+      gated AS MATERIALIZED (SELECT doc_id, source,
+               nfc_normalize(mtext) AS ntext
+             FROM mt
+             WHERE NOT is_ads
+               AND source <> (SELECT min(source) FROM documents)),
+      ${LangId.langIdSqlCtes(
+        "(SELECT lang, text FROM documents WHERE doc_id % 2 = 0)",
+        "gated", "ntext", "lid")},
+      ing AS MATERIALIZED (SELECT g.doc_id, g.source, l.pred_lang AS lang,
+               g.ntext AS text
+             FROM gated g JOIN lid l USING (doc_id)
+             WHERE l.pred_lang = 'en'),"""
+
   // The ingest replay: surviving-parse reconstruction from the
   // construction arithmetic (the q131 convention — a wrong build or a
   // wrong parse both break the hash), the shared q171 extract cascade,
@@ -426,5 +538,19 @@ object CurationChain {
         oracleTail("sfin", 500L)))
   }
 
-  val all: Seq[GraftQuery] = Seq(q93, q93b, q93c)
+  // ---------------------------------------------------------------- q93d
+  // The HTTP-complete crawl chain as a declared query (span on, K = 4):
+  // twelve stages, ONE oracle cascade.
+  private val q93d = {
+    val K = 4
+    GraftQuery(
+      "q93d_crawl_chain_http",
+      (s, dir) => crawlChainHttp(Tables.documents(s, dir),
+          targetDocs = 500L, spanK = K)
+        .orderBy(col("doc_id")),
+      Some(oracleCore("ing", crawlHttpIngestCtes) + oracleSpanStage(K) +
+        oracleTail("sfin", 500L)))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q93, q93b, q93c, q93d)
 }

@@ -33,32 +33,57 @@ object MainContent {
   private val BlockCloseRe =
     "(?is)</(p|div|section|article|li|h[1-6]|td|blockquote)>"
 
+  /** Script/style kill — the pre-blocking step, as a Column. */
+  private[operators] def stripScriptStyle(html: Column): Column =
+    regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>", " ")
+
+  /** The kept-blocks pipeline as a Spark SQL expression string over a
+    * script-stripped column named `nsCol` — ONE home for the selection
+    * logic (mainContent here, the q93d chain ingest). */
+  private[operators] def keptExpr(nsCol: String, minChars: Int,
+      minDensityPct: Int): String =
+    s"""filter(
+       |  transform(split($nsCol, '$BlockCloseRe'),
+       |    b -> named_struct(
+       |      't', trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' '), '\\\\s+', ' ')),
+       |      'raw', length(b))),
+       |  x -> length(x.t) >= $minChars
+       |       AND length(x.t) * 100 >= $minDensityPct * x.raw)""".stripMargin
+
+  /** Selected main text as a Column (blocks joined by single spaces;
+    * '' when nothing survives). */
+  private[operators] def mainTextCol(nsCol: String, minChars: Int,
+      minDensityPct: Int): Column =
+    expr(s"array_join(transform(${keptExpr(nsCol, minChars, minDensityPct)}, x -> x.t), ' ')")
+
   /** `(idCol, n_blocks, n_kept, n_chars, text_md5)` per document. */
   def mainContent(docs: DataFrame, idCol: String, htmlCol: String,
       minChars: Int = 30, minDensityPct: Int = 50): DataFrame = {
     require(minChars >= 0 && minDensityPct >= 0 && minDensityPct <= 100,
       s"bad thresholds: $minChars, $minDensityPct")
-    val noScript = regexp_replace(col(htmlCol),
-      "(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>", " ")
-    val pipeline =
-      s"""filter(
-         |  transform(split(__ns, '$BlockCloseRe'),
-         |    b -> named_struct(
-         |      't', trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' '), '\\\\s+', ' ')),
-         |      'raw', length(b))),
-         |  x -> length(x.t) >= $minChars
-         |       AND length(x.t) * 100 >= $minDensityPct * x.raw)""".stripMargin
-    docs.select(col(idCol), noScript.as("__ns"))
+    docs.select(col(idCol), stripScriptStyle(col(htmlCol)).as("__ns"))
       .select(col(idCol),
         expr(s"size(split(__ns, '$BlockCloseRe'))").cast("long")
           .as("n_blocks"),
-        expr(s"size($pipeline)").cast("long").as("n_kept"),
-        expr(s"array_join(transform($pipeline, x -> x.t), ' ')")
-          .as("__main"))
+        expr(s"size(${keptExpr("__ns", minChars, minDensityPct)})")
+          .cast("long").as("n_kept"),
+        mainTextCol("__ns", minChars, minDensityPct).as("__main"))
       .select(col(idCol), col("n_blocks"), col("n_kept"),
         length(col("__main")).cast("long").as("n_chars"),
         md5(col("__main")).as("text_md5"))
   }
+
+  /** The same selection as a DuckDB scalar expression over `htmlExpr`
+    * (raw html — script strip included), yielding the main TEXT. */
+  private[operators] def mainTextSqlExpr(htmlExpr: String, minChars: Int,
+      minDensityPct: Int): String =
+    s"""COALESCE(array_to_string(list_transform(list_filter(list_transform(
+       string_split_regex(regexp_replace($htmlExpr, '(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>', ' ', 'g'),
+         '(?is)</(p|div|section|article|li|h[1-6]|td|blockquote)>'),
+       b -> struct_pack(t := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+                        raw := len(b))),
+       x -> len(x.t) >= $minChars AND len(x.t) * 100 >= $minDensityPct * x.raw), x -> x.t), ' '), '')"""
 
   // ------------------------------------------------------- fixture HTML
   // A realistic boilerplate sandwich: link-dense nav (low density),
