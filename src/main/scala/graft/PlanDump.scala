@@ -63,7 +63,8 @@ object PlanDump {
     "q189_page_meta", "q190_canonical_dedup", "q191_crawl_frontier",
     "q193_sitemap_parse", "q194_host_blocklist",
     "q194b_blocklist_roundtrip", "q196_cdc_chunks",
-    "q197_main_content", "q198_feed_parse", "q199_chunk_store_dedup")
+    "q197_main_content", "q198_feed_parse", "q199_chunk_store_dedup",
+    "q200_crawl_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -360,7 +360,9 @@ object ScaleProbe {
           // chunk-store dedup: the q196 explode + two hash-aggs
           "q199_chunk_store_dedup",
           // feed parse: stateless scan + bounded explode
-          "q198_feed_parse")
+          "q198_feed_parse",
+          // snapshot diff: one url-keyed full-outer join + hosts agg
+          "q200_crawl_diff")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out)

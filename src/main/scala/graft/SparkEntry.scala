@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, CurationChain, DataPrep, Dedup, Extraction, Feeds, Graph, HostQuality, Http, LangId, LinkGraph, MainContent, MapReduceParity, Multimodal, PageMeta, Pii, Profiler, Redirects, Relational, Robots, Similarity, Sitemaps, Sketches, SqlSurface, TextAnalysis, Unigram, UrlOps, Warc, Windows}
+import graft.operators.{Curation, CurationChain, DataPrep, Dedup, Extraction, Feeds, Graph, HostQuality, Http, LangId, LinkGraph, MainContent, MapReduceParity, Multimodal, PageMeta, Pii, Profiler, Redirects, Relational, Robots, Similarity, Sitemaps, Sketches, Snapshots, SqlSurface, TextAnalysis, Unigram, UrlOps, Warc, Windows}
 import graft.plans.{ScaleOps, TopKPerKey}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,7 @@ object SparkEntry {
       UrlOps.all ++ LangId.all ++ Extraction.all ++ Warc.all ++
       Unigram.all ++ Pii.all ++ Robots.all ++ LinkGraph.all ++ Http.all ++
       PageMeta.all ++ Redirects.all ++ Sitemaps.all ++ HostQuality.all ++
-      MainContent.all ++ Feeds.all
+      MainContent.all ++ Feeds.all ++ Snapshots.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

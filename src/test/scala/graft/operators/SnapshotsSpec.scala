@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Snapshot-diff laws on hand-written snapshots (spec-truth, not the
+  * q200 builder). */
+class SnapshotsSpec extends SparkSpec {
+
+  test("classification: added/removed/changed/unchanged") {
+    import spark.implicits._
+    val old = Seq(("u1", "h1"), ("u2", "h2"), ("u3", "h3"))
+      .toDF("url", "content_md5")
+    val neu = Seq(("u1", "h1"), ("u2", "HX"), ("u4", "h4"))
+      .toDF("url", "content_md5")
+    val got = Snapshots.crawlDiff(old, neu).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("u1" -> "unchanged", "u2" -> "changed",
+      "u3" -> "removed", "u4" -> "added"), got.toString)
+  }
+
+  test("host rollup: exact per-mille, NULL when nothing re-observed") {
+    import spark.implicits._
+    val diff = Seq(
+      ("https://a.com/1", "changed"), ("https://a.com/2", "unchanged"),
+      ("https://a.com/3", "unchanged"), ("https://a.com/4", "added"),
+      ("https://b.com/1", "added"), ("https://b.com/2", "removed"))
+      .toDF("url", "class")
+    val got = Snapshots.crawlDiffByHost(diff)
+      .orderBy(col("host")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5))).toList
+    assert(got == List(
+      ("a.com", 1L, 0L, 1L, 2L, 333L),
+      ("b.com", 1L, 1L, 0L, 0L, -1L)), got.toString)
+  }
+}
