@@ -97,6 +97,85 @@ object Robots {
       .select(col("host"), col("agent"), col("rule"), col("path_prefix"))
   }
 
+  /** `Sitemap:` directive extraction (RFC 9309 §2.2.4 "other records",
+    * sitemaps.org cross-link convention) — the robots→sitemap
+    * discovery bridge: sitemap lines live OUTSIDE user-agent groups
+    * (group-independent by spec), comments strip first, the value must
+    * be an ABSOLUTE http(s) URL (the sitemaps.org requirement —
+    * relative values are noise and drop). One explode per body; emits
+    * `(host, entry_no, sitemap_url)` with entry_no the line offset
+    * among the host's kept sitemap lines. */
+  def robotsSitemaps(robots: DataFrame, hostCol: String,
+      bodyCol: String): DataFrame = {
+    val lines = robots.select(col(hostCol).as("host"),
+        posexplode(split(col(bodyCol), "\n")).as(Seq("i", "l")))
+      .select(col("host"), col("i"),
+        trim(regexp_replace(col("l"), "#.*", "")).as("line"))
+    val vals = lines
+      .select(col("host"), col("i"),
+        trim(regexp_extract(col("line"), "(?i)^sitemap:[ \\t]*(.*)", 1))
+          .as("u"))
+      .filter(col("u").rlike("(?i)^https?://"))
+    vals.withColumn("entry_no",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host")).orderBy(col("i"))) - 1).cast("int"))
+      .select(col("host"), col("entry_no"), col("u").as("sitemap_url"))
+  }
+
+  // ---------------------------------------------------------------- q201
+  // Fixture: per-host robots bodies mixing groups, comments, and
+  // Sitemap lines in every position the spec allows — before any
+  // group, between groups, inside a group's line range (still
+  // group-independent), with a trailing comment, a relative value
+  // (dropped), and a case-mixed field name.
+  private def sitemapBody(): Column = {
+    val k = pmod(expr("CAST(substring(source, 4) AS INT)"), lit(3))
+    when(k === 0, concat(
+      lit("Sitemap: https://"), col("source"),
+      lit(".example.com/sitemap.xml\nUser-agent: *\nDisallow: /tmp\n" +
+        "SITEMAP: https://"), col("source"),
+      lit(".example.com/sitemap2.xml # index\n")))
+      .when(k === 1, concat(
+        lit("User-agent: *\nDisallow: /a\n\nsitemap: https://cdn."),
+        col("source"), lit(".example.com/s.xml\nSitemap: /relative.xml\n")))
+      .otherwise(lit("User-agent: *\nDisallow: /\n# no sitemaps here\n"))
+  }
+
+  private val q201 = GraftQuery(
+    "q201_robots_sitemaps",
+    (s, dir) => {
+      val robots = Tables.documents(s, dir).select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          sitemapBody().as("body"))
+      robotsSitemaps(robots, "host", "body")
+        .orderBy(col("host"), col("entry_no"))
+    },
+    Some("""
+      WITH hosts AS (SELECT DISTINCT source,
+                            source || '.example.com' AS host FROM documents),
+      bodies AS (SELECT host,
+               CASE CAST(CAST(substring(source, 4) AS INT) % 3 AS INT)
+                 WHEN 0 THEN 'Sitemap: https://' || source || '.example.com/sitemap.xml' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /tmp' || chr(10) || 'SITEMAP: https://' || source || '.example.com/sitemap2.xml # index' || chr(10)
+                 WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /a' || chr(10) || chr(10) || 'sitemap: https://cdn.' || source || '.example.com/s.xml' || chr(10) || 'Sitemap: /relative.xml' || chr(10)
+                 ELSE 'User-agent: *' || chr(10) || 'Disallow: /' || chr(10) || '# no sitemaps here' || chr(10)
+               END AS body
+             FROM hosts),
+      lines AS (SELECT host, i, trim(regexp_replace(l, '#.*', '')) AS line
+             FROM (SELECT host,
+                          generate_subscripts(string_split(body, chr(10)), 1) AS i,
+                          unnest(string_split(body, chr(10))) AS l
+                   FROM bodies)),
+      sm AS (SELECT host, i,
+               trim(regexp_extract(line, '(?i)^sitemap:[ \t]*(.*)', 1)) AS u
+             FROM lines),
+      kept AS (SELECT host, i, u FROM sm
+               WHERE regexp_matches(u, '(?i)^https?://'))
+      SELECT host,
+             CAST(row_number() OVER (PARTITION BY host ORDER BY i) - 1 AS INT) AS entry_no,
+             u AS sitemap_url
+      FROM kept
+      ORDER BY host, entry_no"""))
+
   /** RAW request path for RFC matching: scheme/host split as in
     * [[UrlOps.urlHost]], query/fragment dropped, NO trailing-slash fold
     * (the RFC compares octets), and the site root is `/` (code-review
@@ -328,5 +407,5 @@ object Robots {
     .replace("@REQ@", reqCte).replace("@KEY@", keyCol)
     .replace("@AGENT@", agent)
 
-  val all: Seq[GraftQuery] = Seq(q180)
+  val all: Seq[GraftQuery] = Seq(q180, q201)
 }

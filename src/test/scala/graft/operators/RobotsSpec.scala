@@ -38,6 +38,23 @@ class RobotsSpec extends SparkSpec {
       ("h", "c", "disallow", "/y")), got.toString)
   }
 
+  test("sitemap directives: any position, any case, comments stripped, relative dropped") {
+    import spark.implicits._
+    val body =
+      "Sitemap: https://h/s1.xml\n" + // before any group
+        "User-agent: *\nDisallow: /x\n" +
+        "SITEMAP: https://h/s2.xml # trailing comment\n" + // in-group, cased
+        "sitemap: /relative.xml\n" + // relative -> dropped
+        "Sitemap:\n" + // empty -> dropped
+        "# Sitemap: https://h/commented.xml\n" // whole-line comment
+    val got = Robots.robotsSitemaps(
+        Seq(("h", body)).toDF("host", "body"), "host", "body")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toList.sortBy(_._2)
+    assert(got == List(("h", 0, "https://h/s1.xml"),
+      ("h", 1, "https://h/s2.xml")), got.toString)
+  }
+
   test("gate: specific group beats star, longest match wins, ties allow, no-rules allows") {
     import spark.implicits._
     val r = rules(
