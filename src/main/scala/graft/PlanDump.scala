@@ -64,7 +64,7 @@ object PlanDump {
     "q193_sitemap_parse", "q194_host_blocklist",
     "q194b_blocklist_roundtrip", "q196_cdc_chunks",
     "q197_main_content", "q198_feed_parse", "q199_chunk_store_dedup",
-    "q200_crawl_diff")
+    "q200_crawl_diff", "q201_robots_sitemaps", "q202_discovery_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -362,7 +362,9 @@ object ScaleProbe {
           // feed parse: stateless scan + bounded explode
           "q198_feed_parse",
           // snapshot diff: one url-keyed full-outer join + hosts agg
-          "q200_crawl_diff")
+          "q200_crawl_diff",
+          // robots sitemaps + discovery merge: scan + canonical agg
+          "q201_robots_sitemaps", "q202_discovery_merge")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out)

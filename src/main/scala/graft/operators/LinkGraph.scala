@@ -414,5 +414,96 @@ object LinkGraph {
       FROM rk WHERE rk <= 2
       ORDER BY host, rk"""))
 
-  val all: Seq[GraftQuery] = Seq(q184, q185, q186, q187, q191)
+  // ---------------------------------------------------------------- q202
+  // Discovery MERGE — the three channels (sitemaps q193, feeds q198,
+  // extracted links q184) folded into ONE seed table: the same
+  // resource announced in several places (and in several spellings —
+  // canonicalization folds case/www/port variants cross-channel) must
+  // become one seed row carrying its best provenance (sitemap beats
+  // feed beats link: explicitness order) and its announcement counts,
+  // which are themselves a priority signal for q191. One
+  // canonicalization projection + one hash-agg on the canonical key.
+  /** `seeds` = `(url, channel)` rows from any discovery source; emits
+    * `(canonical_url, best_channel, n_channels, n_seeds)`. */
+  def discoveryMerge(seeds: DataFrame): DataFrame = {
+    val rank = when(col("channel") === "sitemap", 1)
+      .when(col("channel") === "feed", 2)
+      .when(col("channel") === "link", 3)
+      .otherwise(4)
+    seeds
+      .withColumn("canonical_url", UrlOps.canonicalizeUrl(col("url")))
+      .filter(col("canonical_url").isNotNull)
+      .withColumn("__r", rank)
+      .groupBy(col("canonical_url"))
+      .agg(min(col("__r")).as("__br"),
+        countDistinct(col("channel")).as("n_channels"),
+        count(lit(1)).as("n_seeds"))
+      .select(col("canonical_url"),
+        when(col("__br") === 1, "sitemap")
+          .when(col("__br") === 2, "feed")
+          .when(col("__br") === 3, "link")
+          .otherwise("other").as("best_channel"),
+        col("n_channels"), col("n_seeds"))
+  }
+
+  private val q202 = GraftQuery(
+    "q202_discovery_merge",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val id = col("doc_id").cast("string")
+      val own = concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), id)
+      val sm = docs.filter(pmod(col("doc_id"), lit(9)) =!= 0)
+        .select(own.as("url"), lit("sitemap").as("channel"))
+      val fd = docs.select(
+        when(pmod(col("doc_id"), lit(3)) === 0, own)
+          .otherwise(concat(lit("https://"), col("source"),
+            lit(".example.com/alt/"), id)).as("url"),
+        lit("feed").as("channel"))
+      val lk = docs.select(
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("HTTPS://WWW."), col("source"),
+            lit(".Example.COM:443/p/"), id))
+          .otherwise(concat(lit("https://h"),
+            pmod(col("doc_id"), lit(31)).cast("string"),
+            lit(".example.org/p/"), id)).as("url"),
+        lit("link").as("channel"))
+      discoveryMerge(sm.unionAll(fd).unionAll(lk))
+        .orderBy(col("canonical_url"))
+    },
+    Some(s"""
+      WITH seeds AS (
+        SELECT 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+               'sitemap' AS channel
+        FROM documents WHERE doc_id % 9 <> 0
+        UNION ALL
+        SELECT CASE WHEN doc_id % 3 = 0
+                    THEN 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                    ELSE 'https://' || source || '.example.com/alt/' || CAST(doc_id AS VARCHAR) END,
+               'feed'
+        FROM documents
+        UNION ALL
+        SELECT CASE WHEN doc_id % 5 = 0
+                    THEN 'HTTPS://WWW.' || source || '.Example.COM:443/p/' || CAST(doc_id AS VARCHAR)
+                    ELSE 'https://h' || CAST(doc_id % 31 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) END,
+               'link'
+        FROM documents),
+      ${UrlOps.canonicalizeSqlFrom("seeds", Seq("channel"))},
+      agg AS (
+        SELECT canonical_url,
+               MIN(CASE channel WHEN 'sitemap' THEN 1 WHEN 'feed' THEN 2
+                    WHEN 'link' THEN 3 ELSE 4 END) AS br,
+               CAST(COUNT(DISTINCT channel) AS BIGINT) AS n_channels,
+               CAST(COUNT(*) AS BIGINT) AS n_seeds
+        FROM canon
+        WHERE canonical_url IS NOT NULL
+        GROUP BY canonical_url)
+      SELECT canonical_url,
+             CASE br WHEN 1 THEN 'sitemap' WHEN 2 THEN 'feed'
+                  WHEN 3 THEN 'link' ELSE 'other' END AS best_channel,
+             n_channels, n_seeds
+      FROM agg
+      ORDER BY canonical_url"""))
+
+  val all: Seq[GraftQuery] = Seq(q184, q185, q186, q187, q191, q202)
 }

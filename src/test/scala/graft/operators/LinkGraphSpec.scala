@@ -125,6 +125,24 @@ class LinkGraphSpec extends SparkSpec {
       ("h.org", "https://h.org/b", 1L, 2)), got.toString)
   }
 
+  test("discoveryMerge: spelling variants fold, best channel by explicitness, counts exact") {
+    import spark.implicits._
+    val seeds = Seq(
+      ("https://a.com/x", "link"),
+      ("HTTPS://WWW.A.com:443/x", "feed"), // same resource, messy form
+      ("https://a.com/x", "link"), // duplicate announcement
+      ("https://b.com/y", "sitemap"),
+      ("not a url", "feed")) // schemeless -> dropped
+      .toDF("url", "channel")
+    val got = LinkGraph.discoveryMerge(seeds)
+      .orderBy(col("canonical_url")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got == List(
+      ("https://a.com/x", "feed", 2L, 3L),
+      ("https://b.com/y", "sitemap", 1L, 1L)), got.toString)
+  }
+
   test("hostEdges: nofollow and self-references excluded, weights counted") {
     import spark.implicits._
     val l = Seq(
