@@ -474,6 +474,17 @@ object Extraction {
   // chunk; chunk_no keeps construction holes (empty tail segments
   // filtered, the q184 offset convention).
 
+  /** Trimmed direct inner text of the first `<tag …>…</tag>` element,
+    * NULL when absent/empty — the shared XML field extractor
+    * ([[Sitemaps]] loc/lastmod/…, [[Feeds]] title/link/…; hoisted,
+    * code-review r15x). `\b` after the tag name so `<loc…` never
+    * matches `<localized>`. */
+  private[operators] def tagText(entry: Column, tag: String): Column = {
+    val v = trim(regexp_extract(entry,
+      s"(?is)<$tag\\b[^>]*>([^<]*)</$tag>", 1))
+    when(v =!= "", v)
+  }
+
   private val CdcW = 8
   private val CdcDiv = 64
   // 131^7 .. 131^0 mod 2^20
@@ -584,7 +595,7 @@ object Extraction {
       // per-doc distinct sizes first (a doc repeating a chunk stores
       // it once)
       val perDoc = ch.groupBy(col("doc_id"), col("chunk_md5"))
-        .agg(count(lit(1)).as("n_occ"), min(col("n_chars")).as("clen"))
+        .agg(min(col("n_chars")).as("clen"))
       val owner = perDoc.groupBy(col("chunk_md5"))
         .agg(min(col("doc_id")).as("owner"), min(col("clen")).as("clen"))
       val novel = owner.groupBy(col("owner").as("doc_id"))
@@ -605,8 +616,7 @@ object Extraction {
         UNION ALL
         SELECT doc_id + 1000000000, 'EDIT: ' || text FROM documents),
       ${cdcSqlFrom("src")},
-      perdoc AS (SELECT doc_id, chunk_md5, COUNT(*) AS n_occ,
-                        MIN(n_chars) AS clen
+      perdoc AS (SELECT doc_id, chunk_md5, MIN(n_chars) AS clen
                  FROM chunks GROUP BY doc_id, chunk_md5),
       owner AS (SELECT chunk_md5, MIN(doc_id) AS owner, MIN(clen) AS clen
                 FROM perdoc GROUP BY chunk_md5),

@@ -37,10 +37,8 @@ object Feeds {
     "(?i)\\b([0-9]{1,2}) (Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) ([0-9]{4})\\b"
   private val IsoRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2}"
 
-  private def inner(entry: Column, tag: String): Column = {
-    val v = trim(regexp_extract(entry, s"(?is)<$tag[^>]*>([^<]*)</$tag>", 1))
-    when(v =!= "", v)
-  }
+  private def inner(entry: Column, tag: String): Column =
+    Extraction.tagText(entry, tag)
 
   private def firstNonEmpty(a: Column, b: Column): Column =
     when(a.isNotNull && a =!= "", a).otherwise(when(b.isNotNull, b))
@@ -159,16 +157,16 @@ object Feeds {
                unnest(entries) AS entry
              FROM ex),
       fx AS (SELECT doc_id, entry_no, kind,
-               NULLIF(trim(regexp_extract(entry, '(?is)<title[^>]*>([^<]*)</title>', 1)), '') AS title,
+               NULLIF(trim(regexp_extract(entry, '(?is)<title\\b[^>]*>([^<]*)</title>', 1)), '') AS title,
                COALESCE(
                  NULLIF(regexp_extract(entry, '(?is)<link\\b[^>]*\\bhref\\s*=\\s*"([^"]*)"', 1), ''),
-                 NULLIF(trim(regexp_extract(entry, '(?is)<link[^>]*>([^<]*)</link>', 1)), '')) AS link,
+                 NULLIF(trim(regexp_extract(entry, '(?is)<link\\b[^>]*>([^<]*)</link>', 1)), '')) AS link,
                COALESCE(
-                 NULLIF(trim(regexp_extract(entry, '(?is)<pubDate[^>]*>([^<]*)</pubDate>', 1)), ''),
-                 NULLIF(trim(regexp_extract(entry, '(?is)<updated[^>]*>([^<]*)</updated>', 1)), '')) AS ts_raw,
+                 NULLIF(trim(regexp_extract(entry, '(?is)<pubDate\\b[^>]*>([^<]*)</pubDate>', 1)), ''),
+                 NULLIF(trim(regexp_extract(entry, '(?is)<updated\\b[^>]*>([^<]*)</updated>', 1)), '')) AS ts_raw,
                COALESCE(
-                 NULLIF(trim(regexp_extract(entry, '(?is)<guid[^>]*>([^<]*)</guid>', 1)), ''),
-                 NULLIF(trim(regexp_extract(entry, '(?is)<id[^>]*>([^<]*)</id>', 1)), '')) AS guid
+                 NULLIF(trim(regexp_extract(entry, '(?is)<guid\\b[^>]*>([^<]*)</guid>', 1)), ''),
+                 NULLIF(trim(regexp_extract(entry, '(?is)<id\\b[^>]*>([^<]*)</id>', 1)), '')) AS guid
              FROM ee)
       SELECT doc_id, entry_no, kind, title, link, ts_raw,
              CASE WHEN regexp_matches(substr(ts_raw, 1, 10), '^[0-9]{4}-[0-9]{2}-[0-9]{2}')

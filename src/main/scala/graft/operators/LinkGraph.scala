@@ -129,12 +129,8 @@ object LinkGraph {
           .as("token"))
       .groupBy(col("dst_host"), col("token"))
       .agg(count(lit(1)).as("cnt"))
-    val top = graft.plans.TopKPerKey.topK(counts, Seq(col("dst_host")),
+    rankedTopK(counts, col("dst_host"),
       Seq(col("cnt").desc, col("token")), k)
-    top.withColumn("rk",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("dst_host"))
-        .orderBy(col("cnt").desc, col("token"))).cast("int"))
   }
 
   // ------------------------------------------------------- fixture HTML
@@ -210,7 +206,10 @@ object LinkGraph {
                 AND (regexp_matches(href, '(?i)^https?://')
                      OR NOT regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:'))
                 AND (NOT regexp_matches(href, '(?i)^https?://')
-                     OR regexp_extract(href, '(?i)^https?://([^/:?#]*)', 1) <> ''))"""
+                     -- POST-strip emptiness, mirroring Spark's
+                     -- dst_host <> '' filter (an href host of bare
+                     -- 'www.' strips to empty — code-review r15x)
+                     OR regexp_replace(lower(regexp_extract(href, '(?i)^https?://([^/:?#]*)', 1)), '^www\\.', '') <> ''))"""
 
   private def fixtureLinks(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
@@ -327,18 +326,31 @@ object LinkGraph {
       .groupBy(col("canonical_url"))
       .agg(count(lit(1)).as("n_inlinks"))
     val fresh = cand.join(crawled, Seq("canonical_url"), "left_anti")
+    // host key via hostOfCanonical, NOT urlHost: the candidate URL is
+    // already canonical (one www. stripped); urlHost would strip a
+    // second www. and disagree with hostProfile's v:-keyed budget
+    // (the UrlOps ADVICE-r13 invariant; code-review r15x). The robots
+    // gate itself keys on urlHost internally — correct for its raw-url
+    // q180 use; on canonical input the difference surfaces only for
+    // raw www.www.* hosts, documented there.
     val allowed = Robots.robotsGate(fresh, "canonical_url",
         "canonical_url", robotsRules, agent)
-      .withColumn("host", UrlOps.urlHost(col("canonical_url")))
-    val top = graft.plans.TopKPerKey.topK(allowed, Seq(col("host")),
+      .withColumn("host", UrlOps.hostOfCanonical(col("canonical_url")))
+    rankedTopK(allowed, col("host"),
       Seq(col("n_inlinks").desc, col("canonical_url")), perHost)
-    top.withColumn("rk",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("host"))
-          .orderBy(col("n_inlinks").desc, col("canonical_url"))).cast("int"))
       .select(col("host"), col("canonical_url").as("url"),
         col("n_inlinks"), col("rk"))
   }
+
+  /** topK + a rank column, ONE ordering definition for both the
+    * bounded heap and the row_number window (they must never drift —
+    * code-review r15x). */
+  private def rankedTopK(df: DataFrame, key: Column,
+      order: Seq[Column], k: Int): DataFrame =
+    graft.plans.TopKPerKey.topK(df, Seq(key), order, k)
+      .withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(key).orderBy(order: _*)).cast("int"))
 
   private def frontierRobotsBodies(
       s: org.apache.spark.sql.SparkSession): DataFrame = {
@@ -395,15 +407,19 @@ object LinkGraph {
                  lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
                  regexp_extract(regexp_replace(regexp_replace(rest, '^[^/?#]*', ''), '#.*$$', ''), '^([^?]*)', 1) AS p
                FROM req0),
-      -- host/path exactly as robotsAudit derives them (urlHost +
-      -- rawPath): port dropped, ONE leading www. stripped, query and
-      -- fragment dropped, site root is '/'
+      -- MATCH host exactly as robotsAudit's urlHost derives it (port
+      -- dropped, one www. stripped — the gate's own key); the OUTPUT
+      -- host is computed separately below as hostOfCanonical (no
+      -- re-strip on canonical input). path as rawPath: query/fragment
+      -- dropped, site root is '/'
       req AS (SELECT canonical_url, n_inlinks,
                 regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''), '^www\\.', '') AS host,
                 CASE WHEN p = '' THEN '/' ELSE p END AS path
               FROM req1),
       ${Robots.robotsEvalSqlFrom("req", "canonical_url", "graftbot")},
-      ok AS (SELECT v.canonical_url, v.host, r.n_inlinks
+      ok AS (SELECT v.canonical_url,
+               regexp_replace(regexp_extract(regexp_replace(v.canonical_url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1), ':[0-9]+$$', '') AS host,
+               r.n_inlinks
              FROM verdict v JOIN req r USING (canonical_url)
              WHERE v.allowed),
       rk AS (SELECT host, canonical_url AS url, n_inlinks,

@@ -37,10 +37,8 @@ object Sitemaps {
   private val PriorityRe = "^(0(\\.[0-9]+)?|1(\\.0+)?)$"
   private val DateShapeRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2}"
 
-  private def inner(entry: Column, tag: String): Column = {
-    val v = trim(regexp_extract(entry, s"(?is)<$tag>([^<]*)</$tag>", 1))
-    when(v =!= "", v)
-  }
+  private def inner(entry: Column, tag: String): Column =
+    Extraction.tagText(entry, tag)
 
   /** One row per kept entry: `(idCol, entry_no, kind, loc, lastmod_raw,
     * lastmod, changefreq, priority)`. */
@@ -134,10 +132,10 @@ object Sitemaps {
                unnest(entries) AS entry
              FROM ex),
       fx AS (SELECT doc_id, entry_no, kind,
-               NULLIF(trim(regexp_extract(entry, '(?is)<loc>([^<]*)</loc>', 1)), '') AS loc,
-               NULLIF(trim(regexp_extract(entry, '(?is)<lastmod>([^<]*)</lastmod>', 1)), '') AS lastmod_raw,
-               NULLIF(lower(trim(regexp_extract(entry, '(?is)<changefreq>([^<]*)</changefreq>', 1))), '') AS changefreq,
-               NULLIF(trim(regexp_extract(entry, '(?is)<priority>([^<]*)</priority>', 1)), '') AS prio
+               NULLIF(trim(regexp_extract(entry, '(?is)<loc\\b[^>]*>([^<]*)</loc>', 1)), '') AS loc,
+               NULLIF(trim(regexp_extract(entry, '(?is)<lastmod\\b[^>]*>([^<]*)</lastmod>', 1)), '') AS lastmod_raw,
+               NULLIF(lower(trim(regexp_extract(entry, '(?is)<changefreq\\b[^>]*>([^<]*)</changefreq>', 1))), '') AS changefreq,
+               NULLIF(trim(regexp_extract(entry, '(?is)<priority\\b[^>]*>([^<]*)</priority>', 1)), '') AS prio
              FROM ee)
       SELECT doc_id, entry_no, kind, loc, lastmod_raw,
              CASE WHEN regexp_matches(substr(lastmod_raw, 1, 10), '^[0-9]{4}-[0-9]{2}-[0-9]{2}')

@@ -64,7 +64,7 @@ object UrlOps {
     * The two operators now provably share one host key: for any raw
     * host h, host-of-canonical(h) == urlHost(h). Non-default explicit
     * ports survive canonicalization and are still removed here. */
-  private def hostOfCanonical(canonUrl: Column): Column =
+  private[operators] def hostOfCanonical(canonUrl: Column): Column =
     regexp_replace(
       regexp_extract(regexp_replace(canonUrl, SchemeRe, ""), "^([^/?#]*)", 1),
       ":[0-9]+$", "")
