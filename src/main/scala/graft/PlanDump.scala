@@ -64,7 +64,13 @@ object PlanDump {
     "q193_sitemap_parse", "q194_host_blocklist",
     "q194b_blocklist_roundtrip", "q196_cdc_chunks",
     "q197_main_content", "q198_feed_parse", "q199_chunk_store_dedup",
-    "q200_crawl_diff", "q201_robots_sitemaps", "q202_discovery_merge")
+    "q200_crawl_diff", "q201_robots_sitemaps", "q202_discovery_merge",
+    // round 16 (the file round-trips q177b/q195/q203/q203b and the
+    // checkpointed q207 are eager-driver — excluded; the
+    // stateless/scan/agg-class additions are audited here)
+    "q204_http_chunked", "q205_charset_transcode",
+    "q206_robots_crawl_delay", "q206b_frontier_delay",
+    "q208_discovery_admit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

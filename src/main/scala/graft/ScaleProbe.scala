@@ -374,6 +374,33 @@ object ScaleProbe {
         val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         println(s"""{"metric":"scaleprobe-r15links","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
 
+      case "r16ops" =>
+        // round-16 additions at probe decades: byte-true WARC round
+        // trips (write → plain/gzip re-frame → latin-1-transport parse
+        // — linear in BYTES, framing parallelism per part file),
+        // chunked HTTP de-chunk (per-row bounded fold, linear in chunk
+        // count), charset transcode (stateless translate/decode
+        // projection), crawl-delay parse + the budgeted frontier
+        // (hosts-sized windows + the q191 candidate agg), sitemap tree
+        // resolve (one parse + 2 entries-sized self-joins), and
+        // incremental discovery admission (two half-corpus states +
+        // one fold agg ≈ the q202 cost + one extra hash-agg).
+        val out = scaledDocsDir(spark, src, copies)
+        val names = Seq("q195_warc_sink_roundtrip",
+          "q203_warc_utf8_roundtrip", "q203b_warc_gz_roundtrip",
+          "q204_http_chunked", "q205_charset_transcode",
+          "q206_robots_crawl_delay", "q206b_frontier_delay",
+          "q207_sitemap_tree", "q208_discovery_admit",
+          "q93d_crawl_chain_http")
+        val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
+        val times = names.map { name =>
+          val (_, t) = timed(SparkEntry.queries(name)(spark, out)
+            .write.format("noop").mode("overwrite").save())
+          name -> t
+        }
+        val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        println(s"""{"metric":"scaleprobe-r16ops","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
+
       case "bpestored" =>
         // The stored-tokenizer payoff (VERDICT r14 next #5): learn once
         // and WRITE the artifact, then time the probe-side encode that

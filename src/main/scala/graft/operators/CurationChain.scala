@@ -236,32 +236,17 @@ object CurationChain {
       spanK: Int = 0): DataFrame =
     crawlChainHttpStaged(docs, targetDocs, spanK, probe = None)
 
-  private val CRLF = "\r\n"
-
-  /** q93d fixture record: WARC response whose body is an HTTP message
-    * (404s on %4=1, text/plain on %5=2) whose payload is the q93c HTML
-    * ([[Warc.crawlHtml]]), with the %7 `/ads/` path rotation in the
-    * WARC target URI. */
-  private def crawlHttpRecord(): Column = {
-    val html = Warc.crawlHtml()
-    val statusLine = when(pmod(col("doc_id"), lit(4)) === 1,
-      lit("HTTP/1.1 404 Not Found")).otherwise(lit("HTTP/1.1 200 OK"))
-    val ct = when(pmod(col("doc_id"), lit(5)) === 2, lit("text/plain"))
-      .otherwise(lit("text/html; charset=utf-8"))
-    val msg = concat(statusLine, lit(CRLF),
-      lit("Content-Type: "), ct, lit(CRLF),
-      lit("Content-Length: "), length(html).cast("string"),
-      lit(CRLF + CRLF), html)
-    val uri = concat(lit("http://"), col("source"), lit(".example.com"),
-      when(pmod(col("doc_id"), lit(7)) === 0, lit("/ads/"))
-        .otherwise(lit("/doc/")),
-      col("doc_id").cast("string"))
-    concat(lit("WARC/1.0" + CRLF),
-      lit("WARC-Type: response" + CRLF),
-      lit("WARC-Target-URI: "), uri, lit(CRLF),
-      lit("Content-Length: "), length(msg).cast("string"),
-      lit(CRLF + CRLF), msg, lit(CRLF + CRLF))
-  }
+  /** q93d fixture record: the SHARED [[Http.withCrawlHttpRecord]]
+    * builder (404s on %4=1, text/plain on %5=2, chunked transfer on
+    * %3=0 — the de-chunk stage rides the chain transparently) with the
+    * %7 `/ads/` path rotation in the WARC target URI (this chain's own
+    * path-gate subject; q188b keeps plain `/doc/`). */
+  private def withCrawlHttpRecord(docs: DataFrame): DataFrame =
+    Http.withCrawlHttpRecord(docs,
+      concat(lit("http://"), col("source"), lit(".example.com"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("/ads/"))
+          .otherwise(lit("/doc/")),
+        col("doc_id").cast("string")))
 
   private[graft] def crawlChainHttpStaged(docs: DataFrame,
       targetDocs: Long, spanK: Int,
@@ -270,7 +255,7 @@ object CurationChain {
       probe.foreach(_(name, df)); df
     }
     val bodies = tap("warc_parse", Warc.warcBodies(
-      docs.withColumn("rec", crawlHttpRecord()), "doc_id", "rec",
+      withCrawlHttpRecord(docs), "doc_id", "rec",
       keep = Seq("source")))
     val pages = tap("http_gate", Http.httpPayloads(bodies, "doc_id",
       "body", keep = Seq("source", "target_uri")))

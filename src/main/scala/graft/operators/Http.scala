@@ -28,6 +28,19 @@ import graft.sources.Tables
   * the length is mandatory. `content_type` is the media type
   * lowercased with parameters dropped; `charset` comes from the
   * Content-Type parameter (optionally quoted), lowercased.
+  *
+  * `Transfer-Encoding: chunked` (RFC 9112 §7.1 — routine in real crawl
+  * response records; VERDICT r15 next #3): when the final
+  * transfer-coding is `chunked`, the payload is DE-CHUNKED by
+  * [[dechunk]] (a bounded codegen fold — size-line hex parse, length
+  * jump over chunk data, repeat; chunk extensions skipped, the
+  * trailer section after the 0-chunk ignored) and `Content-Length` is
+  * ignored per §6.3 rule 3. A malformed chunk stream (bad size line,
+  * truncated chunk data, missing data CRLF) refuses the WHOLE payload
+  * to NULL — a half-dechunked body is corruption, not data. Chunk
+  * sizes count in the column's unit (bytes under the [[Warc]] latin-1
+  * transport; chars for in-plan fixtures, where builder and parser
+  * agree by construction).
   */
 object Http {
 
@@ -41,6 +54,50 @@ object Http {
   private def nullIfEmpty(c: Column): Column =
     when(c === "", lit(null).cast("string")).otherwise(c)
 
+  /** De-chunk a `Transfer-Encoding: chunked` body (RFC 9112 §7.1):
+    * `*( chunk-size [chunk-ext] CRLF chunk-data CRLF ) 0 [ext] CRLF
+    * trailer CRLF`. A bounded `aggregate` fold (the q192 doubling-
+    * closure discipline — the step count is capped by the body's
+    * CRLF-delimited line count, since every chunk consumes at least
+    * its size line); a higher-order function evaluates interpreted
+    * but stays on Tungsten rows — no UDF/serde boundary, and only
+    * chunked rows pay (the CaseWhen branch is lazy). Returns the
+    * concatenated chunk data, or NULL when the stream is malformed
+    * (non-hex size line, missing CRLF, truncated chunk data, missing
+    * data terminator) — refusal, never a half body. */
+  private[operators] def dechunk(body: Column): Column = {
+    def st(p: Column, out: Column, ok: Column, done: Column): Column =
+      struct(p.cast("int").as("p"), out.as("out"),
+        ok.as("ok"), done.as("done"))
+    val steps = sequence(lit(1), greatest(size(split(body, CRLF)), lit(1)))
+    val folded = aggregate(steps,
+      st(lit(1), lit(""), lit(true), lit(false)),
+      (acc, _) => {
+        val p = acc.getField("p")
+        val out = acc.getField("out")
+        val rest = body.substr(p, length(body) - p + 1)
+        val line = substring_index(rest, CRLF, 1)
+        // ≤ 7 hex digits: a 268 MB chunk bound (real chunks are KBs);
+        // keeps the size arithmetic in int range
+        val hex = regexp_extract(line,
+          "^([0-9A-Fa-f]{1,7})(;[^\\r\\n]*)?$", 1)
+        val sz = conv(hex, 16, 10).cast("int")
+        val dataStart = p + length(line) + lit(2)
+        val chunk = body.substr(dataStart, sz)
+        val term = body.substr(dataStart + sz, lit(2))
+        when(acc.getField("done") || !acc.getField("ok"), acc)
+          .when(hex === "" || !rest.contains(CRLF),
+            st(p, out, lit(false), lit(false)))
+          .when(sz === 0, st(p, out, lit(true), lit(true)))
+          .when(length(chunk) < sz || term =!= CRLF,
+            st(p, out, lit(false), lit(false)))
+          .otherwise(st(dataStart + sz + lit(2), concat(out, chunk),
+            lit(true), lit(false)))
+      })
+    when(folded.getField("ok") && folded.getField("done"),
+      folded.getField("out"))
+  }
+
   /** Shared parse columns: (version, status, reason, sep, hdr,
     * content_length, payload). */
   private def parsed(msg: Column): (Column, Column, Column, Column,
@@ -53,10 +110,17 @@ object Http {
     val hdr = substring_index(msg, CRLF + CRLF, 1)
     val clRaw = Warc.field(hdr, "Content-Length")
     val contentLength = when(clRaw.rlike("^[0-9]{1,18}$"), clRaw.cast("long"))
+    // chunked iff the FINAL transfer-coding is chunked (§6.3 rule 3;
+    // e.g. "gzip, chunked" — intermediate codings stay undecoded, a
+    // documented non-goal for archived records)
+    val te = Warc.field(hdr, "Transfer-Encoding")
+    val isChunked = te.isNotNull &&
+      lower(trim(te)).rlike("(^|,\\s*)chunked$")
     val payloadRaw = when(sep >= 1, msg.substr(sep + lit(4), length(msg)))
-    val payload = when(contentLength.isNotNull,
-      payloadRaw.substr(lit(1),
-        least(contentLength, length(payloadRaw).cast("long")).cast("int")))
+    val payload = when(isChunked, dechunk(payloadRaw))
+      .when(contentLength.isNotNull,
+        payloadRaw.substr(lit(1),
+          least(contentLength, length(payloadRaw).cast("long")).cast("int")))
       .otherwise(payloadRaw) // close-delimited: the rest IS the body
     (version, status, reason, sep, hdr, contentLength, payload)
   }
@@ -228,34 +292,67 @@ object Http {
   // [[Warc.warcBodies]] → HTTP parse + gate (200, text/html) →
   // [[Extraction.htmlText]] — the layer q93c's fixture skipped (its
   // WARC bodies were bare HTML; real crawl bodies are HTTP messages).
-  // Fixture: WELL-FORMED WARC records (framing bail-outs are q177's
-  // subject) whose bodies are HTTP responses wrapping the q93c HTML,
-  // with a 404 rotation (%4=1) and a text/plain rotation (%5=2) that
-  // the gate must drop. The oracle reconstructs the SURVIVOR set
-  // arithmetically and replays the html→text cascade on the same
-  // reconstructed HTML (the q93c discipline).
-  private def chainRecord(): Column = {
-    val html = Warc.crawlHtml()
+  // Fixture: [[crawlHttpRecord]] — WELL-FORMED WARC records (framing
+  // bail-outs are q177's subject) whose bodies are HTTP responses
+  // wrapping the q93c HTML, with a 404 rotation (%4=1), a text/plain
+  // rotation (%5=2) that the gate must drop, and a CHUNKED transfer
+  // rotation (%3=0) the de-chunk stage must make transparent. The
+  // oracle reconstructs the SURVIVOR set arithmetically and replays
+  // the html→text cascade on the same reconstructed HTML (the q93c
+  // discipline) — it never sees the chunk framing, so any de-chunk
+  // drift breaks the hash.
+
+  /** ONE shared HTTP-in-WARC fixture builder for q188b and the q93d
+    * chain (ADVICE r16: the two near-verbatim copies could silently
+    * drift): adds a `rec` column — WARC `response` wrapping an HTTP
+    * message wrapping [[Warc.crawlHtml]]; rotations — %4=1 404, %5=2
+    * text/plain, %3=0 `Transfer-Encoding: chunked` (two chunks split
+    * at char 7, a chunk extension on the first, lowercase hex sizes).
+    * Callers pass the target-URI column (q93d rotates `/ads/` paths;
+    * q188b keeps `/doc/`). In-plan char domain: chunk sizes and
+    * Content-Length count chars, the unit the in-plan parser slices
+    * by. STAGED through intermediate projections (`__html`, `__msg`)
+    * so the html expression is referenced as an attribute, not
+    * re-inlined ~12× — the unstaged form blew whole-stage codegen past
+    * Janino's limits and fell back to interpretation. */
+  private[operators] def withCrawlHttpRecord(df: DataFrame,
+      uri: Column): DataFrame = {
+    val html = col("__html")
     val statusLine = when(pmod(col("doc_id"), lit(4)) === 1,
       lit("HTTP/1.1 404 Not Found")).otherwise(lit("HTTP/1.1 200 OK"))
     val ct = when(pmod(col("doc_id"), lit(5)) === 2, lit("text/plain"))
       .otherwise(lit("text/html; charset=utf-8"))
+    val chunked = pmod(col("doc_id"), lit(3)) === 0
+    val c1 = substring(html, 1, 7)
+    val c2 = html.substr(lit(8), length(html))
+    val chunkedBody = concat(
+      lower(conv(length(c1).cast("string"), 10, 16)), lit(";x=1" + CRLF),
+      c1, lit(CRLF),
+      lower(conv(length(c2).cast("string"), 10, 16)), lit(CRLF),
+      c2, lit(CRLF), lit("0" + CRLF + CRLF))
+    val framing = when(chunked, lit("Transfer-Encoding: chunked" + CRLF))
+      .otherwise(concat(lit("Content-Length: "),
+        length(html).cast("string"), lit(CRLF)))
     val msg = concat(statusLine, lit(CRLF),
       lit("Content-Type: "), ct, lit(CRLF),
-      lit("Content-Length: "), length(html).cast("string"),
-      lit(CRLF + CRLF), html)
-    concat(lit("WARC/1.0" + CRLF),
-      lit("WARC-Type: response" + CRLF),
-      lit("WARC-Target-URI: http://"), col("source"),
-      lit(".example.com/doc/"), col("doc_id").cast("string"), lit(CRLF),
-      lit("Content-Length: "), length(msg).cast("string"),
-      lit(CRLF + CRLF), msg, lit(CRLF + CRLF))
+      framing, lit(CRLF),
+      when(chunked, chunkedBody).otherwise(html))
+    df.withColumn("__html", Warc.crawlHtml())
+      .withColumn("__msg", msg)
+      .withColumn("rec", concat(lit("WARC/1.0" + CRLF),
+        lit("WARC-Type: response" + CRLF),
+        lit("WARC-Target-URI: "), uri, lit(CRLF),
+        lit("Content-Length: "), length(col("__msg")).cast("string"),
+        lit(CRLF + CRLF), col("__msg"), lit(CRLF + CRLF)))
+      .drop("__html", "__msg")
   }
 
   private val q188b = GraftQuery(
     "q188b_http_chain",
     (s, dir) => {
-      val records = Tables.documents(s, dir).withColumn("rec", chainRecord())
+      val records = withCrawlHttpRecord(Tables.documents(s, dir),
+        concat(lit("http://"), col("source"),
+          lit(".example.com/doc/"), col("doc_id").cast("string")))
       val bodies = Warc.warcBodies(records, "doc_id", "rec")
       val pages = httpPayloads(bodies, "doc_id", "body",
         keep = Seq("target_uri"))
@@ -280,5 +377,161 @@ object Http {
       FROM xt
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q188, q188b)
+  // ------------------------------------------------------- transcode
+  /** The windows-1252 0x80–0x9F graphical block (the 27 code points
+    * where cp1252 differs from ISO-8859-1; the 5 undefined bytes pass
+    * through as their C1 controls, matching the JDK decoder). */
+  private val Cp1252From =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008A" +
+    "\u008B\u008C\u008E\u0091\u0092\u0093\u0094\u0095\u0096\u0097" +
+    "\u0098\u0099\u009A\u009B\u009C\u009E\u009F"
+  private val Cp1252To =
+    "€‚ƒ„…†‡ˆ‰Š" +
+    "‹ŒŽ‘’“”•–—" +
+    "˜™š›œžŸ"
+
+  /** Charset TRANSCODE stage (VERDICT r15 next #4 — q164's encoding
+    * audit detects, this converts): `payload` is a BYTE-TRANSPORT
+    * string (each char one original byte — the [[Warc.warcParseBytes]]
+    * latin-1 convention); the result is real text per the declared
+    * `charset`. The three charsets that matter on the real web:
+    *   - utf-8 (also the absent-charset crawl default): re-encode the
+    *     transport chars to their bytes, validate, reinterpret —
+    *     invalid UTF-8 refuses to NULL (never mojibake);
+    *   - iso-8859-1: the transport decode IS the text (latin-1 chars
+    *     are their own code points) — identity;
+    *   - windows-1252: latin-1 plus the 0x80–0x9F graphical block —
+    *     one codegen `translate` over [[Cp1252From]];
+    * any other declared charset refuses to NULL (unknown-charset
+    * refusal semantics — a wrongly-decoded corpus is worse than a
+    * dropped page). All codegen'd; zero UDFs; no shuffle. */
+  def transcode(payload: Column, charset: Column): Column = {
+    val cs = lower(coalesce(charset, lit("utf-8")))
+    val bytes = encode(payload, "ISO-8859-1") // exact original bytes
+    val utf8 = when(is_valid_utf8(bytes.cast("string")),
+      bytes.cast("string"))
+    when(cs.isin("utf-8", "utf8", "us-ascii", "ascii"), utf8)
+      .when(cs.isin("iso-8859-1", "iso8859-1", "latin-1", "latin1"),
+        payload)
+      .when(cs.isin("windows-1252", "cp1252"),
+        translate(payload, Cp1252From, Cp1252To))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  // ---------------------------------------------------------------- q205
+  // The transcode stage as a declared operator (construction⊗parse:
+  // the oracle recomputes the expected DECODED text per rotation with
+  // DuckDB code-point arithmetic). The fixture builds byte-transport
+  // payloads in-plan: utf-8 rows carry the corpus text's real UTF-8
+  // bytes viewed as latin-1 chars (the decode∘encode round through the
+  // byte domain), 8859-1 rows carry accented latin-1 bytes, cp1252
+  // rows carry 0x80-block bytes (€ “ ™ …), and %7=0 rows declare
+  // shift_jis — the unknown-charset refusal.
+  private def transportFixture(): (Column, Column) = {
+    val m3 = pmod(col("doc_id"), lit(3))
+    val unknown = pmod(col("doc_id"), lit(7)) === 0
+    val stem = concat(lit("doc "), col("doc_id").cast("string"), lit(" "))
+    val cs = when(unknown, lit("shift_jis"))
+      .when(m3 === 0, lit("utf-8"))
+      .when(m3 === 1, lit("iso-8859-1"))
+      .otherwise(lit("WINDOWS-1252")) // case-folds in the stage
+    val transport = when(m3 === 0,
+        decode(encode(concat(col("text"), lit(" café")), "UTF-8"),
+          "ISO-8859-1"))
+      .when(m3 === 1, concat(stem, lit("naïve élève")))
+      .otherwise(concat(stem, lit("\u0080\u0093\u0099\u0085")))
+    (cs, transport)
+  }
+
+  private val q205 = GraftQuery(
+    "q205_charset_transcode",
+    (s, dir) => {
+      val (cs, transport) = transportFixture()
+      Tables.documents(s, dir)
+        .select(col("doc_id"), cs.as("charset"), transport.as("payload"))
+        .withColumn("__text", transcode(col("payload"), col("charset")))
+        .select(col("doc_id"), lower(col("charset")).as("charset"),
+          length(col("__text")).cast("long").as("n_chars"),
+          md5(col("__text")).as("text_md5"),
+          col("__text").isNotNull.as("decoded"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'shift_jis'
+                    WHEN doc_id % 3 = 0 THEN 'utf-8'
+                    WHEN doc_id % 3 = 1 THEN 'iso-8859-1'
+                    ELSE 'windows-1252' END AS charset,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    WHEN doc_id % 3 = 0 THEN text || ' caf' || chr(233)
+                    WHEN doc_id % 3 = 1 THEN 'doc ' || CAST(doc_id AS VARCHAR) || ' na' || chr(239) || 've ' || chr(233) || 'l' || chr(232) || 've'
+                    ELSE 'doc ' || CAST(doc_id AS VARCHAR) || ' ' || chr(8364) || chr(8220) || chr(8482) || chr(8230) END AS expected
+        FROM documents)
+      SELECT doc_id, charset,
+             CAST(len(expected) AS BIGINT) AS n_chars,
+             md5(expected) AS text_md5,
+             expected IS NOT NULL AS decoded
+      FROM x
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q204
+  // Chunked transfer de-chunking as its own declared operator (VERDICT
+  // r15 next #3; the q177 construction⊗parse convention — the oracle
+  // recomputes expected fields from the construction arithmetic, so a
+  // builder bug and a de-chunk bug both break the hash). Rotations:
+  //   %3=0  two chunks split at char 7, chunk extension on the first,
+  //         lowercase hex sizes;
+  //   %3=1  one chunk + a TRAILER section after the 0-chunk (must be
+  //         ignored), uppercase hex size, and on %5=0 a lowercase
+  //         `transfer-encoding` field name + a `gzip, chunked` coding
+  //         list (final coding chunked → de-chunk applies; the gzip
+  //         coding stays undecoded, the documented archived-record
+  //         non-goal — fixture data is plain);
+  //   %3=2  TRUNCATED: the size line declares 5 more chars than are
+  //         present — the whole payload must refuse to NULL.
+  private def chunkedMsg(): Column = {
+    val text = col("text")
+    val m3 = pmod(col("doc_id"), lit(3))
+    val c1 = substring(text, 1, 7)
+    val c2 = text.substr(lit(8), length(text))
+    val body = when(m3 === 0, concat(
+        lower(conv(length(c1).cast("string"), 10, 16)), lit(";ext=v" + CRLF),
+        c1, lit(CRLF),
+        lower(conv(length(c2).cast("string"), 10, 16)), lit(CRLF),
+        c2, lit(CRLF), lit("0" + CRLF + CRLF)))
+      .when(m3 === 1, concat(
+        conv(length(text).cast("string"), 10, 16), lit(CRLF),
+        text, lit(CRLF),
+        lit("0" + CRLF + "X-Trailer: v" + CRLF + CRLF)))
+      .otherwise(concat(
+        conv((length(text) + 5).cast("string"), 10, 16), lit(CRLF), text))
+    val teName = when(pmod(col("doc_id"), lit(5)) === 0,
+      lit("transfer-encoding")).otherwise(lit("Transfer-Encoding"))
+    val teVal = when(m3 === 1 && pmod(col("doc_id"), lit(5)) === 0,
+      lit("gzip, chunked")).otherwise(lit("chunked"))
+    concat(lit("HTTP/1.1 200 OK" + CRLF),
+      lit("Content-Type: text/html" + CRLF),
+      teName, lit(": "), teVal, lit(CRLF + CRLF), body)
+  }
+
+  private val q204 = GraftQuery(
+    "q204_http_chunked",
+    (s, dir) => httpParse(
+        Tables.documents(s, dir).withColumn("msg", chunkedMsg()),
+        "doc_id", "msg")
+      .select(col("doc_id"), col("status"), col("content_type"),
+        col("payload_len"), col("payload_md5"), col("valid"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             200 AS status,
+             'text/html' AS content_type,
+             CASE WHEN doc_id % 3 <> 2 THEN CAST(len(text) AS BIGINT) END AS payload_len,
+             CASE WHEN doc_id % 3 <> 2 THEN md5(text) END AS payload_md5,
+             TRUE AS valid
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q188, q188b, q204, q205)
 }

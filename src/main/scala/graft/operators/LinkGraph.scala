@@ -314,11 +314,11 @@ object LinkGraph {
   // sides keyed); robots rules are hosts-sized (broadcast); the budget
   // is a bounded heap per host — no per-host sort, no corpus shuffle
   // beyond the candidate agg.
-  /** Next-batch selection: `(host, url, n_inlinks, rk)`, at most
-    * `perHost` rows per host, priority = in-link count (link ROWS, not
-    * distinct sources), ties broken by url. */
-  def crawlFrontier(links: DataFrame, crawled: DataFrame,
-      robotsRules: DataFrame, agent: String, perHost: Int): DataFrame = {
+  /** The shared frontier pipeline up to the per-host budget:
+    * candidates (one hash-agg) → crawled anti-join → robots gate →
+    * host key. */
+  private def allowedCandidates(links: DataFrame, crawled: DataFrame,
+      robotsRules: DataFrame, agent: String): DataFrame = {
     val cand = links.filter(!col("nofollow"))
       .withColumn("canonical_url",
         UrlOps.canonicalizeUrl(col("dst_url")))
@@ -333,13 +333,47 @@ object LinkGraph {
     // gate itself keys on urlHost internally — correct for its raw-url
     // q180 use; on canonical input the difference surfaces only for
     // raw www.www.* hosts, documented there.
-    val allowed = Robots.robotsGate(fresh, "canonical_url",
+    Robots.robotsGate(fresh, "canonical_url",
         "canonical_url", robotsRules, agent)
       .withColumn("host", UrlOps.hostOfCanonical(col("canonical_url")))
-    rankedTopK(allowed, col("host"),
-      Seq(col("n_inlinks").desc, col("canonical_url")), perHost)
+  }
+
+  /** Next-batch selection: `(host, url, n_inlinks, rk)`, at most
+    * `perHost` rows per host, priority = in-link count (link ROWS, not
+    * distinct sources), ties broken by url. */
+  def crawlFrontier(links: DataFrame, crawled: DataFrame,
+      robotsRules: DataFrame, agent: String, perHost: Int): DataFrame =
+    rankedTopK(allowedCandidates(links, crawled, robotsRules, agent),
+      col("host"), Seq(col("n_inlinks").desc, col("canonical_url")), perHost)
       .select(col("host"), col("canonical_url").as("url"),
         col("n_inlinks"), col("rk"))
+
+  /** [[crawlFrontier]] with the Crawl-delay politeness budget (VERDICT
+    * r15 next #6): `hostDelays` is [[Robots.crawlDelayFor]] output; a
+    * host's effective batch quota is
+    * `min(perHost, max(floor(windowSec / delay), 1))` — the fetches a
+    * polite crawler can actually issue inside one scheduling window —
+    * and delay-less (or non-positive-delay) hosts keep `perHost`.
+    * Same bounded-heap selection at `perHost`, then the k cut tightens
+    * per host via one broadcast join (hosts-sized; the corpus-side
+    * never reshuffles). Emits `(host, url, n_inlinks, rk, crawl_delay,
+    * k_eff)`. */
+  def crawlFrontierBudget(links: DataFrame, crawled: DataFrame,
+      robotsRules: DataFrame, hostDelays: DataFrame, agent: String,
+      perHost: Int, windowSec: Double): DataFrame = {
+    val kEff = coalesce(
+      when(col("crawl_delay") > 0,
+        least(lit(perHost),
+          greatest(floor(lit(windowSec) / col("crawl_delay")).cast("int"),
+            lit(1)))),
+      lit(perHost))
+    rankedTopK(allowedCandidates(links, crawled, robotsRules, agent),
+      col("host"), Seq(col("n_inlinks").desc, col("canonical_url")), perHost)
+      .join(broadcast(hostDelays), Seq("host"), "left")
+      .withColumn("k_eff", kEff)
+      .filter(col("rk") <= col("k_eff"))
+      .select(col("host"), col("canonical_url").as("url"),
+        col("n_inlinks"), col("rk"), col("crawl_delay"), col("k_eff"))
   }
 
   /** topK + a rank column, ONE ordering definition for both the
@@ -352,9 +386,21 @@ object LinkGraph {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(key).orderBy(order: _*)).cast("int"))
 
+  // star-group Crawl-delay rotation (k%4: none / 30 s / 60 s / 0.5 s —
+  // quota 3/2/1/3 at perHost=3, window=60 s); robotsRules IGNORES
+  // delay lines (they're not in its retained set), so q191's verdicts
+  // and oracle are untouched — only q206b reads them. The k%5=0
+  // graftbot override group carries NO delay: per §2.2.1 selection it
+  // SHIELDS graftbot from the star delay (unthrottled), the in-
+  // frontier form of the q206 NULL-delay shield row — except on
+  // k%3=1 hosts, whose star group has no RULE line, so the two UA
+  // runs legally merge into ONE group (RFC grammar: delay lines never
+  // split a UA run) and the delay applies to graftbot too; the oracle
+  // replays the same grammar, pinning that edge deliberately.
   private def frontierRobotsBodies(
       s: org.apache.spark.sql.SparkSession): DataFrame = {
     val k3 = pmod(col("id"), lit(3))
+    val k4 = pmod(col("id"), lit(4))
     val k5 = pmod(col("id"), lit(5))
     s.range(31).select(
       concat(lit("h"), col("id").cast("string"), lit(".example.org"))
@@ -363,6 +409,10 @@ object LinkGraph {
         when(k3 === 0, lit("User-agent: *\nDisallow: /q/"))
           .when(k3 === 1, lit("User-agent: *\nDisallow:"))
           .otherwise(lit("User-agent: *\nDisallow: /")),
+        when(k4 === 1, lit("\nCrawl-delay: 30"))
+          .when(k4 === 2, lit("\nCrawl-delay: 60"))
+          .when(k4 === 3, lit("\nCrawl-delay: 0.5"))
+          .otherwise(lit("")),
         when(k5 === 0, lit("\n\nUser-agent: graftbot\nAllow: /"))
           .otherwise(lit(""))).as("body"))
   }
@@ -430,6 +480,85 @@ object LinkGraph {
       FROM rk WHERE rk <= 2
       ORDER BY host, rk"""))
 
+  // --------------------------------------------------------------- q206b
+  // The politeness-budgeted frontier (VERDICT r15 next #6): q191's
+  // pipeline with the per-host batch quota tightened by Crawl-delay —
+  // host k%4 rotations none/30s/60s/0.5s → quotas 3/2/1/3 at
+  // perHost=3, window=60 s, and the k%5=0 graftbot override group
+  // (delay-less) SHIELDS those hosts back to 3. The oracle replays the
+  // full rules evaluation (robotsEvalSqlFrom), the full delay parse +
+  // selection (delaysSqlFrom), and the quota arithmetic.
+  private val q206b = GraftQuery(
+    "q206b_frontier_delay",
+    (s, dir) => {
+      val crawled = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(concat(lit("https://h"),
+          pmod(col("doc_id"), lit(31)).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string"))
+          .as("canonical_url"))
+      val bodies = frontierRobotsBodies(s)
+      val rules = Robots.robotsRules(bodies, "host", "body")
+      val delays = Robots.crawlDelayFor(
+        Robots.robotsDelays(bodies, "host", "body"), agent = "graftbot")
+      crawlFrontierBudget(fixtureLinks(s, dir), crawled, rules, delays,
+          agent = "graftbot", perHost = 3, windowSec = 60.0)
+        .orderBy(col("host"), col("rk"))
+    },
+    Some(s"""
+      WITH $linkCtes,
+      fo AS (SELECT dst_url AS url FROM flt WHERE NOT nofollow),
+      ${UrlOps.canonicalizeSqlFrom("fo", Nil)},
+      cand AS (SELECT canonical_url, COUNT(*) AS n_inlinks
+               FROM canon WHERE canonical_url IS NOT NULL
+               GROUP BY canonical_url),
+      crawled AS (SELECT 'https://h' || CAST(doc_id % 31 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url
+                  FROM documents WHERE doc_id % 2 = 0),
+      fresh AS (SELECT * FROM cand
+                WHERE canonical_url NOT IN (SELECT url FROM crawled)),
+      bodies AS (SELECT 'h' || CAST(k AS VARCHAR) || '.example.org' AS host,
+                   (CASE CAST(k % 3 AS INT)
+                      WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /q/'
+                      WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow:'
+                      ELSE 'User-agent: *' || chr(10) || 'Disallow: /' END) ||
+                   (CASE CAST(k % 4 AS INT)
+                      WHEN 1 THEN chr(10) || 'Crawl-delay: 30'
+                      WHEN 2 THEN chr(10) || 'Crawl-delay: 60'
+                      WHEN 3 THEN chr(10) || 'Crawl-delay: 0.5'
+                      ELSE '' END) ||
+                   (CASE WHEN k % 5 = 0 THEN chr(10) || chr(10) || 'User-agent: graftbot' || chr(10) || 'Allow: /' ELSE '' END) AS body
+                 FROM range(31) t(k)),
+      req0 AS (SELECT canonical_url, n_inlinks,
+                 regexp_replace(canonical_url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+               FROM fresh),
+      req1 AS (SELECT canonical_url, n_inlinks,
+                 lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+                 regexp_extract(regexp_replace(regexp_replace(rest, '^[^/?#]*', ''), '#.*$$', ''), '^([^?]*)', 1) AS p
+               FROM req0),
+      req AS (SELECT canonical_url, n_inlinks,
+                regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''), '^www\\.', '') AS host,
+                CASE WHEN p = '' THEN '/' ELSE p END AS path
+              FROM req1),
+      ${Robots.robotsEvalSqlFrom("req", "canonical_url", "graftbot")},
+      ${Robots.delaysSqlFrom("graftbot")},
+      ok AS (SELECT v.canonical_url,
+               regexp_replace(regexp_extract(regexp_replace(v.canonical_url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1), ':[0-9]+$$', '') AS host,
+               r.n_inlinks
+             FROM verdict v JOIN req r USING (canonical_url)
+             WHERE v.allowed),
+      rk AS (SELECT host, canonical_url AS url, n_inlinks,
+               CAST(row_number() OVER (PARTITION BY host
+                 ORDER BY n_inlinks DESC, canonical_url) AS INT) AS rk
+             FROM ok),
+      kf AS (SELECT r.host, r.url, r.n_inlinks, r.rk, hd.crawl_delay,
+               CAST(COALESCE(CASE WHEN hd.crawl_delay > 0
+                      THEN LEAST(3, GREATEST(CAST(FLOOR(60.0 / hd.crawl_delay) AS INT), 1)) END,
+                    3) AS INT) AS k_eff
+             FROM rk r LEFT JOIN host_delay hd ON r.host = hd.host)
+      SELECT host, url, n_inlinks, rk, crawl_delay, k_eff
+      FROM kf WHERE rk <= k_eff
+      ORDER BY host, rk"""))
+
   // ---------------------------------------------------------------- q202
   // Discovery MERGE — the three channels (sitemaps q193, feeds q198,
   // extracted links q184) folded into ONE seed table: the same
@@ -462,32 +591,80 @@ object LinkGraph {
         col("n_channels"), col("n_seeds"))
   }
 
-  private val q202 = GraftQuery(
-    "q202_discovery_merge",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val id = col("doc_id").cast("string")
-      val own = concat(lit("https://"), col("source"),
-        lit(".example.com/p/"), id)
-      val sm = docs.filter(pmod(col("doc_id"), lit(9)) =!= 0)
-        .select(own.as("url"), lit("sitemap").as("channel"))
-      val fd = docs.select(
-        when(pmod(col("doc_id"), lit(3)) === 0, own)
-          .otherwise(concat(lit("https://"), col("source"),
-            lit(".example.com/alt/"), id)).as("url"),
-        lit("feed").as("channel"))
-      val lk = docs.select(
-        when(pmod(col("doc_id"), lit(5)) === 0,
-          concat(lit("HTTPS://WWW."), col("source"),
-            lit(".Example.COM:443/p/"), id))
-          .otherwise(concat(lit("https://h"),
-            pmod(col("doc_id"), lit(31)).cast("string"),
-            lit(".example.org/p/"), id)).as("url"),
-        lit("link").as("channel"))
-      discoveryMerge(sm.unionAll(fd).unionAll(lk))
-        .orderBy(col("canonical_url"))
-    },
-    Some(s"""
+  // ------------------------------------------ incremental discovery
+  // The streaming-admission form of q202 (VERDICT r15 next #7, the
+  // ppsAdmitBatch stored-state discipline): discovery runs FOREVER —
+  // new sitemap fetches, feed polls, and link batches arrive while the
+  // stored seed table already holds billions of rows, and re-merging
+  // from scratch is not an option. The state is MERGEABLE by
+  // construction: a channel BITMASK (bit r-1 ⇔ channel of rank r seen;
+  // channels outside the sitemap/feed/link enum fold into one `other`
+  // bit, the only place this coarsens q202's count-distinct) plus the
+  // seed count — `bit_or`/`sum` fold batch states into the store with
+  // ONE canonical-key hash-agg per batch, and [[discoveryResolve]]
+  // projects the q202 columns back out. LAW (StreamingSpec):
+  // resolve(fold(states of any split)) ≡ discoveryMerge(all seeds).
+  /** Batch → mergeable state: `(canonical_url, ch_mask, n_seeds)`. */
+  def discoveryState(seeds: DataFrame): DataFrame = {
+    val mask = when(col("channel") === "sitemap", 1)
+      .when(col("channel") === "feed", 2)
+      .when(col("channel") === "link", 4)
+      .otherwise(8)
+    seeds
+      .withColumn("canonical_url", UrlOps.canonicalizeUrl(col("url")))
+      .filter(col("canonical_url").isNotNull)
+      .withColumn("__m", mask)
+      .groupBy(col("canonical_url"))
+      .agg(bit_or(col("__m")).as("ch_mask"),
+        count(lit(1)).as("n_seeds"))
+  }
+
+  /** Fold a batch state into the stored state (commutative,
+    * associative — arrival order never matters). */
+  def discoveryMergeState(stored: DataFrame, batch: DataFrame): DataFrame =
+    stored.unionByName(batch)
+      .groupBy(col("canonical_url"))
+      .agg(bit_or(col("ch_mask")).as("ch_mask"),
+        sum(col("n_seeds")).cast("long").as("n_seeds"))
+
+  /** State → the q202 output shape. */
+  def discoveryResolve(state: DataFrame): DataFrame =
+    state.select(col("canonical_url"),
+      when((col("ch_mask").bitwiseAND(1)) =!= 0, "sitemap")
+        .when((col("ch_mask").bitwiseAND(2)) =!= 0, "feed")
+        .when((col("ch_mask").bitwiseAND(4)) =!= 0, "link")
+        .otherwise("other").as("best_channel"),
+      bit_count(col("ch_mask")).cast("long").as("n_channels"),
+      col("n_seeds"))
+
+  /** The q202/q208 seed fixture: three channels with cross-channel
+    * spelling variants (case/www/port) the canonicalization must fold. */
+  private def discoverySeeds(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val own = concat(lit("https://"), col("source"),
+      lit(".example.com/p/"), id)
+    val sm = docs.filter(pmod(col("doc_id"), lit(9)) =!= 0)
+      .select(own.as("url"), lit("sitemap").as("channel"))
+    val fd = docs.select(
+      when(pmod(col("doc_id"), lit(3)) === 0, own)
+        .otherwise(concat(lit("https://"), col("source"),
+          lit(".example.com/alt/"), id)).as("url"),
+      lit("feed").as("channel"))
+    val lk = docs.select(
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("HTTPS://WWW."), col("source"),
+          lit(".Example.COM:443/p/"), id))
+        .otherwise(concat(lit("https://h"),
+          pmod(col("doc_id"), lit(31)).cast("string"),
+          lit(".example.org/p/"), id)).as("url"),
+      lit("link").as("channel"))
+    sm.unionAll(fd).unionAll(lk)
+  }
+
+  // ONE oracle for q202 and q208: the one-shot merge over ALL seeds is
+  // exactly what the chained state admission must reproduce (the law,
+  // here enforced by the driver gate itself).
+  private val discoveryOracleSql = s"""
       WITH seeds AS (
         SELECT 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
                'sitemap' AS channel
@@ -519,7 +696,34 @@ object LinkGraph {
                   WHEN 3 THEN 'link' ELSE 'other' END AS best_channel,
              n_channels, n_seeds
       FROM agg
-      ORDER BY canonical_url"""))
+      ORDER BY canonical_url"""
 
-  val all: Seq[GraftQuery] = Seq(q184, q185, q186, q187, q191, q202)
+  private val q202 = GraftQuery(
+    "q202_discovery_merge",
+    (s, dir) => discoveryMerge(discoverySeeds(Tables.documents(s, dir)))
+      .orderBy(col("canonical_url")),
+    Some(discoveryOracleSql))
+
+  // ---------------------------------------------------------------- q208
+  // Incremental discovery admission as a declared query: the stored
+  // state is built from the EVEN documents' seeds, the arriving batch
+  // from the ODD ones; the fold + resolve must reproduce the one-shot
+  // q202 merge over everything — the oracle IS the one-shot SQL, so
+  // the chained ≡ one-shot law is enforced by the driver's own gate
+  // (not just the spec).
+  private val q208 = GraftQuery(
+    "q208_discovery_admit",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stored = discoveryState(
+        discoverySeeds(docs.filter(pmod(col("doc_id"), lit(2)) === 0)))
+      val batch = discoveryState(
+        discoverySeeds(docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)))
+      discoveryResolve(discoveryMergeState(stored, batch))
+        .orderBy(col("canonical_url"))
+    },
+    Some(discoveryOracleSql))
+
+  val all: Seq[GraftQuery] =
+    Seq(q184, q185, q186, q187, q191, q202, q206b, q208)
 }

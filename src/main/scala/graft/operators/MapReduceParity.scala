@@ -173,15 +173,16 @@ object MapReduceParity {
       val corpus = Tables.documents(s, dir).select(col("text")).as[String]
       val wc = Jobs.wordCount(corpus, Jobs.tokenizeAscii).toDF("word", "cnt")
       val n = 8
-      // under target/ (inside the repo, git-ignored); keyed by the input
-      // dir so different SFs don't clobber each other's round trip
-      val path = s"/root/repo/target/tmp/q75_region_${Integer.toHexString(dir.hashCode)}"
-      GraftIO.writeRegionJson(wc, "word", n, path)
-      GraftIO.readRegionJson(s, path, n)
-        .withColumn("region",
-          regexp_extract(input_file_name(), "part-(\\d+)", 1).cast("int"))
-        .select(col("region"), col("word"), col("cnt"))
-        .orderBy(col("word"))
+      // run-unique round-trip scope: concurrent executions (driver bench
+      // alongside verify) must never share the fixture path
+      GraftIO.roundTrip("q75_region") { path =>
+        GraftIO.writeRegionJson(wc, "word", n, path)
+        GraftIO.readRegionJson(s, path, n)
+          .withColumn("region",
+            regexp_extract(input_file_name(), "part-(\\d+)", 1).cast("int"))
+          .select(col("region"), col("word"), col("cnt"))
+          .orderBy(col("word"))
+      }
     },
     Some("""
       WITH wc AS (SELECT w AS word, COUNT(*) AS cnt
@@ -218,26 +219,29 @@ object MapReduceParity {
     (s, dir) => {
       val hostile = Tables.documents(s, dir).select(col("doc_id"),
         concat(col("text"), lit(" ,\"q\"\n\\é")).as("text"))
-      val base = s"/root/repo/target/tmp/q182_${Integer.toHexString(dir.hashCode)}"
-      hostile.write.mode("overwrite").option("header", "true")
-        .csv(s"$base/csv")
-      hostile.write.mode("overwrite").json(s"$base/jsonl")
-      hostile.write.mode("overwrite").orc(s"$base/orc")
-      val schema = "doc_id BIGINT, text STRING"
-      val back = Seq(
-        "csv" -> s.read.schema(schema).option("header", "true")
-          .option("multiLine", "true").csv(s"$base/csv"),
-        "jsonl" -> s.read.schema(schema).json(s"$base/jsonl"),
-        "orc" -> s.read.orc(s"$base/orc"))
-      back.map { case (fmt, df) =>
-        df.agg(
-          count(lit(1)).as("n_rows"),
-          sum(col("doc_id")).cast("decimal(38,0)").as("sum_id"),
-          sum(conv(substring(md5(col("text")), 1, 10), 16, 10)
-            .cast("long").cast("decimal(38,0)")).as("text_fold"))
-          .select(lit(fmt).as("fmt"), col("n_rows"), col("sum_id"),
-            col("text_fold"))
-      }.reduce(_ unionByName _).orderBy(col("fmt"))
+      // run-unique round-trip scope (the r15 driver red: a FIXED path
+      // raced concurrent bench+verify executions mid-scan)
+      GraftIO.roundTrip("q182_fmt") { base =>
+        hostile.write.mode("overwrite").option("header", "true")
+          .csv(s"$base/csv")
+        hostile.write.mode("overwrite").json(s"$base/jsonl")
+        hostile.write.mode("overwrite").orc(s"$base/orc")
+        val schema = "doc_id BIGINT, text STRING"
+        val back = Seq(
+          "csv" -> s.read.schema(schema).option("header", "true")
+            .option("multiLine", "true").csv(s"$base/csv"),
+          "jsonl" -> s.read.schema(schema).json(s"$base/jsonl"),
+          "orc" -> s.read.orc(s"$base/orc"))
+        back.map { case (fmt, df) =>
+          df.agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("doc_id")).cast("decimal(38,0)").as("sum_id"),
+            sum(conv(substring(md5(col("text")), 1, 10), 16, 10)
+              .cast("long").cast("decimal(38,0)")).as("text_fold"))
+            .select(lit(fmt).as("fmt"), col("n_rows"), col("sum_id"),
+              col("text_fold"))
+        }.reduce(_ unionByName _).orderBy(col("fmt"))
+      }
     },
     Some("""
       WITH x AS (SELECT doc_id,

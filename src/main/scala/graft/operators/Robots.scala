@@ -100,26 +100,105 @@ object Robots {
   /** `Sitemap:` directive extraction (RFC 9309 §2.2.4 "other records",
     * sitemaps.org cross-link convention) — the robots→sitemap
     * discovery bridge: sitemap lines live OUTSIDE user-agent groups
-    * (group-independent by spec), comments strip first, the value must
-    * be an ABSOLUTE http(s) URL (the sitemaps.org requirement —
-    * relative values are noise and drop). One explode per body; emits
-    * `(host, entry_no, sitemap_url)` with entry_no the line offset
-    * among the host's kept sitemap lines. */
+    * (group-independent by spec), comments strip per line, the value
+    * must be an ABSOLUTE http(s) URL (the sitemaps.org requirement —
+    * relative values are noise and drop). SHUFFLE-FREE (ADVICE r16:
+    * the previous row_number window added an exchange the scaladoc
+    * denied): the kept values are assembled per body with
+    * `transform`/`filter` array ops and ONE posexplode mints
+    * `entry_no` as the offset among the host's kept sitemap lines —
+    * a stateless scan at any corpus size. */
   def robotsSitemaps(robots: DataFrame, hostCol: String,
+      bodyCol: String): DataFrame = {
+    val vals = transform(split(col(bodyCol), "\n"),
+      l => trim(regexp_extract(trim(regexp_replace(l, "#.*", "")),
+        "(?i)^sitemap:[ \\t]*(.*)", 1)))
+    val kept = filter(vals, u => u.rlike("(?i)^https?://"))
+    robots.select(col(hostCol).as("host"),
+        posexplode(kept).as(Seq("entry_no", "sitemap_url")))
+      .select(col("host"), col("entry_no").cast("int").as("entry_no"),
+        col("sitemap_url"))
+  }
+
+  /** `Crawl-delay:` extraction (the de-facto politeness directive —
+    * RFC 9309 §2.2.4 "other records"; Bing/Yandex honor it) —
+    * per-group like allow/disallow: emits `(host, agent, crawl_delay)`
+    * with the MIN delay per group (the conservative read of a
+    * multi-delay group), seconds as DOUBLE (Yandex allows decimals;
+    * junk values refuse at parse, the q193 priority stance).
+    *
+    * Grouping is defined ONCE, by the RFC grammar over UA/rule lines
+    * (§2.2.4: other records MUST NOT interfere with explicit-record
+    * parsing — so a Crawl-delay between two UA lines does not split
+    * their group, exactly as [[robotsRules]] sees it); each delay line
+    * then attaches to the group current at its position. The skip-over
+    * is a `last_value(… IGNORE NULLS)` over the per-host KB frame —
+    * same window class as the rules parse. */
+  def robotsDelays(robots: DataFrame, hostCol: String,
       bodyCol: String): DataFrame = {
     val lines = robots.select(col(hostCol).as("host"),
         posexplode(split(col(bodyCol), "\n")).as(Seq("i", "l")))
       .select(col("host"), col("i"),
         trim(regexp_replace(col("l"), "#.*", "")).as("line"))
-    val vals = lines
-      .select(col("host"), col("i"),
-        trim(regexp_extract(col("line"), "(?i)^sitemap:[ \\t]*(.*)", 1))
-          .as("u"))
-      .filter(col("u").rlike("(?i)^https?://"))
-    vals.withColumn("entry_no",
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("host")).orderBy(col("i"))) - 1).cast("int"))
-      .select(col("host"), col("entry_no"), col("u").as("sitemap_url"))
+    val cls = lines.select(col("host"), col("i"),
+        col("line").rlike("(?i)^user-agent:").as("is_ua"),
+        lower(regexp_extract(col("line"), "(?i)^(allow|disallow):", 1))
+          .as("kind"),
+        lower(trim(regexp_extract(col("line"),
+          "(?i)^user-agent:[ \\t]*(.*)", 1))).as("ua_val"),
+        trim(regexp_extract(col("line"),
+          "(?i)^(allow|disallow):[ \\t]*(.*)", 2)).as("dir_val"),
+        trim(regexp_extract(col("line"),
+          "(?i)^crawl-delay:[ \\t]*(.*)", 1)).as("cd_val"))
+      .withColumn("is_cd",
+        col("cd_val").rlike("^[0-9]{1,6}(\\.[0-9]{1,3})?$"))
+      // grouping lines (the robotsRules retained set) + valid delay lines
+      .filter(col("is_ua") ||
+        (col("kind").isin("allow", "disallow") && col("dir_val") =!= "") ||
+        col("is_cd"))
+      .withColumn("is_grp", col("is_ua") ||
+        (col("kind").isin("allow", "disallow") && col("dir_val") =!= ""))
+    val w = Window.partitionBy(col("host")).orderBy(col("i"))
+    val prevGrpIsUa = last(
+      when(col("is_grp"), col("is_ua")), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val g = cls
+      .withColumn("ng", (col("is_ua") &&
+        !coalesce(prevGrpIsUa, lit(false))).cast("int"))
+      .withColumn("gid", sum(col("ng"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val agents = g.filter(col("is_ua"))
+      .select(col("host"), col("gid"), col("ua_val").as("agent"))
+    val delays = g.filter(col("is_cd") && !col("is_grp") && col("gid") > 0)
+      .groupBy(col("host"), col("gid"))
+      .agg(min(col("cd_val").cast("double")).as("crawl_delay"))
+    // LEFT join: a delay-less group survives as a NULL-delay row — the
+    // robotsRules empty-group convention; group selection must SEE a
+    // specific group to shield its agent from the `*` delay (§2.2.1)
+    agents.join(delays, Seq("host", "gid"), "left")
+      .select(col("host"), col("agent"), col("crawl_delay"))
+  }
+
+  /** Group selection over [[robotsDelays]] output for one crawler
+    * (§2.2.1 discipline, same as the gate): if the host has a group
+    * for the specific agent — even a DELAY-LESS one (NULL-delay row;
+    * it shields the agent from the `*` delay exactly as an empty group
+    * shields it from `*` rules) — only that group's delay applies;
+    * else the `*` delay; min across a host's chosen rows. Emits
+    * `(host, crawl_delay)` — hosts with no applicable delay are absent
+    * (consumers default to unthrottled). */
+  def crawlDelayFor(delays: DataFrame, agent: String): DataFrame = {
+    require(agent.nonEmpty && agent != "*",
+      "pass the crawler's own product token, not '*'")
+    val a = lit(agent.toLowerCase(java.util.Locale.ROOT))
+    val specific = delays.filter(col("agent") === a)
+      .select(col("host")).distinct().withColumn("__sp", lit(true))
+    delays.filter(col("agent") === a || col("agent") === "*")
+      .join(specific, Seq("host"), "left")
+      .filter(col("agent") === a || col("__sp").isNull)
+      .groupBy(col("host"))
+      .agg(min(col("crawl_delay")).as("crawl_delay"))
+      .filter(col("crawl_delay").isNotNull)
   }
 
   // ---------------------------------------------------------------- q201
@@ -407,5 +486,108 @@ object Robots {
     .replace("@REQ@", reqCte).replace("@KEY@", keyCol)
     .replace("@AGENT@", agent)
 
-  val all: Seq[GraftQuery] = Seq(q180, q201)
+  /** The [[robotsDelays]] parse + [[crawlDelayFor]] selection replayed
+    * as DuckDB CTEs: assumes a `bodies(host, body)` CTE; ends in
+    * `dl_rules(host, agent, crawl_delay)` (the raw per-group rows) and
+    * `host_delay(host, crawl_delay)` (the one-agent selection).
+    * `dl_`-prefixed names — q206b splices this NEXT TO
+    * [[robotsEvalSqlFrom]], which claims the unprefixed ones. */
+  private[operators] def delaysSqlFrom(agent: String): String = """
+      dl_lines AS (SELECT host, i, trim(regexp_replace(l, '#.*', '')) AS line
+             FROM (SELECT host,
+                          generate_subscripts(string_split(body, chr(10)), 1) AS i,
+                          unnest(string_split(body, chr(10))) AS l
+                   FROM bodies)),
+      dl_cls AS (SELECT host, i,
+               regexp_matches(line, '(?i)^user-agent:') AS is_ua,
+               lower(regexp_extract(line, '(?i)^(allow|disallow):', 1)) AS kind,
+               lower(trim(regexp_extract(line, '(?i)^user-agent:[ \t]*(.*)', 1))) AS ua_val,
+               trim(regexp_extract(line, '(?i)^(allow|disallow):[ \t]*(.*)', 2)) AS dir_val,
+               trim(regexp_extract(line, '(?i)^crawl-delay:[ \t]*(.*)', 1)) AS cd_val
+             FROM dl_lines),
+      dl_c2 AS (SELECT *,
+               regexp_matches(cd_val, '^[0-9]{1,6}(\.[0-9]{1,3})?$') AS is_cd,
+               (is_ua OR (kind IN ('allow', 'disallow') AND dir_val <> '')) AS is_grp
+             FROM dl_cls
+             WHERE is_ua OR (kind IN ('allow', 'disallow') AND dir_val <> '')
+                OR regexp_matches(cd_val, '^[0-9]{1,6}(\.[0-9]{1,3})?$')),
+      dl_g0 AS (SELECT *, CASE WHEN is_ua AND NOT COALESCE(
+                    last_value(CASE WHEN is_grp THEN is_ua END IGNORE NULLS)
+                      OVER (PARTITION BY host ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    FALSE) THEN 1 ELSE 0 END AS ng
+             FROM dl_c2),
+      dl_g AS (SELECT *, CAST(SUM(ng)
+                  OVER (PARTITION BY host ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gid
+            FROM dl_g0),
+      dl_agents AS (SELECT host, gid, ua_val AS agent FROM dl_g WHERE is_ua),
+      dl_ds AS (SELECT host, gid, MIN(CAST(cd_val AS DOUBLE)) AS crawl_delay
+                FROM dl_g WHERE is_cd AND NOT is_grp AND gid > 0
+                GROUP BY host, gid),
+      dl_rules AS MATERIALIZED (SELECT a.host, a.agent, d.crawl_delay
+                FROM dl_agents a LEFT JOIN dl_ds d USING (host, gid)),
+      dl_sp AS (SELECT DISTINCT host FROM dl_rules WHERE agent = '@AGENT@'),
+      host_delay AS (SELECT r.host, MIN(r.crawl_delay) AS crawl_delay
+                FROM dl_rules r LEFT JOIN dl_sp ON r.host = dl_sp.host
+                WHERE (r.agent = '@AGENT@'
+                       OR (r.agent = '*' AND dl_sp.host IS NULL))
+                GROUP BY r.host
+                HAVING MIN(r.crawl_delay) IS NOT NULL)"""
+    .replace("@AGENT@", agent)
+
+  // ---------------------------------------------------------------- q206
+  // Crawl-delay parse as a declared operator (VERDICT r15 next #6).
+  // Fixture rotations (k%4 by source ordinal): a two-group body where
+  // the specific group's 2.5 s beats the star 10 s; a star-only body
+  // with a case-mixed field name and two delays (min wins); a star
+  // delay plus a DELAY-LESS graftbot group (the NULL-delay shield
+  // row); and a grammar-edge body — a delay BETWEEN two UA lines
+  // (attaches to their shared group without splitting it, §2.2.4
+  // non-interference), a junk value (refused at parse), and a
+  // commented delay line (comment strips first). The oracle replays
+  // the whole parse (grouping included) in SQL.
+  private def delayBody(): Column = {
+    val k = pmod(expr("CAST(substring(source, 4) AS INT)"), lit(4))
+    when(k === 0, lit(
+      "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n\n" +
+        "User-agent: graftbot\nUser-agent: otherbot\n" +
+        "Crawl-delay: 2.5\nAllow: /"))
+      .when(k === 1, lit(
+        "User-agent: *\nCrawl-delay: 15\ncrawl-delay: 5"))
+      .when(k === 2, lit(
+        "User-agent: *\nCrawl-delay: 20\nDisallow: /y\n\n" +
+          "User-agent: graftbot\nDisallow: /p"))
+      .otherwise(lit(
+        "User-agent: a\nCrawl-delay: 9\nUser-agent: b\nDisallow: /q\n" +
+          "Crawl-delay: junk\nUser-agent: graftbot\nCrawl-delay: 7 # fast"))
+  }
+
+  private val delayBodySql = """
+               CASE CAST(CAST(substring(source, 4) AS INT) % 4 AS INT)
+                 WHEN 0 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 10' || chr(10) || 'Disallow: /x' || chr(10) || chr(10) || 'User-agent: graftbot' || chr(10) || 'User-agent: otherbot' || chr(10) || 'Crawl-delay: 2.5' || chr(10) || 'Allow: /'
+                 WHEN 1 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 15' || chr(10) || 'crawl-delay: 5'
+                 WHEN 2 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 20' || chr(10) || 'Disallow: /y' || chr(10) || chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /p'
+                 ELSE 'User-agent: a' || chr(10) || 'Crawl-delay: 9' || chr(10) || 'User-agent: b' || chr(10) || 'Disallow: /q' || chr(10) || 'Crawl-delay: junk' || chr(10) || 'User-agent: graftbot' || chr(10) || 'Crawl-delay: 7 # fast'
+               END"""
+
+  private val q206 = GraftQuery(
+    "q206_robots_crawl_delay",
+    (s, dir) => {
+      val robots = Tables.documents(s, dir).select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          delayBody().as("body"))
+      robotsDelays(robots, "host", "body")
+        .orderBy(col("host"), col("agent"), col("crawl_delay"))
+    },
+    Some(s"""
+      WITH hosts AS (SELECT DISTINCT source,
+                            source || '.example.com' AS host FROM documents),
+      bodies AS (SELECT host, $delayBodySql AS body FROM hosts),
+      ${delaysSqlFrom("graftbot")}
+      SELECT host, agent, crawl_delay
+      FROM dl_rules
+      ORDER BY host, agent, crawl_delay"""))
+
+  val all: Seq[GraftQuery] = Seq(q180, q201, q206)
 }

@@ -147,5 +147,113 @@ object Sitemaps {
       WHERE loc IS NOT NULL
       ORDER BY doc_id, entry_no"""))
 
-  val all: Seq[GraftQuery] = Seq(q193)
+  // ---------------------------------------------- sitemap-tree resolve
+  /** Resolve a sitemap TREE into one seed table (VERDICT r15 next #8 —
+    * q193 parses `<sitemapindex>` entries as rows; this joins them
+    * back): `sitemaps` is the fetched sitemap corpus keyed by its own
+    * URL; an index's `<sitemap>` entries resolve to other rows of the
+    * same table, their urlset entries become seeds carrying
+    * provenance `(root_url, depth, via_url, loc)` — depth 0 for a
+    * urlset's own entries, 1 for entries reached through one index
+    * hop, … up to `maxDepth` (the sitemaps.org sanity bound; deeper
+    * chains are REFUSED — dropped, never followed — and unresolved
+    * child URLs drop naturally at the join). The same resource
+    * announced through several paths keeps one row per path (the q202
+    * merge consumes provenance).
+    *
+    * Scale: one xml parse ([[sitemapEntries]], checkpointed — each
+    * depth hop re-reads ENTRIES, never re-parses the corpus), then
+    * `maxDepth` self-joins keyed on the sitemap URL — entries-sized
+    * SortMergeJoins, corpus never touched. */
+  def resolveSitemapTree(sitemaps: DataFrame, urlCol: String,
+      xmlCol: String, maxDepth: Int = 2): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 5, "1..5 index hops")
+    val e = sitemapEntries(
+        sitemaps.withColumnRenamed(urlCol, "__sm_url"), "__sm_url", xmlCol)
+      .select(col("__sm_url"), col("kind"), col("loc"))
+      .localCheckpoint()
+    var out = e.filter(col("kind") === "url")
+      .select(col("__sm_url").as("root_url"),
+        lit(0).cast("int").as("depth"),
+        col("__sm_url").as("via_url"), col("loc"))
+    var frontier = e.filter(col("kind") === "index")
+      .select(col("__sm_url").as("root_url"), col("loc").as("child_url"))
+    for (d <- 1 to maxDepth) {
+      val child = frontier.join(e,
+        frontier("child_url") === e("__sm_url"))
+      out = out.unionByName(child.filter(col("kind") === "url")
+        .select(col("root_url"), lit(d).cast("int").as("depth"),
+          col("child_url").as("via_url"), col("loc")))
+      if (d < maxDepth)
+        frontier = child.filter(col("kind") === "index")
+          .select(col("root_url"), col("loc").as("child_url"))
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------- q207
+  // Fixture: every ninth document is an index pointing at doc id+1
+  // (a urlset — depth-1 seeds) and doc id+9 (the NEXT index — whose
+  // own id+10 child yields depth-2 seeds, and whose id+18 child sits
+  // at depth 3, PAST the bound: dropped). Children past the corpus
+  // end drop at the join. The oracle replays the hops as id-arithmetic
+  // joins.
+  private def treeXml(): Column = {
+    val id = col("doc_id").cast("string")
+    when(pmod(col("doc_id"), lit(9)) === 0, concat(
+      lit("<?xml version=\"1.0\"?>\n<sitemapindex>" +
+        "<sitemap><loc>https://sm.example.com/sm/"),
+      (col("doc_id") + 1).cast("string"),
+      lit(".xml</loc></sitemap>\n<sitemap><loc>https://sm.example.com/sm/"),
+      (col("doc_id") + 9).cast("string"),
+      lit(".xml</loc></sitemap></sitemapindex>")))
+      .otherwise(concat(
+        lit("<?xml version=\"1.0\"?>\n<urlset><url><loc>https://"),
+        col("source"), lit(".example.com/p/"), id,
+        lit("</loc></url>\n<url><loc>https://"),
+        col("source"), lit(".example.com/p/"), id,
+        lit("b</loc></url></urlset>")))
+  }
+
+  private val q207 = GraftQuery(
+    "q207_sitemap_tree",
+    (s, dir) => {
+      val sitemaps = Tables.documents(s, dir).select(
+        concat(lit("https://sm.example.com/sm/"),
+          col("doc_id").cast("string"), lit(".xml")).as("url"),
+        treeXml().as("xml"))
+      resolveSitemapTree(sitemaps, "url", "xml", maxDepth = 2)
+        .orderBy(col("root_url"), col("depth"), col("loc"))
+    },
+    Some("""
+      WITH u AS (SELECT doc_id, source,
+                   'https://sm.example.com/sm/' || CAST(doc_id AS VARCHAR) || '.xml' AS smu
+                 FROM documents),
+      locs AS (SELECT doc_id, smu,
+                 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS loc1,
+                 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) || 'b' AS loc2
+               FROM u WHERE doc_id % 9 <> 0),
+      seeds0 AS (SELECT smu AS root_url, 0 AS depth, smu AS via_url, loc1 AS loc FROM locs
+                 UNION ALL
+                 SELECT smu, 0, smu, loc2 FROM locs),
+      idx AS (SELECT doc_id, smu FROM u WHERE doc_id % 9 = 0),
+      seeds1 AS (SELECT i.smu AS root_url, 1 AS depth, c.smu AS via_url, c.loc1 AS loc
+                 FROM idx i JOIN locs c ON c.doc_id = i.doc_id + 1
+                 UNION ALL
+                 SELECT i.smu, 1, c.smu, c.loc2
+                 FROM idx i JOIN locs c ON c.doc_id = i.doc_id + 1),
+      seeds2 AS (SELECT i.smu AS root_url, 2 AS depth, c.smu AS via_url, c.loc1 AS loc
+                 FROM idx i JOIN idx j ON j.doc_id = i.doc_id + 9
+                 JOIN locs c ON c.doc_id = j.doc_id + 1
+                 UNION ALL
+                 SELECT i.smu, 2, c.smu, c.loc2
+                 FROM idx i JOIN idx j ON j.doc_id = i.doc_id + 9
+                 JOIN locs c ON c.doc_id = j.doc_id + 1)
+      SELECT root_url, CAST(depth AS INT) AS depth, via_url, loc
+      FROM (SELECT * FROM seeds0 UNION ALL
+            SELECT * FROM seeds1 UNION ALL
+            SELECT * FROM seeds2)
+      ORDER BY root_url, depth, loc"""))
+
+  val all: Seq[GraftQuery] = Seq(q193, q207)
 }

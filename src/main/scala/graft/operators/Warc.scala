@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
-import graft.sources.Tables
+import graft.sources.{GraftIO, Tables}
 
 /** WARC record parsing (ISO 28500 — the WARC/1.0 web-archive format
   * every real crawl pipeline starts from; VERDICT r14 next #1), pushing
@@ -32,12 +32,22 @@ import graft.sources.Tables
   * version line, the blank-line separator, a parseable `Content-Length`
   * (≤ 18 digits), or a `WARC-Type` is `valid = false` with every field
   * that DID parse still emitted — a malformed-record triage query needs
-  * the partial fields. The body is taken as `Content-Length` CHARS
-  * after the first blank line (this operator reads a STRING column;
-  * char = octet for the ASCII transport WARC headers mandate, and both
-  * engines count identically for any UTF-8 body, so the pin is
-  * portable); a declared length past the record end truncates to what
-  * is present rather than failing.
+  * the partial fields. In [[warcParse]] the body is taken as
+  * `Content-Length` CHARS after the first blank line (a STRING column;
+  * char = octet only for ASCII transport — the in-plan fixture domain);
+  * a declared length past the record end truncates to what is present
+  * rather than failing.
+  *
+  * BYTE-TRUE path (`Content-Length` is OCTETS per ISO 28500 §5.3, and
+  * most of the web is multi-byte UTF-8): [[warcParseBytes]] takes a
+  * BINARY record column ([[graft.sources.WarcSource.readWarcRecordsBinary]])
+  * and slices the body by BYTES via the ISO-8859-1 transport decode —
+  * latin-1 is a bijection byte↔char, so every char position IS a byte
+  * position and the whole char machinery above becomes byte-exact, all
+  * still codegen'd (zero UDFs). The body re-encodes to its exact bytes
+  * for (byte length, md5); the UTF-8 text view is an EXPLICIT stage
+  * with refusal (`body_is_utf8 = false`, `n_chars = NULL` for invalid
+  * sequences — binary payloads stay bytes, never mojibake).
   */
 object Warc {
 
@@ -85,6 +95,39 @@ object Warc {
         .as("n_headers"),
       length(body).cast("long").as("body_len"),
       md5(body).as("body_md5"),
+      (version.isNotNull && sep >= 1 &&
+        field(hdr, "WARC-Type").isNotNull && contentLength.isNotNull)
+        .as("valid"))
+  }
+
+  /** Byte-true parse of one BINARY WARC record per row of `recCol`
+    * (see the module scaladoc): emits
+    * `(idCol, warc_version, warc_type, target_uri, record_id,
+    * content_length, n_headers, body_len, n_chars, body_md5,
+    * body_is_utf8, valid)` — `body_len`/`body_md5` over the exact
+    * BYTES, `n_chars` the code-point count of the UTF-8 text view
+    * (NULL when the body is not valid UTF-8: binary payloads refuse
+    * the text stage instead of decoding to mojibake). */
+  def warcParseBytes(records: DataFrame, idCol: String,
+      recCol: String): DataFrame = {
+    val rec = decode(col(recCol), "ISO-8859-1") // transport: 1 char == 1 byte
+    val (version, sep, hdr, contentLength, body) = parsed(rec)
+    val bytes = encode(body, "ISO-8859-1") // exact original body bytes
+    // cast BINARY->STRING is a byte reinterpret (no transcode): validate,
+    // then expose as text only when the bytes ARE UTF-8
+    val text = when(is_valid_utf8(bytes.cast("string")), bytes.cast("string"))
+    records.select(col(idCol),
+      version.as("warc_version"),
+      field(hdr, "WARC-Type").as("warc_type"),
+      field(hdr, "WARC-Target-URI").as("target_uri"),
+      field(hdr, "WARC-Record-ID").as("record_id"),
+      contentLength.as("content_length"),
+      when(sep >= 1, (size(split(hdr, CRLF)) - 1).cast("long"))
+        .as("n_headers"),
+      length(bytes).cast("long").as("body_len"), // length(BINARY) = octets
+      length(text).cast("long").as("n_chars"),
+      md5(bytes).as("body_md5"),
+      when(bytes.isNotNull, text.isNotNull).as("body_is_utf8"),
       (version.isNotNull && sep >= 1 &&
         field(hdr, "WARC-Type").isNotNull && contentLength.isNotNull)
         .as("valid"))
@@ -192,7 +235,7 @@ object Warc {
                      'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10) ||
                      'WARC-Target-URI: http://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ||
                      (CASE WHEN doc_id % 5 = 0 THEN 'content-length' ELSE 'Content-Length' END) ||
-                     ': ' || CAST(len(text) AS VARCHAR) || chr(13) || chr(10) || chr(13) || chr(10) ||
+                     ': ' || CAST(strlen(text) AS VARCHAR) || chr(13) || chr(10) || chr(13) || chr(10) ||
                      text || chr(13) || chr(10) || chr(13) || chr(10) AS whole
               FROM documents)),
       p AS (
@@ -234,9 +277,11 @@ object Warc {
   // ---------------------------------------------------------------- q177b
   // FILE round-trip through the source layer: the same per-doc records
   // as q177 but WELL-FORMED (framing fidelity is this query's subject;
-  // malformed handling is q177's), written as ONE `.warc` file, re-read
-  // via [[graft.sources.WarcSource.readWarcRecords]] (length-driven
-  // framing), parsed, and re-keyed by the doc id carried in
+  // malformed handling is q177's), written as `.warc` part files,
+  // re-read via the BYTE-TRUE path
+  // ([[graft.sources.WarcSource.readWarcRecordsBinary]] +
+  // [[warcParseBytes]] — files are bytes, so the file form of this
+  // query is the byte form), and re-keyed by the doc id carried in
   // WARC-Record-ID. The oracle reconstructs every field from the
   // construction arithmetic — a framing bug (lost/merged/split record)
   // breaks the row count or a hash; a parse bug breaks the fields.
@@ -254,7 +299,9 @@ object Warc {
       lit("WARC-Date: 2026-01-01T00:00:00Z" + CRLF),
       lit("WARC-Target-URI: http://"), col("source"),
       lit(".example.com/doc/"), col("doc_id").cast("string"), lit(CRLF),
-      clName, lit(": "), length(col("text")).cast("string"),
+      // OCTET framing (ISO 28500 §5.3): the splitter jumps bytes, so a
+      // char-count here would misframe any non-ASCII body (ADVICE r16)
+      clName, lit(": "), length(encode(col("text"), "UTF-8")).cast("string"),
       lit(CRLF + CRLF),
       col("text"), lit(CRLF + CRLF))
   }
@@ -268,20 +315,22 @@ object Warc {
       // single coalesced file measurably degenerated the x100 decade
       // probe to one framing task); text-writer row separators ('\n')
       // between records are exactly the inter-record noise the
-      // splitter's resync-skip is specified to ignore
-      val out = "/root/repo/target/tmp/warc_q177b_" +
-        new java.io.File(dir).getName
-      Tables.documents(s, dir).withColumn("rec", cleanRecord())
-        .select(col("rec"))
-        .write.mode("overwrite").text(out)
-      warcParse(graft.sources.WarcSource.readWarcRecords(s, out),
-          "rec_no", "rec")
-        .withColumn("doc_id",
-          regexp_extract(col("record_id"), "uuid:([0-9]+)", 1).cast("long"))
-        .select(col("doc_id"), col("warc_version"), col("warc_type"),
-          col("target_uri"), col("record_id"), col("content_length"),
-          col("n_headers"), col("body_len"), col("body_md5"), col("valid"))
-        .orderBy(col("doc_id"))
+      // splitter's resync-skip is specified to ignore. Run-unique dir
+      // (GraftIO.roundTrip): the r15 fixed-path overwrite race class.
+      GraftIO.roundTrip("warc_q177b") { out =>
+        Tables.documents(s, dir).withColumn("rec", cleanRecord())
+          .select(col("rec"))
+          .write.mode("overwrite").text(out)
+        warcParseBytes(graft.sources.WarcSource.readWarcRecordsBinary(s, out),
+            "rec_no", "rec_bin")
+          .withColumn("doc_id",
+            regexp_extract(col("record_id"), "uuid:([0-9]+)", 1).cast("long"))
+          .select(col("doc_id"), col("warc_version"), col("warc_type"),
+            col("target_uri"), col("record_id"), col("content_length"),
+            col("n_headers"), col("body_len"), col("n_chars"),
+            col("body_md5"), col("body_is_utf8"), col("valid"))
+          .orderBy(col("doc_id"))
+      }
     },
     Some("""
       SELECT doc_id,
@@ -290,10 +339,12 @@ object Warc {
                   WHEN 1 THEN 'request' ELSE 'metadata' END AS warc_type,
              'http://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
              '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
-             CAST(len(text) AS BIGINT) AS content_length,
+             CAST(strlen(text) AS BIGINT) AS content_length,
              CAST(5 AS BIGINT) AS n_headers,
-             CAST(len(text) AS BIGINT) AS body_len,
+             CAST(strlen(text) AS BIGINT) AS body_len,
+             CAST(len(text) AS BIGINT) AS n_chars,
              md5(text) AS body_md5,
+             TRUE AS body_is_utf8,
              TRUE AS valid
       FROM documents
       ORDER BY doc_id"""))
@@ -302,9 +353,10 @@ object Warc {
   /** WARC record BUILDER — the sink side of this module (ISO 28500
     * writing, the Common Crawl WET shape: `conversion` records carry
     * extracted text): one codegen concat per record, Content-Length
-    * framed from the body (chars; see the char≡octet transport note in
-    * the module scaladoc). What [[warcParse]] reads, this writes —
-    * q195 pins the full write → file → frame → parse loop. */
+    * framed as the body's UTF-8 OCTET count (§5.3 — a char count here
+    * misframes every non-ASCII body once written to disk; ADVICE r16).
+    * What [[warcParseBytes]] reads, this writes — q195 pins the full
+    * write → file → frame → parse loop. */
   def warcRecord(wtype: Column, recordId: Column, date: Column,
       uri: Column, body: Column): Column =
     concat(
@@ -313,46 +365,86 @@ object Warc {
       lit("WARC-Record-ID: <urn:uuid:"), recordId, lit(">" + CRLF),
       lit("WARC-Date: "), date, lit(CRLF),
       lit("WARC-Target-URI: "), uri, lit(CRLF),
-      lit("Content-Length: "), length(body).cast("string"),
+      lit("Content-Length: "), length(encode(body, "UTF-8")).cast("string"),
       lit(CRLF + CRLF),
       body, lit(CRLF + CRLF))
 
-  private val q195 = GraftQuery(
-    "q195_warc_sink_roundtrip",
-    (s, dir) => {
-      // the WET-production shape: extracted text out as conversion
-      // records, natural part files (framing parallelism is per FILE —
-      // the q177b lesson), re-framed and re-parsed, re-keyed by the
-      // carried record id
-      val out = "/root/repo/target/tmp/warc_q195_" +
-        new java.io.File(dir).getName
-      Tables.documents(s, dir)
+  /** The q195/q203 round-trip body: write `docs`' per-doc `conversion`
+    * records as `.warc` part files (optionally gzip part members), read
+    * back BYTE-TRUE, parse, re-key by the carried record id. */
+  private def sinkRoundTrip(docs: DataFrame, prefix: String,
+      gzip: Boolean): DataFrame = {
+    val s = docs.sparkSession
+    GraftIO.roundTrip(prefix) { out =>
+      val w = docs
         .select(warcRecord(lit("conversion"),
           col("doc_id").cast("string"),
           lit("2026-02-02T00:00:00Z"),
           concat(lit("http://"), col("source"), lit(".example.com/doc/"),
             col("doc_id").cast("string")),
           col("text")).as("rec"))
-        .write.mode("overwrite").text(out)
-      warcParse(graft.sources.WarcSource.readWarcRecords(s, out),
-          "rec_no", "rec")
+        .write.mode("overwrite")
+      (if (gzip) w.option("compression", "gzip") else w).text(out)
+      warcParseBytes(graft.sources.WarcSource.readWarcRecordsBinary(s, out),
+          "rec_no", "rec_bin")
         .withColumn("doc_id",
           regexp_extract(col("record_id"), "uuid:([0-9]+)", 1).cast("long"))
         .select(col("doc_id"), col("warc_type"), col("target_uri"),
-          col("content_length"), col("body_len"), col("body_md5"),
-          col("valid"))
+          col("content_length"), col("body_len"), col("n_chars"),
+          col("body_md5"), col("body_is_utf8"), col("valid"))
         .orderBy(col("doc_id"))
-    },
-    Some("""
+    }
+  }
+
+  private def sinkOracle(textExpr: String): String = s"""
       SELECT doc_id,
              'conversion' AS warc_type,
              'http://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
-             CAST(len(text) AS BIGINT) AS content_length,
-             CAST(len(text) AS BIGINT) AS body_len,
-             md5(text) AS body_md5,
+             CAST(strlen($textExpr) AS BIGINT) AS content_length,
+             CAST(strlen($textExpr) AS BIGINT) AS body_len,
+             CAST(len($textExpr) AS BIGINT) AS n_chars,
+             md5($textExpr) AS body_md5,
+             TRUE AS body_is_utf8,
              TRUE AS valid
       FROM documents
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""
 
-  val all: Seq[GraftQuery] = Seq(q177, q177b, q195)
+  private val q195 = GraftQuery(
+    "q195_warc_sink_roundtrip",
+    // the WET-production shape: extracted text out as conversion
+    // records, natural part files (framing parallelism is per FILE —
+    // the q177b lesson), byte-true both ways — raw corpus text may
+    // carry any UTF-8
+    (s, dir) => sinkRoundTrip(Tables.documents(s, dir), "warc_q195",
+      gzip = false),
+    Some(sinkOracle("text")))
+
+  // ---------------------------------------------------------------- q203
+  // Byte-true framing under PLANTED multi-byte UTF-8 (VERDICT r15 next
+  // #2): every body gains a decoration spanning the encoder widths —
+  // 2-byte é, 3-byte U+4E2D, 4-byte U+1F600 — so content_length (bytes)
+  // and n_chars (code points) must DIFFER by exactly 6 per row; a
+  // char-framed writer, a char-sliced reader, or a codepoint-counted
+  // length would each break a different column. q203b runs the same
+  // loop through `.warc.gz` part members (the Common Crawl shipping
+  // format) — gzip framing fidelity is its only added subject.
+  private def decorated(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables.documents(s, dir).withColumn("text",
+      concat(col("text"), lit(" é中😀")))
+
+  private val decoratedSql =
+    "text || ' ' || chr(233) || chr(20013) || chr(128512)"
+
+  private val q203 = GraftQuery(
+    "q203_warc_utf8_roundtrip",
+    (s, dir) => sinkRoundTrip(decorated(s, dir), "warc_q203", gzip = false),
+    Some(sinkOracle(decoratedSql)))
+
+  private val q203b = GraftQuery(
+    "q203b_warc_gz_roundtrip",
+    (s, dir) => sinkRoundTrip(decorated(s, dir), "warc_q203b", gzip = true),
+    Some(sinkOracle(decoratedSql)))
+
+  val all: Seq[GraftQuery] = Seq(q177, q177b, q195, q203, q203b)
 }

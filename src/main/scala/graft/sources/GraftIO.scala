@@ -84,6 +84,29 @@ object GraftIO {
     placed.saveAsTextFile(path)
   }
 
+  /** Run-unique fixture round-trip scope (VERDICT r15 next #1 / ADVICE
+    * r16): a query that writes a file fixture and re-reads it must never
+    * share a path across concurrent executions — `mode("overwrite")` is
+    * delete-then-write, not atomic, so a concurrent run on the same SF
+    * dir can race a reader mid-scan (the q182 flaky-hash class: counts
+    * survive, the md5 fold doesn't). `f` writes + reads under a
+    * per-invocation UUID dir; the result is EAGERLY materialized
+    * (`localCheckpoint`) so the dir is deleted before the DataFrame is
+    * handed back — no path escapes the call, and repeated bench reps
+    * leave no temp accumulation. */
+  def roundTrip(prefix: String)(f: String => DataFrame): DataFrame = {
+    val dir = new java.io.File(
+      s"/root/repo/target/tmp/${prefix}_${java.util.UUID.randomUUID}")
+    try f(dir.getPath).localCheckpoint()
+    finally deleteRecursively(dir)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   /** Client-side result retrieval: enumerate the `n` region files written
     * by [[writeRegionJson]] (the reference's job_tracker.py:249-256 result
     * listing), decode each JSON doc, and merge into one DataFrame

@@ -17,17 +17,32 @@ import org.apache.spark.sql.functions._
   * Length-driven, not delimiter-driven: a record body may legally
   * CONTAIN `WARC/1.0` + CRLF bytes (a crawl of a page about WARC!), so
   * the splitter jumps `header + CRLFCRLF + Content-Length + CRLFCRLF`
-  * and never scans bodies. Malformed records (no blank line before the
-  * next magic, unparseable length, truncated tail) fall back to a
-  * RESYNC scan to the next `WARC/1.0` magic — the bytes in between
-  * become one record that [[graft.operators.Warc.warcParse]] marks
+  * and never scans bodies. `Content-Length` is OCTETS per ISO 28500
+  * §5.3 and the splitter counts octets — bodies may be any bytes,
+  * including multi-byte UTF-8 and binary payloads. Malformed records
+  * (no blank line before the next magic, unparseable length, truncated
+  * tail) fall back to a RESYNC scan to the next `WARC/1.0` magic — the
+  * bytes in between become one record that the parser marks
   * `valid = false` downstream; garbage before the first magic is
   * skipped (never silently globbed into a record).
   *
-  * Records are decoded as UTF-8 strings (the engine's record column
-  * type); `Content-Length` is bytes per spec, and the downstream
-  * parser's char-based bound equals it for ASCII transport — binary
-  * payload crawls would add a byte-typed record column instead.
+  * `.warc.gz` files (the Common Crawl shipping format: one gzip MEMBER
+  * per record, members concatenated) are detected by suffix and
+  * member-decompressed first. Member boundaries are by convention
+  * record boundaries, but framing does NOT rely on that: members
+  * decompress into one logical byte stream and the same length-driven
+  * splitter frames it — a sloppy producer packing several records per
+  * member (or splitting one across members) still frames correctly.
+  *
+  * Two record-column shapes:
+  *   - [[readWarcRecords]]: UTF-8 STRING records (char positions == byte
+  *     positions only for ASCII transport) — the legacy/simple path for
+  *     known-ASCII corpora, parsed by [[graft.operators.Warc.warcParse]];
+  *   - [[readWarcRecordsBinary]]: BINARY records carrying the exact
+  *     original bytes, parsed by
+  *     [[graft.operators.Warc.warcParseBytes]] (byte-true slicing via
+  *     the ISO-8859-1 transport decode — each char IS one byte). This
+  *     is the production path: most of the web is multi-byte UTF-8.
   */
 object WarcSource {
 
@@ -47,10 +62,12 @@ object WarcSource {
     -1
   }
 
-  /** Split one file's bytes into record strings. Never throws; never
-    * drops bytes between the first magic and EOF. */
-  def splitRecords(b: Array[Byte]): Seq[String] = {
-    val out = Seq.newBuilder[String]
+  /** Split one file's bytes into record byte slices. Never throws;
+    * never drops bytes between the first magic and EOF. The header is
+    * ASCII by spec, so decoding it UTF-8 for the Content-Length probe
+    * is byte-exact; the body jump counts OCTETS. */
+  def splitRecordBytes(b: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
     var p = indexOf(b, Magic, 0)
     while (p >= 0 && p < b.length) {
       val next = indexOf(b, Magic, p + Magic.length)
@@ -64,25 +81,94 @@ object WarcSource {
         }
       }
       if (end < 0) end = if (next >= 0) next else b.length // resync
-      out += new String(b, p, end - p, UTF_8)
+      out += java.util.Arrays.copyOfRange(b, p, end)
       p = indexOf(b, Magic, end)
     }
     out.result()
   }
 
-  /** Read `.warc` files under `path` into one record per row:
-    * `(file, rec_no, rec)`. One task per file (binaryFile), framing
-    * inside the task — the per-file production parallel unit. */
+  /** Split one file's bytes into record strings (UTF-8 decode of each
+    * [[splitRecordBytes]] slice — ASCII-transport convenience form). */
+  def splitRecords(b: Array[Byte]): Seq[String] =
+    splitRecordBytes(b).map(new String(_, UTF_8))
+
+  /** Decompress a (possibly multi-member) gzip byte stream into the
+    * concatenated decompressed bytes. Each member is inflated with a
+    * raw `Inflater` so member boundaries are walked explicitly (Java's
+    * `GZIPInputStream` silently stops at a corrupt second member);
+    * trailing garbage after the last complete member is dropped — the
+    * resync-grade refusal the splitter applies to raw streams. */
+  def gunzipMembers(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(b.length * 4, 64))
+    var p = 0
+    val buf = new Array[Byte](64 * 1024)
+    while (p + 10 <= b.length &&
+        (b(p) & 0xFF) == 0x1F && (b(p + 1) & 0xFF) == 0x8B && b(p + 2) == 8) {
+      val flg = b(p + 3) & 0xFF
+      var q = p + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (q + 2 > b.length) return out.toByteArray
+        val xlen = (b(q) & 0xFF) | ((b(q + 1) & 0xFF) << 8)
+        q += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (q < b.length && b(q) != 0) q += 1; q += 1 }
+      if ((flg & 16) != 0) { while (q < b.length && b(q) != 0) q += 1; q += 1 }
+      if ((flg & 2) != 0) q += 2 // FHCRC
+      if (q > b.length) return out.toByteArray
+      val inf = new java.util.zip.Inflater(true) // raw deflate
+      inf.setInput(b, q, b.length - q)
+      try {
+        var n = 1
+        while (!inf.finished && n != 0) {
+          n = inf.inflate(buf)
+          if (n > 0) out.write(buf, 0, n)
+        }
+        // n == 0 and not finished <=> needsInput/needsDictionary:
+        // truncated or dictionary-requiring member — keep what inflated
+        if (!inf.finished) return out.toByteArray
+        val consumed = (b.length - q) - inf.getRemaining
+        p = q + consumed + 8 // skip CRC32 + ISIZE trailer
+      } catch {
+        case _: java.util.zip.DataFormatException => return out.toByteArray
+      } finally inf.end()
+    }
+    out.toByteArray
+  }
+
+  private def fileBytes(file: String, bytes: Array[Byte]): Array[Byte] =
+    if (file.endsWith(".gz")) gunzipMembers(bytes) else bytes
+
+  /** Read `.warc` / `.warc.gz` files under `path` into one record per
+    * row: `(file, rec_no, rec)` with `rec` a UTF-8 STRING (ASCII
+    * transport form). One task per file (binaryFile), framing inside
+    * the task — the per-file production parallel unit. */
   def readWarcRecords(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (file, bytes) =>
-        splitRecords(bytes).zipWithIndex.map { case (rec, i) =>
-          (file, i.toLong, rec)
+        splitRecords(fileBytes(file, bytes)).zipWithIndex.map {
+          case (rec, i) => (file, i.toLong, rec)
         }
       }
       .toDF("file", "rec_no", "rec")
+  }
+
+  /** Read `.warc` / `.warc.gz` files under `path` into one record per
+    * row: `(file, rec_no, rec_bin)` with `rec_bin` the exact record
+    * BYTES — the byte-true production path
+    * ([[graft.operators.Warc.warcParseBytes]] consumes it). */
+  def readWarcRecordsBinary(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        splitRecordBytes(fileBytes(file, bytes)).zipWithIndex.map {
+          case (rec, i) => (file, i.toLong, rec)
+        }
+      }
+      .toDF("file", "rec_no", "rec_bin")
   }
 }

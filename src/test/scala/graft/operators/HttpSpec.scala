@@ -74,4 +74,86 @@ class HttpSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toList
     assert(got == List((1L, "text/html", "ok")), got.toString)
   }
+
+  // ------------------------------------------------------- dechunk laws
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def chunkedMsg(body: String, te: String = "chunked"): String =
+    "HTTP/1.1 200 OK" + CRLF + "Content-Type: text/html" + CRLF +
+      s"Transfer-Encoding: $te" + CRLF + CRLF + body
+
+  test("dechunk: multi-chunk with extension + trailer reassembles; sizes are hex") {
+    // 26 chars split 10 ('a'..'j') + 16; 10 = 0xa, 16 = 0x10
+    val data = "abcdefghijklmnopqrstuvwxyz"
+    val body = "a;ext=1" + CRLF + data.take(10) + CRLF +
+      "10" + CRLF + data.drop(10) + CRLF +
+      "0" + CRLF + "X-Trailer: ignored" + CRLF + CRLF
+    val r = parse(chunkedMsg(body))
+    assert(r.getLong(9) == 26L, r.toString)
+    assert(r.getString(10) == md5hex(data))
+    // chunk data CONTAINING a CRLF + hex-looking line must NOT re-split
+    // (length-driven jump, never a scan): 7 declared chars of "x\r\n3\r\ny"
+    val tricky = "7" + CRLF + "x\r\n3\r\ny" + CRLF + "0" + CRLF + CRLF
+    val r2 = parse(chunkedMsg(tricky))
+    assert(r2.getLong(9) == 7L && r2.getString(10) == md5hex("x\r\n3\r\ny"),
+      r2.toString)
+  }
+
+  test("dechunk refusals: truncated data, bad size line, missing data CRLF → NULL payload") {
+    val truncated = "ff" + CRLF + "only a few chars"
+    val r1 = parse(chunkedMsg(truncated))
+    assert(r1.isNullAt(9) && r1.isNullAt(10) && r1.getBoolean(11),
+      "payload refused, message still valid: " + r1)
+    val badSize = "zz" + CRLF + "abc" + CRLF + "0" + CRLF + CRLF
+    assert(parse(chunkedMsg(badSize)).isNullAt(9))
+    val noTerm = "3" + CRLF + "abcXX" + "0" + CRLF + CRLF
+    assert(parse(chunkedMsg(noTerm)).isNullAt(9))
+    val noFinal = "3" + CRLF + "abc" + CRLF // never reaches a 0-chunk
+    assert(parse(chunkedMsg(noFinal)).isNullAt(9))
+  }
+
+  test("dechunk applies only when chunked is the FINAL coding; Content-Length ignored when it is") {
+    val body = "3" + CRLF + "abc" + CRLF + "0" + CRLF + CRLF
+    // "gzip, chunked": final coding chunked -> dechunk
+    val r1 = parse(chunkedMsg(body, te = "gzip, chunked"))
+    assert(r1.getLong(9) == 3L && r1.getString(10) == md5hex("abc"))
+    // "chunked, gzip": final coding NOT chunked -> close-delimited raw
+    val r2 = parse(chunkedMsg(body, te = "chunked, gzip"))
+    assert(r2.getLong(9) == body.length.toLong)
+    // chunked + a (wrong) Content-Length: TE wins (RFC 9112 §6.3 rule 3)
+    val r3 = parse("HTTP/1.1 200 OK" + CRLF +
+      "Content-Length: 2" + CRLF + "Transfer-Encoding: chunked" +
+      CRLF + CRLF + body)
+    assert(r3.getLong(9) == 3L, r3.toString)
+  }
+
+  // ----------------------------------------------------- transcode laws
+  private def transcode(payload: String, cs: String): Option[String] = {
+    import spark.implicits._
+    val r = Seq((1L, payload, cs)).toDF("id", "p", "cs")
+      .select(Http.transcode(col("p"),
+        when(col("cs") === "", lit(null).cast("string"))
+          .otherwise(col("cs"))).as("t"))
+      .collect().head
+    if (r.isNullAt(0)) None else Some(r.getString(0))
+  }
+
+  test("transcode: utf-8 byte-transport decodes; invalid utf-8 refuses") {
+    // 'é' as UTF-8 bytes 0xC3 0xA9 viewed as latin-1 chars
+    assert(transcode("caf\u00C3\u00A9", "utf-8").contains("caf\u00E9"))
+    assert(transcode("ok", "").contains("ok"), "absent charset defaults utf-8")
+    assert(transcode("bad \u00FF\u00FE", "utf-8").isEmpty,
+      "invalid UTF-8 refuses, never mojibake")
+  }
+
+  test("transcode: iso-8859-1 is identity; cp1252 maps the 0x80 block; unknown refuses") {
+    assert(transcode("na\u00EFve", "iso-8859-1").contains("na\u00EFve"))
+    // bytes 0x80 -> \u20AC, 0x93 -> \u201C, 0x99 -> \u2122; 0xE9 stays
+    // latin-1; undefined 0x8D passes through as its C1 control
+    assert(transcode("\u0080\u0093\u0099\u008D\u00E9", "WINDOWS-1252")
+      .contains("\u20AC\u201C\u2122\u008D\u00E9"))
+    assert(transcode("anything", "shift_jis").isEmpty, "unknown charset refuses")
+  }
 }

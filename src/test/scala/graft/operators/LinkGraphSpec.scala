@@ -125,6 +125,41 @@ class LinkGraphSpec extends SparkSpec {
       ("h.org", "https://h.org/b", 1L, 2)), got.toString)
   }
 
+  test("crawlFrontierBudget: per-host quota = min(perHost, floor(window/delay)), floor ≥ 1, delay-less keeps perHost") {
+    import spark.implicits._
+    def l(id: Long, url: String) =
+      (id, "src.com", 0, "abs", "h.org", false, "t", url)
+    val links = Seq(
+      l(1, "https://slow.org/a"), l(2, "https://slow.org/a"),
+      l(3, "https://slow.org/b"), l(4, "https://slow.org/c"),
+      l(5, "https://free.org/a"), l(6, "https://free.org/b"),
+      l(7, "https://free.org/c"),
+      l(8, "https://glacial.org/a"), l(9, "https://glacial.org/b"))
+      .toDF("doc_id", "base_host", "link_no", "kind", "dst_host",
+        "nofollow", "anchor", "dst_url")
+    val crawled = Seq.empty[String].toDF("canonical_url")
+    val rules = Robots.robotsRules(
+      Seq(("slow.org", "User-agent: *\nDisallow:"))
+        .toDF("host", "body"), "host", "body")
+    val delays = Seq(("slow.org", 30.0), ("glacial.org", 500.0))
+      .toDF("host", "crawl_delay")
+    val got = LinkGraph.crawlFrontierBudget(links, crawled, rules, delays,
+        agent = "graftbot", perHost = 3, windowSec = 60.0)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(3), r.getInt(5)))
+      .toSet
+    assert(got == Set(
+      // 60/30 = 2: the third slow.org candidate is cut
+      ("slow.org", "https://slow.org/a", 1, 2),
+      ("slow.org", "https://slow.org/b", 2, 2),
+      // no delay: full perHost
+      ("free.org", "https://free.org/a", 1, 3),
+      ("free.org", "https://free.org/b", 2, 3),
+      ("free.org", "https://free.org/c", 3, 3),
+      // delay > window floors to 0 -> clamped to 1 (eventual progress)
+      ("glacial.org", "https://glacial.org/a", 1, 1)), got.toString)
+  }
+
   test("discoveryMerge: spelling variants fold, best channel by explicitness, counts exact") {
     import spark.implicits._
     val seeds = Seq(

@@ -118,6 +118,43 @@ class RobotsSpec extends SparkSpec {
     assert(got(7L)._1 == true)
   }
 
+  test("crawl-delay: group attach, min-wins, junk refusal, UA-run non-interference") {
+    import spark.implicits._
+    val bodies = Seq(
+      // delay between two UA lines attaches to their SHARED group
+      // (§2.2.4: other records must not interfere with UA-run grouping)
+      ("h1", "User-agent: a\nCrawl-delay: 9\nUser-agent: b\nDisallow: /q\n" +
+        "Crawl-delay: junk\nUser-agent: c\nCrawl-delay: 7 # fast"),
+      // two delays in one group: min wins; case-insensitive field name
+      ("h2", "User-agent: *\nCrawl-delay: 15\ncrawl-delay: 2.5"))
+      .toDF("host", "body")
+    val got = Robots.robotsDelays(bodies, "host", "body").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(("h1", "a")).contains(9.0) && got(("h1", "b")).contains(9.0),
+      got.toString)
+    assert(got(("h1", "c")).contains(7.0), "comment strips, junk refused")
+    assert(got(("h2", "*")).contains(2.5), "min of the group's delays")
+  }
+
+  test("crawlDelayFor: specific group wins; a DELAY-LESS specific group shields from star") {
+    import spark.implicits._
+    val bodies = Seq(
+      ("h1", "User-agent: *\nCrawl-delay: 10\n\nUser-agent: bot\nCrawl-delay: 2"),
+      // the star group needs a RULE before bot's UA line — otherwise
+      // the two UA lines legally form ONE multi-UA group (the RFC
+      // grammar; delay lines never split a UA run)
+      ("h2", "User-agent: *\nCrawl-delay: 20\nDisallow: /x\n\n" +
+        "User-agent: bot\nDisallow: /p"),
+      ("h3", "User-agent: *\nCrawl-delay: 30"),
+      ("h4", "User-agent: *\nDisallow: /x")) // no delay anywhere
+      .toDF("host", "body")
+    val got = Robots.crawlDelayFor(
+        Robots.robotsDelays(bodies, "host", "body"), "bot")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("h1" -> 2.0, "h3" -> 30.0), got.toString)
+  }
+
   test("gate plan: corpus never shuffles (broadcast rules array + codegen fold)") {
     import spark.implicits._
     val r = rules("h" -> "User-agent: *\nDisallow: /x")

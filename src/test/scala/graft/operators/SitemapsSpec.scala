@@ -53,4 +53,38 @@ class SitemapsSpec extends SparkSpec {
         "</urlset>")
     assert(got.forall(e => e._4 == null && e._6 == null), got.toString)
   }
+
+  test("resolveSitemapTree: depth provenance, bounded recursion, unresolved children drop") {
+    import spark.implicits._
+    def idx(children: String*): String =
+      "<sitemapindex>" + children.map(c =>
+        s"<sitemap><loc>$c</loc></sitemap>").mkString + "</sitemapindex>"
+    def urlset(locs: String*): String =
+      "<urlset>" + locs.map(l => s"<url><loc>$l</loc></url>").mkString +
+        "</urlset>"
+    val sitemaps = Seq(
+      ("s://root", idx("s://mid", "s://leafA", "s://missing")),
+      ("s://mid", idx("s://leafB", "s://deep")),
+      ("s://deep", idx("s://leafA")), // depth 3 from root: REFUSED
+      ("s://leafA", urlset("u1", "u2")),
+      ("s://leafB", urlset("u3"))).toDF("url", "xml")
+    val got = Sitemaps.resolveSitemapTree(sitemaps, "url", "xml", 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .toSet
+    val expect = Set(
+      // each urlset's own entries at depth 0
+      ("s://leafA", 0, "s://leafA", "u1"), ("s://leafA", 0, "s://leafA", "u2"),
+      ("s://leafB", 0, "s://leafB", "u3"),
+      // root -> leafA at depth 1
+      ("s://root", 1, "s://leafA", "u1"), ("s://root", 1, "s://leafA", "u2"),
+      // mid -> leafB depth 1; root -> mid -> leafB depth 2
+      ("s://mid", 1, "s://leafB", "u3"), ("s://root", 2, "s://leafB", "u3"),
+      // mid -> deep -> leafA: depth 2 from mid, depth 3 from root (dropped)
+      ("s://mid", 2, "s://leafA", "u1"), ("s://mid", 2, "s://leafA", "u2"),
+      // deep -> leafA at depth 1
+      ("s://deep", 1, "s://leafA", "u1"), ("s://deep", 1, "s://leafA", "u2"))
+    assert(got == expect,
+      ("missing=" + (expect -- got)) + " extra=" + (got -- expect))
+  }
 }

@@ -50,6 +50,89 @@ class WarcSourceSpec extends SparkSpec {
       Seq("WARC/1.0\r\n"))
   }
 
+  private def gzMember(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  private def recBytes(body: Array[Byte], id: String): Array[Byte] = {
+    val hdr = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$id>\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8)
+    hdr ++ body ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  test("byte-true framing: multi-byte UTF-8 and BINARY bodies slice by octets") {
+    // é (2B) + 中 (3B) + an INVALID UTF-8 byte body — char counting
+    // would misframe both
+    val utf8Body = "café 中".getBytes(UTF_8) // 9 bytes, 6 chars
+    val binBody = Array[Byte](0x00, -1, -2, 'W', 'A', 'R', 'C')
+    val stream = recBytes(utf8Body, "1") ++ recBytes(binBody, "2")
+    val dir = java.nio.file.Files.createTempDirectory("warcbytes")
+    java.nio.file.Files.write(dir.resolve("a.warc"), stream)
+    import org.apache.spark.sql.functions._
+    val parsed = graft.operators.Warc.warcParseBytes(
+        WarcSource.readWarcRecordsBinary(spark, dir.toString),
+        "rec_no", "rec_bin")
+      .orderBy(col("rec_no")).collect()
+    assert(parsed.length == 2)
+    val r1 = parsed(0)
+    assert(r1.getLong(7) == 9L, "body_len counts OCTETS")
+    assert(r1.getLong(8) == 6L, "n_chars counts code points")
+    assert(r1.getBoolean(10) && r1.getBoolean(11), "utf8 + valid")
+    val r2 = parsed(1)
+    assert(r2.getLong(7) == 7L)
+    assert(r2.isNullAt(8), "binary body refuses the text view")
+    assert(!r2.getBoolean(10), "body_is_utf8 = false")
+    assert(r2.getBoolean(11), "framing itself is valid")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(binBody).map("%02x".format(_)).mkString
+    assert(r2.getString(9) == md5, "md5 over the exact bytes")
+  }
+
+  test(".warc.gz: one gzip member per record (the Common Crawl shape)") {
+    val stream = gzMember(recBytes("hello".getBytes(UTF_8), "7")) ++
+      gzMember(recBytes("world!".getBytes(UTF_8), "8"))
+    val dir = java.nio.file.Files.createTempDirectory("warcgz")
+    java.nio.file.Files.write(dir.resolve("a.warc.gz"), stream)
+    import org.apache.spark.sql.functions._
+    val parsed = graft.operators.Warc.warcParseBytes(
+        WarcSource.readWarcRecordsBinary(spark, dir.toString),
+        "rec_no", "rec_bin")
+      .orderBy(col("rec_no")).collect()
+    assert(parsed.length == 2, parsed.mkString("\n"))
+    assert(parsed(0).getString(4) == "<urn:uuid:7>" &&
+      parsed(0).getLong(7) == 5L && parsed(0).getBoolean(11))
+    assert(parsed(1).getString(4) == "<urn:uuid:8>" &&
+      parsed(1).getLong(7) == 6L && parsed(1).getBoolean(11))
+  }
+
+  test("gunzipMembers: sloppy multi-record member, truncated member, trailing garbage") {
+    val r1 = recBytes("a".getBytes(UTF_8), "1")
+    val r2 = recBytes("bb".getBytes(UTF_8), "2")
+    // one member holding TWO records still frames (framing never
+    // relies on member==record)
+    val multi = gzMember(r1 ++ r2)
+    assert(WarcSource.splitRecordBytes(
+      WarcSource.gunzipMembers(multi)).size == 2)
+    // truncated second member: first member's bytes survive
+    val good = gzMember(r1)
+    val bad = gzMember(r2).dropRight(12)
+    val out = WarcSource.gunzipMembers(good ++ bad)
+    assert(out.length >= r1.length,
+      "first member fully recovered")
+    assert(new String(WarcSource.splitRecordBytes(out).head, UTF_8)
+      .contains("uuid:1"))
+    // trailing non-gzip garbage after the last member is dropped
+    val junk = WarcSource.gunzipMembers(good ++ "not gzip".getBytes(UTF_8))
+    assert(junk.toSeq == r1.toSeq)
+    // never throws on junk-only input
+    assert(WarcSource.gunzipMembers("junk".getBytes(UTF_8)).isEmpty)
+  }
+
   test("readWarcRecords: per-file framing through the binaryFile source") {
     val dir = java.nio.file.Files.createTempDirectory("warcsrc")
     val f = dir.resolve("a.warc")

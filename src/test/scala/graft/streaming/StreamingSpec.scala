@@ -1022,4 +1022,44 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("discovery admission: chained state folds == one-shot discoveryMerge (any split, any order)") {
+    import graft.operators.LinkGraph
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val channels = Seq("sitemap", "feed", "link")
+    val seeds = (1 to 400).map { i =>
+      // collisions by construction: ~80 distinct resources, spelling
+      // variants the canonicalization must fold cross-batch
+      val k = rnd.nextInt(80)
+      val url = if (i % 7 == 0) s"HTTPS://WWW.h$k.Example.COM:443/p/$k"
+        else s"https://h$k.example.com/p/$k"
+      (url, channels(rnd.nextInt(3)))
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val oneShot = LinkGraph.discoveryMerge(seeds.toDF("url", "channel"))
+      .collect().map(key).toSet
+
+    // three uneven batches, folded in arrival order
+    val batches = Seq(seeds.take(50), seeds.slice(50, 290), seeds.drop(290))
+    var state = LinkGraph.discoveryState(batches.head.toDF("url", "channel"))
+    batches.tail.foreach { b =>
+      state = LinkGraph.discoveryMergeState(state,
+        LinkGraph.discoveryState(b.toDF("url", "channel")))
+        .localCheckpoint() // the stored-table boundary between polls
+    }
+    val chained = LinkGraph.discoveryResolve(state).collect().map(key).toSet
+    assert(chained == oneShot,
+      s"only-chained=${chained -- oneShot} only-oneshot=${oneShot -- chained}")
+
+    // commutativity: reversed arrival order reaches the same state
+    var rev = LinkGraph.discoveryState(batches.last.toDF("url", "channel"))
+    batches.reverse.tail.foreach { b =>
+      rev = LinkGraph.discoveryMergeState(rev,
+        LinkGraph.discoveryState(b.toDF("url", "channel")))
+    }
+    val reversed = LinkGraph.discoveryResolve(rev).collect().map(key).toSet
+    assert(reversed == oneShot, "fold order must not matter")
+  }
 }
