@@ -391,7 +391,7 @@ object ScaleProbe {
           "q204_http_chunked", "q205_charset_transcode",
           "q206_robots_crawl_delay", "q206b_frontier_delay",
           "q207_sitemap_tree", "q208_discovery_admit",
-          "q93d_crawl_chain_http")
+          "q209_byte_ingest_stack", "q93d_crawl_chain_http")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out)

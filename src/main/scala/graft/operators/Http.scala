@@ -443,20 +443,11 @@ object Http {
     (cs, transport)
   }
 
-  private val q205 = GraftQuery(
-    "q205_charset_transcode",
-    (s, dir) => {
-      val (cs, transport) = transportFixture()
-      Tables.documents(s, dir)
-        .select(col("doc_id"), cs.as("charset"), transport.as("payload"))
-        .withColumn("__text", transcode(col("payload"), col("charset")))
-        .select(col("doc_id"), lower(col("charset")).as("charset"),
-          length(col("__text")).cast("long").as("n_chars"),
-          md5(col("__text")).as("text_md5"),
-          col("__text").isNotNull.as("decoded"))
-        .orderBy(col("doc_id"))
-    },
-    Some("""
+  // ONE oracle for q205 and q209: the expected DECODED text per
+  // rotation, recomputed with DuckDB code-point arithmetic — the
+  // byte-stack query must land on exactly what the in-plan transcode
+  // lands on.
+  private val transcodeOracleSql = """
       WITH x AS (
         SELECT doc_id,
                CASE WHEN doc_id % 7 = 0 THEN 'shift_jis'
@@ -473,7 +464,77 @@ object Http {
              md5(expected) AS text_md5,
              expected IS NOT NULL AS decoded
       FROM x
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""
+
+  private val q205 = GraftQuery(
+    "q205_charset_transcode",
+    (s, dir) => {
+      val (cs, transport) = transportFixture()
+      Tables.documents(s, dir)
+        .select(col("doc_id"), cs.as("charset"), transport.as("payload"))
+        .withColumn("__text", transcode(col("payload"), col("charset")))
+        .select(col("doc_id"), lower(col("charset")).as("charset"),
+          length(col("__text")).cast("long").as("n_chars"),
+          md5(col("__text")).as("text_md5"),
+          col("__text").isNotNull.as("decoded"))
+        .orderBy(col("doc_id"))
+    },
+    Some(transcodeOracleSql))
+
+  // ---------------------------------------------------------------- q209
+  // The FULL byte-true ingest stack as one declared operator — real
+  // mixed-charset BYTES on disk, which the string `.text()` writer
+  // cannot produce (it UTF-8-encodes): per-doc HTTP responses whose
+  // payload bytes follow the q205 rotations (utf-8 / 8859-1 / cp1252 /
+  // undeclared-unknown) are framed as WARC response records with OCTET
+  // Content-Lengths, encoded to their exact bytes (latin-1 encode of
+  // the transport string), written through the BINARY gzip-member sink
+  // ([[graft.sources.WarcSource.writeWarcRecordsBinary]]), re-framed
+  // member-by-member, byte-sliced ([[Warc.warcBodiesBytes]]), HTTP-
+  // parsed in the transport domain (the header grammar is ASCII),
+  // charset-transcoded, and hash-matched against the SAME expected
+  // text as q205 — any byte lost or transcoded wrongly anywhere in
+  // sink → gzip → framing → WARC slice → HTTP slice → transcode breaks
+  // the hash.
+  private val q209 = GraftQuery(
+    "q209_byte_ingest_stack",
+    (s, dir) => {
+      val (cs, transport) = transportFixture()
+      val id = col("doc_id").cast("string")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), cs.as("cs"),
+          transport.as("payload"))
+      val msg = concat(lit("HTTP/1.1 200 OK" + CRLF),
+        lit("Content-Type: text/plain; charset="), col("cs"), lit(CRLF),
+        lit("Content-Length: "), length(col("payload")).cast("string"),
+        lit(CRLF + CRLF), col("payload"))
+      val staged = docs.withColumn("__msg", msg)
+      val rec = concat(lit("WARC/1.0" + CRLF),
+        lit("WARC-Type: response" + CRLF),
+        lit("WARC-Target-URI: http://"), col("source"),
+        lit(".example.com/b/"), id, lit(CRLF),
+        lit("Content-Length: "), length(col("__msg")).cast("string"),
+        lit(CRLF + CRLF), col("__msg"), lit(CRLF + CRLF))
+      graft.sources.GraftIO.roundTrip("warc_q209") { out =>
+        graft.sources.WarcSource.writeWarcRecordsBinary(
+          staged.select(encode(rec, "ISO-8859-1").as("rec_bin")),
+          "rec_bin", out, gzipPerRecord = true)
+        val bodies = Warc.warcBodiesBytes(
+          graft.sources.WarcSource.readWarcRecordsBinary(s, out),
+          "rec_no", "rec_bin")
+        httpPayloads(bodies, "rec_no", "body", keep = Seq("target_uri"),
+            keepTypes = Seq("text/plain"))
+          .withColumn("doc_id",
+            regexp_extract(col("target_uri"), "/b/([0-9]+)", 1).cast("long"))
+          .withColumn("__text", transcode(col("payload"), col("charset")))
+          .select(col("doc_id"), col("charset"),
+            length(col("__text")).cast("long").as("n_chars"),
+            md5(col("__text")).as("text_md5"),
+            col("__text").isNotNull.as("decoded"))
+          .orderBy(col("doc_id"))
+      }
+    },
+    Some(transcodeOracleSql))
 
   // ---------------------------------------------------------------- q204
   // Chunked transfer de-chunking as its own declared operator (VERDICT
@@ -533,5 +594,5 @@ object Http {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q188, q188b, q204, q205)
+  val all: Seq[GraftQuery] = Seq(q188, q188b, q204, q205, q209)
 }

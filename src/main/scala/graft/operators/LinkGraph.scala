@@ -480,6 +480,110 @@ object LinkGraph {
       FROM rk WHERE rk <= 2
       ORDER BY host, rk"""))
 
+  /** Incremental FRONTIER admission (VERDICT r15 next #7's frontier
+    * half — q208 is the discovery half): a NEW batch of links is
+    * admitted against the STORED crawl state — `crawled` (fetched) and
+    * `scheduled` (admitted by earlier batches, not yet fetched; both
+    * url-keyed, append-only) — so a URL is never scheduled twice
+    * across batches. Selection is exactly [[crawlFrontier]] with the
+    * stored keys unioned into the anti-join set: per batch, one
+    * candidate hash-agg + one canonical-key anti-join against the
+    * store + broadcast robots + bounded heap — the incremental cost
+    * is the BATCH's, never a re-scan of history. */
+  def frontierAdmitBatch(batchLinks: DataFrame, crawled: DataFrame,
+      scheduled: DataFrame, robotsRules: DataFrame, agent: String,
+      perHost: Int): DataFrame =
+    crawlFrontier(batchLinks,
+      crawled.select(col("canonical_url"))
+        .unionByName(scheduled.select(col("canonical_url"))),
+      robotsRules, agent, perHost)
+
+  // ---------------------------------------------------------------- q210
+  // Frontier admission as a declared query: batch 1 = even documents'
+  // links (its admission becomes the stored `scheduled` set), batch 2
+  // = odd documents' links admitted against crawled ∪ scheduled. The
+  // oracle canonicalizes BOTH phases in one pass (a phase tag through
+  // canonicalizeSqlFrom), evaluates robots ONCE over the union of
+  // candidates (verdicts are per-URL and phase-independent), then
+  // replays both selections — a double-scheduled URL, a wrong priority
+  // count, or a gate drift in either phase breaks the hash.
+  private val q210 = GraftQuery(
+    "q210_frontier_admit",
+    (s, dir) => {
+      val crawled = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(concat(lit("https://h"),
+          pmod(col("doc_id"), lit(31)).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string"))
+          .as("canonical_url"))
+      val rules = Robots.robotsRules(frontierRobotsBodies(s),
+        "host", "body")
+      val links = fixtureLinks(s, dir)
+      val b1 = links.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val b2 = links.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+      val scheduled = crawlFrontier(b1, crawled, rules,
+          agent = "graftbot", perHost = 2)
+        .select(col("url").as("canonical_url"))
+      frontierAdmitBatch(b2, crawled, scheduled, rules,
+          agent = "graftbot", perHost = 2)
+        .orderBy(col("host"), col("rk"))
+    },
+    Some(s"""
+      WITH $linkCtes,
+      fo AS (SELECT dst_url AS url, CAST(doc_id % 2 AS INT) AS ph
+             FROM flt WHERE NOT nofollow),
+      ${UrlOps.canonicalizeSqlFrom("fo", Seq("ph"))},
+      cand1 AS (SELECT canonical_url, COUNT(*) AS n_inlinks
+                FROM canon WHERE canonical_url IS NOT NULL AND ph = 0
+                GROUP BY canonical_url),
+      cand2 AS (SELECT canonical_url, COUNT(*) AS n_inlinks
+                FROM canon WHERE canonical_url IS NOT NULL AND ph = 1
+                GROUP BY canonical_url),
+      crawled AS (SELECT 'https://h' || CAST(doc_id % 31 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url
+                  FROM documents WHERE doc_id % 2 = 0),
+      bodies AS (SELECT 'h' || CAST(k AS VARCHAR) || '.example.org' AS host,
+                   (CASE CAST(k % 3 AS INT)
+                      WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /q/'
+                      WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow:'
+                      ELSE 'User-agent: *' || chr(10) || 'Disallow: /' END) ||
+                   (CASE WHEN k % 5 = 0 THEN chr(10) || chr(10) || 'User-agent: graftbot' || chr(10) || 'Allow: /' ELSE '' END) AS body
+                 FROM range(31) t(k)),
+      allc AS (SELECT canonical_url FROM cand1
+               UNION SELECT canonical_url FROM cand2),
+      req0 AS (SELECT canonical_url,
+                 regexp_replace(canonical_url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+               FROM allc),
+      req1 AS (SELECT canonical_url,
+                 lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+                 regexp_extract(regexp_replace(regexp_replace(rest, '^[^/?#]*', ''), '#.*$$', ''), '^([^?]*)', 1) AS p
+               FROM req0),
+      req AS (SELECT canonical_url,
+                regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''), '^www\\.', '') AS host,
+                CASE WHEN p = '' THEN '/' ELSE p END AS path
+              FROM req1),
+      ${Robots.robotsEvalSqlFrom("req", "canonical_url", "graftbot")},
+      okc AS (SELECT canonical_url FROM verdict WHERE allowed),
+      hostc AS (SELECT canonical_url,
+                  regexp_replace(regexp_extract(regexp_replace(canonical_url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1), ':[0-9]+$$', '') AS host
+                FROM allc),
+      rk1 AS (SELECT h.host, c.canonical_url, c.n_inlinks,
+                row_number() OVER (PARTITION BY h.host
+                  ORDER BY c.n_inlinks DESC, c.canonical_url) AS rk
+              FROM cand1 c JOIN hostc h USING (canonical_url)
+              WHERE c.canonical_url IN (SELECT canonical_url FROM okc)
+                AND c.canonical_url NOT IN (SELECT url FROM crawled)),
+      sched AS (SELECT canonical_url FROM rk1 WHERE rk <= 2),
+      rk2 AS (SELECT h.host, c.canonical_url AS url, c.n_inlinks,
+                CAST(row_number() OVER (PARTITION BY h.host
+                  ORDER BY c.n_inlinks DESC, c.canonical_url) AS INT) AS rk
+              FROM cand2 c JOIN hostc h USING (canonical_url)
+              WHERE c.canonical_url IN (SELECT canonical_url FROM okc)
+                AND c.canonical_url NOT IN (SELECT url FROM crawled)
+                AND c.canonical_url NOT IN (SELECT canonical_url FROM sched))
+      SELECT host, url, n_inlinks, rk
+      FROM rk2 WHERE rk <= 2
+      ORDER BY host, rk"""))
+
   // --------------------------------------------------------------- q206b
   // The politeness-budgeted frontier (VERDICT r15 next #6): q191's
   // pipeline with the per-host batch quota tightened by Crawl-delay —
@@ -725,5 +829,5 @@ object LinkGraph {
     Some(discoveryOracleSql))
 
   val all: Seq[GraftQuery] =
-    Seq(q184, q185, q186, q187, q191, q202, q206b, q208)
+    Seq(q184, q185, q186, q187, q191, q202, q206b, q208, q210)
 }

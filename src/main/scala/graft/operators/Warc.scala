@@ -141,8 +141,21 @@ object Warc {
     * [[warcParse]] plus the validity filter — still zero UDFs, no
     * shuffle. */
   def warcBodies(records: DataFrame, idCol: String, recCol: String,
-      keep: Seq[String] = Nil): DataFrame = {
-    val rec = col(recCol)
+      keep: Seq[String] = Nil): DataFrame =
+    bodiesFrom(records, idCol, col(recCol), keep)
+
+  /** [[warcBodies]] on a BINARY record column: the record decodes
+    * through the latin-1 transport (module scaladoc) so the
+    * Content-Length slice is byte-exact, and the body comes back as
+    * the TRANSPORT string — each char one original byte, ready for
+    * [[Http]] (whose header grammar is ASCII) and then
+    * [[Http.transcode]] to real text. */
+  def warcBodiesBytes(records: DataFrame, idCol: String, recCol: String,
+      keep: Seq[String] = Nil): DataFrame =
+    bodiesFrom(records, idCol, decode(col(recCol), "ISO-8859-1"), keep)
+
+  private def bodiesFrom(records: DataFrame, idCol: String, rec: Column,
+      keep: Seq[String]): DataFrame = {
     val (version, sep, hdr, contentLength, body) = parsed(rec)
     val kept = keep.map(col)
     records.select((col(idCol) +: kept) ++ Seq(

@@ -171,4 +171,92 @@ object WarcSource {
       }
       .toDF("file", "rec_no", "rec_bin")
   }
+
+  /** BINARY WARC sink — writes a byte-record column as real `.warc`
+    * part files, or `.warc.gz` with ONE GZIP MEMBER PER RECORD (the
+    * Common Crawl shipping shape [[gunzipMembers]] reads back): raw
+    * concatenated bytes, no row separators — a `.warc` stream IS its
+    * records. Goes through `saveAsNewAPIHadoopFile` +
+    * [[RawBytesOutputFormat]], so task commit/retry semantics are the
+    * standard FileOutputCommitter ones (no half-written part files
+    * survive a task failure), and parallelism is one file per
+    * partition — the per-file framing unit the readers parallelize
+    * over. The string `.text()` writer cannot do this job: it encodes
+    * UTF-8 and appends '\n' row separators, so arbitrary BYTE payloads
+    * (8859-1 pages, images) can't round-trip through it. */
+  def writeWarcRecordsBinary(df: DataFrame, bytesCol: String,
+      path: String, gzipPerRecord: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.setBoolean(RawBytesOutputFormat.GzipKey, gzipPerRecord)
+    df.select(col(bytesCol)).rdd
+      .map(r => (org.apache.hadoop.io.NullWritable.get(),
+        new org.apache.hadoop.io.BytesWritable(r.getAs[Array[Byte]](0))))
+      .saveAsNewAPIHadoopFile(path,
+        classOf[org.apache.hadoop.io.NullWritable],
+        classOf[org.apache.hadoop.io.BytesWritable],
+        classOf[RawBytesOutputFormat], conf)
+  }
+}
+
+object RawBytesOutputFormat {
+  val GzipKey = "graft.warc.sink.gzip.per.record"
+}
+
+/** Hadoop output format writing VALUES as raw concatenated bytes (no
+  * key, no separators); with [[RawBytesOutputFormat.GzipKey]] set each
+  * value becomes its own complete gzip member (`finish()` flushes the
+  * member trailer without closing the file — members concatenate). */
+class RawBytesOutputFormat
+    extends org.apache.hadoop.mapreduce.lib.output.FileOutputFormat[
+      org.apache.hadoop.io.NullWritable, org.apache.hadoop.io.BytesWritable] {
+  import org.apache.hadoop.io.{BytesWritable, NullWritable}
+  import org.apache.hadoop.mapreduce.{RecordWriter, TaskAttemptContext}
+
+  override def getRecordWriter(ctx: TaskAttemptContext):
+      RecordWriter[NullWritable, BytesWritable] = {
+    val gzip = ctx.getConfiguration.getBoolean(
+      RawBytesOutputFormat.GzipKey, false)
+    val file = getDefaultWorkFile(ctx, if (gzip) ".warc.gz" else ".warc")
+    val out = file.getFileSystem(ctx.getConfiguration).create(file, true)
+    new RecordWriter[NullWritable, BytesWritable] {
+      // ONE reusable Deflater per task (a GZIPOutputStream per record
+      // would leak a native Deflater per record until GC); members are
+      // written by hand per RFC 1952: 10-byte header (no flags, mtime
+      // 0, OS unknown) + raw deflate + CRC32/ISIZE little-endian
+      private val deflater =
+        new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION,
+          true)
+      private val crc = new java.util.zip.CRC32
+      private val buf = new Array[Byte](64 * 1024)
+      private val hdr = Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, -1)
+      private def intLE(v: Long): Unit = {
+        out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+        out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+      }
+      override def write(k: NullWritable, v: BytesWritable): Unit =
+        if (gzip) {
+          out.write(hdr)
+          deflater.reset()
+          deflater.setInput(v.getBytes, 0, v.getLength)
+          deflater.finish()
+          while (!deflater.finished) {
+            val n = deflater.deflate(buf)
+            if (n > 0) out.write(buf, 0, n)
+          }
+          crc.reset()
+          crc.update(v.getBytes, 0, v.getLength)
+          intLE(crc.getValue)
+          intLE(v.getLength.toLong)
+        } else out.write(v.getBytes, 0, v.getLength)
+      override def close(ctx: TaskAttemptContext): Unit = {
+        deflater.end()
+        out.close()
+      }
+    }
+  }
 }

@@ -160,6 +160,33 @@ class LinkGraphSpec extends SparkSpec {
       ("glacial.org", "https://glacial.org/a", 1, 1)), got.toString)
   }
 
+  test("frontierAdmitBatch: stored crawled and scheduled urls are never re-admitted") {
+    import spark.implicits._
+    def l(id: Long, url: String) =
+      (id, "src.com", 0, "abs", "h.org", false, "t", url)
+    val rules = Robots.robotsRules(
+      Seq(("h.org", "User-agent: *\nDisallow:"))
+        .toDF("host", "body"), "host", "body")
+    val crawled = Seq("https://h.org/done").toDF("canonical_url")
+    val b1 = Seq(l(1, "https://h.org/a"), l(2, "https://h.org/b"),
+      l(3, "https://h.org/done")).toDF("doc_id", "base_host", "link_no",
+      "kind", "dst_host", "nofollow", "anchor", "dst_url")
+    val scheduled = LinkGraph.crawlFrontier(b1, crawled, rules,
+        agent = "bot", perHost = 2)
+      .select(col("url").as("canonical_url"))
+    assert(scheduled.collect().map(_.getString(0)).toSet ==
+      Set("https://h.org/a", "https://h.org/b"), "batch 1 admits a,b")
+    // batch 2 re-announces a (stored-scheduled) and done (crawled):
+    // only the genuinely new url may be admitted
+    val b2 = Seq(l(4, "https://h.org/a"), l(5, "https://h.org/done"),
+      l(6, "https://h.org/new")).toDF("doc_id", "base_host", "link_no",
+      "kind", "dst_host", "nofollow", "anchor", "dst_url")
+    val got = LinkGraph.frontierAdmitBatch(b2, crawled, scheduled, rules,
+        agent = "bot", perHost = 2)
+      .collect().map(r => (r.getString(1), r.getInt(3))).toList
+    assert(got == List(("https://h.org/new", 1)), got.toString)
+  }
+
   test("discoveryMerge: spelling variants fold, best channel by explicitness, counts exact") {
     import spark.implicits._
     val seeds = Seq(

@@ -133,6 +133,33 @@ class WarcSourceSpec extends SparkSpec {
     assert(WarcSource.gunzipMembers("junk".getBytes(UTF_8)).isEmpty)
   }
 
+  test("binary sink: raw and gzip-member part files round-trip arbitrary bytes") {
+    import spark.implicits._
+    val bodies = Seq(
+      "plain ascii".getBytes(UTF_8),
+      "café 中".getBytes(UTF_8), // multi-byte UTF-8
+      Array[Byte](0x00, -128, -1, 0x1f, -117.toByte, 8)) // binary incl. gzip magic
+    val recs = bodies.zipWithIndex.map { case (b, i) => recBytes(b, i.toString) }
+    def roundTrip(gzip: Boolean): Seq[(String, Long, String)] = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"warcsink$gzip").toString
+      WarcSource.writeWarcRecordsBinary(
+        recs.toDF("rec_bin").repartition(2), "rec_bin", dir,
+        gzipPerRecord = gzip)
+      import org.apache.spark.sql.functions._
+      graft.operators.Warc.warcParseBytes(
+          WarcSource.readWarcRecordsBinary(spark, dir), "rec_no", "rec_bin")
+        .collect()
+        .map(r => (r.getString(4), r.getLong(7), r.getString(9))).toSeq
+    }
+    val md5s = bodies.map(b => java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString)
+    val expect = bodies.indices.map(i =>
+      (s"<urn:uuid:$i>", bodies(i).length.toLong, md5s(i))).toSet
+    assert(roundTrip(gzip = false).toSet == expect, "raw .warc sink")
+    assert(roundTrip(gzip = true).toSet == expect, ".warc.gz member sink")
+  }
+
   test("readWarcRecords: per-file framing through the binaryFile source") {
     val dir = java.nio.file.Files.createTempDirectory("warcsrc")
     val f = dir.resolve("a.warc")
