@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BoundaryBucket, DotProduct, ImageHeader, Md5Hash60, MediaHeader, NfcNormalize, SquaredDistance, WordNGrams, WordShingles, YamrPartition}
+import graft.functions.{BoundaryBucket, DotProduct, GunzipBytes, GzipBytes, ImageHeader, Md5Hash60, MediaHeader, NfcNormalize, SquaredDistance, WordNGrams, WordShingles, YamrPartition}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst functions for SQL use, the TopKPerKey planner strategy, and
@@ -44,6 +44,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "image_header(payload) takes 1 argument")
         ImageHeader(children.head)
+      }))
+    // gzip scalar pair (round 16): the in-plan halves of the gzip
+    // story — Content-Encoding payload decode on the ingest hot path
+    ext.injectFunction((
+      new FunctionIdentifier("gzip_bytes"),
+      new ExpressionInfo(classOf[GzipBytes].getName, "gzip_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "gzip_bytes(bin) takes 1 argument")
+        GzipBytes(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("gunzip_bytes"),
+      new ExpressionInfo(classOf[GunzipBytes].getName, "gunzip_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "gunzip_bytes(bin) takes 1 argument")
+        GunzipBytes(children.head)
       }))
     // Unicode NFC canonical form (named after DuckDB's builtin so the
     // same SQL runs in both engines) — the pre-hash normalization every

@@ -70,7 +70,9 @@ object PlanDump {
     // stateless/scan/agg-class additions are audited here)
     "q204_http_chunked", "q205_charset_transcode",
     "q206_robots_crawl_delay", "q206b_frontier_delay",
-    "q208_discovery_admit", "q210_frontier_admit")
+    "q208_discovery_admit", "q210_frontier_admit",
+    "q211_recrawl_schedule", "q212_content_encoding",
+    "q213_meta_charset", "q214_robots_fetch_policy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -391,7 +391,10 @@ object ScaleProbe {
           "q204_http_chunked", "q205_charset_transcode",
           "q206_robots_crawl_delay", "q206b_frontier_delay",
           "q207_sitemap_tree", "q208_discovery_admit",
-          "q209_byte_ingest_stack", "q93d_crawl_chain_http")
+          "q209_byte_ingest_stack", "q210_frontier_admit",
+          "q211_recrawl_schedule", "q212_content_encoding",
+          "q213_meta_charset", "q214_robots_fetch_policy",
+          "q93d_crawl_chain_http")
         val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
         val times = names.map { name =>
           val (_, t) = timed(SparkEntry.queries(name)(spark, out)

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** Gzip compress/decompress as native codegen'd expressions over
+  * BINARY columns — the in-plan halves of the engine's gzip story
+  * (the FILE halves live in [[graft.sources.WarcSource]]: member
+  * framing on read, the member sink on write).
+  *
+  * Why expressions and not UDFs: `Content-Encoding: gzip` is routine
+  * on the real web, so payload decompression sits on the ingest hot
+  * path (every crawled page), exactly like [[NfcNormalize]] on the
+  * dedup path — a Scala UDF would add a serde boundary per row. Why
+  * not built-ins: Spark has no gzip scalar (only codec-level file
+  * compression).
+  *
+  * [[GunzipBytes]] is REFUSAL-grade (the crawl convention): a payload
+  * that is not a well-formed gzip stream — wrong magic, truncated
+  * deflate data, corrupt trailer, trailing garbage — returns NULL,
+  * never a half-decompressed prefix. Multi-member streams concatenate
+  * (RFC 1952 §2.2 — a compliant decompressor treats members as one
+  * stream). [[GzipBytes]] writes ONE member with a fixed header
+  * (mtime 0, no flags: byte-deterministic for a given JVM zlib, and
+  * nothing downstream ever pins compressed bytes — only round-trips).
+  */
+case class GzipBytes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gzip_bytes"
+  override def nullSafeEval(input: Any): Any =
+    GzipBytes.compute(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GzipBytes.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): GzipBytes =
+    copy(child = newChild)
+}
+
+object GzipBytes {
+  def compute(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 32)
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b)
+    g.close()
+    bos.toByteArray
+  }
+
+  def apply(c: Column): Column = columnOf(new GzipBytes(expressionOf(c)))
+}
+
+case class GunzipBytes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "gunzip_bytes"
+  override def nullSafeEval(input: Any): Any =
+    GunzipBytes.compute(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // compute may return null (refusal) — the default defineCodeGen
+    // assumes non-null results, so set isNull from the call
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.GunzipBytes.compute($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): GunzipBytes =
+    copy(child = newChild)
+}
+
+object GunzipBytes {
+
+  /** Strict multi-member gunzip; null on ANY malformation. */
+  def compute(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(b.length * 3, 64))
+    var p = 0
+    val buf = new Array[Byte](64 * 1024)
+    if (b.length == 0) return null
+    while (p < b.length) {
+      if (p + 10 > b.length || (b(p) & 0xFF) != 0x1F ||
+        (b(p + 1) & 0xFF) != 0x8B || b(p + 2) != 8) return null
+      val flg = b(p + 3) & 0xFF
+      var q = p + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (q + 2 > b.length) return null
+        val xlen = (b(q) & 0xFF) | ((b(q + 1) & 0xFF) << 8)
+        q += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (q < b.length && b(q) != 0) q += 1; q += 1 }
+      if ((flg & 16) != 0) { while (q < b.length && b(q) != 0) q += 1; q += 1 }
+      if ((flg & 2) != 0) q += 2 // FHCRC
+      if (q > b.length) return null
+      val inf = new java.util.zip.Inflater(true)
+      val crc = new java.util.zip.CRC32
+      val memberStart = out.size()
+      inf.setInput(b, q, b.length - q)
+      try {
+        var n = 1
+        while (!inf.finished && n != 0) {
+          n = inf.inflate(buf)
+          if (n > 0) { out.write(buf, 0, n); crc.update(buf, 0, n) }
+        }
+        if (!inf.finished) return null // truncated deflate data
+        val consumed = (b.length - q) - inf.getRemaining
+        val t = q + consumed
+        if (t + 8 > b.length) return null // truncated trailer
+        def le(i: Int): Long =
+          ((b(i) & 0xFFL)) | ((b(i + 1) & 0xFFL) << 8) |
+            ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+        if (le(t) != crc.getValue) return null // CRC mismatch
+        if (le(t + 4) != ((out.size() - memberStart).toLong & 0xFFFFFFFFL))
+          return null // ISIZE mismatch
+        p = t + 8
+      } catch {
+        case _: java.util.zip.DataFormatException => return null
+      } finally inf.end()
+    }
+    out.toByteArray
+  }
+
+  def apply(c: Column): Column = columnOf(new GunzipBytes(expressionOf(c)))
+}

@@ -157,25 +157,41 @@ object Http {
   /** The chain-ingest form (the [[Warc.warcBodies]] analog): VALID
     * messages passing the crawl gate — `status = 200` and media type
     * in `keepTypes` — with the payload TEXT itself, as
-    * `(idCol, keep…, content_type, charset, payload)`. Same stateless
-    * projection + filter; no shuffle. */
+    * `(idCol, keep…, content_type, charset, content_encoding,
+    * payload)`. Same stateless projection + filter; no shuffle.
+    *
+    * `Content-Encoding` (RFC 9110 §8.4 — the representation coding,
+    * applied AFTER de-chunking per the layering): `gzip`/`x-gzip`
+    * payloads are DECOMPRESSED in place via [[graft.functions.
+    * GunzipBytes]] through the latin-1 byte transport (corrupt streams
+    * refuse to NULL, the [[dechunk]] convention); absent/`identity`
+    * pass through; any OTHER coding (br, deflate, …) refuses the
+    * payload to NULL with `content_encoding` kept for triage — a
+    * wrongly-decoded page is worse than a dropped one. */
   def httpPayloads(msgs: DataFrame, idCol: String, msgCol: String,
       keep: Seq[String] = Nil,
       keepTypes: Seq[String] = Seq("text/html")): DataFrame = {
     val msg = col(msgCol)
     val (version, status, _, sep, hdr, _, payload) = parsed(msg)
     val ctRaw = Warc.field(hdr, "Content-Type")
+    val ce = nullIfEmpty(lower(trim(Warc.field(hdr, "Content-Encoding"))))
+    val decoded = when(ce.isNull || ce === "identity", payload)
+      .when(ce.isin("gzip", "x-gzip"),
+        decode(graft.functions.GunzipBytes(
+          encode(payload, "ISO-8859-1")), "ISO-8859-1"))
+      .otherwise(lit(null).cast("string"))
     val kept = keep.map(col)
     msgs.select((col(idCol) +: kept) ++ Seq(
         mediaType(ctRaw).as("content_type"),
         nullIfEmpty(lower(regexp_extract(ctRaw, CharsetRe, 1)))
           .as("charset"),
-        payload.as("payload"),
+        ce.as("content_encoding"),
+        decoded.as("payload"),
         (version.isNotNull && sep >= 1 && status === 200 &&
           mediaType(ctRaw).isin(keepTypes: _*)).as("__keep")): _*)
       .filter(col("__keep"))
       .select((col(idCol) +: kept) ++ Seq(col("content_type"),
-        col("charset"), col("payload")): _*)
+        col("charset"), col("content_encoding"), col("payload")): _*)
   }
 
   // ---------------------------------------------------------------- q188
@@ -594,5 +610,148 @@ object Http {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q188, q188b, q204, q205, q209)
+  // ------------------------------------------------- meta-charset sniff
+  /** HTML5-prescan-style in-document charset declaration — the
+    * fallback the real web REQUIRES when the Content-Type header
+    * carries no charset (most servers don't): scan the first 1024
+    * chars (the spec's prescan byte budget; meta charset is required
+    * to appear there) for a `charset=` attribute — covers BOTH the
+    * HTML5 `<meta charset=utf-8>` form and the legacy
+    * `<meta http-equiv=Content-Type content="…; charset=…">` form,
+    * since the legacy value contains the same `charset=` token.
+    * Lowercased; NULL when absent. One codegen regexp — pair with
+    * [[transcode]] via `coalesce(headerCharset, metaCharset(payload))`
+    * (transcode's own NULL default is utf-8, completing the HTML5
+    * fallback chain header > meta > default). */
+  def metaCharset(payload: Column): Column =
+    nullIfEmpty(lower(regexp_extract(substring(payload, 1, 1024),
+      "(?i)<meta[^>]*\\bcharset\\s*=\\s*[\"']?([A-Za-z0-9._-]+)", 1)))
+
+  // ---------------------------------------------------------------- q213
+  // The header > meta > default charset chain as a declared operator:
+  // every fixture message carries NO header charset; rotations — HTML5
+  // meta utf-8 over real UTF-8 bytes (%3=0), legacy http-equiv
+  // iso-8859-1 over latin-1 bytes (%3=1), NO declaration at all (%3=2
+  // — the utf-8 default must carry it), and an unknown koi8-r meta on
+  // %7=0 (refuses; the charset is kept for triage). The oracle states
+  // the expected DECODED html string per rotation.
+  private def metaMsg(): Column = {
+    val m3 = pmod(col("doc_id"), lit(3))
+    val unknown = pmod(col("doc_id"), lit(7)) === 0
+    val stem = concat(lit("doc "), col("doc_id").cast("string"))
+    val html = when(unknown, concat(
+        lit("<html><head><meta charset=koi8-r></head><body>"), stem,
+        lit("</body></html>")))
+      .when(m3 === 0, decode(encode(concat(
+        lit("<html><head><meta charset=UTF-8></head><body>"), col("text"),
+        lit(" café</body></html>")), "UTF-8"), "ISO-8859-1"))
+      .when(m3 === 1, concat(
+        lit("<html><head><meta http-equiv=\"Content-Type\" " +
+          "content=\"text/html; charset=ISO-8859-1\"></head><body>"),
+        stem, lit(" naïve élève</body></html>")))
+      .otherwise(decode(encode(concat(
+        lit("<html><body>"), col("text"), lit("</body></html>")),
+        "UTF-8"), "ISO-8859-1"))
+    concat(lit("HTTP/1.1 200 OK" + CRLF),
+      lit("Content-Type: text/html" + CRLF),
+      lit("Content-Length: "), length(html).cast("string"),
+      lit(CRLF + CRLF), html)
+  }
+
+  private val q213 = GraftQuery(
+    "q213_meta_charset",
+    (s, dir) => httpPayloads(
+        Tables.documents(s, dir).withColumn("msg", metaMsg()),
+        "doc_id", "msg")
+      .withColumn("__cs",
+        coalesce(col("charset"), metaCharset(col("payload"))))
+      .withColumn("__text", transcode(col("payload"), col("__cs")))
+      .select(col("doc_id"), col("__cs").as("eff_charset"),
+        length(col("__text")).cast("long").as("n_chars"),
+        md5(col("__text")).as("text_md5"),
+        col("__text").isNotNull.as("decoded"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH x AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'koi8-r'
+                    WHEN doc_id % 3 = 0 THEN 'utf-8'
+                    WHEN doc_id % 3 = 1 THEN 'iso-8859-1'
+               END AS eff_charset,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    WHEN doc_id % 3 = 0 THEN '<html><head><meta charset=UTF-8></head><body>' || text || ' caf' || chr(233) || '</body></html>'
+                    WHEN doc_id % 3 = 1 THEN '<html><head><meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1"></head><body>doc ' || CAST(doc_id AS VARCHAR) || ' na' || chr(239) || 've ' || chr(233) || 'l' || chr(232) || 've</body></html>'
+                    ELSE '<html><body>' || text || '</body></html>'
+               END AS expected
+        FROM documents)
+      SELECT doc_id, eff_charset,
+             CAST(len(expected) AS BIGINT) AS n_chars,
+             md5(expected) AS text_md5,
+             expected IS NOT NULL AS decoded
+      FROM x
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q212
+  // Content-Encoding as a declared operator (construction⊗parse): the
+  // corpus text's REAL UTF-8 bytes ride the latin-1 transport, gzipped
+  // in-plan (GzipBytes) for %3=0 rows — with a %13 TRUNCATION cut mid-
+  // stream that must refuse — 'identity' declared on %3=1∧%5=0, and an
+  // undecodable 'br' on %3=2∧%5=0 (refuses with the coding kept for
+  // triage). The oracle never sees compressed bytes: it states the
+  // expected DECODED text per rotation, so a gzip∘gunzip drift, a
+  // truncation leak, or a refusal miss each break a different row set
+  // (the strict gunzip itself is additionally pinned against
+  // java-built streams in HttpSpec — a matched-pair bug cannot pass
+  // both).
+  private def encodedMsg(): Column = {
+    val m3 = pmod(col("doc_id"), lit(3))
+    val utf8 = encode(col("text"), "UTF-8")
+    val transport = when(m3 === 0,
+        decode(graft.functions.GzipBytes(utf8), "ISO-8859-1"))
+      .otherwise(decode(utf8, "ISO-8859-1"))
+    val body = when(m3 === 0 && pmod(col("doc_id"), lit(13)) === 0,
+      substring(transport, 1, 8)).otherwise(transport)
+    val ce = when(m3 === 0, lit("Content-Encoding: gzip" + CRLF))
+      .when(m3 === 1 && pmod(col("doc_id"), lit(5)) === 0,
+        lit("Content-Encoding: identity" + CRLF))
+      .when(m3 === 2 && pmod(col("doc_id"), lit(5)) === 0,
+        lit("Content-Encoding: br" + CRLF))
+      .otherwise(lit(""))
+    concat(lit("HTTP/1.1 200 OK" + CRLF),
+      lit("Content-Type: text/html; charset=utf-8" + CRLF),
+      ce,
+      lit("Content-Length: "), length(body).cast("string"),
+      lit(CRLF + CRLF), body)
+  }
+
+  private val q212 = GraftQuery(
+    "q212_content_encoding",
+    (s, dir) => httpPayloads(
+        Tables.documents(s, dir).withColumn("msg", encodedMsg()),
+        "doc_id", "msg")
+      .withColumn("__text", transcode(col("payload"), col("charset")))
+      .select(col("doc_id"), col("content_encoding"),
+        length(col("__text")).cast("long").as("n_chars"),
+        md5(col("__text")).as("text_md5"),
+        col("__text").isNotNull.as("decoded"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH x AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'gzip'
+                    WHEN doc_id % 3 = 1 AND doc_id % 5 = 0 THEN 'identity'
+                    WHEN doc_id % 3 = 2 AND doc_id % 5 = 0 THEN 'br' END AS content_encoding,
+               CASE WHEN doc_id % 3 = 0 AND doc_id % 13 = 0 THEN NULL
+                    WHEN doc_id % 3 = 2 AND doc_id % 5 = 0 THEN NULL
+                    ELSE text END AS expected
+        FROM documents)
+      SELECT doc_id, content_encoding,
+             CAST(len(expected) AS BIGINT) AS n_chars,
+             md5(expected) AS text_md5,
+             expected IS NOT NULL AS decoded
+      FROM x
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(q188, q188b, q204, q205, q209, q212, q213)
 }

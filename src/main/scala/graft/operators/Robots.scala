@@ -536,6 +536,105 @@ object Robots {
                 HAVING MIN(r.crawl_delay) IS NOT NULL)"""
     .replace("@AGENT@", agent)
 
+  // -------------------------------------------- fetch-status policy
+  /** robots.txt FETCH-STATUS semantics (RFC 9309 §2.3.1 — what a
+    * polite crawler must assume when the robots file itself can't be
+    * read): per host, given the robots fetch's HTTP status,
+    *   - 2xx: parse the body ([[robotsRules]] rows pass through);
+    *   - 4xx ("unavailable", §2.3.1.3): crawlers MAY proceed — the
+    *     host contributes NO rules (the no-rules-allows path);
+    *   - 5xx / unfetchable, encoded as NULL status ("unreachable",
+    *     §2.3.1.4): MUST assume complete disallow — the host gets ONE
+    *     synthetic `(*, disallow, /)` rule;
+    *   - 3xx is upstream's business ([[Redirects]] resolves hops
+    *     before fetching; a residual 3xx here is treated as
+    *     unreachable, the conservative read).
+    * Takes the fetch table `(host, status, body)` and returns the
+    * rules frame the gate consumes — same shape, one rules-sized
+    * projection + the 2xx subset's parse. */
+  def robotsRulesWithStatus(fetches: DataFrame, hostCol: String,
+      statusCol: String, bodyCol: String): DataFrame = {
+    val st = col(statusCol)
+    val parsed = robotsRules(
+      fetches.filter(st >= 200 && st <= 299), hostCol, bodyCol)
+    val denied = fetches
+      .filter(st.isNull || (st >= 300 && st <= 399) || st >= 500)
+      .select(col(hostCol).as("host"), lit("*").as("agent"),
+        lit("disallow").as("rule"), lit("/").as("path_prefix"))
+    parsed.unionByName(denied) // 4xx hosts appear in neither: allow-all
+  }
+
+  // ---------------------------------------------------------------- q214
+  // Fetch-status policy through the full gate: hosts rotate a 200 body
+  // (the q180 k-shape policies), a 404 (allow-everything), a 503
+  // (deny-everything), and a NULL status (unreachable — deny), and the
+  // corpus routes every path rotation through robotsAudit under the
+  // synthesized rules. The oracle replays the status split: 200 hosts
+  // run the shared RFC replay, 4xx hosts allow with zero matches, 5xx/
+  // NULL hosts match the synthetic root rule.
+  private def fetchStatus(): Column = {
+    val k = pmod(expr("CAST(substring(source, 4) AS INT)"), lit(4))
+    when(k === 0, lit(200)).when(k === 1, lit(404))
+      .when(k === 2, lit(503)).otherwise(lit(null).cast("int"))
+  }
+
+  private val q214 = GraftQuery(
+    "q214_robots_fetch_policy",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("url", docUrl())
+      val fetches = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          fetchStatus().as("status"), robotsBody().as("body"))
+      robotsAudit(docs, "doc_id", "url",
+          robotsRulesWithStatus(fetches, "host", "status", "body"),
+          agent = "graftbot")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH hosts AS (SELECT DISTINCT source,
+                            source || '.example.com' AS host FROM documents),
+      st AS (SELECT source, host,
+               CASE CAST(CAST(substring(source, 4) AS INT) % 4 AS INT)
+                 WHEN 0 THEN 200 WHEN 1 THEN 404 WHEN 2 THEN 503 END AS status
+             FROM hosts),
+      bodies AS (SELECT host,
+               CASE CAST(CAST(substring(source, 4) AS INT) % 3 AS INT)
+                 WHEN 0 THEN '# policy' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp/' || chr(10) || chr(10) || 'User-agent: graftbot' || chr(10) || 'User-agent: otherbot' || chr(10) || 'Disallow: /doc/' || chr(10) || 'Allow: /doc/open' || chr(10) || 'Disallow: /*.pdf$'
+                 WHEN 1 THEN 'User-agent: *  # star group' || chr(10) || 'Disallow: /ads' || chr(10) || 'Disallow:' || chr(10) || 'Allow: /' || chr(10) || chr(10) || 'User-agent: graftbot'
+                 ELSE 'junk line without colon' || chr(10) || 'Disallow: /orphan' || chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /'
+               END AS body
+             FROM st WHERE status = 200),
+      d0 AS (SELECT doc_id, source || '.example.com' AS host,
+               CASE CAST(doc_id % 8 AS INT)
+                 WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN '/private/ok/x'
+                 WHEN 2 THEN '/tmp/f'
+                 WHEN 3 THEN '/doc/page' || CAST(doc_id AS VARCHAR)
+                 WHEN 4 THEN '/doc/open/1'
+                 WHEN 5 THEN '/ads/z'
+                 WHEN 6 THEN '/files/r' || CAST(doc_id AS VARCHAR) || '.pdf'
+                 ELSE '/'
+               END AS path
+             FROM documents),
+      """ + robotsEvalSqlFrom("d0", "doc_id", "graftbot") + """,
+      deny AS (SELECT host FROM st WHERE status IS NULL OR status >= 500),
+      final AS (
+        SELECT d.doc_id, d.host, d.path,
+               CASE WHEN dn.host IS NOT NULL THEN CAST(1 AS BIGINT)
+                    ELSE v.n_matched END AS n_matched,
+               CASE WHEN dn.host IS NOT NULL THEN CAST(1 AS BIGINT)
+                    ELSE v.best_len END AS best_len,
+               CASE WHEN dn.host IS NOT NULL THEN 'disallow'
+                    ELSE v.best_rule END AS best_rule,
+               CASE WHEN dn.host IS NOT NULL THEN FALSE
+                    ELSE v.allowed END AS allowed
+        FROM d0 d
+        JOIN verdict v ON d.doc_id = v.doc_id
+        LEFT JOIN deny dn ON d.host = dn.host)
+      SELECT doc_id, host, path, n_matched, best_len, best_rule, allowed
+      FROM final
+      ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- q206
   // Crawl-delay parse as a declared operator (VERDICT r15 next #6).
   // Fixture rotations (k%4 by source ordinal): a two-group body where
@@ -589,5 +688,5 @@ object Robots {
       FROM dl_rules
       ORDER BY host, agent, crawl_delay"""))
 
-  val all: Seq[GraftQuery] = Seq(q180, q201, q206)
+  val all: Seq[GraftQuery] = Seq(q180, q201, q206, q214)
 }

@@ -66,25 +66,24 @@ object Snapshots {
     concat(lit("https://"), col("source"), lit(".example.com/p/"),
       idExpr.cast("string"))
 
-  private val q200 = GraftQuery(
-    "q200_crawl_diff",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val old = docs.select(urlOf(col("doc_id")).as("url"),
-        md5(col("text")).as("content_md5"))
-      val newKept = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
-        .select(urlOf(col("doc_id")).as("url"),
-          when(pmod(col("doc_id"), lit(7)) === 0,
-            md5(concat(col("text"), lit("v2"))))
-            .otherwise(md5(col("text"))).as("content_md5"))
-      val newAdded = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
-        .select(urlOf(col("doc_id") + lit(1000000L)).as("url"),
-          md5(col("source")).as("content_md5"))
-      crawlDiffByHost(crawlDiff(old, newKept.unionAll(newAdded)))
-        .orderBy(col("host"))
-    },
-    Some("""
-      WITH old AS (
+  /** The q200/q211 fixture snapshots (old, new). */
+  private def fixtureSnaps(docs: DataFrame): (DataFrame, DataFrame) = {
+    val old = docs.select(urlOf(col("doc_id")).as("url"),
+      md5(col("text")).as("content_md5"))
+    val newKept = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      .select(urlOf(col("doc_id")).as("url"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          md5(concat(col("text"), lit("v2"))))
+          .otherwise(md5(col("text"))).as("content_md5"))
+    val newAdded = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .select(urlOf(col("doc_id") + lit(1000000L)).as("url"),
+        md5(col("source")).as("content_md5"))
+    (old, newKept.unionAll(newAdded))
+  }
+
+  // shared replay of the fixture snapshots + host rollup (q200 selects
+  // from it; q211 feeds its change rate into the schedule)
+  private val diffCtes = """old AS (
         SELECT 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
                md5(text) AS h, source
         FROM documents),
@@ -110,7 +109,17 @@ object Snapshots {
                SUM(CASE WHEN class = 'removed' THEN 1 ELSE 0 END) AS n_removed,
                SUM(CASE WHEN class = 'changed' THEN 1 ELSE 0 END) AS n_changed,
                SUM(CASE WHEN class = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged
-        FROM d GROUP BY source)
+        FROM d GROUP BY source)"""
+
+  private val q200 = GraftQuery(
+    "q200_crawl_diff",
+    (s, dir) => {
+      val (old, neu) = fixtureSnaps(Tables.documents(s, dir))
+      crawlDiffByHost(crawlDiff(old, neu))
+        .orderBy(col("host"))
+    },
+    Some(s"""
+      WITH $diffCtes
       SELECT host,
              CAST(n_added AS BIGINT) AS n_added,
              CAST(n_removed AS BIGINT) AS n_removed,
@@ -121,5 +130,105 @@ object Snapshots {
       FROM g
       ORDER BY host"""))
 
-  val all: Seq[GraftQuery] = Seq(q200)
+  // ------------------------------------------------- recrawl scheduler
+  /** Recrawl scheduling — the decision a crawl loop makes per stored
+    * URL from the three freshness signals the engine already measures:
+    * the site's own declared `lastmod` ([[Sitemaps]]), the host's
+    * MEASURED content-change rate ([[crawlDiffByHost]]), and plain
+    * staleness. Reasons in precedence order (the site's explicit
+    * declaration beats statistics beats age):
+    *   - `lastmod`: declared lastmod strictly newer than our fetch;
+    *   - `churn`: host change rate ≥ `churnPermille` AND the fetch is
+    *     at least `minIntervalDays` old (politeness floor — churn
+    *     alone must not hammer);
+    *   - `age`: fetch older than `maxAgeDays` (the everything-expires
+    *     backstop);
+    * else not due. All exact integer/date arithmetic (per-mille, day
+    * diffs — no FP). `asOfDay` is an explicit parameter: scheduling is
+    * a pure function of (state, signals, date), never of the wall
+    * clock. One state scan + one url-keyed left join (lastmods) + one
+    * hosts-sized broadcast — the q170 gate class. */
+  def recrawlSchedule(state: DataFrame, lastmods: DataFrame,
+      hostRates: DataFrame, asOfDay: String, churnPermille: Int,
+      minIntervalDays: Int, maxAgeDays: Int): DataFrame = {
+    val age = datediff(lit(asOfDay).cast("date"), col("last_fetch"))
+      .cast("long")
+    state
+      .withColumn("host", UrlOps.urlHost(col("url")))
+      .join(lastmods, Seq("url"), "left")
+      .join(broadcast(hostRates.select(col("host"),
+        col("change_permille"))), Seq("host"), "left")
+      .withColumn("age_days", age)
+      .withColumn("reason",
+        when(col("lastmod").isNotNull &&
+          col("lastmod") > col("last_fetch"), lit("lastmod"))
+          .when(coalesce(col("change_permille"), lit(0L)) >=
+            churnPermille.toLong &&
+            col("age_days") >= minIntervalDays.toLong, lit("churn"))
+          .when(col("age_days") >= maxAgeDays.toLong, lit("age")))
+      .select(col("url"), col("host"), col("last_fetch"),
+        col("age_days"), col("lastmod"), col("change_permille"),
+        col("reason"), col("reason").isNotNull.as("due"))
+  }
+
+  // ---------------------------------------------------------------- q211
+  // The scheduler composed over REAL signal producers: host change
+  // rates come from the q200 diff rollup (replayed in the oracle via
+  // the shared CTEs), declared lastmods from a per-url rotation that
+  // straddles the fetch date (id%5-2 days around it — newer fires,
+  // equal/older must NOT), fetch dates spread over a month so the age
+  // backstop and the churn interval floor both bite. asOf 2026-02-05,
+  // churn ≥ 150‰, interval ≥ 7 d, max age 30 d.
+  private val q211 = GraftQuery(
+    "q211_recrawl_schedule",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val state = docs.select(urlOf(col("doc_id")).as("url"),
+        date_add(lit("2026-01-01").cast("date"),
+          pmod(col("doc_id"), lit(28)).cast("int")).as("last_fetch"))
+      val lastmods = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(urlOf(col("doc_id")).as("url"),
+          date_add(lit("2026-01-01").cast("date"),
+            (pmod(col("doc_id"), lit(28)) + pmod(col("doc_id"), lit(5))
+              - lit(2)).cast("int")).as("lastmod"))
+      val (old, neu) = fixtureSnaps(docs)
+      val rates = crawlDiffByHost(crawlDiff(old, neu))
+      recrawlSchedule(state, lastmods, rates, asOfDay = "2026-02-05",
+          churnPermille = 150, minIntervalDays = 7, maxAgeDays = 30)
+        .orderBy(col("url"))
+    },
+    Some(s"""
+      WITH $diffCtes,
+      rates AS (SELECT host,
+                  CASE WHEN n_changed + n_unchanged > 0
+                       THEN CAST(n_changed * 1000 // (n_changed + n_unchanged) AS BIGINT) END AS change_permille
+                FROM g),
+      state AS (SELECT
+                  'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                  source || '.example.com' AS host,
+                  DATE '2026-01-01' + CAST(doc_id % 28 AS INT) AS last_fetch,
+                  doc_id
+                FROM documents),
+      lm AS (SELECT
+               'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+               DATE '2026-01-01' + CAST(doc_id % 28 + doc_id % 5 - 2 AS INT) AS lastmod
+             FROM documents WHERE doc_id % 3 = 0),
+      j AS (SELECT s.url, s.host, s.last_fetch,
+              CAST(date_diff('day', s.last_fetch, DATE '2026-02-05') AS BIGINT) AS age_days,
+              l.lastmod, r.change_permille
+            FROM state s
+            LEFT JOIN lm l ON s.url = l.url
+            LEFT JOIN rates r ON s.host = r.host),
+      v AS (SELECT *,
+              CASE WHEN lastmod IS NOT NULL AND lastmod > last_fetch THEN 'lastmod'
+                   WHEN COALESCE(change_permille, 0) >= 150 AND age_days >= 7 THEN 'churn'
+                   WHEN age_days >= 30 THEN 'age'
+              END AS reason
+            FROM j)
+      SELECT url, host, last_fetch, age_days, lastmod, change_permille,
+             reason, reason IS NOT NULL AS due
+      FROM v
+      ORDER BY url"""))
+
+  val all: Seq[GraftQuery] = Seq(q200, q211)
 }

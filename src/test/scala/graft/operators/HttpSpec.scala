@@ -71,8 +71,72 @@ class HttpSpec extends SparkSpec {
         CRLF + "no"),
       (4L, "garbage")).toDF("id", "msg")
     val got = Http.httpPayloads(msgs, "id", "msg").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toList
+      .map(r => (r.getLong(0), r.getString(1), r.getString(4))).toList
     assert(got == List((1L, "text/html", "ok")), got.toString)
+  }
+
+  test("httpPayloads Content-Encoding: gzip decompresses, identity passes, unknown and corrupt refuse") {
+    import spark.implicits._
+    def msg(payload: Array[Byte], ce: String): String =
+      "HTTP/1.1 200 OK" + CRLF + "Content-Type: text/html" + CRLF +
+        (if (ce == null) "" else s"Content-Encoding: $ce" + CRLF) +
+        CRLF + new String(payload, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val gz = graft.functions.GzipBytes.compute("hello gz".getBytes("UTF-8"))
+    val msgs = Seq(
+      (1L, msg(gz, "gzip")),
+      (2L, msg("plain".getBytes("UTF-8"), null)),
+      (3L, msg("same".getBytes("UTF-8"), "identity")),
+      (4L, msg("mystery".getBytes("UTF-8"), "br")),
+      (5L, msg(gz.dropRight(3), "gzip"))) // truncated stream
+      .toDF("id", "msg")
+    val got = Http.httpPayloads(msgs, "id", "msg").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(3)), Option(r.getString(4))))).toMap
+    assert(got(1L) == ((Some("gzip"), Some("hello gz"))), got(1L).toString)
+    assert(got(2L) == ((None, Some("plain"))))
+    assert(got(3L) == ((Some("identity"), Some("same"))))
+    assert(got(4L) == ((Some("br"), None)), "unknown coding refuses")
+    assert(got(5L) == ((Some("gzip"), None)), "corrupt stream refuses")
+  }
+
+  test("gzip_bytes/gunzip_bytes: round-trip, multi-member, strict refusals") {
+    import spark.implicits._
+    import graft.functions.{GzipBytes, GunzipBytes}
+    val data = "αβγ some text μ".getBytes("UTF-8")
+    val r = Seq(Tuple1(data)).toDF("b")
+      .select(GunzipBytes(GzipBytes(col("b"))).as("rt"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(r, data), "round-trip")
+    // multi-member concatenation (RFC 1952 §2.2)
+    val two = GzipBytes.compute("ab".getBytes("UTF-8")) ++
+      GzipBytes.compute("cd".getBytes("UTF-8"))
+    assert(new String(GunzipBytes.compute(two), "UTF-8") == "abcd")
+    // refusals: junk, empty, bad CRC, trailing garbage
+    assert(GunzipBytes.compute("junk".getBytes("UTF-8")) == null)
+    assert(GunzipBytes.compute(Array.empty[Byte]) == null)
+    val corrupt = GzipBytes.compute("xyz".getBytes("UTF-8"))
+    corrupt(corrupt.length - 5) = (corrupt(corrupt.length - 5) ^ 0x7).toByte
+    assert(GunzipBytes.compute(corrupt) == null, "CRC mismatch refuses")
+    val trailing = GzipBytes.compute("ok".getBytes("UTF-8")) ++
+      "garbage".getBytes("UTF-8")
+    assert(GunzipBytes.compute(trailing) == null,
+      "trailing non-member bytes refuse (strict, unlike the file reader)")
+  }
+
+  test("metaCharset: HTML5 and legacy http-equiv forms, prescan budget, absent -> NULL") {
+    import spark.implicits._
+    def sniff(html: String): Option[String] = {
+      val r = Seq(Tuple1(html)).toDF("h")
+        .select(Http.metaCharset(col("h")).as("cs")).collect().head
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+    assert(sniff("<html><head><meta charset=UTF-8></head>") contains "utf-8")
+    assert(sniff("<meta charset=\"Windows-1252\">") contains "windows-1252")
+    assert(sniff("<meta http-equiv='Content-Type' " +
+      "content='text/html; charset=iso-8859-1'>") contains "iso-8859-1")
+    assert(sniff("<html><body>no declaration</body></html>").isEmpty)
+    // outside the 1024-char prescan budget: not sniffed (HTML5 rule)
+    assert(sniff(("x" * 1100) + "<meta charset=utf-8>").isEmpty)
   }
 
   // ------------------------------------------------------- dechunk laws

@@ -155,6 +155,28 @@ class RobotsSpec extends SparkSpec {
     assert(got == Map("h1" -> 2.0, "h3" -> 30.0), got.toString)
   }
 
+  test("fetch-status policy: 2xx parses, 4xx allows all, 5xx/NULL/3xx deny all") {
+    import spark.implicits._
+    val fetches = Seq(
+      ("ok.org", Integer.valueOf(200), "User-agent: *\nDisallow: /x"),
+      ("gone.org", Integer.valueOf(404), "ignored"),
+      ("down.org", Integer.valueOf(503), "ignored"),
+      ("moved.org", Integer.valueOf(301), "ignored"),
+      ("dark.org", null.asInstanceOf[Integer], null.asInstanceOf[String]))
+      .toDF("host", "status", "body")
+    val r = Robots.robotsRulesWithStatus(fetches, "host", "status", "body")
+    val docs = Seq(
+      (1L, "http://ok.org/x/1"), (2L, "http://ok.org/y"),
+      (3L, "http://gone.org/anything"),
+      (4L, "http://down.org/"), (5L, "http://moved.org/a"),
+      (6L, "http://dark.org/z"))
+      .toDF("doc_id", "url")
+    val got = Robots.robotsAudit(docs, "doc_id", "url", r, "bot")
+      .collect().map(x => x.getLong(0) -> x.getBoolean(6)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false, 6L -> false), got.toString)
+  }
+
   test("gate plan: corpus never shuffles (broadcast rules array + codegen fold)") {
     import spark.implicits._
     val r = rules("h" -> "User-agent: *\nDisallow: /x")
