@@ -9,7 +9,8 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
 /** Gzip compress/decompress as native codegen'd expressions over
   * BINARY columns — the in-plan halves of the engine's gzip story
   * (the FILE halves live in [[graft.sources.WarcSource]]: member
-  * framing on read, the member sink on write).
+  * framing on read, the member sink on write; both share
+  * [[GzipMember]] so the RFC 1952 header walk has ONE home).
   *
   * Why expressions and not UDFs: `Content-Encoding: gzip` is routine
   * on the real web, so payload decompression sits on the ingest hot
@@ -21,11 +22,16 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * [[GunzipBytes]] is REFUSAL-grade (the crawl convention): a payload
   * that is not a well-formed gzip stream — wrong magic, truncated
   * deflate data, corrupt trailer, trailing garbage — returns NULL,
-  * never a half-decompressed prefix. Multi-member streams concatenate
-  * (RFC 1952 §2.2 — a compliant decompressor treats members as one
-  * stream). [[GzipBytes]] writes ONE member with a fixed header
-  * (mtime 0, no flags: byte-deterministic for a given JVM zlib, and
-  * nothing downstream ever pins compressed bytes — only round-trips).
+  * never a half-decompressed prefix; and a stream whose DECOMPRESSED
+  * size exceeds [[GunzipBytes.MaxOut]] (256 MiB — generous for a
+  * page, tiny next to executor memory) ALSO refuses: a gzip bomb is
+  * malformed input by policy, and must NULL, not OOM (the [[
+  * graft.operators.Http]] dechunk expression bounds chunk sizes for
+  * the same reason). Multi-member streams concatenate (RFC 1952 §2.2
+  * — a compliant decompressor treats members as one stream).
+  * [[GzipBytes]] writes ONE member with a fixed header (mtime 0, no
+  * flags: byte-deterministic for a given JVM zlib, and nothing
+  * downstream ever pins compressed bytes — only round-trips).
   */
 case class GzipBytes(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
@@ -70,53 +76,94 @@ case class GunzipBytes(child: Expression) extends UnaryExpression {
 
 object GunzipBytes {
 
-  /** Strict multi-member gunzip; null on ANY malformation. */
+  /** Decompressed-size refusal bound (gzip-bomb guard; see scaladoc). */
+  val MaxOut: Int = 256 * 1024 * 1024
+
+  /** Strict multi-member gunzip; null on ANY malformation (including
+    * exceeding [[MaxOut]]). Hot-path discipline: the empty check runs
+    * before any allocation, the inflate buffer and Inflater are
+    * per-thread reusables (one page decode must not cost three fresh
+    * allocations at crawl scale). */
   def compute(b: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(math.max(b.length * 3, 64))
+    if (b == null || b.length == 0) return null
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(math.max(b.length * 3, 64), MaxOut))
     var p = 0
-    val buf = new Array[Byte](64 * 1024)
-    if (b.length == 0) return null
+    val buf = GzipMember.threadBuf.get()
+    val inf = GzipMember.threadInflater.get()
     while (p < b.length) {
-      if (p + 10 > b.length || (b(p) & 0xFF) != 0x1F ||
-        (b(p + 1) & 0xFF) != 0x8B || b(p + 2) != 8) return null
-      val flg = b(p + 3) & 0xFF
-      var q = p + 10
-      if ((flg & 4) != 0) { // FEXTRA
-        if (q + 2 > b.length) return null
-        val xlen = (b(q) & 0xFF) | ((b(q + 1) & 0xFF) << 8)
-        q += 2 + xlen
-      }
-      if ((flg & 8) != 0) { while (q < b.length && b(q) != 0) q += 1; q += 1 }
-      if ((flg & 16) != 0) { while (q < b.length && b(q) != 0) q += 1; q += 1 }
-      if ((flg & 2) != 0) q += 2 // FHCRC
-      if (q > b.length) return null
-      val inf = new java.util.zip.Inflater(true)
+      val q = GzipMember.skipHeader(b, p)
+      if (q < 0) return null
       val crc = new java.util.zip.CRC32
       val memberStart = out.size()
+      inf.reset()
       inf.setInput(b, q, b.length - q)
       try {
         var n = 1
         while (!inf.finished && n != 0) {
           n = inf.inflate(buf)
-          if (n > 0) { out.write(buf, 0, n); crc.update(buf, 0, n) }
+          if (n > 0) {
+            if (out.size() + n > MaxOut) return null // bomb refusal
+            out.write(buf, 0, n)
+            crc.update(buf, 0, n)
+          }
         }
         if (!inf.finished) return null // truncated deflate data
         val consumed = (b.length - q) - inf.getRemaining
         val t = q + consumed
         if (t + 8 > b.length) return null // truncated trailer
-        def le(i: Int): Long =
-          ((b(i) & 0xFFL)) | ((b(i + 1) & 0xFFL) << 8) |
-            ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
-        if (le(t) != crc.getValue) return null // CRC mismatch
-        if (le(t + 4) != ((out.size() - memberStart).toLong & 0xFFFFFFFFL))
-          return null // ISIZE mismatch
+        if (GzipMember.readIntLE(b, t) != crc.getValue) return null
+        if (GzipMember.readIntLE(b, t + 4) !=
+          ((out.size() - memberStart).toLong & 0xFFFFFFFFL)) return null
         p = t + 8
       } catch {
         case _: java.util.zip.DataFormatException => return null
-      } finally inf.end()
+      }
     }
     out.toByteArray
   }
 
   def apply(c: Column): Column = columnOf(new GunzipBytes(expressionOf(c)))
+}
+
+/** The shared RFC 1952 member mechanics — ONE home for the header walk
+  * and trailer arithmetic ([[GunzipBytes]] strict-refuses on error;
+  * [[graft.sources.WarcSource.gunzipMembers]] keeps the prefix — the
+  * two POLICIES share this one parser). */
+private[graft] object GzipMember {
+
+  val threadBuf: ThreadLocal[Array[Byte]] = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](64 * 1024)
+  }
+
+  /** Raw-deflate Inflater per thread, reset per use (native zlib state
+    * is expensive to allocate per row; one lives per executor thread). */
+  val threadInflater: ThreadLocal[java.util.zip.Inflater] =
+    new ThreadLocal[java.util.zip.Inflater] {
+      override def initialValue(): java.util.zip.Inflater =
+        new java.util.zip.Inflater(true)
+    }
+
+  /** Walk one member header starting at `p`: returns the offset of the
+    * deflate data, or -1 when the header is malformed/truncated
+    * (wrong magic, non-deflate CM, FLG fields running past the end). */
+  def skipHeader(b: Array[Byte], p: Int): Int = {
+    if (p + 10 > b.length || (b(p) & 0xFF) != 0x1F ||
+      (b(p + 1) & 0xFF) != 0x8B || b(p + 2) != 8) return -1
+    val flg = b(p + 3) & 0xFF
+    var q = p + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (q + 2 > b.length) return -1
+      val xlen = (b(q) & 0xFF) | ((b(q + 1) & 0xFF) << 8)
+      q += 2 + xlen
+    }
+    if ((flg & 8) != 0) { while (q < b.length && b(q) != 0) q += 1; q += 1 }
+    if ((flg & 16) != 0) { while (q < b.length && b(q) != 0) q += 1; q += 1 }
+    if ((flg & 2) != 0) q += 2 // FHCRC
+    if (q > b.length) -1 else q
+  }
+
+  def readIntLE(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
 }

@@ -69,7 +69,12 @@ object Http {
     def st(p: Column, out: Column, ok: Column, done: Column): Column =
       struct(p.cast("int").as("p"), out.as("out"),
         ok.as("ok"), done.as("done"))
-    val steps = sequence(lit(1), greatest(size(split(body, CRLF)), lit(1)))
+    // step bound = CRLF count + 1, by pure length arithmetic — a
+    // split() here would materialize a full copy of the body as a
+    // string array per row just to count segments (code-review r16)
+    val nCrlf = ((length(body) - length(replace(body, lit(CRLF), lit(""))))
+      / lit(2)).cast("int")
+    val steps = sequence(lit(1), greatest(nCrlf + 1, lit(1)))
     val folded = aggregate(steps,
       st(lit(1), lit(""), lit(true), lit(false)),
       (acc, _) => {
@@ -77,10 +82,13 @@ object Http {
         val out = acc.getField("out")
         val rest = body.substr(p, length(body) - p + 1)
         val line = substring_index(rest, CRLF, 1)
-        // ≤ 7 hex digits: a 268 MB chunk bound (real chunks are KBs);
-        // keeps the size arithmetic in int range
+        // leading zeros stripped in-pattern, then ≤ 7 significant hex
+        // digits: a 268 MB chunk VALUE bound that no longer refuses
+        // RFC-valid zero-padded fixed-width sizes like '00000010';
+        // optional BWS before the extension ';' per RFC 9112 §7.1.1
+        // (code-review r16)
         val hex = regexp_extract(line,
-          "^([0-9A-Fa-f]{1,7})(;[^\\r\\n]*)?$", 1)
+          "^0*([0-9A-Fa-f]{1,7})[ \\t]*(;[^\\r\\n]*)?$", 1)
         val sz = conv(hex, 16, 10).cast("int")
         val dataStart = p + length(line) + lit(2)
         val chunk = body.substr(dataStart, sz)

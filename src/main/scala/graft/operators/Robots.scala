@@ -546,9 +546,12 @@ object Robots {
     *   - 5xx / unfetchable, encoded as NULL status ("unreachable",
     *     §2.3.1.4): MUST assume complete disallow — the host gets ONE
     *     synthetic `(*, disallow, /)` rule;
-    *   - 3xx is upstream's business ([[Redirects]] resolves hops
-    *     before fetching; a residual 3xx here is treated as
-    *     unreachable, the conservative read).
+    *   - anything else — 3xx residue ([[Redirects]] resolves hops
+    *     before fetching), 1xx, sentinel/garbage codes — is treated
+    *     as unreachable: deny is the conservative read for every
+    *     status class the RFC does not explicitly make permissive
+    *     (code-review r16: an earlier version let 1xx fall through to
+    *     allow-all).
     * Takes the fetch table `(host, status, body)` and returns the
     * rules frame the gate consumes — same shape, one rules-sized
     * projection + the 2xx subset's parse. */
@@ -557,8 +560,11 @@ object Robots {
     val st = col(statusCol)
     val parsed = robotsRules(
       fetches.filter(st >= 200 && st <= 299), hostCol, bodyCol)
+    // deny-by-default: ONLY 2xx (parse) and 4xx (allow-all) are
+    // permissive; every other status — NULL, <200, 3xx, 5xx+ — denies
     val denied = fetches
-      .filter(st.isNull || (st >= 300 && st <= 399) || st >= 500)
+      .filter(st.isNull || !((st >= 200 && st <= 299) ||
+        (st >= 400 && st <= 499)))
       .select(col(hostCol).as("host"), lit("*").as("agent"),
         lit("disallow").as("rule"), lit("/").as("path_prefix"))
     parsed.unionByName(denied) // 4xx hosts appear in neither: allow-all

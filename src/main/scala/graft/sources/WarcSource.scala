@@ -92,45 +92,60 @@ object WarcSource {
   def splitRecords(b: Array[Byte]): Seq[String] =
     splitRecordBytes(b).map(new String(_, UTF_8))
 
+  /** Hard ceiling on a file's decompressed size: byte-array transport
+    * caps near Int.MaxValue anyway (binaryFile hands one array per
+    * file); past this the remaining members are DROPPED (keep-prefix,
+    * the lenient file policy — the splitter resyncs on whatever
+    * framed). Production corpora ship ~1 GB members precisely so a
+    * file stays one task's memory. */
+  private val MaxGunzipOut: Int = Int.MaxValue - (64 << 20)
+
   /** Decompress a (possibly multi-member) gzip byte stream into the
-    * concatenated decompressed bytes. Each member is inflated with a
-    * raw `Inflater` so member boundaries are walked explicitly (Java's
+    * concatenated decompressed bytes. Members are walked explicitly
+    * via the shared [[graft.functions.GzipMember]] parser (Java's
     * `GZIPInputStream` silently stops at a corrupt second member);
     * trailing garbage after the last complete member is dropped — the
-    * resync-grade refusal the splitter applies to raw streams. */
+    * resync-grade tolerance the splitter applies to raw streams, and
+    * the LENIENT counterpart of [[graft.functions.GunzipBytes]]'s
+    * strict per-payload refusal (one parser, two policies). */
   def gunzipMembers(b: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(math.max(b.length * 4, 64))
+    import graft.functions.GzipMember
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(math.max(b.length * 4, 64), 1 << 26))
     var p = 0
-    val buf = new Array[Byte](64 * 1024)
-    while (p + 10 <= b.length &&
-        (b(p) & 0xFF) == 0x1F && (b(p + 1) & 0xFF) == 0x8B && b(p + 2) == 8) {
-      val flg = b(p + 3) & 0xFF
-      var q = p + 10
-      if ((flg & 4) != 0) { // FEXTRA
-        if (q + 2 > b.length) return out.toByteArray
-        val xlen = (b(q) & 0xFF) | ((b(q + 1) & 0xFF) << 8)
-        q += 2 + xlen
-      }
-      if ((flg & 8) != 0) { while (q < b.length && b(q) != 0) q += 1; q += 1 }
-      if ((flg & 16) != 0) { while (q < b.length && b(q) != 0) q += 1; q += 1 }
-      if ((flg & 2) != 0) q += 2 // FHCRC
-      if (q > b.length) return out.toByteArray
-      val inf = new java.util.zip.Inflater(true) // raw deflate
-      inf.setInput(b, q, b.length - q)
-      try {
-        var n = 1
-        while (!inf.finished && n != 0) {
-          n = inf.inflate(buf)
-          if (n > 0) out.write(buf, 0, n)
+    val buf = GzipMember.threadBuf.get()
+    val inf = GzipMember.threadInflater.get()
+    var stop = false
+    while (!stop && p < b.length) {
+      val q = GzipMember.skipHeader(b, p)
+      if (q < 0) stop = true
+      else {
+        inf.reset()
+        inf.setInput(b, q, b.length - q)
+        try {
+          var n = 1
+          while (!inf.finished && n != 0) {
+            n = inf.inflate(buf)
+            if (n > 0) {
+              if (out.size().toLong + n > MaxGunzipOut) {
+                // oversized stream: keep the prefix, drop the rest
+                out.write(buf, 0, (MaxGunzipOut - out.size()).max(0))
+                return out.toByteArray
+              }
+              out.write(buf, 0, n)
+            }
+          }
+          // not finished <=> needsInput/needsDictionary: truncated or
+          // dictionary-requiring member — keep what inflated
+          if (!inf.finished) stop = true
+          else {
+            val consumed = (b.length - q) - inf.getRemaining
+            p = q + consumed + 8 // skip CRC32 + ISIZE trailer
+          }
+        } catch {
+          case _: java.util.zip.DataFormatException => stop = true
         }
-        // n == 0 and not finished <=> needsInput/needsDictionary:
-        // truncated or dictionary-requiring member — keep what inflated
-        if (!inf.finished) return out.toByteArray
-        val consumed = (b.length - q) - inf.getRemaining
-        p = q + consumed + 8 // skip CRC32 + ISIZE trailer
-      } catch {
-        case _: java.util.zip.DataFormatException => return out.toByteArray
-      } finally inf.end()
+      }
     }
     out.toByteArray
   }

@@ -121,6 +121,18 @@ class HttpSpec extends SparkSpec {
       "garbage".getBytes("UTF-8")
     assert(GunzipBytes.compute(trailing) == null,
       "trailing non-member bytes refuse (strict, unlike the file reader)")
+    // gzip bomb: a stream whose DECOMPRESSED size exceeds MaxOut must
+    // refuse (never OOM) — 300 MiB of zeros compresses to ~300 KB
+    val bomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      val zeros = new Array[Byte](1 << 20)
+      (0 until 300).foreach(_ => g.write(zeros))
+      g.close()
+      bos.toByteArray
+    }
+    assert(GunzipBytes.compute(bomb) == null,
+      s"gzip bomb (compressed ${bomb.length} B) must refuse, not OOM")
   }
 
   test("metaCharset: HTML5 and legacy http-equiv forms, prescan budget, absent -> NULL") {
@@ -163,6 +175,13 @@ class HttpSpec extends SparkSpec {
     val r2 = parse(chunkedMsg(tricky))
     assert(r2.getLong(9) == 7L && r2.getString(10) == md5hex("x\r\n3\r\ny"),
       r2.toString)
+    // RFC-valid shapes that must NOT refuse (code-review r16):
+    // fixed-width zero-padded sizes and BWS before the extension ';'
+    val padded = "00000003" + CRLF + "abc" + CRLF +
+      "2 ;ext=v" + CRLF + "de" + CRLF + "0000000" + CRLF + CRLF
+    val r3 = parse(chunkedMsg(padded))
+    assert(r3.getLong(9) == 5L && r3.getString(10) == md5hex("abcde"),
+      r3.toString)
   }
 
   test("dechunk refusals: truncated data, bad size line, missing data CRLF → NULL payload") {

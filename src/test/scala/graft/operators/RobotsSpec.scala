@@ -162,6 +162,7 @@ class RobotsSpec extends SparkSpec {
       ("gone.org", Integer.valueOf(404), "ignored"),
       ("down.org", Integer.valueOf(503), "ignored"),
       ("moved.org", Integer.valueOf(301), "ignored"),
+      ("odd.org", Integer.valueOf(101), "ignored"), // <200: deny-by-default
       ("dark.org", null.asInstanceOf[Integer], null.asInstanceOf[String]))
       .toDF("host", "status", "body")
     val r = Robots.robotsRulesWithStatus(fetches, "host", "status", "body")
@@ -169,12 +170,12 @@ class RobotsSpec extends SparkSpec {
       (1L, "http://ok.org/x/1"), (2L, "http://ok.org/y"),
       (3L, "http://gone.org/anything"),
       (4L, "http://down.org/"), (5L, "http://moved.org/a"),
-      (6L, "http://dark.org/z"))
+      (6L, "http://dark.org/z"), (7L, "http://odd.org/w"))
       .toDF("doc_id", "url")
     val got = Robots.robotsAudit(docs, "doc_id", "url", r, "bot")
       .collect().map(x => x.getLong(0) -> x.getBoolean(6)).toMap
     assert(got == Map(1L -> false, 2L -> true, 3L -> true,
-      4L -> false, 5L -> false, 6L -> false), got.toString)
+      4L -> false, 5L -> false, 6L -> false, 7L -> false), got.toString)
   }
 
   test("gate plan: corpus never shuffles (broadcast rules array + codegen fold)") {
