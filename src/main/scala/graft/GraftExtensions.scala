@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BoundaryBucket, DotProduct, GunzipBytes, GzipBytes, ImageHeader, Md5Hash60, MediaHeader, NfcNormalize, SquaredDistance, WordNGrams, WordShingles, YamrPartition}
+import graft.functions.{BoundaryBucket, DechunkBody, DeflateBytes, DotProduct, GunzipBytes, GzipBytes, ImageHeader, InflateBytes, Md5Hash60, MediaHeader, NfcNormalize, SquaredDistance, WordNGrams, WordShingles, YamrPartition}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst functions for SQL use, the TopKPerKey planner strategy, and
@@ -60,6 +60,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "gunzip_bytes(bin) takes 1 argument")
         GunzipBytes(children.head)
+      }))
+    // deflate scalar pair (round 17): the RFC 9110 "deflate" coding —
+    // zlib-wrapped compress; refusal-grade inflate with the browser
+    // raw-deflate fallback
+    ext.injectFunction((
+      new FunctionIdentifier("deflate_bytes"),
+      new ExpressionInfo(classOf[DeflateBytes].getName, "deflate_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "deflate_bytes(bin) takes 1 argument")
+        DeflateBytes(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("inflate_bytes"),
+      new ExpressionInfo(classOf[InflateBytes].getName, "inflate_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "inflate_bytes(bin) takes 1 argument")
+        InflateBytes(children.head)
+      }))
+    // single-pass HTTP chunked-body decode (round 17 — the dechunk
+    // hot-path expression)
+    ext.injectFunction((
+      new FunctionIdentifier("dechunk_body"),
+      new ExpressionInfo(classOf[DechunkBody].getName, "dechunk_body"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "dechunk_body(s) takes 1 argument")
+        DechunkBody(children.head)
       }))
     // Unicode NFC canonical form (named after DuckDB's builtin so the
     // same SQL runs in both engines) — the pre-hash normalization every

@@ -126,6 +126,105 @@ object GunzipBytes {
   def apply(c: Column): Column = columnOf(new GunzipBytes(expressionOf(c)))
 }
 
+/** `Content-Encoding: deflate` compress half (RFC 9110 §8.4.1.1 names
+  * the coding "deflate" but means the RFC 1950 ZLIB wrapper): one
+  * zlib stream, default level — byte-deterministic for a given JVM
+  * zlib, and nothing downstream pins compressed bytes, only
+  * round-trips (the [[GzipBytes]] convention). */
+case class DeflateBytes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "deflate_bytes"
+  override def nullSafeEval(input: Any): Any =
+    DeflateBytes.compute(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DeflateBytes.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateBytes =
+    copy(child = newChild)
+}
+
+object DeflateBytes {
+  def compute(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater() // zlib-wrapped, default level
+    try {
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream(b.length / 2 + 32)
+      val buf = new Array[Byte](8 * 1024)
+      while (!d.finished) {
+        val n = d.deflate(buf)
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally d.end()
+  }
+
+  def apply(c: Column): Column = columnOf(new DeflateBytes(expressionOf(c)))
+}
+
+/** `Content-Encoding: deflate` decode half — REFUSAL-grade like
+  * [[GunzipBytes]] (NULL on malformation or a decompressed size past
+  * [[GunzipBytes.MaxOut]], never a half body), with the browser
+  * tolerance the real web forces (VERDICT r16 next #4): the RFC says
+  * zlib-wrapped, but a long tail of servers sends RAW deflate — so
+  * the zlib attempt runs first (adler32 verified by the JDK
+  * inflater), and on ANY zlib failure the stream is retried raw.
+  * Attempt-then-fallback rather than header sniffing: a raw stream
+  * whose first bytes happen to look like a zlib header (~0.2% of
+  * streams under the CMF/FLG checksum rule) would misroute a sniffer,
+  * while a raw stream that inflates COMPLETELY as zlib with a valid
+  * adler32 is not a thing. Both attempts demand full consumption —
+  * trailing garbage refuses. */
+case class InflateBytes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "inflate_bytes"
+  override def nullSafeEval(input: Any): Any =
+    InflateBytes.compute(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.InflateBytes.compute($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): InflateBytes =
+    copy(child = newChild)
+}
+
+object InflateBytes {
+
+  def compute(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length == 0) return null
+    val zlib = inflateOnce(b, GzipMember.threadInflaterZlib.get())
+    if (zlib != null) zlib
+    else inflateOnce(b, GzipMember.threadInflater.get())
+  }
+
+  /** One strict inflate attempt with the given (reusable) inflater:
+    * null on format error, truncation, bomb, or trailing bytes. */
+  private def inflateOnce(b: Array[Byte],
+      inf: java.util.zip.Inflater): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(math.max(b.length * 3, 64), GunzipBytes.MaxOut))
+    val buf = GzipMember.threadBuf.get()
+    inf.reset()
+    inf.setInput(b)
+    try {
+      while (!inf.finished) {
+        val n = inf.inflate(buf)
+        if (n > 0) {
+          if (out.size() + n > GunzipBytes.MaxOut) return null // bomb
+          out.write(buf, 0, n)
+        } else if (!inf.finished) return null // truncated / needs dict
+      }
+      if (inf.getRemaining != 0) return null // trailing garbage
+      out.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+    }
+  }
+
+  def apply(c: Column): Column = columnOf(new InflateBytes(expressionOf(c)))
+}
+
 /** The shared RFC 1952 member mechanics — ONE home for the header walk
   * and trailer arithmetic ([[GunzipBytes]] strict-refuses on error;
   * [[graft.sources.WarcSource.gunzipMembers]] keeps the prefix — the
@@ -142,6 +241,14 @@ private[graft] object GzipMember {
     new ThreadLocal[java.util.zip.Inflater] {
       override def initialValue(): java.util.zip.Inflater =
         new java.util.zip.Inflater(true)
+    }
+
+  /** ZLIB-wrapped (RFC 1950) Inflater per thread — the first attempt
+    * of [[InflateBytes]] (adler32 verified by the JDK). */
+  val threadInflaterZlib: ThreadLocal[java.util.zip.Inflater] =
+    new ThreadLocal[java.util.zip.Inflater] {
+      override def initialValue(): java.util.zip.Inflater =
+        new java.util.zip.Inflater(false)
     }
 
   /** Walk one member header starting at `p`: returns the offset of the

@@ -32,9 +32,10 @@ import graft.sources.Tables
   * `Transfer-Encoding: chunked` (RFC 9112 §7.1 — routine in real crawl
   * response records; VERDICT r15 next #3): when the final
   * transfer-coding is `chunked`, the payload is DE-CHUNKED by
-  * [[dechunk]] (a bounded codegen fold — size-line hex parse, length
-  * jump over chunk data, repeat; chunk extensions skipped, the
-  * trailer section after the 0-chunk ignored) and `Content-Length` is
+  * [[dechunk]] (a native single-pass codegen expression — size-line
+  * hex parse, length jump over chunk data, repeat; chunk extensions
+  * skipped, the trailer section after the 0-chunk ignored) and
+  * `Content-Length` is
   * ignored per §6.3 rule 3. A malformed chunk stream (bad size line,
   * truncated chunk data, missing data CRLF) refuses the WHOLE payload
   * to NULL — a half-dechunked body is corruption, not data. Chunk
@@ -56,55 +57,19 @@ object Http {
 
   /** De-chunk a `Transfer-Encoding: chunked` body (RFC 9112 §7.1):
     * `*( chunk-size [chunk-ext] CRLF chunk-data CRLF ) 0 [ext] CRLF
-    * trailer CRLF`. A bounded `aggregate` fold (the q192 doubling-
-    * closure discipline — the step count is capped by the body's
-    * CRLF-delimited line count, since every chunk consumes at least
-    * its size line); a higher-order function evaluates interpreted
-    * but stays on Tungsten rows — no UDF/serde boundary, and only
-    * chunked rows pay (the CaseWhen branch is lazy). Returns the
-    * concatenated chunk data, or NULL when the stream is malformed
-    * (non-hex size line, missing CRLF, truncated chunk data, missing
-    * data terminator) — refusal, never a half body. */
-  private[operators] def dechunk(body: Column): Column = {
-    def st(p: Column, out: Column, ok: Column, done: Column): Column =
-      struct(p.cast("int").as("p"), out.as("out"),
-        ok.as("ok"), done.as("done"))
-    // step bound = CRLF count + 1, by pure length arithmetic — a
-    // split() here would materialize a full copy of the body as a
-    // string array per row just to count segments (code-review r16)
-    val nCrlf = ((length(body) - length(replace(body, lit(CRLF), lit(""))))
-      / lit(2)).cast("int")
-    val steps = sequence(lit(1), greatest(nCrlf + 1, lit(1)))
-    val folded = aggregate(steps,
-      st(lit(1), lit(""), lit(true), lit(false)),
-      (acc, _) => {
-        val p = acc.getField("p")
-        val out = acc.getField("out")
-        val rest = body.substr(p, length(body) - p + 1)
-        val line = substring_index(rest, CRLF, 1)
-        // leading zeros stripped in-pattern, then ≤ 7 significant hex
-        // digits: a 268 MB chunk VALUE bound that no longer refuses
-        // RFC-valid zero-padded fixed-width sizes like '00000010';
-        // optional BWS before the extension ';' per RFC 9112 §7.1.1
-        // (code-review r16)
-        val hex = regexp_extract(line,
-          "^0*([0-9A-Fa-f]{1,7})[ \\t]*(;[^\\r\\n]*)?$", 1)
-        val sz = conv(hex, 16, 10).cast("int")
-        val dataStart = p + length(line) + lit(2)
-        val chunk = body.substr(dataStart, sz)
-        val term = body.substr(dataStart + sz, lit(2))
-        when(acc.getField("done") || !acc.getField("ok"), acc)
-          .when(hex === "" || !rest.contains(CRLF),
-            st(p, out, lit(false), lit(false)))
-          .when(sz === 0, st(p, out, lit(true), lit(true)))
-          .when(length(chunk) < sz || term =!= CRLF,
-            st(p, out, lit(false), lit(false)))
-          .otherwise(st(dataStart + sz + lit(2), concat(out, chunk),
-            lit(true), lit(false)))
-      })
-    when(folded.getField("ok") && folded.getField("done"),
-      folded.getField("out"))
-  }
+    * trailer CRLF`. Delegates to [[graft.functions.DechunkBody]] — a
+    * native codegen'd expression doing ONE imperative O(body) walk
+    * (VERDICT r16 next #2: the earlier higher-order `aggregate` fold
+    * re-sliced the remaining body per chunk, O(chunks × body), and
+    * materialized a CRLF-count-sized step array per row). Identical
+    * grammar, size-line pattern, and refusal semantics (non-hex size
+    * line, missing CRLF, truncated chunk data, missing data
+    * terminator, stream ending before the 0-chunk → NULL, never a
+    * half body), plus the [[graft.functions.DechunkBody.MaxOut]]
+    * output bound (chunk-bomb refusal, the GunzipBytes stance —
+    * ADVICE r16). */
+  private[operators] def dechunk(body: Column): Column =
+    graft.functions.DechunkBody(body)
 
   /** Shared parse columns: (version, status, reason, sep, hdr,
     * content_length, payload). */
@@ -140,8 +105,8 @@ object Http {
 
   /** Parse one HTTP response message per row of `msgCol`; emits
     * `(idCol, http_version, status, reason, content_type, charset,
-    * location, content_length, n_headers, payload_len, payload_md5,
-    * valid)`. */
+    * location, last_modified, etag, content_length, n_headers,
+    * payload_len, payload_md5, valid)`. */
   def httpParse(msgs: DataFrame, idCol: String, msgCol: String): DataFrame = {
     val msg = col(msgCol)
     val (version, status, reason, sep, hdr, contentLength, payload) =
@@ -154,6 +119,12 @@ object Http {
       mediaType(ctRaw).as("content_type"),
       nullIfEmpty(lower(regexp_extract(ctRaw, CharsetRe, 1))).as("charset"),
       Warc.field(hdr, "Location").as("location"),
+      // conditional-request metadata (RFC 9110 §8.8 validators —
+      // VERDICT r16 next #5): raw field values; the recrawl schedule
+      // (q211b) emits them so the fetch layer can send
+      // If-Modified-Since / If-None-Match and take 304s
+      Warc.field(hdr, "Last-Modified").as("last_modified"),
+      Warc.field(hdr, "ETag").as("etag"),
       contentLength.as("content_length"),
       when(sep >= 1, (size(split(hdr, CRLF)) - 1).cast("long"))
         .as("n_headers"),
@@ -172,9 +143,11 @@ object Http {
     * applied AFTER de-chunking per the layering): `gzip`/`x-gzip`
     * payloads are DECOMPRESSED in place via [[graft.functions.
     * GunzipBytes]] through the latin-1 byte transport (corrupt streams
-    * refuse to NULL, the [[dechunk]] convention); absent/`identity`
-    * pass through; any OTHER coding (br, deflate, …) refuses the
-    * payload to NULL with `content_encoding` kept for triage — a
+    * refuse to NULL, the [[dechunk]] convention); `deflate` via
+    * [[graft.functions.InflateBytes]] — zlib per the RFC, with the
+    * browser raw-deflate fallback (VERDICT r16 next #4); absent/
+    * `identity` pass through; any OTHER coding (br, zstd, …) refuses
+    * the payload to NULL with `content_encoding` kept for triage — a
     * wrongly-decoded page is worse than a dropped one. */
   def httpPayloads(msgs: DataFrame, idCol: String, msgCol: String,
       keep: Seq[String] = Nil,
@@ -186,6 +159,9 @@ object Http {
     val decoded = when(ce.isNull || ce === "identity", payload)
       .when(ce.isin("gzip", "x-gzip"),
         decode(graft.functions.GunzipBytes(
+          encode(payload, "ISO-8859-1")), "ISO-8859-1"))
+      .when(ce === "deflate",
+        decode(graft.functions.InflateBytes(
           encode(payload, "ISO-8859-1")), "ISO-8859-1"))
       .otherwise(lit(null).cast("string"))
     val kept = keep.map(col)
@@ -229,10 +205,27 @@ object Http {
     val cl = when(pmod(col("doc_id"), lit(7)) === 0, lit(""))
       .otherwise(concat(lit("Content-Length: "),
         length(col("text")).cast("string"), lit(CRLF)))
+    // conditional-request metadata rotation (round 17): a strong ETag
+    // on %2=0, a WEAK one on %9=0∧%2≠0 (raw value kept — weak/strong
+    // policy is the consumer's), Last-Modified on %4=0, all lowercase
+    // field names on the %5 rows (case-insensitivity rides the same
+    // rotation as content-type)
+    val lm = when(pmod(col("doc_id"), lit(4)) === 0,
+      concat(when(pmod(col("doc_id"), lit(5)) === 0, lit("last-modified"))
+          .otherwise(lit("Last-Modified")),
+        lit(": Mon, 01 Sep 2025 00:00:00 GMT" + CRLF)))
+      .otherwise(lit(""))
+    val et = when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("ETag: \"e-"), col("doc_id").cast("string"),
+          lit("\"" + CRLF)))
+      .when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(lit("ETag: W/\"w-"), col("doc_id").cast("string"),
+          lit("\"" + CRLF)))
+      .otherwise(lit(""))
     val full = concat(statusLine, lit(CRLF),
       lit("Date: Sat, 01 Aug 2026 00:00:00 GMT" + CRLF),
       ctName, lit(": "), ct, lit(CRLF),
-      loc, cl, lit(CRLF), col("text"))
+      loc, lm, et, cl, lit(CRLF), col("text"))
     when(pmod(col("doc_id"), lit(13)) === 0, substring(full, 1, 15))
       .when(pmod(col("doc_id"), lit(11)) === 0,
         concat(lit("junk" + CRLF), full))
@@ -263,6 +256,10 @@ object Http {
                          WHEN 1 THEN 'text/plain'
                          ELSE 'text/html; charset="iso-8859-1"' END) || chr(13) || chr(10) ||
                      (CASE WHEN doc_id % 3 = 2 THEN 'Location: http://' || source || '.example.com/new/' || CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ELSE '' END) ||
+                     (CASE WHEN doc_id % 4 = 0 THEN (CASE WHEN doc_id % 5 = 0 THEN 'last-modified' ELSE 'Last-Modified' END) || ': Mon, 01 Sep 2025 00:00:00 GMT' || chr(13) || chr(10) ELSE '' END) ||
+                     (CASE WHEN doc_id % 2 = 0 THEN 'ETag: "e-' || CAST(doc_id AS VARCHAR) || '"' || chr(13) || chr(10)
+                           WHEN doc_id % 9 = 0 THEN 'ETag: W/"w-' || CAST(doc_id AS VARCHAR) || '"' || chr(13) || chr(10)
+                           ELSE '' END) ||
                      (CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'Content-Length: ' || CAST(len(text) AS VARCHAR) || chr(13) || chr(10) END) ||
                      chr(13) || chr(10) || text AS whole
               FROM documents)),
@@ -278,18 +275,20 @@ object Http {
         SELECT doc_id, msg, http_version, status_raw, reason, sep, hdr,
                NULLIF(regexp_extract(hdr, '(?mi)^Content-Type:[ \t]*([^\r\n]*)', 1), '') AS ct_raw,
                NULLIF(regexp_extract(hdr, '(?mi)^Location:[ \t]*([^\r\n]*)', 1), '') AS location,
+               NULLIF(regexp_extract(hdr, '(?mi)^Last-Modified:[ \t]*([^\r\n]*)', 1), '') AS last_modified,
+               NULLIF(regexp_extract(hdr, '(?mi)^ETag:[ \t]*([^\r\n]*)', 1), '') AS etag,
                NULLIF(regexp_extract(hdr, '(?mi)^Content-Length:[ \t]*([^\r\n]*)', 1), '') AS cl_raw
         FROM p),
       g AS (
         SELECT doc_id, http_version, status_raw, reason, sep, hdr,
-               ct_raw, location,
+               ct_raw, location, last_modified, etag,
                CASE WHEN regexp_full_match(cl_raw, '[0-9]{1,18}')
                     THEN TRY_CAST(cl_raw AS BIGINT) END AS content_length,
                CASE WHEN sep >= 1 THEN substr(msg, sep + 4) END AS payload_raw
         FROM f),
       h AS (
         SELECT doc_id, http_version, status_raw, reason, sep, hdr,
-               ct_raw, location, content_length,
+               ct_raw, location, last_modified, etag, content_length,
                CASE WHEN content_length IS NOT NULL
                     THEN substr(payload_raw, 1, CAST(least(content_length, len(payload_raw)) AS INT))
                     ELSE payload_raw END AS payload
@@ -302,7 +301,7 @@ object Http {
              CASE WHEN ct_raw IS NOT NULL
                   THEN lower(trim(split_part(ct_raw, ';', 1))) END AS content_type,
              NULLIF(lower(regexp_extract(ct_raw, '(?i)charset="?([A-Za-z0-9._-]+)', 1)), '') AS charset,
-             location, content_length,
+             location, last_modified, etag, content_length,
              CASE WHEN sep >= 1
                   THEN CAST(len(string_split(hdr, chr(13)||chr(10))) - 1 AS BIGINT) END AS n_headers,
              CAST(len(payload) AS BIGINT) AS payload_len,
@@ -431,8 +430,13 @@ object Http {
     * dropped page). All codegen'd; zero UDFs; no shuffle. */
   def transcode(payload: Column, charset: Column): Column = {
     val cs = lower(coalesce(charset, lit("utf-8")))
+    // byte-transport domain guard (ADVICE r16): a char above U+00FF
+    // means the input is NOT a latin-1 byte transport — encode() would
+    // silently '?'-mangle it and the mangled bytes can still pass the
+    // UTF-8 validity check; refuse instead (NULL, never mojibake)
+    val isTransport = !payload.rlike("[^\\x00-\\xff]")
     val bytes = encode(payload, "ISO-8859-1") // exact original bytes
-    val utf8 = when(is_valid_utf8(bytes.cast("string")),
+    val utf8 = when(isTransport && is_valid_utf8(bytes.cast("string")),
       bytes.cast("string"))
     when(cs.isin("utf-8", "utf8", "us-ascii", "ascii"), utf8)
       .when(cs.isin("iso-8859-1", "iso8859-1", "latin-1", "latin1"),
@@ -713,17 +717,31 @@ object Http {
   // both).
   private def encodedMsg(): Column = {
     val m3 = pmod(col("doc_id"), lit(3))
+    val m5 = pmod(col("doc_id"), lit(5))
+    val m7 = pmod(col("doc_id"), lit(7))
     val utf8 = encode(col("text"), "UTF-8")
+    // deflate arms (round 17): %3=1∧%5≠0∧%7=0 rows carry the RFC-form
+    // ZLIB stream (with a %13 mid-stream truncation that must refuse);
+    // %3=2∧%5≠0∧%7=0 rows carry RAW deflate — the browser-tolerance
+    // path — built by slicing the zlib wrapper off in-plan (2-byte
+    // header, 4-byte adler32)
+    val zlib = decode(graft.functions.DeflateBytes(utf8), "ISO-8859-1")
     val transport = when(m3 === 0,
         decode(graft.functions.GzipBytes(utf8), "ISO-8859-1"))
+      .when(m3 === 1 && m5 =!= 0 && m7 === 0, zlib)
+      .when(m3 === 2 && m5 =!= 0 && m7 === 0,
+        substring(zlib, lit(3), length(zlib) - 6))
       .otherwise(decode(utf8, "ISO-8859-1"))
-    val body = when(m3 === 0 && pmod(col("doc_id"), lit(13)) === 0,
+    val body = when((m3 === 0 || (m3 === 1 && m5 =!= 0 && m7 === 0)) &&
+        pmod(col("doc_id"), lit(13)) === 0,
       substring(transport, 1, 8)).otherwise(transport)
     val ce = when(m3 === 0, lit("Content-Encoding: gzip" + CRLF))
-      .when(m3 === 1 && pmod(col("doc_id"), lit(5)) === 0,
+      .when(m3 === 1 && m5 === 0,
         lit("Content-Encoding: identity" + CRLF))
-      .when(m3 === 2 && pmod(col("doc_id"), lit(5)) === 0,
+      .when(m3 === 2 && m5 === 0,
         lit("Content-Encoding: br" + CRLF))
+      .when(m3.isin(1, 2) && m5 =!= 0 && m7 === 0,
+        lit("Content-Encoding: deflate" + CRLF))
       .otherwise(lit(""))
     concat(lit("HTTP/1.1 200 OK" + CRLF),
       lit("Content-Type: text/html; charset=utf-8" + CRLF),
@@ -748,9 +766,13 @@ object Http {
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN 'gzip'
                     WHEN doc_id % 3 = 1 AND doc_id % 5 = 0 THEN 'identity'
-                    WHEN doc_id % 3 = 2 AND doc_id % 5 = 0 THEN 'br' END AS content_encoding,
+                    WHEN doc_id % 3 = 2 AND doc_id % 5 = 0 THEN 'br'
+                    WHEN doc_id % 3 IN (1, 2) AND doc_id % 5 <> 0
+                         AND doc_id % 7 = 0 THEN 'deflate' END AS content_encoding,
                CASE WHEN doc_id % 3 = 0 AND doc_id % 13 = 0 THEN NULL
                     WHEN doc_id % 3 = 2 AND doc_id % 5 = 0 THEN NULL
+                    WHEN doc_id % 3 = 1 AND doc_id % 5 <> 0 AND doc_id % 7 = 0
+                         AND doc_id % 13 = 0 THEN NULL
                     ELSE text END AS expected
         FROM documents)
       SELECT doc_id, content_encoding,

@@ -350,6 +350,51 @@ object Robots {
   // NULL-rule rows) and the RFC evaluation — wildcard compilation
   // included — with a window instead of the array fold: same declared
   // semantics, independently expressed.
+  /** The q214/q214b request-paths CTE (the q180 path rotation) — one
+    * home so the two audits can't drift. */
+  private val docPathsSql = """d0 AS (SELECT doc_id, source || '.example.com' AS host,
+               CASE CAST(doc_id % 8 AS INT)
+                 WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN '/private/ok/x'
+                 WHEN 2 THEN '/tmp/f'
+                 WHEN 3 THEN '/doc/page' || CAST(doc_id AS VARCHAR)
+                 WHEN 4 THEN '/doc/open/1'
+                 WHEN 5 THEN '/ads/z'
+                 WHEN 6 THEN '/files/r' || CAST(doc_id AS VARCHAR) || '.pdf'
+                 ELSE '/'
+               END AS path
+             FROM documents)"""
+
+  /** The deny-host overlay + final projection shared by q214/q214b:
+    * expects `d0`, `verdict`, and a `deny(host)` CTE in scope. */
+  private val denyOverlaySql = """final AS (
+        SELECT d.doc_id, d.host, d.path,
+               CASE WHEN dn.host IS NOT NULL THEN CAST(1 AS BIGINT)
+                    ELSE v.n_matched END AS n_matched,
+               CASE WHEN dn.host IS NOT NULL THEN CAST(1 AS BIGINT)
+                    ELSE v.best_len END AS best_len,
+               CASE WHEN dn.host IS NOT NULL THEN 'disallow'
+                    ELSE v.best_rule END AS best_rule,
+               CASE WHEN dn.host IS NOT NULL THEN FALSE
+                    ELSE v.allowed END AS allowed
+        FROM d0 d
+        JOIN verdict v ON d.doc_id = v.doc_id
+        LEFT JOIN deny dn ON d.host = dn.host)
+      SELECT doc_id, host, path, n_matched, best_len, best_rule, allowed
+      FROM final
+      ORDER BY doc_id"""
+
+  /** The q214/q214b body rotation replayed in SQL — ONE home for the
+    * three fixture bodies; `kExpr` is the host-ordinal SQL expression
+    * (the raw `@K@` substitution avoids interpolation fights with the
+    * `$` the glob body contains). */
+  private def robotsBodySqlCase(kExpr: String): String =
+    """CASE CAST((@K@) % 3 AS INT)
+                 WHEN 0 THEN '# policy' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp/' || chr(10) || chr(10) || 'User-agent: graftbot' || chr(10) || 'User-agent: otherbot' || chr(10) || 'Disallow: /doc/' || chr(10) || 'Allow: /doc/open' || chr(10) || 'Disallow: /*.pdf$'
+                 WHEN 1 THEN 'User-agent: *  # star group' || chr(10) || 'Disallow: /ads' || chr(10) || 'Disallow:' || chr(10) || 'Allow: /' || chr(10) || chr(10) || 'User-agent: graftbot'
+                 ELSE 'junk line without colon' || chr(10) || 'Disallow: /orphan' || chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /'
+               END""".replace("@K@", kExpr)
+
   private def robotsBody(): Column = {
     val k = pmod(expr("CAST(substring(source, 4) AS INT)"), lit(3))
     when(k === 0, lit(
@@ -570,6 +615,49 @@ object Robots {
     parsed.unionByName(denied) // 4xx hosts appear in neither: allow-all
   }
 
+  // ------------------------------------------- robots 3xx composition
+  /** Compose [[graft.operators.Redirects.resolveRedirects]] with the
+    * robots fetch table (VERDICT r16 next #6 — q214 treats residual
+    * 3xx as unreachable and defers resolution upstream; THIS is the
+    * upstream): a robots.txt fetched at a URL that redirects MUST use
+    * the redirect target's body (RFC 9309 §2.3.1.2), following up to
+    * `maxHops` consecutive hops — deeper chains, cycles, and targets
+    * outside the fetch table are "unreachable" (NULL status → the
+    * §2.3.1.4 deny). Input `(host, status, location, body)` — 3xx rows
+    * carry the target URL in `location`; output the EFFECTIVE
+    * `(host, status, body)` frame [[robotsRulesWithStatus]] consumes.
+    * Shape: pointer-doubling over the hosts-sized edge set (⌈log₂
+    * maxHops⌉ self-joins) + one final-url lookup join — everything
+    * hosts-sized, the corpus never touched. */
+  def robotsFetchResolve(fetches: DataFrame, hostCol: String,
+      statusCol: String, locationCol: String, bodyCol: String,
+      maxHops: Int = 5): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32, "1..32 hops")
+    val f = fetches.select(
+      col(hostCol).as("__h"), col(statusCol).as("__st"),
+      col(locationCol).as("__loc"), col(bodyCol).as("__body"),
+      concat(lit("https://"), col(hostCol), lit("/robots.txt"))
+        .as("__url"))
+    val edges = f.filter(col("__st").between(300, 399) &&
+        col("__loc").isNotNull)
+      .select(col("__url").as("url"), col("__loc").as("next"))
+    var rounds = 1
+    while ((1 << rounds) < maxHops) rounds += 1
+    val resolved = Redirects.resolveRedirects(
+      f.select(col("__url").as("url")), edges, rounds)
+    val term = f.select(col("__url").as("__t_url"),
+      col("__st").as("__t_st"), col("__body").as("__t_body"))
+    val reachable = col("resolved") && col("n_hops") <= maxHops
+    f.select(col("__h"), col("__url"))
+      .join(resolved, col("__url") === resolved("url"))
+      .join(term, col("final_url") === col("__t_url"), "left")
+      .select(col("__h").as("host"),
+        // NULL when unresolved (cycle / > 2^rounds), too deep, or the
+        // final URL is outside the fetch table — all "unreachable"
+        when(reachable, col("__t_st")).as("status"),
+        when(reachable, col("__t_body")).as("body"))
+  }
+
   // ---------------------------------------------------------------- q214
   // Fetch-status policy through the full gate: hosts rotate a 200 body
   // (the q180 k-shape policies), a 404 (allow-everything), a 503
@@ -596,7 +684,7 @@ object Robots {
           agent = "graftbot")
         .orderBy(col("doc_id"))
     },
-    Some("""
+    Some(s"""
       WITH hosts AS (SELECT DISTINCT source,
                             source || '.example.com' AS host FROM documents),
       st AS (SELECT source, host,
@@ -604,42 +692,77 @@ object Robots {
                  WHEN 0 THEN 200 WHEN 1 THEN 404 WHEN 2 THEN 503 END AS status
              FROM hosts),
       bodies AS (SELECT host,
-               CASE CAST(CAST(substring(source, 4) AS INT) % 3 AS INT)
-                 WHEN 0 THEN '# policy' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp/' || chr(10) || chr(10) || 'User-agent: graftbot' || chr(10) || 'User-agent: otherbot' || chr(10) || 'Disallow: /doc/' || chr(10) || 'Allow: /doc/open' || chr(10) || 'Disallow: /*.pdf$'
-                 WHEN 1 THEN 'User-agent: *  # star group' || chr(10) || 'Disallow: /ads' || chr(10) || 'Disallow:' || chr(10) || 'Allow: /' || chr(10) || chr(10) || 'User-agent: graftbot'
-                 ELSE 'junk line without colon' || chr(10) || 'Disallow: /orphan' || chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /'
-               END AS body
+               ${robotsBodySqlCase("CAST(substring(source, 4) AS INT)")} AS body
              FROM st WHERE status = 200),
-      d0 AS (SELECT doc_id, source || '.example.com' AS host,
-               CASE CAST(doc_id % 8 AS INT)
-                 WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
-                 WHEN 1 THEN '/private/ok/x'
-                 WHEN 2 THEN '/tmp/f'
-                 WHEN 3 THEN '/doc/page' || CAST(doc_id AS VARCHAR)
-                 WHEN 4 THEN '/doc/open/1'
-                 WHEN 5 THEN '/ads/z'
-                 WHEN 6 THEN '/files/r' || CAST(doc_id AS VARCHAR) || '.pdf'
-                 ELSE '/'
-               END AS path
-             FROM documents),
+      $docPathsSql,
       """ + robotsEvalSqlFrom("d0", "doc_id", "graftbot") + """,
       deny AS (SELECT host FROM st WHERE status IS NULL OR status >= 500),
-      final AS (
-        SELECT d.doc_id, d.host, d.path,
-               CASE WHEN dn.host IS NOT NULL THEN CAST(1 AS BIGINT)
-                    ELSE v.n_matched END AS n_matched,
-               CASE WHEN dn.host IS NOT NULL THEN CAST(1 AS BIGINT)
-                    ELSE v.best_len END AS best_len,
-               CASE WHEN dn.host IS NOT NULL THEN 'disallow'
-                    ELSE v.best_rule END AS best_rule,
-               CASE WHEN dn.host IS NOT NULL THEN FALSE
-                    ELSE v.allowed END AS allowed
-        FROM d0 d
-        JOIN verdict v ON d.doc_id = v.doc_id
-        LEFT JOIN deny dn ON d.host = dn.host)
-      SELECT doc_id, host, path, n_matched, best_len, best_rule, allowed
-      FROM final
-      ORDER BY doc_id"""))
+      """ + denyOverlaySql))
+
+  // --------------------------------------------------------------- q214b
+  // The 3xx composition through the full gate (VERDICT r16 next #6):
+  // host ordinals rotate k%6 — 0: direct 200 (parse own body); 1: 301
+  // → host k−1 (a %6=0 host: parse ITS body — the use-the-target's-
+  // body law); 2: direct 404 (allow-all); 3: 301 → k+1 (%6=4) which
+  // 301s again → k−1 (%6=2): a 2-hop chain landing on a 404; 4: 301 →
+  // k−2 (%6=2, 404, 1 hop); 5: 301 → itself (a 1-cycle: unresolved →
+  // deny). Targets past the host-set edge are off-corpus → deny. The
+  // oracle replays the ≤2-hop walk CLOSED-FORM with existence joins
+  // (host-set membership, not ordinal arithmetic assumptions), then
+  // runs the same shared eval + deny overlay as q214; the ≥maxHops
+  // refusal (no fixture arm can reach 5 hops under mod-6) is pinned by
+  // RobotsSpec chain laws instead.
+  private val q214b = GraftQuery(
+    "q214b_robots_redirect",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("url", docUrl())
+      val k = expr("CAST(substring(source, 4) AS INT)")
+      val m = pmod(k, lit(6))
+      val target = when(m === 1, k - 1).when(m === 3, k + 1)
+        .when(m === 4, k - 2).when(m === 5, k)
+      val fetches = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          when(m === 0, lit(200)).when(m === 2, lit(404))
+            .otherwise(lit(301)).as("status"),
+          when(m.isin(1, 3, 4, 5),
+            concat(lit("https://src"), target.cast("string"),
+              lit(".example.com/robots.txt"))).as("location"),
+          when(m === 0, robotsBody()).as("body"))
+      val eff = robotsFetchResolve(fetches, "host", "status",
+        "location", "body", maxHops = 5)
+      robotsAudit(docs, "doc_id", "url",
+          robotsRulesWithStatus(eff, "host", "status", "body"),
+          agent = "graftbot")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH hosts AS (SELECT DISTINCT source,
+                            CAST(substring(source, 4) AS INT) AS k,
+                            source || '.example.com' AS host FROM documents),
+      e1 AS (SELECT k, host,
+               CASE CAST(k % 6 AS INT)
+                 WHEN 0 THEN k WHEN 2 THEN k
+                 WHEN 1 THEN k - 1 WHEN 3 THEN k + 1 WHEN 4 THEN k - 2
+               END AS t1
+             FROM hosts),
+      e2 AS (SELECT e.k, e.host,
+               CASE WHEN h1.k IS NULL THEN NULL
+                    WHEN CAST(h1.k % 6 AS INT) = 4 THEN h1.k - 2
+                    ELSE h1.k END AS t2
+             FROM e1 e LEFT JOIN hosts h1 ON e.t1 = h1.k),
+      eff AS (SELECT e.k, e.host, h2.k AS ek,
+                CASE WHEN h2.k IS NULL THEN NULL
+                     WHEN CAST(h2.k % 6 AS INT) = 0 THEN 200
+                     ELSE 404 END AS est
+              FROM e2 e LEFT JOIN hosts h2 ON e.t2 = h2.k),
+      bodies AS (SELECT host, ${robotsBodySqlCase("ek")} AS body
+                 FROM eff WHERE est = 200),
+      $docPathsSql,
+      """ + robotsEvalSqlFrom("d0", "doc_id", "graftbot") + """,
+      deny AS (SELECT host FROM eff
+               WHERE est IS NULL
+                  OR NOT (est BETWEEN 200 AND 299 OR est BETWEEN 400 AND 499)),
+      """ + denyOverlaySql))
 
   // ---------------------------------------------------------------- q206
   // Crawl-delay parse as a declared operator (VERDICT r15 next #6).
@@ -694,5 +817,5 @@ object Robots {
       FROM dl_rules
       ORDER BY host, agent, crawl_delay"""))
 
-  val all: Seq[GraftQuery] = Seq(q180, q201, q206, q214)
+  val all: Seq[GraftQuery] = Seq(q180, q201, q206, q214, q214b)
 }

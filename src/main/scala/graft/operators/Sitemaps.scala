@@ -161,34 +161,43 @@ object Sitemaps {
     * announced through several paths keeps one row per path (the q202
     * merge consumes provenance).
     *
-    * Scale: one xml parse ([[sitemapEntries]], checkpointed — each
-    * depth hop re-reads ENTRIES, never re-parses the corpus), then
-    * `maxDepth` self-joins keyed on the sitemap URL — entries-sized
-    * SortMergeJoins, corpus never touched. */
+    * Scale: one xml parse ([[sitemapEntries]], cached with an explicit
+    * release — each depth hop re-reads ENTRIES, never re-parses the
+    * corpus), then `maxDepth` self-joins keyed on the sitemap URL —
+    * entries-sized SortMergeJoins, corpus never touched. */
   def resolveSitemapTree(sitemaps: DataFrame, urlCol: String,
       xmlCol: String, maxDepth: Int = 2): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 5, "1..5 index hops")
+    // cache scope (ADVICE r16: the earlier localCheckpoint here had no
+    // release path, so bench reps accumulated blocks for the session's
+    // lifetime): entries are CACHED for the maxDepth self-joins, the
+    // result is eagerly materialized once, and the entries cache is
+    // dropped before returning — the only retained blocks are the
+    // result's own (freed by the ContextCleaner when the caller drops
+    // the frame)
     val e = sitemapEntries(
         sitemaps.withColumnRenamed(urlCol, "__sm_url"), "__sm_url", xmlCol)
       .select(col("__sm_url"), col("kind"), col("loc"))
-      .localCheckpoint()
-    var out = e.filter(col("kind") === "url")
-      .select(col("__sm_url").as("root_url"),
-        lit(0).cast("int").as("depth"),
-        col("__sm_url").as("via_url"), col("loc"))
-    var frontier = e.filter(col("kind") === "index")
-      .select(col("__sm_url").as("root_url"), col("loc").as("child_url"))
-    for (d <- 1 to maxDepth) {
-      val child = frontier.join(e,
-        frontier("child_url") === e("__sm_url"))
-      out = out.unionByName(child.filter(col("kind") === "url")
-        .select(col("root_url"), lit(d).cast("int").as("depth"),
-          col("child_url").as("via_url"), col("loc")))
-      if (d < maxDepth)
-        frontier = child.filter(col("kind") === "index")
-          .select(col("root_url"), col("loc").as("child_url"))
-    }
-    out
+      .persist()
+    try {
+      var out = e.filter(col("kind") === "url")
+        .select(col("__sm_url").as("root_url"),
+          lit(0).cast("int").as("depth"),
+          col("__sm_url").as("via_url"), col("loc"))
+      var frontier = e.filter(col("kind") === "index")
+        .select(col("__sm_url").as("root_url"), col("loc").as("child_url"))
+      for (d <- 1 to maxDepth) {
+        val child = frontier.join(e,
+          frontier("child_url") === e("__sm_url"))
+        out = out.unionByName(child.filter(col("kind") === "url")
+          .select(col("root_url"), lit(d).cast("int").as("depth"),
+            col("child_url").as("via_url"), col("loc")))
+        if (d < maxDepth)
+          frontier = child.filter(col("kind") === "index")
+            .select(col("root_url"), col("loc").as("child_url"))
+      }
+      out.localCheckpoint() // eager: the ONE read of the cached entries
+    } finally e.unpersist(false)
   }
 
   // ---------------------------------------------------------------- q207

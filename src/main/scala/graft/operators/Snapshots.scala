@@ -54,6 +54,56 @@ object Snapshots {
           .as("change_permille"))
   }
 
+  // ------------------------------------------- incremental admission
+  /** Incremental snapshot state (VERDICT r16 next #3 — the q208/q210
+    * stored-state discipline applied to the snapshot pair): instead of
+    * diffing two FULL snapshots, a crawl epoch folds fetch batches into
+    * a state table and closes with the same diff q200 computes
+    * one-shot.
+    *
+    * State schema: `(url, orig_md5, cur_md5, last_fetch, seen)` —
+    * `orig_md5` is the content hash at epoch open (NULL = the url was
+    * first seen this epoch), `cur_md5` the latest fetched hash, `seen`
+    * whether any batch re-observed the url. Each fold is ONE
+    * url-keyed full-outer join (state- and batch-sized — never the
+    * corpus; SortMergeJoin at 10^11 URLs); the close is a stateless
+    * projection. The fold law (pinned by q215 against q200's ORACLE,
+    * and by SnapshotsSpec forwards + reversed): for batches disjoint
+    * on url, any fold order closes to exactly the one-shot
+    * [[crawlDiff]] — and a url refetched across batches takes the
+    * LAST fold's hash (latest fetch wins), the only ordered case. */
+  def snapshotInit(oldSnap: DataFrame): DataFrame = {
+    val lf = if (oldSnap.columns.contains("last_fetch"))
+      col("last_fetch") else lit(null).cast("date")
+    oldSnap.select(col("url"), col("content_md5").as("orig_md5"),
+      col("content_md5").as("cur_md5"), lf.as("last_fetch"),
+      lit(false).as("seen"))
+  }
+
+  /** Fold one fetch batch `(url, content_md5, fetch_day)` into the
+    * state (see [[snapshotInit]]). */
+  def snapshotAdmitBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+    val b = batch.select(col("url"), col("content_md5").as("__b_md5"),
+      col("fetch_day").as("__b_day"), lit(true).as("__in_b"))
+    state.join(b, Seq("url"), "full_outer")
+      .select(col("url"),
+        col("orig_md5"), // NULL for batch-first urls: the added marker
+        when(col("__in_b"), col("__b_md5")).otherwise(col("cur_md5"))
+          .as("cur_md5"),
+        when(col("__in_b"), col("__b_day")).otherwise(col("last_fetch"))
+          .as("last_fetch"),
+        (coalesce(col("seen"), lit(false)) ||
+          coalesce(col("__in_b"), lit(false))).as("seen"))
+  }
+
+  /** Close the epoch: per-url diff classes, the [[crawlDiff]] shape. */
+  def snapshotClose(state: DataFrame): DataFrame =
+    state.select(col("url"),
+      when(col("orig_md5").isNull, lit("added"))
+        .when(!col("seen"), lit("removed"))
+        .when(col("orig_md5") === col("cur_md5"), lit("unchanged"))
+        .otherwise(lit("changed")).as("class"))
+
   // ---------------------------------------------------- fixture corpus
   // Old snapshot: every document's URL with its text hash. New
   // snapshot rotation: %11 pages vanish (removed), %7 pages change
@@ -179,24 +229,24 @@ object Snapshots {
   // equal/older must NOT), fetch dates spread over a month so the age
   // backstop and the churn interval floor both bite. asOf 2026-02-05,
   // churn ≥ 150‰, interval ≥ 7 d, max age 30 d.
+  private def q211Sched(docs: DataFrame): DataFrame = {
+    val state = docs.select(urlOf(col("doc_id")).as("url"),
+      date_add(lit("2026-01-01").cast("date"),
+        pmod(col("doc_id"), lit(28)).cast("int")).as("last_fetch"))
+    val lastmods = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(urlOf(col("doc_id")).as("url"),
+        date_add(lit("2026-01-01").cast("date"),
+          (pmod(col("doc_id"), lit(28)) + pmod(col("doc_id"), lit(5))
+            - lit(2)).cast("int")).as("lastmod"))
+    val (old, neu) = fixtureSnaps(docs)
+    val rates = crawlDiffByHost(crawlDiff(old, neu))
+    recrawlSchedule(state, lastmods, rates, asOfDay = "2026-02-05",
+      churnPermille = 150, minIntervalDays = 7, maxAgeDays = 30)
+  }
+
   private val q211 = GraftQuery(
     "q211_recrawl_schedule",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val state = docs.select(urlOf(col("doc_id")).as("url"),
-        date_add(lit("2026-01-01").cast("date"),
-          pmod(col("doc_id"), lit(28)).cast("int")).as("last_fetch"))
-      val lastmods = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
-        .select(urlOf(col("doc_id")).as("url"),
-          date_add(lit("2026-01-01").cast("date"),
-            (pmod(col("doc_id"), lit(28)) + pmod(col("doc_id"), lit(5))
-              - lit(2)).cast("int")).as("lastmod"))
-      val (old, neu) = fixtureSnaps(docs)
-      val rates = crawlDiffByHost(crawlDiff(old, neu))
-      recrawlSchedule(state, lastmods, rates, asOfDay = "2026-02-05",
-          churnPermille = 150, minIntervalDays = 7, maxAgeDays = 30)
-        .orderBy(col("url"))
-    },
+    (s, dir) => q211Sched(Tables.documents(s, dir)).orderBy(col("url")),
     Some(s"""
       WITH $diffCtes,
       rates AS (SELECT host,
@@ -230,5 +280,109 @@ object Snapshots {
       FROM v
       ORDER BY url"""))
 
-  val all: Seq[GraftQuery] = Seq(q200, q211)
+  // --------------------------------------------------------------- q211b
+  // Conditional-request metadata for the recrawl fetch (VERDICT r16
+  // next #5): a polite crawler that decided a url is DUE should send
+  // If-Modified-Since / If-None-Match so the server can answer 304 —
+  // the validators come from the STORED response's Last-Modified/ETag
+  // headers ([[Http.httpParse]] extracts them). Fixture: one stored
+  // HTTP response per state url with the q188 validator rotation
+  // (Last-Modified on %4=0, strong ETag on %2=0, weak on %9=0); the
+  // schedule's due rows join the parsed metadata (url-keyed left join
+  // — state-sized, never the corpus). The oracle replays the schedule
+  // and states the expected validator values closed-form, so an
+  // extraction bug OR a composition bug breaks the hash.
+  private val q211b = GraftQuery(
+    "q211b_recrawl_conditional",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val msgs = docs.select(urlOf(col("doc_id")).as("url"), concat(
+        lit("HTTP/1.1 200 OK\r\n"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("Last-Modified: Mon, 01 Sep 2025 00:00:00 GMT\r\n"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("ETag: \"s-"), col("doc_id").cast("string"),
+            lit("\"\r\n")))
+          .when(pmod(col("doc_id"), lit(9)) === 0,
+            concat(lit("ETag: W/\"w-"), col("doc_id").cast("string"),
+              lit("\"\r\n")))
+          .otherwise(lit("")),
+        lit("Content-Length: 0\r\n\r\n")).as("msg"))
+      val meta = Http.httpParse(msgs, "url", "msg")
+        .select(col("url"), col("last_modified"), col("etag"))
+      q211Sched(docs).filter(col("due"))
+        .join(meta, Seq("url"), "left")
+        .select(col("url"), col("host"), col("reason"),
+          col("last_modified"), col("etag"))
+        .orderBy(col("url"))
+    },
+    Some(s"""
+      WITH $diffCtes,
+      rates AS (SELECT host,
+                  CASE WHEN n_changed + n_unchanged > 0
+                       THEN CAST(n_changed * 1000 // (n_changed + n_unchanged) AS BIGINT) END AS change_permille
+                FROM g),
+      state AS (SELECT
+                  'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                  source || '.example.com' AS host,
+                  DATE '2026-01-01' + CAST(doc_id % 28 AS INT) AS last_fetch,
+                  doc_id
+                FROM documents),
+      lm AS (SELECT
+               'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+               DATE '2026-01-01' + CAST(doc_id % 28 + doc_id % 5 - 2 AS INT) AS lastmod
+             FROM documents WHERE doc_id % 3 = 0),
+      j AS (SELECT s.url, s.host, s.doc_id,
+              CAST(date_diff('day', s.last_fetch, DATE '2026-02-05') AS BIGINT) AS age_days,
+              l.lastmod, r.change_permille, s.last_fetch
+            FROM state s
+            LEFT JOIN lm l ON s.url = l.url
+            LEFT JOIN rates r ON s.host = r.host),
+      v AS (SELECT *,
+              CASE WHEN lastmod IS NOT NULL AND lastmod > last_fetch THEN 'lastmod'
+                   WHEN COALESCE(change_permille, 0) >= 150 AND age_days >= 7 THEN 'churn'
+                   WHEN age_days >= 30 THEN 'age'
+              END AS reason
+            FROM j)
+      SELECT url, host, reason,
+             CASE WHEN doc_id % 4 = 0 THEN 'Mon, 01 Sep 2025 00:00:00 GMT' END AS last_modified,
+             CASE WHEN doc_id % 2 = 0 THEN '"s-' || CAST(doc_id AS VARCHAR) || '"'
+                  WHEN doc_id % 9 = 0 THEN 'W/"w-' || CAST(doc_id AS VARCHAR) || '"' END AS etag
+      FROM v
+      WHERE reason IS NOT NULL
+      ORDER BY url"""))
+
+  // ---------------------------------------------------------------- q215
+  // The incremental fold pinned against the ONE-SHOT oracle: the q200
+  // fixture's new snapshot is split into three disjoint batches (url
+  // hash mod 3 — the split itself is irrelevant to the oracle, which
+  // never sees batches), folded into the old-snapshot state one batch
+  // at a time, closed, and rolled up by host. The oracle is q200's
+  // VERBATIM: chained-fold ≡ one-shot is the law being hashed.
+  private val q215 = GraftQuery(
+    "q215_snapshot_admit",
+    (s, dir) => {
+      val (old, neu) = fixtureSnaps(Tables.documents(s, dir))
+      val batches = (0 until 3).map(i =>
+        neu.filter(pmod(abs(hash(col("url"))), lit(3)) === i)
+          .withColumn("fetch_day",
+            lit(s"2026-02-0${i + 1}").cast("date")))
+      val closed = snapshotClose(
+        batches.foldLeft(snapshotInit(old))(snapshotAdmitBatch))
+      crawlDiffByHost(closed).orderBy(col("host"))
+    },
+    Some(s"""
+      WITH $diffCtes
+      SELECT host,
+             CAST(n_added AS BIGINT) AS n_added,
+             CAST(n_removed AS BIGINT) AS n_removed,
+             CAST(n_changed AS BIGINT) AS n_changed,
+             CAST(n_unchanged AS BIGINT) AS n_unchanged,
+             CASE WHEN n_changed + n_unchanged > 0
+                  THEN CAST(n_changed * 1000 // (n_changed + n_unchanged) AS BIGINT) END AS change_permille
+      FROM g
+      ORDER BY host"""))
+
+  val all: Seq[GraftQuery] = Seq(q200, q211, q211b, q215)
 }

@@ -95,8 +95,12 @@ object GraftIO {
     * handed back — no path escapes the call, and repeated bench reps
     * leave no temp accumulation. */
   def roundTrip(prefix: String)(f: String => DataFrame): DataFrame = {
+    // temp root relative to the working directory (ADVICE r16: a
+    // hardcoded /root/repo broke any other checkout), made absolute so
+    // Spark path resolution can't re-anchor it
     val dir = new java.io.File(
-      s"/root/repo/target/tmp/${prefix}_${java.util.UUID.randomUUID}")
+      new java.io.File("target/tmp").getAbsoluteFile,
+      s"${prefix}_${java.util.UUID.randomUUID}")
     try f(dir.getPath).localCheckpoint()
     finally deleteRecursively(dir)
   }

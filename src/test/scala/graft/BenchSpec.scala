@@ -20,6 +20,17 @@ class BenchSpec extends AnyFunSuite {
     assert(b === Map("q01_agg_pricing" -> 0.1234, "q37_dedup_minhash" -> 0.49))
   }
 
+  test("exprRates: every ingest expression reports a positive MB/s row") {
+    val rows = ThroughputBench.exprRates(graft.SparkSpec.session,
+      "/root/testdata/sf0.001", mult = 1, reps = 1)
+    val names = rows.map(_._1)
+    assert(names == Seq("dechunk", "gunzip_bytes", "inflate_bytes",
+      "transcode_utf8", "html_text", "warc_parse_bytes"), names.toString)
+    rows.foreach { case (n, mb, sec) =>
+      assert(mb > 1 && sec > 0, s"$n: mb=$mb sec=$sec")
+    }
+  }
+
   test("median picks the middle element of odd-length runs") {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
     assert(Bench.median(Seq(5.0)) === 5.0)

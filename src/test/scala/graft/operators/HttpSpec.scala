@@ -23,32 +23,33 @@ class HttpSpec extends SparkSpec {
     assert(r.getString(1) == "1.1" && r.getInt(2) == 200 &&
       r.getString(3) == "OK" && r.getString(4) == "text/html" &&
       r.getString(5) == "utf-8" && r.isNullAt(6) &&
-      r.getLong(7) == 5L && r.getLong(8) == 2L && r.getLong(9) == 5L &&
-      r.getBoolean(11), r.toString)
+      r.isNullAt(7) && r.isNullAt(8) && // no validators in this message
+      r.getLong(9) == 5L && r.getLong(10) == 2L && r.getLong(11) == 5L &&
+      r.getBoolean(13), r.toString)
   }
 
   test("close-delimited body: no Content-Length takes the whole rest") {
     val r = parse("HTTP/1.1 200 OK" + CRLF +
       "Content-Type: text/plain" + CRLF + CRLF + "abcdefgh")
-    assert(r.isNullAt(7) && r.getLong(9) == 8L && r.getBoolean(11),
+    assert(r.isNullAt(9) && r.getLong(11) == 8L && r.getBoolean(13),
       r.toString)
   }
 
   test("declared length past the end truncates to what is present") {
     val r = parse("HTTP/1.1 200 OK" + CRLF +
       "Content-Length: 100" + CRLF + CRLF + "short")
-    assert(r.getLong(7) == 100L && r.getLong(9) == 5L, r.toString)
+    assert(r.getLong(9) == 100L && r.getLong(11) == 5L, r.toString)
   }
 
   test("refusals: junk prefix and missing separator are valid=false with partial fields") {
     val junk = parse("junk" + CRLF + "HTTP/1.1 200 OK" + CRLF +
       "Content-Type: text/html" + CRLF + CRLF + "x")
-    assert(!junk.getBoolean(11) && junk.isNullAt(1) && junk.isNullAt(2) &&
+    assert(!junk.getBoolean(13) && junk.isNullAt(1) && junk.isNullAt(2) &&
       junk.getString(4) == "text/html", junk.toString)
     val nosep = parse("HTTP/1.1 404 Not Found")
-    assert(!nosep.getBoolean(11) && nosep.getInt(2) == 404 &&
-      nosep.getString(3) == "Not Found" && nosep.isNullAt(9) &&
-      nosep.isNullAt(10), nosep.toString)
+    assert(!nosep.getBoolean(13) && nosep.getInt(2) == 404 &&
+      nosep.getString(3) == "Not Found" && nosep.isNullAt(11) &&
+      nosep.isNullAt(12), nosep.toString)
   }
 
   test("redirect: Location and quoted charset; empty reason is NULL") {
@@ -135,6 +136,69 @@ class HttpSpec extends SparkSpec {
       s"gzip bomb (compressed ${bomb.length} B) must refuse, not OOM")
   }
 
+  test("deflate_bytes/inflate_bytes: zlib round-trip, raw fallback, strict refusals") {
+    import spark.implicits._
+    import graft.functions.{DeflateBytes, InflateBytes}
+    val data = "deflate coding αβγ text".getBytes("UTF-8")
+    val r = Seq(Tuple1(data)).toDF("b")
+      .select(InflateBytes(DeflateBytes(col("b"))).as("rt"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(r, data), "zlib round-trip")
+    // RAW deflate (the browser-tolerance path): strip the 2-byte zlib
+    // header and 4-byte adler32 — must still inflate
+    val zlib = DeflateBytes.compute(data)
+    val raw = zlib.slice(2, zlib.length - 4)
+    assert(java.util.Arrays.equals(InflateBytes.compute(raw), data),
+      "raw deflate fallback")
+    // refusals: junk, empty, truncation, adler corruption, trailing
+    assert(InflateBytes.compute("!!garbage!!".getBytes("UTF-8")) == null)
+    assert(InflateBytes.compute(Array.empty[Byte]) == null)
+    assert(InflateBytes.compute(zlib.slice(0, 8)) == null, "truncated")
+    val corrupt = zlib.clone()
+    corrupt(corrupt.length - 2) = (corrupt(corrupt.length - 2) ^ 0x7).toByte
+    assert(InflateBytes.compute(corrupt) == null, "adler mismatch refuses")
+    assert(InflateBytes.compute(zlib ++ "x".getBytes("UTF-8")) == null,
+      "trailing garbage refuses")
+    // zlib bomb: decompressed size past MaxOut refuses, never OOMs
+    val bomb = {
+      val d = new java.util.zip.Deflater()
+      val bos = new java.io.ByteArrayOutputStream()
+      val zeros = new Array[Byte](1 << 20)
+      (0 until 300).foreach { _ => d.setInput(zeros); while (!d.needsInput) {
+        val buf = new Array[Byte](1 << 16); val n = d.deflate(buf)
+        bos.write(buf, 0, n) } }
+      d.finish()
+      while (!d.finished) { val buf = new Array[Byte](1 << 16)
+        val n = d.deflate(buf); bos.write(buf, 0, n) }
+      d.end()
+      bos.toByteArray
+    }
+    assert(InflateBytes.compute(bomb) == null,
+      s"zlib bomb (compressed ${bomb.length} B) must refuse, not OOM")
+  }
+
+  test("httpPayloads Content-Encoding: deflate decodes zlib AND raw; truncated refuses") {
+    import spark.implicits._
+    import graft.functions.DeflateBytes
+    def msg(body: String, ce: String) =
+      "HTTP/1.1 200 OK" + CRLF + "Content-Type: text/html" + CRLF +
+        s"Content-Encoding: $ce" + CRLF +
+        s"Content-Length: ${body.length}" + CRLF + CRLF + body
+    val zlib = DeflateBytes.compute("<p>zz</p>".getBytes("UTF-8"))
+    val zs = new String(zlib, "ISO-8859-1")
+    val raws = new String(zlib.slice(2, zlib.length - 4), "ISO-8859-1")
+    val df = Seq(
+      (1L, msg(zs, "deflate")), (2L, msg(raws, "deflate")),
+      (3L, msg(zs.substring(0, 5), "deflate")))
+      .toDF("doc_id", "msg")
+    val got = Http.httpPayloads(df, "doc_id", "msg")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[String]("payload") == "<p>zz</p>")
+    assert(got(1).getAs[String]("payload") == "<p>zz</p>")
+    assert(got(2).getAs[String]("payload") == null)
+    assert(got.forall(_.getAs[String]("content_encoding") == "deflate"))
+  }
+
   test("metaCharset: HTML5 and legacy http-equiv forms, prescan budget, absent -> NULL") {
     import spark.implicits._
     def sniff(html: String): Option[String] = {
@@ -167,49 +231,49 @@ class HttpSpec extends SparkSpec {
       "10" + CRLF + data.drop(10) + CRLF +
       "0" + CRLF + "X-Trailer: ignored" + CRLF + CRLF
     val r = parse(chunkedMsg(body))
-    assert(r.getLong(9) == 26L, r.toString)
-    assert(r.getString(10) == md5hex(data))
+    assert(r.getLong(11) == 26L, r.toString)
+    assert(r.getString(12) == md5hex(data))
     // chunk data CONTAINING a CRLF + hex-looking line must NOT re-split
     // (length-driven jump, never a scan): 7 declared chars of "x\r\n3\r\ny"
     val tricky = "7" + CRLF + "x\r\n3\r\ny" + CRLF + "0" + CRLF + CRLF
     val r2 = parse(chunkedMsg(tricky))
-    assert(r2.getLong(9) == 7L && r2.getString(10) == md5hex("x\r\n3\r\ny"),
+    assert(r2.getLong(11) == 7L && r2.getString(12) == md5hex("x\r\n3\r\ny"),
       r2.toString)
     // RFC-valid shapes that must NOT refuse (code-review r16):
     // fixed-width zero-padded sizes and BWS before the extension ';'
     val padded = "00000003" + CRLF + "abc" + CRLF +
       "2 ;ext=v" + CRLF + "de" + CRLF + "0000000" + CRLF + CRLF
     val r3 = parse(chunkedMsg(padded))
-    assert(r3.getLong(9) == 5L && r3.getString(10) == md5hex("abcde"),
+    assert(r3.getLong(11) == 5L && r3.getString(12) == md5hex("abcde"),
       r3.toString)
   }
 
   test("dechunk refusals: truncated data, bad size line, missing data CRLF → NULL payload") {
     val truncated = "ff" + CRLF + "only a few chars"
     val r1 = parse(chunkedMsg(truncated))
-    assert(r1.isNullAt(9) && r1.isNullAt(10) && r1.getBoolean(11),
+    assert(r1.isNullAt(11) && r1.isNullAt(12) && r1.getBoolean(13),
       "payload refused, message still valid: " + r1)
     val badSize = "zz" + CRLF + "abc" + CRLF + "0" + CRLF + CRLF
-    assert(parse(chunkedMsg(badSize)).isNullAt(9))
+    assert(parse(chunkedMsg(badSize)).isNullAt(11))
     val noTerm = "3" + CRLF + "abcXX" + "0" + CRLF + CRLF
-    assert(parse(chunkedMsg(noTerm)).isNullAt(9))
+    assert(parse(chunkedMsg(noTerm)).isNullAt(11))
     val noFinal = "3" + CRLF + "abc" + CRLF // never reaches a 0-chunk
-    assert(parse(chunkedMsg(noFinal)).isNullAt(9))
+    assert(parse(chunkedMsg(noFinal)).isNullAt(11))
   }
 
   test("dechunk applies only when chunked is the FINAL coding; Content-Length ignored when it is") {
     val body = "3" + CRLF + "abc" + CRLF + "0" + CRLF + CRLF
     // "gzip, chunked": final coding chunked -> dechunk
     val r1 = parse(chunkedMsg(body, te = "gzip, chunked"))
-    assert(r1.getLong(9) == 3L && r1.getString(10) == md5hex("abc"))
+    assert(r1.getLong(11) == 3L && r1.getString(12) == md5hex("abc"))
     // "chunked, gzip": final coding NOT chunked -> close-delimited raw
     val r2 = parse(chunkedMsg(body, te = "chunked, gzip"))
-    assert(r2.getLong(9) == body.length.toLong)
+    assert(r2.getLong(11) == body.length.toLong)
     // chunked + a (wrong) Content-Length: TE wins (RFC 9112 §6.3 rule 3)
     val r3 = parse("HTTP/1.1 200 OK" + CRLF +
       "Content-Length: 2" + CRLF + "Transfer-Encoding: chunked" +
       CRLF + CRLF + body)
-    assert(r3.getLong(9) == 3L, r3.toString)
+    assert(r3.getLong(11) == 3L, r3.toString)
   }
 
   // ----------------------------------------------------- transcode laws

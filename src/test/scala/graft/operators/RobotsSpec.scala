@@ -178,6 +178,38 @@ class RobotsSpec extends SparkSpec {
       4L -> false, 5L -> false, 6L -> false, 7L -> false), got.toString)
   }
 
+  test("robotsFetchResolve: target body wins, hop bound, cycle, off-corpus") {
+    import spark.implicits._
+    def u(h: String) = s"https://$h/robots.txt"
+    // chain a0→a1→…→a5 (5 hops to the 200 at a5); b0→b1→…→b6 (6 hops —
+    // past maxHops=5, unreachable); c self-cycle; d → off-corpus;
+    // e → 404 target
+    val chainA = (0 until 5).map(i =>
+      (s"a$i.org", Integer.valueOf(301), u(s"a${i + 1}.org"), null.asInstanceOf[String]))
+    val chainB = (0 until 6).map(i =>
+      (s"b$i.org", Integer.valueOf(301), u(s"b${i + 1}.org"), null.asInstanceOf[String]))
+    val fetches = (chainA ++ chainB ++ Seq(
+      ("a5.org", Integer.valueOf(200), null.asInstanceOf[String], "User-agent: *\nDisallow: /x"),
+      ("b6.org", Integer.valueOf(200), null.asInstanceOf[String], "User-agent: *\nAllow: /"),
+      ("c.org", Integer.valueOf(301), u("c.org"), null.asInstanceOf[String]),
+      ("d.org", Integer.valueOf(301), u("elsewhere.example"), null.asInstanceOf[String]),
+      ("e.org", Integer.valueOf(301), u("gone.org"), null.asInstanceOf[String]),
+      ("gone.org", Integer.valueOf(404), null.asInstanceOf[String], null.asInstanceOf[String])))
+      .toDF("host", "status", "location", "body")
+    val eff = Robots.robotsFetchResolve(fetches, "host", "status",
+        "location", "body", maxHops = 5)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1), r.getString(2))).toMap
+    assert(eff("a0.org") == (200, "User-agent: *\nDisallow: /x"),
+      "5 hops followed; the TARGET's body is used")
+    assert(eff("b0.org") == (-1, null), "6 hops: unreachable")
+    assert(eff("b1.org") == (200, "User-agent: *\nAllow: /"), "5 from b1")
+    assert(eff("c.org") == (-1, null), "1-cycle: unresolved")
+    assert(eff("d.org") == (-1, null), "off-corpus target")
+    assert(eff("e.org") == (404, null), "redirect to a 404: allow-all")
+    assert(eff("a5.org") == (200, "User-agent: *\nDisallow: /x"), "direct")
+  }
+
   test("gate plan: corpus never shuffles (broadcast rules array + codegen fold)") {
     import spark.implicits._
     val r = rules("h" -> "User-agent: *\nDisallow: /x")

@@ -35,4 +35,40 @@ class SnapshotsSpec extends SparkSpec {
       ("a.com", 1L, 0L, 1L, 2L, 333L),
       ("b.com", 1L, 1L, 0L, 0L, -1L)), got.toString)
   }
+
+  private def classesOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("incremental fold law: disjoint batches close to the one-shot diff, any order") {
+    import spark.implicits._
+    val old = Seq(("u1", "h1"), ("u2", "h2"), ("u3", "h3"), ("u5", "h5"))
+      .toDF("url", "content_md5")
+    val neu = Seq(("u1", "h1"), ("u2", "HX"), ("u4", "h4"), ("u5", "h5"))
+      .toDF("url", "content_md5")
+    val oneShot = classesOf(Snapshots.crawlDiff(old, neu))
+    val batches = Seq(
+      Seq(("u1", "h1")), Seq(("u2", "HX"), ("u4", "h4")),
+      Seq(("u5", "h5"))).map(_.toDF("url", "content_md5")
+      .withColumn("fetch_day", lit("2026-02-01").cast("date")))
+    def fold(bs: Seq[org.apache.spark.sql.DataFrame]) = classesOf(
+      Snapshots.snapshotClose(
+        bs.foldLeft(Snapshots.snapshotInit(old))(
+          Snapshots.snapshotAdmitBatch)))
+    assert(fold(batches) == oneShot)
+    assert(fold(batches.reverse) == oneShot)
+  }
+
+  test("incremental fold: refetch across batches — last fold's hash wins") {
+    import spark.implicits._
+    val old = Seq(("u1", "h1")).toDF("url", "content_md5")
+    val b1 = Seq(("u1", "h1")).toDF("url", "content_md5")
+      .withColumn("fetch_day", lit("2026-02-01").cast("date"))
+    val b2 = Seq(("u1", "HX")).toDF("url", "content_md5")
+      .withColumn("fetch_day", lit("2026-02-02").cast("date"))
+    val st = Snapshots.snapshotAdmitBatch(
+      Snapshots.snapshotAdmitBatch(Snapshots.snapshotInit(old), b1), b2)
+    assert(classesOf(Snapshots.snapshotClose(st)) == Map("u1" -> "changed"))
+    val row = st.collect().head
+    assert(row.getDate(3).toString == "2026-02-02") // latest fetch kept
+  }
 }
