@@ -72,7 +72,11 @@ object PlanDump {
     "q206_robots_crawl_delay", "q206b_frontier_delay",
     "q208_discovery_admit", "q210_frontier_admit",
     "q211_recrawl_schedule", "q212_content_encoding",
-    "q213_meta_charset", "q214_robots_fetch_policy")
+    "q213_meta_charset", "q214_robots_fetch_policy",
+    // round 17 (q182* and q214b are eager-driver — collected local
+    // relations / checkpointed doubling — excluded)
+    "q211b_recrawl_conditional", "q215_snapshot_admit",
+    "q216_revalidate_merge", "q217_retry_after")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

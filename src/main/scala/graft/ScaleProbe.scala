@@ -404,6 +404,32 @@ object ScaleProbe {
         val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         println(s"""{"metric":"scaleprobe-r16ops","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
 
+      case "r17ops" =>
+        // round-17 additions at probe decades: the single-pass dechunk
+        // (q204 — the r16 fold measured 31.3 s at x100; the expression
+        // should drop it), deflate Content-Encoding (q212, linear in
+        // bytes), conditional-request recrawl (q211b — the q211 joins
+        // + one url-keyed metadata join), robots 3xx composition
+        // (q214b — hosts-sized doubling + the q214 audit), incremental
+        // snapshot folds (q215 — three state-sized full-outer joins vs
+        // q200's one), and the per-format round-trip rows (file write
+        // + read + fold, linear in bytes).
+        val out = scaledDocsDir(spark, src, copies)
+        val names = Seq("q204_http_chunked", "q212_content_encoding",
+          "q211b_recrawl_conditional", "q214b_robots_redirect",
+          "q215_snapshot_admit", "q216_revalidate_merge",
+          "q217_retry_after", "q182csv_roundtrip",
+          "q182jsonl_roundtrip", "q182orc_roundtrip",
+          "q93d_crawl_chain_http")
+        val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
+        val times = names.map { name =>
+          val (_, t) = timed(SparkEntry.queries(name)(spark, out)
+            .write.format("noop").mode("overwrite").save())
+          name -> t
+        }
+        val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        println(s"""{"metric":"scaleprobe-r17ops","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
+
       case "bpestored" =>
         // The stored-tokenizer payoff (VERDICT r14 next #5): learn once
         // and WRITE the artifact, then time the probe-side encode that

@@ -401,18 +401,6 @@ object Http {
       ORDER BY doc_id"""))
 
   // ------------------------------------------------------- transcode
-  /** The windows-1252 0x80–0x9F graphical block (the 27 code points
-    * where cp1252 differs from ISO-8859-1; the 5 undefined bytes pass
-    * through as their C1 controls, matching the JDK decoder). */
-  private val Cp1252From =
-    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008A" +
-    "\u008B\u008C\u008E\u0091\u0092\u0093\u0094\u0095\u0096\u0097" +
-    "\u0098\u0099\u009A\u009B\u009C\u009E\u009F"
-  private val Cp1252To =
-    "€‚ƒ„…†‡ˆ‰Š" +
-    "‹ŒŽ‘’“”•–—" +
-    "˜™š›œžŸ"
-
   /** Charset TRANSCODE stage (VERDICT r15 next #4 — q164's encoding
     * audit detects, this converts): `payload` is a BYTE-TRANSPORT
     * string (each char one original byte — the [[Warc.warcParseBytes]]
@@ -423,28 +411,19 @@ object Http {
     *     invalid UTF-8 refuses to NULL (never mojibake);
     *   - iso-8859-1: the transport decode IS the text (latin-1 chars
     *     are their own code points) — identity;
-    *   - windows-1252: latin-1 plus the 0x80–0x9F graphical block —
-    *     one codegen `translate` over [[Cp1252From]];
+    *   - windows-1252: latin-1 plus the 0x80–0x9F graphical block
+    *     (table in [[graft.functions.TranscodeTransport]]);
     * any other declared charset refuses to NULL (unknown-charset
     * refusal semantics — a wrongly-decoded corpus is worse than a
     * dropped page). All codegen'd; zero UDFs; no shuffle. */
-  def transcode(payload: Column, charset: Column): Column = {
-    val cs = lower(coalesce(charset, lit("utf-8")))
-    // byte-transport domain guard (ADVICE r16): a char above U+00FF
-    // means the input is NOT a latin-1 byte transport — encode() would
-    // silently '?'-mangle it and the mangled bytes can still pass the
-    // UTF-8 validity check; refuse instead (NULL, never mojibake)
-    val isTransport = !payload.rlike("[^\\x00-\\xff]")
-    val bytes = encode(payload, "ISO-8859-1") // exact original bytes
-    val utf8 = when(isTransport && is_valid_utf8(bytes.cast("string")),
-      bytes.cast("string"))
-    when(cs.isin("utf-8", "utf8", "us-ascii", "ascii"), utf8)
-      .when(cs.isin("iso-8859-1", "iso8859-1", "latin-1", "latin1"),
-        payload)
-      .when(cs.isin("windows-1252", "cp1252"),
-        translate(payload, Cp1252From, Cp1252To))
-      .otherwise(lit(null).cast("string"))
-  }
+  def transcode(payload: Column, charset: Column): Column =
+    // ONE native single-pass expression since round 17 (the Column
+    // composition it replaced — encode → is_valid_utf8 → cast plus an
+    // rlike transport guard — cost four passes and measured 42.9 MB/s
+    // on the ingest hot path); identical arms and refusals, incl. the
+    // ADVICE r16 above-U+00FF mojibake guard. NULL charset defaults to
+    // utf-8 HERE so the expression stays null-intolerant.
+    graft.functions.TranscodeTransport(payload, coalesce(charset, lit("utf-8")))
 
   // ---------------------------------------------------------------- q205
   // The transcode stage as a declared operator (construction⊗parse:
@@ -782,6 +761,122 @@ object Http {
       FROM x
       ORDER BY doc_id"""))
 
+  // ------------------------------------------------ Retry-After backoff
+  /** `Retry-After` (RFC 9110 §10.2.3) resolved to an ABSOLUTE retry
+    * time: the header value is either delta-seconds (a digit run —
+    * bounded to 8 digits, the Content-Length discipline) or an
+    * IMF-fixdate; resolved against the response's own fetch time —
+    * backoff is a pure function of (response, clock), never the wall
+    * clock. Junk values refuse to NULL (no backoff is better than a
+    * corrupted one — the host still has the status-based politeness
+    * floor). */
+  def retryAfterUntil(msg: Column, fetchTs: Column): Column = {
+    val hdr = substring_index(msg, CRLF + CRLF, 1)
+    val v = Warc.field(hdr, "Retry-After")
+    when(v.rlike("^[0-9]{1,8}$"),
+      timestamp_seconds(unix_timestamp(fetchTs) + v.cast("long")))
+      .otherwise( // try_: a junk date must refuse, not throw (ANSI mode).
+        // The weekday token is STRIPPED, not parsed: Spark's post-3.0
+        // datetime parser rejects 'EEE' in parse patterns, and RFC 9110
+        // says the day name is redundant anyway (a wrong one is the
+        // lenient-crawler shrug, not a refusal)
+        try_to_timestamp(regexp_replace(v, "^[A-Za-z]{3}, ", ""),
+          lit("dd MMM yyyy HH:mm:ss 'GMT'")))
+  }
+
+  /** Per-host backoff table from throttle responses: only `429` and
+    * `503` establish backoff (the two statuses the RFC pairs with the
+    * header); per host the MAX resolved retry time wins. Hosts-sized
+    * output — one hash-agg. */
+  def hostBackoff(fetches: DataFrame, hostCol: String, statusCol: String,
+      msgCol: String, fetchTsCol: String): DataFrame =
+    fetches
+      .filter(col(statusCol).isin(429, 503))
+      .select(col(hostCol).as("host"),
+        retryAfterUntil(col(msgCol), col(fetchTsCol)).as("__until"))
+      .filter(col("__until").isNotNull)
+      .groupBy(col("host"))
+      .agg(max(col("__until")).as("backoff_until"))
+
+  /** Gate a frontier batch against the backoff table at an explicit
+    * `asOf`: rows of hosts still under backoff are `deferred` (kept,
+    * flagged — the frontier re-admits them next window; dropping them
+    * silently would lose discovery). One hosts-sized broadcast join,
+    * the corpus side untouched — the q206b politeness shape. */
+  def frontierBackoffGate(batch: DataFrame, backoff: DataFrame,
+      hostCol: String, asOf: String): DataFrame =
+    batch
+      .join(broadcast(backoff), batch(hostCol) === backoff("host"), "left")
+      .drop(backoff("host"))
+      .withColumn("deferred",
+        coalesce(col("backoff_until") > lit(asOf).cast("timestamp"),
+          lit(false)))
+
+  // ---------------------------------------------------------------- q217
+  // Retry-After through the gate (the throttle half of the politeness
+  // story — crawl-delay q206 paces STEADY-state, this obeys explicit
+  // server pushback): host ordinals rotate %4 — a 429 with
+  // delta-seconds scaling with the ordinal (some expire before asOf,
+  // some after: both classes populated), a 503 with an IMF-fixdate
+  // after asOf, a 503 with a junk value (refuses → no backoff), and a
+  // 200 whose header must be IGNORED (only 429/503 establish backoff).
+  // The frontier batch is every doc url; the oracle replays parse,
+  // rollup, and gate closed-form.
+  private val q217 = GraftQuery(
+    "q217_retry_after",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("url", docUrlOf())
+      val k = expr("CAST(substring(source, 4) AS INT)")
+      val m = pmod(k, lit(4))
+      val ra = when(m === 0,
+          concat(lit("Retry-After: "),
+            ((k + 1) * 900).cast("string"), lit(CRLF)))
+        .when(m === 1, lit("Retry-After: Thu, 05 Feb 2026 03:30:00 GMT" + CRLF))
+        .when(m === 2, lit("Retry-After: soonish" + CRLF))
+        .otherwise(lit("Retry-After: 9999" + CRLF)) // on a 200: ignored
+      val fetches = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          when(m === 0, lit(429)).when(m.isin(1, 2), lit(503))
+            .otherwise(lit(200)).as("status"),
+          concat(
+            when(m === 0, lit("HTTP/1.1 429 Too Many Requests" + CRLF))
+              .when(m.isin(1, 2), lit("HTTP/1.1 503 Service Unavailable" + CRLF))
+              .otherwise(lit("HTTP/1.1 200 OK" + CRLF)),
+            ra, lit("Content-Length: 0" + CRLF + CRLF)).as("msg"),
+          lit("2026-02-05 00:00:00").cast("timestamp").as("fetch_ts"))
+      val batch = docs.select(col("doc_id"), col("url"),
+        concat(col("source"), lit(".example.com")).as("host"))
+      frontierBackoffGate(batch,
+          hostBackoff(fetches, "host", "status", "msg", "fetch_ts"),
+          "host", asOf = "2026-02-05 01:00:00")
+        .select(col("doc_id"), col("host"), col("backoff_until"),
+          col("deferred"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH hosts AS (SELECT DISTINCT source,
+                            CAST(substring(source, 4) AS INT) AS k,
+                            source || '.example.com' AS host FROM documents),
+      bo AS (SELECT host,
+               CASE WHEN k % 4 = 0
+                    THEN TIMESTAMP '2026-02-05 00:00:00' + to_seconds((k + 1) * 900)
+                    WHEN k % 4 = 1
+                    THEN strptime('Thu, 05 Feb 2026 03:30:00 GMT', '%a, %d %b %Y %H:%M:%S GMT')
+               END AS backoff_until
+             FROM hosts WHERE k % 4 IN (0, 1)),
+      b AS (SELECT d.doc_id, d.source || '.example.com' AS host
+            FROM documents d)
+      SELECT b.doc_id, b.host, bo.backoff_until,
+             COALESCE(bo.backoff_until > TIMESTAMP '2026-02-05 01:00:00', FALSE) AS deferred
+      FROM b LEFT JOIN bo ON b.host = bo.host
+      ORDER BY b.doc_id"""))
+
+  /** The q217 fixture url (the [[Robots]] docUrl convention without
+    * the path rotation — q217 gates on HOST only). */
+  private def docUrlOf(): Column =
+    concat(lit("http://"), col("source"), lit(".example.com/p/"),
+      col("doc_id").cast("string"))
+
   val all: Seq[GraftQuery] =
-    Seq(q188, q188b, q204, q205, q209, q212, q213)
+    Seq(q188, q188b, q204, q205, q209, q212, q213, q217)
 }

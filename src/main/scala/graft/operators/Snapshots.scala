@@ -353,6 +353,114 @@ object Snapshots {
       WHERE reason IS NOT NULL
       ORDER BY url"""))
 
+  // ---------------------------------------------------------------- q216
+  /** Revalidation merge (RFC 9110 §15.4.5 — what the crawl loop does
+    * with the responses its conditional requests (q211b) produced):
+    * fold a batch of fetch responses into the stored per-url state
+    * `(url, content_md5, last_fetch, etag, last_modified)`:
+    *   - `304 Not Modified`: the stored content is current — keep
+    *     `content_md5`, refresh `last_fetch`, and take any validator
+    *     the 304 carries (the RFC says it MAY update them), keeping
+    *     the stored one otherwise;
+    *   - `200`: replace content and BOTH validators verbatim (a 200
+    *     without an ETag clears the stored ETag — reusing a stale
+    *     validator against new content would poison revalidation);
+    *   - anything else (4xx/5xx/NULL — the fetch failed): state
+    *     unchanged; the outcome says so.
+    * Emits the merged state + `outcome` ∈ revalidated | replaced |
+    * failed (NULL for urls the batch never polled). ONE url-keyed
+    * left join, responses batch-sized — the q215 fold class. */
+  def revalidateMerge(state: DataFrame, responses: DataFrame): DataFrame = {
+    val r = responses.select(col("url"), col("status").as("__r_st"),
+      col("content_md5").as("__r_md5"), col("etag").as("__r_etag"),
+      col("last_modified").as("__r_lm"), col("fetch_day").as("__r_day"))
+    val is304 = col("__r_st") === 304
+    val is200 = col("__r_st") === 200
+    state.join(r, Seq("url"), "left")
+      .select(col("url"),
+        when(is200, col("__r_md5")).otherwise(col("content_md5"))
+          .as("content_md5"),
+        when(is304 || is200, col("__r_day")).otherwise(col("last_fetch"))
+          .as("last_fetch"),
+        when(is200, col("__r_etag"))
+          .when(is304, coalesce(col("__r_etag"), col("etag")))
+          .otherwise(col("etag")).as("etag"),
+        when(is200, col("__r_lm"))
+          .when(is304, coalesce(col("__r_lm"), col("last_modified")))
+          .otherwise(col("last_modified")).as("last_modified"),
+        when(is304, lit("revalidated"))
+          .when(is200, lit("replaced"))
+          .when(col("__r_st").isNotNull || col("__r_day").isNotNull,
+            lit("failed")).as("outcome"))
+  }
+
+  // Fixture: state over every doc url (md5(text), fetch-date rotation,
+  // the q211b validator rotation); the polled subset (%3≠2) answers
+  // with a %5 status rotation — 304 (one arm carrying an UPDATED etag,
+  // one carrying none: both keep content, validator-take vs -keep),
+  // 200 with v2 content + fresh validators (and %2≠0 rows WITHOUT an
+  // etag: the must-clear law), and 503/429 failures that must change
+  // nothing. The oracle restates the merge closed-form per rotation.
+  private val q216 = GraftQuery(
+    "q216_revalidate_merge",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val state = docs.select(urlOf(col("doc_id")).as("url"),
+        md5(col("text")).as("content_md5"),
+        date_add(lit("2026-01-01").cast("date"),
+          pmod(col("doc_id"), lit(28)).cast("int")).as("last_fetch"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("\"s-"), col("doc_id").cast("string"), lit("\"")))
+          .as("etag"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("Mon, 01 Sep 2025 00:00:00 GMT")).as("last_modified"))
+      val m5 = pmod(col("doc_id"), lit(5))
+      val responses = docs.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+        .select(urlOf(col("doc_id")).as("url"),
+          when(m5.isin(0, 1), lit(304))
+            .when(m5.isin(2, 3), lit(200))
+            .otherwise(lit(503)).as("status"),
+          when(m5.isin(2, 3), md5(concat(col("text"), lit("v2"))))
+            .as("content_md5"),
+          when(m5 === 0, concat(lit("\"r-"), col("doc_id").cast("string"),
+              lit("\"")))
+            .when(m5 === 2, concat(lit("\"n-"), col("doc_id").cast("string"),
+              lit("\""))).as("etag"),
+          when(m5 === 2, lit("Tue, 03 Feb 2026 00:00:00 GMT"))
+            .as("last_modified"),
+          lit("2026-02-06").cast("date").as("fetch_day"))
+      revalidateMerge(state, responses).orderBy(col("url"))
+    },
+    Some("""
+      WITH state AS (SELECT
+          'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+          doc_id, md5(text) AS content_md5,
+          DATE '2026-01-01' + CAST(doc_id % 28 AS INT) AS last_fetch,
+          CASE WHEN doc_id % 2 = 0 THEN '"s-' || CAST(doc_id AS VARCHAR) || '"' END AS etag,
+          CASE WHEN doc_id % 4 = 0 THEN 'Mon, 01 Sep 2025 00:00:00 GMT' END AS last_modified,
+          text
+        FROM documents),
+      m AS (SELECT *,
+          CASE WHEN doc_id % 3 = 2 THEN NULL
+               WHEN doc_id % 5 IN (0, 1) THEN 304
+               WHEN doc_id % 5 IN (2, 3) THEN 200
+               ELSE 503 END AS st
+        FROM state)
+      SELECT url,
+        CASE WHEN st = 200 THEN md5(text || 'v2') ELSE content_md5 END AS content_md5,
+        CASE WHEN st IN (200, 304) THEN DATE '2026-02-06' ELSE last_fetch END AS last_fetch,
+        CASE WHEN st = 200 THEN (CASE WHEN doc_id % 5 = 2 THEN '"n-' || CAST(doc_id AS VARCHAR) || '"' END)
+             WHEN st = 304 THEN COALESCE(CASE WHEN doc_id % 5 = 0 THEN '"r-' || CAST(doc_id AS VARCHAR) || '"' END, etag)
+             ELSE etag END AS etag,
+        CASE WHEN st = 200 THEN (CASE WHEN doc_id % 5 = 2 THEN 'Tue, 03 Feb 2026 00:00:00 GMT' END)
+             WHEN st = 304 THEN last_modified
+             ELSE last_modified END AS last_modified,
+        CASE WHEN st = 304 THEN 'revalidated'
+             WHEN st = 200 THEN 'replaced'
+             WHEN st IS NOT NULL THEN 'failed' END AS outcome
+      FROM m
+      ORDER BY url"""))
+
   // ---------------------------------------------------------------- q215
   // The incremental fold pinned against the ONE-SHOT oracle: the q200
   // fixture's new snapshot is split into three disjoint batches (url
@@ -384,5 +492,5 @@ object Snapshots {
       FROM g
       ORDER BY host"""))
 
-  val all: Seq[GraftQuery] = Seq(q200, q211, q211b, q215)
+  val all: Seq[GraftQuery] = Seq(q200, q211, q211b, q215, q216)
 }

@@ -199,6 +199,32 @@ class HttpSpec extends SparkSpec {
     assert(got.forall(_.getAs[String]("content_encoding") == "deflate"))
   }
 
+  test("Retry-After: delta-seconds, IMF-fixdate, junk refusal, 429/503-only, max-wins, gate") {
+    import spark.implicits._
+    def m(status: String, ra: String) =
+      s"HTTP/1.1 $status" + CRLF + s"Retry-After: $ra" + CRLF + CRLF
+    val fetches = Seq(
+      ("a.org", 429, m("429 Too Many", "120")),
+      ("a.org", 503, m("503 Unavailable", "Thu, 05 Feb 2026 02:00:00 GMT")),
+      ("b.org", 503, m("503 Unavailable", "whenever")), // junk: refuses
+      ("c.org", 200, m("200 OK", "99999")))             // 200: ignored
+      .toDF("host", "status", "msg")
+      .withColumn("fetch_ts", lit("2026-02-05 00:00:00").cast("timestamp"))
+    val bo = Http.hostBackoff(fetches, "host", "status", "msg", "fetch_ts")
+      .collect().map(r => r.getString(0) -> r.getTimestamp(1).toString).toMap
+    // a.org: max(00:02:00 delta, 02:00:00 date) = the date
+    assert(bo == Map("a.org" -> "2026-02-05 02:00:00.0"), bo.toString)
+    val batch = Seq(("u1", "a.org"), ("u2", "b.org"), ("u3", "c.org"))
+      .toDF("url", "host")
+    val gated = Http.frontierBackoffGate(batch,
+        Http.hostBackoff(fetches, "host", "status", "msg", "fetch_ts"),
+        "host", asOf = "2026-02-05 01:00:00")
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("deferred"))
+      .toMap
+    assert(gated == Map("u1" -> true, "u2" -> false, "u3" -> false),
+      gated.toString)
+  }
+
   test("metaCharset: HTML5 and legacy http-equiv forms, prescan budget, absent -> NULL") {
     import spark.implicits._
     def sniff(html: String): Option[String] = {
@@ -302,5 +328,21 @@ class HttpSpec extends SparkSpec {
     assert(transcode("\u0080\u0093\u0099\u008D\u00E9", "WINDOWS-1252")
       .contains("\u20AC\u201C\u2122\u008D\u00E9"))
     assert(transcode("anything", "shift_jis").isEmpty, "unknown charset refuses")
+  }
+
+  test("transcode domain guard: chars above U+00FF refuse the utf-8 arm, pass through cp1252/8859-1") {
+    // a real-text (non-transport) input reaching the utf-8 arm must
+    // NULL, never '?'-mangle (ADVICE r16); the other arms keep their
+    // translate/identity semantics for such chars
+    assert(transcode("real text €", "utf-8").isEmpty)
+    assert(transcode("x€y", "iso-8859-1").contains("x€y"))
+    assert(transcode("x€y", "cp1252").contains("x€y"))
+    // charset names case-fold; NULL charset defaults to utf-8
+    import spark.implicits._
+    val r = Seq(Tuple1("cafÃ©")).toDF("p")
+      .select(Http.transcode(org.apache.spark.sql.functions.col("p"),
+        org.apache.spark.sql.functions.lit(null).cast("string")).as("t"))
+      .collect().head
+    assert(r.getString(0) == "café", "NULL charset = utf-8 transport decode")
   }
 }

@@ -58,6 +58,35 @@ class SnapshotsSpec extends SparkSpec {
     assert(fold(batches.reverse) == oneShot)
   }
 
+  test("revalidateMerge: 304 keeps content and refreshes, 200 replaces AND clears absent validators, failures change nothing") {
+    import spark.implicits._
+    val day = java.sql.Date.valueOf("2026-02-06")
+    val state = Seq(
+      ("u1", "h1", "2026-01-01", "\"e1\"", "lm1"),
+      ("u2", "h2", "2026-01-02", "\"e2\"", null),
+      ("u3", "h3", "2026-01-03", "\"e3\"", "lm3"),
+      ("u4", "h4", "2026-01-04", null, null))
+      .toDF("url", "content_md5", "last_fetch0", "etag", "last_modified")
+      .withColumn("last_fetch", col("last_fetch0").cast("date"))
+      .drop("last_fetch0")
+    val responses = Seq(
+      ("u1", 304, null, "\"e1b\"", null),        // 304 w/ updated etag
+      ("u2", 304, null, null, null),              // 304 w/o validators
+      ("u3", 200, "hX", null, "lmX"),             // 200 clears etag
+      ("u4", 503, null, null, null))              // failure
+      .toDF("url", "status", "content_md5", "etag", "last_modified")
+      .withColumn("fetch_day", lit("2026-02-06").cast("date"))
+    val got = Snapshots.revalidateMerge(state, responses)
+      .collect().map(r => r.getString(0) -> ((r.getString(1),
+        r.getDate(2), r.getString(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(got("u1") == (("h1", day, "\"e1b\"", "lm1", "revalidated")))
+    assert(got("u2") == (("h2", day, "\"e2\"", null, "revalidated")))
+    assert(got("u3") == (("hX", day, null, "lmX", "replaced")))
+    assert(got("u4") == (("h4", java.sql.Date.valueOf("2026-01-04"),
+      null, null, "failed")))
+  }
+
   test("incremental fold: refetch across batches — last fold's hash wins") {
     import spark.implicits._
     val old = Seq(("u1", "h1")).toDF("url", "content_md5")
