@@ -27,11 +27,15 @@ object ThroughputBench {
     import org.apache.spark.sql.functions._
     import graft.functions.{DechunkBody, DeflateBytes, GunzipBytes,
       GzipBytes, InflateBytes}
+    // cached once: every per-expression fixture (and the pageMb agg)
+    // derives from this lineage — uncached it would recompute the
+    // parquet read + 400x repeat + crossJoin ~8 times (code-review r17)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
       .crossJoin(spark.range(mult.toLong).select(col("id").as("__m")))
       .select(substring(concat(repeat(col("text"), 400), lit(" café é")),
         1, 32768).as("t"))
+      .cache()
     def timed(input: DataFrame, c: Column,
         mbOverride: Double = -1): (Double, Double) = {
       val in = input.cache()
@@ -75,7 +79,7 @@ object ThroughputBench {
       lit("WARC-Target-URI: http://x/\r\nContent-Length: "),
       length(encode(col("t"), "UTF-8")).cast("string"),
       lit("\r\n\r\n"), col("t"), lit("\r\n\r\n")), "UTF-8").as("b"))
-    Seq(
+    try Seq(
       ("dechunk", timed(chunked, DechunkBody(col("b")))),
       ("gunzip_bytes", timed(gz, GunzipBytes(col("b")), pageMb)),
       ("inflate_bytes", timed(zl, InflateBytes(col("b")), pageMb)),
@@ -98,6 +102,7 @@ object ThroughputBench {
         (mb, med)
       })
     ).map { case (n, (mb, sec)) => (n, mb, sec) }
+    finally docs.unpersist()
   }
 
   def main(args: Array[String]): Unit = {

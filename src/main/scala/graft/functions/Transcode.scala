@@ -8,11 +8,15 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Charset transcode of a latin-1 byte-transport string as ONE native
-  * codegen expression (round 17) — semantically identical to the
-  * Column-composition it replaced in [[graft.operators.Http.transcode]]
-  * (`encode` → `is_valid_utf8` → `cast` plus an `rlike` domain guard:
-  * four full passes and three allocations per page), measured 42.9 MB/s
-  * on the ingest hot path. This walks the payload once.
+  * codegen expression (round 17), replacing the Column composition in
+  * [[graft.operators.Http.transcode]] (`encode` → `is_valid_utf8` →
+  * `cast`: several full passes and allocations per page, measured
+  * 42.9 MB/s on the ingest hot path). One behavior CHANGE vs round 16
+  * rides along, by design: the utf-8 arm now REFUSES input containing
+  * code points above U+00FF (the ADVICE r16 mojibake finding — the
+  * old encode silently '?'-substituted them, and the mangled bytes
+  * could still pass the UTF-8 validity check); everything else is
+  * byte-identical to the round-16 arms. This walks the payload once.
   *
   * Arms (the q205 contract, byte-for-byte):
   *   - utf-8 / utf8 / us-ascii / ascii: the transport chars ARE the

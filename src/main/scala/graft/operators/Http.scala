@@ -417,12 +417,14 @@ object Http {
     * refusal semantics — a wrongly-decoded corpus is worse than a
     * dropped page). All codegen'd; zero UDFs; no shuffle. */
   def transcode(payload: Column, charset: Column): Column =
-    // ONE native single-pass expression since round 17 (the Column
-    // composition it replaced — encode → is_valid_utf8 → cast plus an
-    // rlike transport guard — cost four passes and measured 42.9 MB/s
-    // on the ingest hot path); identical arms and refusals, incl. the
-    // ADVICE r16 above-U+00FF mojibake guard. NULL charset defaults to
-    // utf-8 HERE so the expression stays null-intolerant.
+    // ONE native single-pass expression since round 17 (the replaced
+    // Column composition — encode → is_valid_utf8 → cast — cost
+    // several passes and measured 42.9 MB/s on the ingest hot path).
+    // NOTE one deliberate behavior change vs round 16: the utf-8 arm
+    // now refuses (NULL) input with code points above U+00FF — the
+    // ADVICE r16 mojibake guard — where the old encode silently
+    // '?'-substituted them. NULL charset defaults to utf-8 HERE so
+    // the expression stays null-intolerant.
     graft.functions.TranscodeTransport(payload, coalesce(charset, lit("utf-8")))
 
   // ---------------------------------------------------------------- q205
@@ -779,9 +781,16 @@ object Http {
         // The weekday token is STRIPPED, not parsed: Spark's post-3.0
         // datetime parser rejects 'EEE' in parse patterns, and RFC 9110
         // says the day name is redundant anyway (a wrong one is the
-        // lenient-crawler shrug, not a refusal)
-        try_to_timestamp(regexp_replace(v, "^[A-Za-z]{3}, ", ""),
-          lit("dd MMM yyyy HH:mm:ss 'GMT'")))
+        // lenient-crawler shrug, not a refusal). The parsed wall time
+        // is then pinned to GMT (code-review r17: 'GMT' in the pattern
+        // is a quoted literal, so the bare parse lands in the SESSION
+        // zone — wrong by the session offset anywhere but UTC; the
+        // to_utc_timestamp re-interpretation is a no-op under the
+        // engine's pinned-UTC sessions and correct elsewhere)
+        to_utc_timestamp(
+          try_to_timestamp(regexp_replace(v, "^[A-Za-z]{3}, ", ""),
+            lit("dd MMM yyyy HH:mm:ss 'GMT'")),
+          "GMT"))
   }
 
   /** Per-host backoff table from throttle responses: only `429` and

@@ -638,9 +638,21 @@ object Robots {
       col(locationCol).as("__loc"), col(bodyCol).as("__body"),
       concat(lit("https://"), col(hostCol), lit("/robots.txt"))
         .as("__url"))
+    // edge targets NORMALIZE to the synthesized per-host key by HOST
+    // (code-review r17: an exact-string match denied any http://,
+    // ported, or path-variant Location pointing at an in-table host):
+    // the fetch model is one robots row per host, so wherever the
+    // redirect lands, the target HOST's fetched row is the body RFC
+    // 9309 §2.3.1.2 says to use; a Location whose host can't parse
+    // keeps the RAW value — it lands outside the fetch table, so the
+    // origin stays unreachable → deny, as before
+    val locHost = UrlOps.urlHost(col("__loc"))
     val edges = f.filter(col("__st").between(300, 399) &&
         col("__loc").isNotNull)
-      .select(col("__url").as("url"), col("__loc").as("next"))
+      .select(col("__url").as("url"),
+        when(locHost.isNotNull,
+          concat(lit("https://"), locHost, lit("/robots.txt")))
+          .otherwise(col("__loc")).as("next"))
     var rounds = 1
     while ((1 << rounds) < maxHops) rounds += 1
     val resolved = Redirects.resolveRedirects(

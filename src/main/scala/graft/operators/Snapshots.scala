@@ -81,10 +81,18 @@ object Snapshots {
   }
 
   /** Fold one fetch batch `(url, content_md5, fetch_day)` into the
-    * state (see [[snapshotInit]]). */
+    * state (see [[snapshotInit]]). A url fetched MORE THAN ONCE within
+    * one batch collapses to a single row first — latest `fetch_day`
+    * wins, `content_md5` as the deterministic tie-break (code-review
+    * r17: the raw full-outer join would FAN OUT the state row and the
+    * duplicate would survive every later fold, double-counting in the
+    * close). */
   def snapshotAdmitBatch(state: DataFrame, batch: DataFrame): DataFrame = {
-    val b = batch.select(col("url"), col("content_md5").as("__b_md5"),
-      col("fetch_day").as("__b_day"), lit(true).as("__in_b"))
+    val b = batch
+      .groupBy(col("url"))
+      .agg(max(struct(col("fetch_day"), col("content_md5"))).as("__m"))
+      .select(col("url"), col("__m.content_md5").as("__b_md5"),
+        col("__m.fetch_day").as("__b_day"), lit(true).as("__in_b"))
     state.join(b, Seq("url"), "full_outer")
       .select(col("url"),
         col("orig_md5"), // NULL for batch-first urls: the added marker
@@ -371,9 +379,17 @@ object Snapshots {
     * failed (NULL for urls the batch never polled). ONE url-keyed
     * left join, responses batch-sized — the q215 fold class. */
   def revalidateMerge(state: DataFrame, responses: DataFrame): DataFrame = {
-    val r = responses.select(col("url"), col("status").as("__r_st"),
-      col("content_md5").as("__r_md5"), col("etag").as("__r_etag"),
-      col("last_modified").as("__r_lm"), col("fetch_day").as("__r_day"))
+    // one response per url (code-review r17: duplicates would fan the
+    // state row out with contradictory outcomes): latest fetch wins,
+    // remaining fields the deterministic struct-order tie-break
+    val r = responses
+      .groupBy(col("url"))
+      .agg(max(struct(col("fetch_day"), col("status"), col("content_md5"),
+        col("etag"), col("last_modified"))).as("__m"))
+      .select(col("url"), col("__m.status").as("__r_st"),
+        col("__m.content_md5").as("__r_md5"), col("__m.etag").as("__r_etag"),
+        col("__m.last_modified").as("__r_lm"),
+        col("__m.fetch_day").as("__r_day"))
     val is304 = col("__r_st") === 304
     val is200 = col("__r_st") === 200
     state.join(r, Seq("url"), "left")

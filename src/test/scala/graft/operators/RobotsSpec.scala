@@ -210,6 +210,23 @@ class RobotsSpec extends SparkSpec {
     assert(eff("a5.org") == (200, "User-agent: *\nDisallow: /x"), "direct")
   }
 
+  test("robotsFetchResolve: Location normalizes by HOST — scheme/port/path variants reach the target") {
+    import spark.implicits._
+    val fetches = Seq(
+      ("p.org", Integer.valueOf(301), "http://t.org/robots.txt", null.asInstanceOf[String]),
+      ("q.org", Integer.valueOf(301), "https://t.org:8443/some/other/path", null.asInstanceOf[String]),
+      ("r.org", Integer.valueOf(301), "not a url at all", null.asInstanceOf[String]),
+      ("t.org", Integer.valueOf(200), null.asInstanceOf[String], "User-agent: *\nAllow: /"))
+      .toDF("host", "status", "location", "body")
+    val eff = Robots.robotsFetchResolve(fetches, "host", "status",
+        "location", "body", maxHops = 5)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(eff("p.org") == 200, "http scheme still reaches the host's row")
+    assert(eff("q.org") == 200, "port + path variants normalize to the host")
+    assert(eff("r.org") == -1, "unparseable Location: unreachable, deny")
+  }
+
   test("gate plan: corpus never shuffles (broadcast rules array + codegen fold)") {
     import spark.implicits._
     val r = rules("h" -> "User-agent: *\nDisallow: /x")

@@ -58,6 +58,30 @@ class SnapshotsSpec extends SparkSpec {
     assert(fold(batches.reverse) == oneShot)
   }
 
+  test("within-batch duplicate urls collapse to one row (latest fetch wins) in both folds") {
+    import spark.implicits._
+    val old = Seq(("u", "h0")).toDF("url", "content_md5")
+    val dupBatch = Seq(("u", "hA", "2026-02-01"), ("u", "hB", "2026-02-02"))
+      .toDF("url", "content_md5", "d")
+      .withColumn("fetch_day", col("d").cast("date")).drop("d")
+    val st = Snapshots.snapshotAdmitBatch(Snapshots.snapshotInit(old), dupBatch)
+    val rows = st.collect()
+    assert(rows.length == 1, s"state must stay url-unique: ${rows.toList}")
+    assert(rows.head.getString(2) == "hB", "latest fetch_day wins")
+    val ns = null.asInstanceOf[String]
+    val dupResp = Seq(
+      ("u", 304, ns, ns, ns, "2026-02-01"),
+      ("u", 200, "hN", ns, ns, "2026-02-02"))
+      .toDF("url", "status", "content_md5", "etag", "last_modified", "d")
+      .withColumn("fetch_day", col("d").cast("date")).drop("d")
+    val state = Seq(("u", "h0", "2026-01-01", ns, ns))
+      .toDF("url", "content_md5", "lf", "etag", "last_modified")
+      .withColumn("last_fetch", col("lf").cast("date")).drop("lf")
+    val merged = Snapshots.revalidateMerge(state, dupResp).collect()
+    assert(merged.length == 1 && merged.head.getString(1) == "hN" &&
+      merged.head.getString(5) == "replaced", merged.toList.toString)
+  }
+
   test("revalidateMerge: 304 keeps content and refreshes, 200 replaces AND clears absent validators, failures change nothing") {
     import spark.implicits._
     val day = java.sql.Date.valueOf("2026-02-06")
