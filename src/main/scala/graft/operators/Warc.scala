@@ -110,9 +110,42 @@ object Warc {
     * the text stage instead of decoding to mojibake). */
   def warcParseBytes(records: DataFrame, idCol: String,
       recCol: String): DataFrame = {
-    val rec = decode(col(recCol), "ISO-8859-1") // transport: 1 char == 1 byte
-    val (version, sep, hdr, contentLength, body) = parsed(rec)
-    val bytes = encode(body, "ISO-8859-1") // exact original body bytes
+    // BYTE-domain parse (round 17 hot-path rework; measured 19 MB/s as
+    // decode-whole-record → string ops → re-encode): the separator is
+    // found in the raw bytes ([[graft.functions.BytesIndexOf]] — char
+    // position == byte position under the latin-1 transport, so this
+    // is the old `instr` verbatim), ONLY the header region decodes
+    // through the transport (it is small and ASCII-shaped; when the
+    // separator is absent the whole record is the header, the
+    // substring_index fallback semantics), and the body is a BINARY
+    // slice — md5/length/UTF-8 validation run on bytes directly with
+    // no encode() round trip. Field/version regexes see byte-identical
+    // inputs to the transport-string form, so every oracle pin holds.
+    val recB = col(recCol)
+    val sep = graft.functions.BytesIndexOf(recB, CRLF + CRLF)
+    val hdr = when(sep >= 1,
+        decode(substring(recB, lit(1), sep - 1), "ISO-8859-1"))
+      .otherwise(decode(recB, "ISO-8859-1"))
+    // the version pattern requires its own CRLF: bytes 1..sep+1 are
+    // hdr + "\r\n" exactly, covering the empty-header-section edge
+    // ("WARC/1.0\r\n\r\n…") where the version line's CRLF IS the
+    // separator's first half; with no separator the whole record is
+    // the source, as before
+    val vsrc = when(sep >= 1,
+        decode(substring(recB, lit(1), sep + 1), "ISO-8859-1"))
+      .otherwise(decode(recB, "ISO-8859-1"))
+    val version0 = regexp_extract(vsrc, "^WARC/([0-9]+\\.[0-9]+)\\r\\n", 1)
+    val version = when(version0 === "", lit(null).cast("string"))
+      .otherwise(version0)
+    val clRaw = field(hdr, "Content-Length")
+    val contentLength = when(clRaw.rlike("^[0-9]{1,18}$"), clRaw.cast("long"))
+    // body = min(declared, available) octets after the separator (the
+    // transport form's least() slice, in bytes); NULL when the length
+    // is missing/unparseable or there is no separator — as before
+    val bytes = when(contentLength.isNotNull && sep >= 1,
+      substring(recB, sep + lit(4),
+        least(contentLength,
+          length(recB).cast("long") - sep - lit(3)).cast("int")))
     // cast BINARY->STRING is a byte reinterpret (no transcode): validate,
     // then expose as text only when the bytes ARE UTF-8
     val text = when(is_valid_utf8(bytes.cast("string")), bytes.cast("string"))
