@@ -62,9 +62,14 @@ case class DechunkBody(child: Expression) extends UnaryExpression {
 
 object DechunkBody {
 
-  /** Accumulated-output refusal bound in code points (chunk-bomb
+  /** Accumulated-output refusal bound in UTF-16 units (chunk-bomb
     * guard; aligned with [[GunzipBytes.MaxOut]] — generous for any
-    * real page, tiny next to executor memory). */
+    * real page, tiny next to executor memory). ADVICE r17: the check
+    * below counts `out.length()` UTF-16 units, so for non-transport
+    * inputs containing astral characters the effective code-point
+    * bound halves — irrelevant on the latin-1 byte-transport
+    * production path, where units, code points and bytes coincide,
+    * and conservative (refuses earlier, never later) everywhere else. */
   val MaxOut: Int = 256 * 1024 * 1024
 
   // the size-line pattern of the fold this expression replaced —

@@ -254,20 +254,26 @@ private[graft] object GzipMember {
   /** Walk one member header starting at `p`: returns the offset of the
     * deflate data, or -1 when the header is malformed/truncated
     * (wrong magic, non-deflate CM, FLG fields running past the end). */
-  def skipHeader(b: Array[Byte], p: Int): Int = {
-    if (p + 10 > b.length || (b(p) & 0xFF) != 0x1F ||
+  def skipHeader(b: Array[Byte], p: Int): Int = skipHeader(b, p, b.length)
+
+  /** Bound-aware form for callers holding a partially-filled buffer
+    * (the r18 streaming member walk): `len` is the number of VALID
+    * bytes in `b` — a -1 may then mean "truncated within the window",
+    * which a streaming caller resolves by growing the window. */
+  def skipHeader(b: Array[Byte], p: Int, len: Int): Int = {
+    if (p + 10 > len || (b(p) & 0xFF) != 0x1F ||
       (b(p + 1) & 0xFF) != 0x8B || b(p + 2) != 8) return -1
     val flg = b(p + 3) & 0xFF
     var q = p + 10
     if ((flg & 4) != 0) { // FEXTRA
-      if (q + 2 > b.length) return -1
+      if (q + 2 > len) return -1
       val xlen = (b(q) & 0xFF) | ((b(q + 1) & 0xFF) << 8)
       q += 2 + xlen
     }
-    if ((flg & 8) != 0) { while (q < b.length && b(q) != 0) q += 1; q += 1 }
-    if ((flg & 16) != 0) { while (q < b.length && b(q) != 0) q += 1; q += 1 }
+    if ((flg & 8) != 0) { while (q < len && b(q) != 0) q += 1; q += 1 }
+    if ((flg & 16) != 0) { while (q < len && b(q) != 0) q += 1; q += 1 }
     if ((flg & 2) != 0) q += 2 // FHCRC
-    if (q > b.length) -1 else q
+    if (q > len) -1 else q
   }
 
   def readIntLE(b: Array[Byte], i: Int): Long =

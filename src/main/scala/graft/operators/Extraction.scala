@@ -40,18 +40,17 @@ object Extraction {
     *     kill early and leaking script body into "visible text". A
     *     backreference (`</\1>`) would be the compact fix but DuckDB's
     *     RE2 has no backreferences, so the engine-portable form is the
-    *     two-alternative union. KNOWN LEAK (documented, both engines
-    *     identical): an UNCLOSED `<script>` in a truncated crawl doc
-    *     never matches, so its body survives tag-strip as text — callers
-    *     gating truncated crawls should length-gate upstream.
+    *     two-alternative union. r18 (VERDICT r17 next #2): each
+    *     alternative gained an `|.*$` arm — an UNCLOSED `<script>` in
+    *     a truncated crawl doc now kills to END OF INPUT in BOTH
+    *     engines, structurally closing the r14 leak where the script
+    *     body survived tag-strip as visible text.
     *   - tags: `<[^>]*>` AFTER subtree removal.
     *   - whitespace: explicit `[ \t\n\r]+` (Java `\s` and RE2 `\s`
     *     disagree on VT — the explicit class is engine-portable).
     */
   private val ScriptRe =
-    "(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>"
-  private val TagRe = "<[^>]*>"
-  private val WsRe = "[ \\t\\n\\r]+"
+    "(?is)<script\\b[^>]*>(.*?</script>|.*$)|<style\\b[^>]*>(.*?</style>|.*$)"
 
   /** Numeric-character-reference pattern: `&#NNN;` (≤ 7 digits) and
     * `&#xHH;` (≤ 6 hex digits) — long enough for any Unicode scalar,
@@ -122,7 +121,7 @@ object Extraction {
     s"""
       ${out}_e1 AS (SELECT $kk replace(replace(replace(replace(
                       regexp_replace(
-                        regexp_replace($htmlCol, '(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                        regexp_replace($htmlCol, '(?is)<script\\b[^>]*>(.*?</script>|.*$$)|<style\\b[^>]*>(.*?</style>|.*$$)', ' ', 'g'),
                         '<[^>]*>', ' ', 'g'),
                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' ') AS __t0
              FROM $src),
@@ -155,18 +154,17 @@ object Extraction {
     * references in printable ASCII ([[decodeNumericEntities]]);
     * `&amp;` LAST so `&amp;lt;` decodes to the literal `&lt;` and
     * `&amp;#65;` to the literal `&#65;`, not to `<`/`A` — the
-    * double-escape rule, single-pass like a real HTML tokenizer. */
-  def htmlText(html: Column): Column = {
-    val noBlocks = regexp_replace(html, ScriptRe, " ")
-    val noTags = regexp_replace(noBlocks, TagRe, " ")
-    val named = Seq(
-      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&nbsp;" -> " ")
-      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
-    val numeric = decodeNumeric(named, shieldAmp = true)
-    trim(regexp_replace(
-      replace(replace(numeric, lit("&amp;"), lit("&")),
-        lit(""), lit("&")), WsRe, " "))
-  }
+    * double-escape rule, single-pass like a real HTML tokenizer.
+    *
+    * r18: a native codegen expression ([[graft.functions.HtmlTextExtract]],
+    * the DechunkBody pattern) replacing the regex cascade that owned
+    * the per-byte ingest CPU budget at 6.4 MB/s (VERDICT r17 next #2)
+    * — stage-exact except ONE deliberate law change made in both
+    * engines together: unclosed script/style subtrees kill to end of
+    * input (see [[ScriptRe]]). [[htmlTextSql]] replays the same staged
+    * semantics in DuckDB and remains the oracle. */
+  def htmlText(html: Column): Column =
+    graft.functions.HtmlTextExtract(html)
 
   /** Per-doc extraction audit: raw/extracted lengths plus the md5 of
     * the extracted text — the stateless one-scan projection a pipeline

@@ -633,10 +633,18 @@ object Robots {
       statusCol: String, locationCol: String, bodyCol: String,
       maxHops: Int = 5): DataFrame = {
     require(maxHops >= 1 && maxHops <= 32, "1..32 hops")
+    // the origin key normalizes EXACTLY like the edge-target key below
+    // (lowercase, strip one leading `www.`, strip port — what
+    // [[UrlOps.urlHost]] yields for the Location host); ADVICE r17: a
+    // raw-verbatim origin key meant an uppercase or `www.`-prefixed
+    // fetch-table host could never be reached by any redirect and
+    // silently resolved to unreachable/deny. One host key, both sides.
+    val normHost = regexp_replace(regexp_replace(
+      lower(col(hostCol)), ":[0-9]+$", ""), "^www\\.", "")
     val f = fetches.select(
       col(hostCol).as("__h"), col(statusCol).as("__st"),
       col(locationCol).as("__loc"), col(bodyCol).as("__body"),
-      concat(lit("https://"), col(hostCol), lit("/robots.txt"))
+      concat(lit("https://"), normHost, lit("/robots.txt"))
         .as("__url"))
     // edge targets NORMALIZE to the synthesized per-host key by HOST
     // (code-review r17: an exact-string match denied any http://,

@@ -380,11 +380,18 @@ object Snapshots {
     * left join, responses batch-sized — the q215 fold class. */
   def revalidateMerge(state: DataFrame, responses: DataFrame): DataFrame = {
     // one response per url (code-review r17: duplicates would fan the
-    // state row out with contradictory outcomes): latest fetch wins,
-    // remaining fields the deterministic struct-order tie-break
+    // state row out with contradictory outcomes): latest fetch wins;
+    // SAME-day ties break by success rank — 200 (fresh content) over
+    // 304 (revalidation) over failures — then the deterministic
+    // struct-order tie-break. ADVICE r17: a plain status-numeric tie
+    // let a same-day 503 beat a successful 304/200, i.e. a failed
+    // fetch overrode a successful revalidation — backwards.
+    val rank = when(col("status") === 200, 2)
+      .when(col("status") === 304, 1).otherwise(0)
     val r = responses
       .groupBy(col("url"))
-      .agg(max(struct(col("fetch_day"), col("status"), col("content_md5"),
+      .agg(max(struct(col("fetch_day"), rank.as("__rank"), col("status"),
+        col("content_md5"),
         col("etag"), col("last_modified"))).as("__m"))
       .select(col("url"), col("__m.status").as("__r_st"),
         col("__m.content_md5").as("__r_md5"), col("__m.etag").as("__r_etag"),

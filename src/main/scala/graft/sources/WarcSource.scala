@@ -43,12 +43,25 @@ import org.apache.spark.sql.functions._
   *     [[graft.operators.Warc.warcParseBytes]] (byte-true slicing via
   *     the ISO-8859-1 transport decode — each char IS one byte). This
   *     is the production path: most of the web is multi-byte UTF-8.
+  *
+  * MEMORY MODEL (r18): the `binaryFile`-backed readers here hold ONE
+  * whole file (and for `.gz`, its whole inflated stream) as a JVM
+  * array per task — a hard ~2 GB file cliff, acceptable only under
+  * the ~1 GB-member shipping convention. The streaming twin
+  * [[WarcStream.readWarcRecordsBinaryStreaming]] frames the same
+  * records (law-pinned byte-identical) from a bounded-buffer stream,
+  * bounding task memory by RECORD size instead — prefer it for
+  * corpora whose file sizes are not convention-bounded.
   */
 object WarcSource {
 
   private val Magic = "WARC/1.0\r\n".getBytes(UTF_8)
   private val Sep = "\r\n\r\n".getBytes(UTF_8)
-  private val ClRe = "(?mi)^Content-Length:[ \\t]*([0-9]{1,18})".r
+  private[sources] val ClRe = "(?mi)^Content-Length:[ \\t]*([0-9]{1,18})".r
+  // shared with the r18 streaming framer (WarcStream.scala) so the two
+  // implementations can never drift on the framing constants
+  private[sources] def MagicBytes: Array[Byte] = Magic
+  private[sources] def SepBytes: Array[Byte] = Sep
 
   private def indexOf(b: Array[Byte], pat: Array[Byte], from: Int): Int = {
     var i = math.max(from, 0)
