@@ -430,6 +430,27 @@ object ScaleProbe {
         val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         println(s"""{"metric":"scaleprobe-r17ops","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
 
+      case "r18ops" =>
+        // round-18 additions at probe decades: the routed chain (q218 —
+        // file round-trip + byte stack + per-arm decoders, linear in
+        // bytes), media gates (q219 — one scan + one 1-row agg), the
+        // crawl-epoch loop (q220 — three gated fold triples, each
+        // state-sized), and the htmlText consumers (q171/q93c/q93d/
+        // q188b) whose extraction stage is now the native expression.
+        val out = scaledDocsDir(spark, src, copies)
+        val names = Seq("q171_html_extract", "q93c_crawl_chain",
+          "q93d_crawl_chain_http", "q188b_http_chain",
+          "q218_routed_chain", "q219_media_gates",
+          "q220_crawl_epoch_loop")
+        val nDocs = graft.sources.Tables.load(spark, out, "documents").count()
+        val times = names.map { name =>
+          val (_, t) = timed(SparkEntry.queries(name)(spark, out)
+            .write.format("noop").mode("overwrite").save())
+          name -> t
+        }
+        val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        println(s"""{"metric":"scaleprobe-r18ops","copies":$copies,"n_docs":$nDocs,"queries":$qs,"src":"$src"}""")
+
       case "bpestored" =>
         // The stored-tokenizer payoff (VERDICT r14 next #5): learn once
         // and WRITE the artifact, then time the probe-side encode that

@@ -394,5 +394,347 @@ object Multimodal {
       FROM sized
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q42, q42b, q108, q131)
+  // ------------------------------------------- content-type routing
+  /** Content-type routed ingest (VERDICT r17 next #4): the crawl
+    * chains routed every 200 payload to HTML text; a real pipeline
+    * ROUTES by media type — `text/html` to the text chain
+    * (transcode → [[Extraction.htmlText]]), image types to
+    * [[graft.functions.ImageHeader]], audio/video types to
+    * [[graft.functions.MediaHeader]], anything else to an accounted
+    * `other` row (kept, never silently dropped). Input is the
+    * [[Http.httpPayloads]] frame (payload = latin-1 byte-transport
+    * string); media payloads are re-encoded to their exact original
+    * BYTES for the header decoders, so valid media stays a real
+    * `BinaryType` value beside the text docs.
+    *
+    * One stateless scan, zero shuffles, every decoder a codegen
+    * expression — the routed chain costs one projection at 100 TB.
+    * Byte integrity of the non-text routes is pinned as
+    * `md5(hex(bytes))` — the hex round-trip makes the pin replayable
+    * in DuckDB, whose `md5` takes VARCHAR only. Unified schema; the
+    * off-route columns of each row are NULL. */
+  def routePayloads(pages: DataFrame, idCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    val ct = col("content_type")
+    val staged = pages
+      .withColumn("route",
+        when(ct === "text/html", lit("text"))
+          .when(ct.startsWith("image/"), lit("image"))
+          .when(ct.startsWith("audio/") || ct.startsWith("video/"),
+            lit("media"))
+          .otherwise(lit("other")))
+      .withColumn("__bytes", encode(col("payload"), "ISO-8859-1"))
+      .withColumn("__text", when(col("route") === "text",
+        Extraction.htmlText(Http.transcode(col("payload"), col("charset")))))
+      .withColumn("__ih",
+        when(col("route") === "image", ImageHeader(col("__bytes"))))
+      .withColumn("__mh", when(col("route") === "media",
+        graft.functions.MediaHeader(col("__bytes"))))
+    staged.select((col(idCol) +: keep.map(col)) ++ Seq(
+      col("content_type"), col("route"),
+      length(col("__text")).cast("long").as("n_text"),
+      md5(col("__text")).as("text_md5"),
+      coalesce(col("__ih.format"), col("__mh.format")).as("format"),
+      col("__ih.width").as("width"),
+      col("__ih.height").as("height"),
+      col("__mh.sample_rate").as("sample_rate"),
+      col("__mh.channels").as("channels"),
+      col("__mh.duration_ms").as("duration_ms"),
+      col("__mh.brand").as("brand"),
+      coalesce(col("__ih.valid"), col("__mh.valid")).as("parsed_ok"),
+      length(col("__bytes")).cast("long").as("payload_len"),
+      when(col("route") =!= "text", md5(hex(col("__bytes"))))
+        .as("payload_md5")): _*)
+  }
+
+  // ---------------------------------------------------------------- q218
+  // The routed chain end to end, all in the BYTE domain: WARC records
+  // (binary, latin-1 transport) wrapping HTTP responses whose payloads
+  // rotate REAL container bytes — %4=0 text/html (UTF-8 bytes of the
+  // q93c HTML, chunked on %3=0 so de-chunk rides the chain), %4=1 a
+  // real PNG (the q108 construction), %4=2 a real WAV (the q131
+  // construction), %4=3 application/pdf (the `other` route) — plus a
+  // %5=1 404 rotation the status gate must drop. The oracle replays
+  // the survivor arithmetic per arm: the text arm through the shared
+  // htmlTextSql cascade, the media arms by rebuilding the container
+  // hex and reading the header fields from the construction
+  // arithmetic, with md5 over the hex pinning every payload byte.
+  private val CRLF = "\r\n"
+
+  private def le16Sql(e: String) =
+    s"substr(lpad(hex($e),4,'0'),3,2) || substr(lpad(hex($e),4,'0'),1,2)"
+  private def le32Sql(e: String) =
+    s"substr(lpad(hex($e),8,'0'),7,2) || substr(lpad(hex($e),8,'0'),5,2) || " +
+      s"substr(lpad(hex($e),8,'0'),3,2) || substr(lpad(hex($e),8,'0'),1,2)"
+
+  private[operators] def routedRecordsForTest(s: SparkSession,
+      dir: String): DataFrame = routedRecords(s, dir)
+
+  private def routedRecords(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("m4", pmod(col("doc_id"), lit(4)).cast("int"))
+      .withColumn("w", (pmod(col("doc_id"), lit(1021)) + 1).cast("int"))
+      .withColumn("h", (pmod(col("doc_id"), lit(763)) + 1).cast("int"))
+      .withColumn("ch", (pmod(col("doc_id"), lit(2)) + 1).cast("int"))
+      .withColumn("rate",
+        (lit(8000) + pmod(col("doc_id"), lit(8)) * lit(4000)).cast("int"))
+      .withColumn("bodyhex", hex(substring(col("text").cast("binary"), 1, 32)))
+      .withColumn("body_n", (length(col("bodyhex")) / 2).cast("int"))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+      hexW8(col("w")), hexW8(col("h")), lit("0806000000"), lit("00000000"),
+      col("bodyhex"))
+    val wavHex = concat(
+      lit("52494646"), le32(hexW8(col("body_n") + 36)), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("0100"),
+      le16(hexW4(col("ch"))), le32(hexW8(col("rate"))),
+      le32(hexW8(col("rate") * col("ch") * 2)), le16(hexW4(col("ch") * 2)),
+      lit("1000"), lit("64617461"), le32(hexW8(col("body_n"))),
+      col("bodyhex"))
+    val pdfHex = concat(lit("255044462D312E34"), col("bodyhex"))
+    // transport payload: chars ARE the payload bytes (UTF-8 bytes for
+    // the html arm; container bytes for the rest)
+    val payloadT = when(col("m4") === 0,
+        decode(encode(Warc.crawlHtml(), "UTF-8"), "ISO-8859-1"))
+      .otherwise(decode(unhex(
+        when(col("m4") === 1, pngHex)
+          .when(col("m4") === 2, wavHex)
+          .otherwise(pdfHex)), "ISO-8859-1"))
+    val ctHdr = when(col("m4") === 0, lit("text/html; charset=utf-8"))
+      .when(col("m4") === 1, lit("image/png"))
+      .when(col("m4") === 2, lit("audio/wav"))
+      .otherwise(lit("application/pdf"))
+    val statusLine = when(pmod(col("doc_id"), lit(5)) === 1,
+      lit("HTTP/1.1 404 Not Found")).otherwise(lit("HTTP/1.1 200 OK"))
+    val staged = d.withColumn("__p", payloadT)
+    val chunked = col("m4") === 0 && pmod(col("doc_id"), lit(3)) === 0
+    val c1 = substring(col("__p"), 1, 7)
+    val c2 = col("__p").substr(lit(8), length(col("__p")))
+    val chunkedBody = concat(
+      lower(conv(length(c1).cast("string"), 10, 16)), lit(CRLF),
+      c1, lit(CRLF),
+      lower(conv(length(c2).cast("string"), 10, 16)), lit(CRLF),
+      c2, lit(CRLF), lit("0" + CRLF + CRLF))
+    val framing = when(chunked, lit("Transfer-Encoding: chunked" + CRLF))
+      .otherwise(concat(lit("Content-Length: "),
+        length(col("__p")).cast("string"), lit(CRLF)))
+    val msg = concat(statusLine, lit(CRLF),
+      lit("Content-Type: "), ctHdr, lit(CRLF),
+      framing, lit(CRLF),
+      when(chunked, chunkedBody).otherwise(col("__p")))
+    staged.withColumn("__msg", msg)
+      .select(col("doc_id"),
+        encode(concat(lit("WARC/1.0" + CRLF),
+          lit("WARC-Type: response" + CRLF),
+          lit("WARC-Target-URI: http://"), col("source"),
+          lit(".example.com/r/"), col("doc_id").cast("string"), lit(CRLF),
+          lit("Content-Length: "), length(col("__msg")).cast("string"),
+          lit(CRLF + CRLF), col("__msg"), lit(CRLF + CRLF)),
+          "ISO-8859-1").as("rec_bin"))
+  }
+
+  private val q218 = GraftQuery(
+    "q218_routed_chain",
+    (s, dir) => {
+      // the q209 discipline: the fixture records go through the REAL
+      // binary .warc.gz sink and reader, so the PNG/WAV bytes travel
+      // the full file → member-gunzip → framing → WARC slice → HTTP
+      // slice path before routing. (Also deliberate plan hygiene: the
+      // file boundary keeps the fixture-construction expression tree
+      // out of the chain's own optimization — composing the staged
+      // in-plan builder straight into httpPayloads' gate made
+      // Catalyst's alias substitution balloon the predicate tree.)
+      graft.sources.GraftIO.roundTrip("warc_q218") { out =>
+        graft.sources.WarcSource.writeWarcRecordsBinary(
+          routedRecords(s, dir).select(col("rec_bin")), "rec_bin", out,
+          gzipPerRecord = true)
+        val bodies = Warc.warcBodiesBytes(
+          graft.sources.WarcSource.readWarcRecordsBinary(s, out),
+          "rec_no", "rec_bin")
+        val pages = Http.httpPayloads(bodies, "rec_no", "body",
+          keep = Seq("target_uri"),
+          keepTypes =
+            Seq("text/html", "image/png", "audio/wav", "application/pdf"))
+        val routed = routePayloads(pages, "rec_no", keep = Seq("target_uri"))
+        routed
+          .withColumn("doc_id",
+            regexp_extract(col("target_uri"), "/r/([0-9]+)$", 1).cast("long"))
+          .select(col("doc_id") +:
+            routed.columns.filter(_ != "rec_no").map(col): _*)
+          .orderBy(col("doc_id"))
+      }
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, source, text,
+               CAST(doc_id % 4 AS INT) AS m4,
+               CAST(doc_id % 1021 + 1 AS INT) AS w,
+               CAST(doc_id % 763 + 1 AS INT) AS h,
+               CAST(doc_id % 2 + 1 AS INT) AS ch,
+               CAST(8000 + (doc_id % 8) * 4000 AS INT) AS rate,
+               substr(hex(encode(text)), 1, 64) AS bodyhex,
+               least(32, octet_length(encode(text))) AS body_n
+        FROM documents
+        WHERE doc_id % 5 <> 1),
+      hx AS (
+        SELECT *,
+               '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+                 lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0') ||
+                 '0806000000' || '00000000' || bodyhex AS png_hex,
+               '52494646' || ${le32Sql("body_n + 36")} || '57415645' ||
+                 '666D7420' || '10000000' || '0100' ||
+                 ${le16Sql("ch")} || ${le32Sql("rate")} ||
+                 ${le32Sql("rate * ch * 2")} || ${le16Sql("ch * 2")} ||
+                 '1000' || '64617461' || ${le32Sql("body_n")} ||
+                 bodyhex AS wav_hex,
+               '255044462D312E34' || bodyhex AS pdf_hex
+        FROM base),
+      txt AS (SELECT doc_id, ${Warc.crawlHtmlSql} AS html
+              FROM base WHERE m4 = 0),
+      ${graft.operators.Extraction.htmlTextSql("txt", "html", "xt", Seq("doc_id"))}
+      SELECT h.doc_id,
+             'http://' || h.source || '.example.com/r/' ||
+               CAST(h.doc_id AS VARCHAR) AS target_uri,
+             CASE h.m4 WHEN 0 THEN 'text/html' WHEN 1 THEN 'image/png'
+                       WHEN 2 THEN 'audio/wav'
+                       ELSE 'application/pdf' END AS content_type,
+             CASE h.m4 WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+                       WHEN 2 THEN 'media' ELSE 'other' END AS route,
+             CASE WHEN h.m4 = 0 THEN CAST(len(x.__text) AS BIGINT) END AS n_text,
+             CASE WHEN h.m4 = 0 THEN md5(x.__text) END AS text_md5,
+             CASE h.m4 WHEN 1 THEN 'png' WHEN 2 THEN 'wav' END AS format,
+             CAST(CASE WHEN h.m4 = 1 THEN h.w END AS INT) AS width,
+             CAST(CASE WHEN h.m4 = 1 THEN h.h END AS INT) AS height,
+             CAST(CASE WHEN h.m4 = 2 THEN h.rate END AS INT) AS sample_rate,
+             CAST(CASE WHEN h.m4 = 2 THEN h.ch END AS INT) AS channels,
+             CAST(CASE WHEN h.m4 = 2
+                  THEN (h.body_n * 1000) // (h.rate * h.ch * 2)
+                  END AS BIGINT) AS duration_ms,
+             CASE WHEN h.m4 = 2 THEN '' END AS brand,
+             CASE WHEN h.m4 IN (1, 2) THEN true END AS parsed_ok,
+             CAST(CASE h.m4 WHEN 0 THEN octet_length(encode(t2.html))
+                            WHEN 1 THEN 33 + h.body_n
+                            WHEN 2 THEN 44 + h.body_n
+                            ELSE 8 + h.body_n END AS BIGINT) AS payload_len,
+             CASE h.m4 WHEN 1 THEN md5(h.png_hex)
+                       WHEN 2 THEN md5(h.wav_hex)
+                       WHEN 3 THEN md5(h.pdf_hex) END AS payload_md5
+      FROM hx h
+      LEFT JOIN xt x ON h.doc_id = x.doc_id
+      LEFT JOIN txt t2 ON h.doc_id = t2.doc_id
+      ORDER BY h.doc_id"""))
+
+  // ------------------------------------------------- media quality gates
+  /** Media curation gates (VERDICT r17 next #7) — the "drop images
+    * < 64 px" / "drop audio < 1 s" stages the q108/q131 header fields
+    * exist for, with the q134 first-fail drop ledger
+    * ([[DataPrep.cascadeAccounting]]): ONE stateless scan computes
+    * every gate flag, one hash-agg attributes each drop to the first
+    * failing stage. Gates are route-scoped (an image row never fails
+    * the audio gate); the duration gate reads the DECLARED data size
+    * (what the header promises — the right basis over partial crawls,
+    * per the [[graft.functions.MediaHeader]] contract). Input is any
+    * frame with `(route, parsed_ok, width, height, duration_ms)` —
+    * the [[routePayloads]] media subset, or a decoded media table. */
+  def mediaGates(media: DataFrame, minPx: Int = 64,
+      minDurMs: Long = 1000L): DataFrame =
+    DataPrep.cascadeAccounting(media, Seq(
+      "parsed" -> col("parsed_ok"),
+      "image_min_px" -> (col("route") =!= "image" ||
+        (col("width") >= minPx && col("height") >= minPx)),
+      "audio_min_duration" -> (col("route") =!= "media" ||
+        col("duration_ms") >= minDurMs)))
+
+  // ---------------------------------------------------------------- q219
+  // The gates over a decoded media table: the q108 image corpus (its
+  // %13 truncation and %4=3 raw rotations land in the `parsed` stage,
+  // its dim arithmetic puts doc_id%1021+1 < 64 rows under the px
+  // gate) UNION a WAV corpus whose headers DECLARE a rotating data
+  // size (body_n + (doc_id%5)·25000) — so durations sweep ~0 ms to
+  // ~25 s across rate/channel rotations and the 1 s gate splits on
+  // header arithmetic, not shipped bytes. The oracle replays the
+  // first-fail ledger closed-form from the same arithmetic.
+  private def wavDeclared(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("ch", (pmod(col("doc_id"), lit(2)) + 1).cast("int"))
+      .withColumn("rate",
+        (lit(8000) + pmod(col("doc_id"), lit(8)) * lit(4000)).cast("int"))
+      .withColumn("bodyhex", hex(substring(col("text").cast("binary"), 1, 32)))
+      .withColumn("body_n", (length(col("bodyhex")) / 2).cast("int"))
+      .withColumn("data_n",
+        (col("body_n") + pmod(col("doc_id"), lit(5)) * lit(25000)).cast("int"))
+    val wavHex = concat(
+      lit("52494646"), le32(hexW8(col("data_n") + 36)), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("0100"),
+      le16(hexW4(col("ch"))), le32(hexW8(col("rate"))),
+      le32(hexW8(col("rate") * col("ch") * 2)), le16(hexW4(col("ch") * 2)),
+      lit("1000"), lit("64617461"), le32(hexW8(col("data_n"))),
+      col("bodyhex"))
+    val full = unhex(wavHex)
+    d.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(13)) === 0, substring(full, 1, 9))
+        .otherwise(full).as("payload"))
+  }
+
+  private val q219 = GraftQuery(
+    "q219_media_gates",
+    (s, dir) => {
+      val img = imageTable(s, dir).toDF()
+        .withColumn("__ih", ImageHeader(col("payload")))
+        .select(col("doc_id"), lit("image").as("route"),
+          col("__ih.valid").as("parsed_ok"),
+          col("__ih.width").as("width"), col("__ih.height").as("height"),
+          lit(null).cast("long").as("duration_ms"))
+      val wav = wavDeclared(s, dir)
+        .withColumn("__mh", graft.functions.MediaHeader(col("payload")))
+        .select(col("doc_id"), lit("media").as("route"),
+          col("__mh.valid").as("parsed_ok"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          col("__mh.duration_ms").as("duration_ms"))
+      mediaGates(img.unionByName(wav))
+    },
+    Some("""
+      WITH imgs AS (
+        SELECT doc_id,
+               (doc_id % 13 <> 0 AND doc_id % 4 <> 3) AS parsed_ok,
+               CASE WHEN doc_id % 13 <> 0 AND doc_id % 4 <> 3
+                    THEN doc_id % 1021 + 1 ELSE -1 END AS width,
+               CASE WHEN doc_id % 13 <> 0 AND doc_id % 4 <> 3
+                    THEN doc_id % 763 + 1 ELSE -1 END AS height,
+               CAST(NULL AS BIGINT) AS duration_ms,
+               'image' AS route
+        FROM documents),
+      wavs AS (
+        SELECT doc_id,
+               (doc_id % 13 <> 0) AS parsed_ok,
+               CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+               CASE WHEN doc_id % 13 <> 0
+                    THEN ((least(32, octet_length(encode(text))) + (doc_id % 5) * 25000) * 1000)
+                         // ((8000 + (doc_id % 8) * 4000) * (doc_id % 2 + 1) * 2)
+                    ELSE -1 END AS duration_ms,
+               'media' AS route
+        FROM documents),
+      u AS (SELECT * FROM imgs UNION ALL SELECT * FROM wavs),
+      flags AS (
+        SELECT COALESCE(parsed_ok, true) AS f0,
+               COALESCE(route <> 'image' OR (width >= 64 AND height >= 64), true) AS f1,
+               COALESCE(route <> 'media' OR duration_ms >= 1000, true) AS f2
+        FROM u),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN NOT f0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+               CAST(SUM(CASE WHEN f0 AND NOT f1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+               CAST(SUM(CASE WHEN f0 AND f1 AND NOT f2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+        FROM flags)
+      SELECT * FROM (
+        SELECT 0 AS stage, 'parsed' AS name, total AS n_in, d0 AS n_drop,
+               total - d0 AS n_out FROM agg
+        UNION ALL
+        SELECT 1, 'image_min_px', total - d0, d1, total - d0 - d1 FROM agg
+        UNION ALL
+        SELECT 2, 'audio_min_duration', total - d0 - d1, d2,
+               total - d0 - d1 - d2 FROM agg)
+      ORDER BY stage"""))
+
+  val all: Seq[GraftQuery] = Seq(q42, q42b, q108, q131, q218, q219)
 }

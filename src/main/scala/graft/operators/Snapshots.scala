@@ -515,5 +515,124 @@ object Snapshots {
       FROM g
       ORDER BY host"""))
 
-  val all: Seq[GraftQuery] = Seq(q200, q211, q211b, q215, q216)
+  // ---------------------------------------------------------------- q220
+  // The crawl-epoch LOOP (VERDICT r17 next #5 — q215+q216+q217 states
+  // advancing together per trigger through
+  // [[graft.streaming.Streams.CrawlEpochLoop]]): three day-batches
+  // (doc_id%3 — arithmetic, NOT hash, because backoff makes batch
+  // membership OBSERVABLE and the oracle must replay it) of fetch
+  // responses over the q216 initial state. Host-ordinal throttles:
+  // k%4=1 hosts answer batch 0 entirely with `503 Retry-After: 90000`
+  // (25 h → deferred in batch 1, free again in batch 2), k%4=2 hosts
+  // answer batch 1 with `429 Retry-After: 200000` (55.5 h → deferred
+  // in batch 2). Non-throttled rows rotate doc_id%4: 200-with-v2
+  // (validator replace + lastmod CLEAR), bare 304, 304-with-new-etag,
+  // and a plain 503 with NO Retry-After (fails the row, establishes
+  // NO backoff). The oracle replays the whole loop closed-form: a
+  // deferred or failed url keeps its stored state and closes
+  // `removed` (never confirmed this epoch); 200s close `changed`,
+  // 304s `unchanged`.
+  private def q220Responses(docs: DataFrame): DataFrame = {
+    val crlf = "\r\n"
+    val k = expr("CAST(substring(source, 4) AS INT)")
+    val hk = pmod(k, lit(4))
+    val b = pmod(col("doc_id"), lit(3)).cast("int")
+    // (doc_id // 4) % 4, NOT doc_id % 4: the corpus has four sources
+    // keyed doc_id % 4, so a doc-level %4 arm would give every host
+    // exactly ONE content behavior and the throttle rotation would
+    // never cross a 200/304 arm (r18 fixture review)
+    val m4 = pmod(floor(col("doc_id") / lit(4)).cast("long"), lit(4))
+    val id = col("doc_id").cast("string")
+    val day = date_add(lit("2026-02-01").cast("date"), b)
+    val fetchTs = to_timestamp(
+      concat(day.cast("string"), lit(" 12:00:00")))
+    val throttled = (hk === 1 && b === 0) || (hk === 2 && b === 1)
+    val status = when(throttled && hk === 1, lit(503))
+      .when(throttled, lit(429))
+      .when(m4 === 0, lit(200)).when(m4.isin(1, 2), lit(304))
+      .otherwise(lit(503))
+    val ra = when(throttled && hk === 1, lit("Retry-After: 90000" + crlf))
+      .when(throttled, lit("Retry-After: 200000" + crlf))
+      .otherwise(lit(""))
+    val msg = concat(
+      when(status === 200, lit("HTTP/1.1 200 OK" + crlf))
+        .when(status === 304, lit("HTTP/1.1 304 Not Modified" + crlf))
+        .when(status === 429, lit("HTTP/1.1 429 Too Many Requests" + crlf))
+        .otherwise(lit("HTTP/1.1 503 Service Unavailable" + crlf)),
+      ra, lit("Content-Length: 0" + crlf + crlf))
+    docs.select(urlOf(col("doc_id")).as("url"),
+      concat(col("source"), lit(".example.com")).as("host"),
+      b.as("b"), status.as("status"),
+      when(!throttled && m4 === 0, md5(concat(col("text"), lit("v2"))))
+        .as("content_md5"),
+      when(!throttled && m4 === 0, concat(lit("\"e2-"), id, lit("\"")))
+        .when(!throttled && m4 === 2, concat(lit("\"r-"), id, lit("\"")))
+        .as("etag"),
+      lit(null).cast("string").as("last_modified"),
+      day.as("fetch_day"), msg.as("msg"), fetchTs.as("fetch_ts"))
+  }
+
+  private val q220 = GraftQuery(
+    "q220_crawl_epoch_loop",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val init = docs.select(urlOf(col("doc_id")).as("url"),
+        md5(col("text")).as("content_md5"),
+        date_add(lit("2026-01-01").cast("date"),
+          pmod(col("doc_id"), lit(28)).cast("int")).as("last_fetch"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("\"s-"), col("doc_id").cast("string"), lit("\"")))
+          .as("etag"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("Mon, 01 Sep 2025 00:00:00 GMT")).as("last_modified"))
+      val responses = q220Responses(docs)
+      val loop = new graft.streaming.Streams.CrawlEpochLoop(init)
+      (0 until 3).foreach { j =>
+        loop.step(responses.filter(col("b") === j).drop("b"),
+          asOf = s"2026-02-0${j + 1} 12:00:00")
+      }
+      loop.close()
+        .join(loop.validatorState, Seq("url"))
+        .join(responses.select(col("url"), col("host")).distinct(),
+          Seq("url"))
+        .select(col("url"), col("host"), col("class"), col("content_md5"),
+          col("last_fetch"), col("etag"), col("last_modified"))
+        .orderBy(col("url"))
+    },
+    Some("""
+      WITH base AS (SELECT doc_id, source, text,
+          CAST(substring(source, 4) AS INT) AS k,
+          CAST(doc_id % 3 AS INT) AS b,
+          CAST((doc_id // 4) % 4 AS INT) AS m4,
+          'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+          source || '.example.com' AS host
+        FROM documents),
+      cls AS (SELECT *,
+          ((k % 4 = 1 AND b = 0) OR (k % 4 = 2 AND b = 1)) AS throttled,
+          ((k % 4 = 1 AND b = 1) OR (k % 4 = 2 AND b = 2)) AS deferred
+        FROM base),
+      fin AS (SELECT *,
+          CASE WHEN NOT throttled AND NOT deferred AND m4 = 0 THEN 'replaced'
+               WHEN NOT throttled AND NOT deferred AND m4 IN (1, 2) THEN 'revalidated'
+          END AS ok
+        FROM cls)
+      SELECT url, host,
+        CASE WHEN ok = 'replaced' THEN 'changed'
+             WHEN ok = 'revalidated' THEN 'unchanged'
+             ELSE 'removed' END AS class,
+        CASE WHEN ok = 'replaced' THEN md5(text || 'v2')
+             ELSE md5(text) END AS content_md5,
+        CASE WHEN ok IS NOT NULL THEN DATE '2026-02-01' + b
+             ELSE DATE '2026-01-01' + CAST(doc_id % 28 AS INT) END AS last_fetch,
+        CASE WHEN ok = 'replaced' THEN '"e2-' || CAST(doc_id AS VARCHAR) || '"'
+             WHEN ok = 'revalidated' AND m4 = 2 THEN '"r-' || CAST(doc_id AS VARCHAR) || '"'
+             WHEN doc_id % 2 = 0 THEN '"s-' || CAST(doc_id AS VARCHAR) || '"'
+        END AS etag,
+        CASE WHEN ok = 'replaced' THEN NULL
+             WHEN doc_id % 4 = 0 THEN 'Mon, 01 Sep 2025 00:00:00 GMT'
+        END AS last_modified
+      FROM fin
+      ORDER BY url"""))
+
+  val all: Seq[GraftQuery] = Seq(q200, q211, q211b, q215, q216, q220)
 }

@@ -1062,4 +1062,78 @@ class StreamingSpec extends SparkSpec {
     val reversed = LinkGraph.discoveryResolve(rev).collect().map(key).toSet
     assert(reversed == oneShot, "fold order must not matter")
   }
+
+  test("crawl epoch loop: throttle-free fold order is irrelevant; deferral replays") {
+    import spark.implicits._
+    val crlf = "\r\n"
+    def msg(status: Int, ra: String): String = {
+      val line = status match {
+        case 200 => "HTTP/1.1 200 OK"
+        case 304 => "HTTP/1.1 304 Not Modified"
+        case 429 => "HTTP/1.1 429 Too Many Requests"
+        case _ => "HTTP/1.1 503 Service Unavailable"
+      }
+      line + crlf + ra + "Content-Length: 0" + crlf + crlf
+    }
+    val d = java.sql.Date.valueOf(_: String)
+    val tts = java.sql.Timestamp.valueOf(_: String)
+    val init = Seq(
+      ("u1", "m1", d("2026-01-01"), Some("\"s1\""), Option.empty[String]),
+      ("u2", "m2", d("2026-01-02"), None, Some("Mon, 01 Sep 2025 00:00:00 GMT")),
+      ("u3", "m3", d("2026-01-03"), Some("\"s3\""), None),
+      ("u4", "m4", d("2026-01-04"), None, None))
+      .toDF("url", "content_md5", "last_fetch", "etag", "last_modified")
+    def resp(url: String, host: String, st: Int, md5v: Option[String],
+        etag: Option[String], day: String, ra: String = "") =
+      (url, host, st, md5v, etag, Option.empty[String], d(day),
+        msg(st, ra), tts(day + " 12:00:00"))
+    val cols = Seq("url", "host", "status", "content_md5", "etag",
+      "last_modified", "fetch_day", "msg", "fetch_ts")
+    // throttle-free batches, disjoint urls: any fold order closes equal
+    val b1 = Seq(resp("u1", "a.com", 200, Some("m1b"), Some("\"e1\""), "2026-02-01"))
+      .toDF(cols: _*)
+    val b2 = Seq(resp("u2", "b.com", 304, None, None, "2026-02-02"))
+      .toDF(cols: _*)
+    val b3 = Seq(resp("u3", "c.com", 503, None, None, "2026-02-03"))
+      .toDF(cols: _*)
+    def run(batches: Seq[(org.apache.spark.sql.DataFrame, String)]) = {
+      val loop = new Streams.CrawlEpochLoop(init)
+      batches.foreach { case (b, asOf) => loop.step(b, asOf) }
+      loop.close().join(loop.validatorState, Seq("url"))
+        .orderBy(col("url")).collect().map(_.toString).toSeq
+    }
+    val fwd = run(Seq(b1 -> "2026-02-01 12:00:00", b2 -> "2026-02-02 12:00:00",
+      b3 -> "2026-02-03 12:00:00"))
+    val rev = run(Seq(b3 -> "2026-02-03 12:00:00", b2 -> "2026-02-02 12:00:00",
+      b1 -> "2026-02-01 12:00:00"))
+    assert(fwd == rev, s"fold order changed the close:\n$fwd\n$rev")
+    // expected close: u1 changed, u2 unchanged, u3/u4 never confirmed
+    val classes = fwd.mkString("\n")
+    assert(classes.contains("u1,changed") && classes.contains("u2,unchanged")
+      && classes.contains("u3,removed") && classes.contains("u4,removed"),
+      classes)
+
+    // deferral: a 429 w/ Retry-After in batch 1 defers the SAME host's
+    // batch-2 response (state untouched), and a later batch past the
+    // backoff window is admitted again
+    val t1 = Seq(resp("u1", "a.com", 429, None, None, "2026-02-01",
+      ra = "Retry-After: 90000" + crlf)).toDF(cols: _*)
+    val t2 = Seq(resp("u2", "a.com", 200, Some("m2b"), None, "2026-02-02"))
+      .toDF(cols: _*)
+    val t3 = Seq(resp("u3", "a.com", 304, None, None, "2026-02-03"))
+      .toDF(cols: _*)
+    val loop = new Streams.CrawlEpochLoop(init)
+    val g1 = loop.step(t1, "2026-02-01 12:00:00")
+    assert(g1.filter(col("deferred")).count() == 0, "no backoff yet")
+    val g2 = loop.step(t2, "2026-02-02 12:00:00")
+    assert(g2.filter(col("deferred")).count() == 1,
+      "batch-2 row of the throttled host must defer")
+    val g3 = loop.step(t3, "2026-02-03 12:00:00")
+    assert(g3.filter(col("deferred")).count() == 0,
+      "25h backoff expired by batch 3")
+    val st = loop.validatorState.orderBy(col("url")).collect()
+    assert(st(1).getString(1) == "m2", "deferred 200 must NOT replace content")
+    assert(st(2).getDate(2).toString == "2026-02-03",
+      "re-admitted 304 refreshes last_fetch")
+  }
 }
