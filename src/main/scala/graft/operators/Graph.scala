@@ -75,7 +75,12 @@ object Graph {
     // orders smaller than the corpus itself.
     val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    val withOw = e.join(outW, "src").localCheckpoint()
+    // pre-hash the loop-invariant edge frame on its per-iteration join
+    // key (optimization r18, guide §2.4 — the hits eBySrc discipline):
+    // LogicalRDD preserves the partitioning, so each iteration's
+    // edges ⋈ ranks join exchanges only the node-sized rank frame, not
+    // the edge list — one edge-sized shuffle per iteration removed
+    val withOw = e.join(outW, "src").repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().localCheckpoint()
     // loop-invariant sink set: nodes that never appear as a src

@@ -518,12 +518,23 @@ object LinkGraph {
           .as("canonical_url"))
       val rules = Robots.robotsRules(frontierRobotsBodies(s),
         "host", "body")
-      val links = fixtureLinks(s, dir)
+      // optimization r18 (guide §2.4/§5): materialize the extracted
+      // links ONCE — both batch filters read the checkpointed rows, so
+      // the ~30-regex extraction scan runs once instead of once per
+      // phase; and cut phase 1 out of phase 2's lineage — `scheduled`
+      // is per-host-bounded (≤ perHost rows/host), but lazily it
+      // re-embedded the whole phase-1 pipeline (candidate agg + robots
+      // eval + heap) inside phase 2's plan: 98 Exchanges / 30 scans in
+      // the before plan, and the driver re-optimized the doubled tree
+      // per action. In production these boundaries are the frontier
+      // store's parquet writes.
+      val links = fixtureLinks(s, dir).localCheckpoint()
       val b1 = links.filter(pmod(col("doc_id"), lit(2)) === 0)
       val b2 = links.filter(pmod(col("doc_id"), lit(2)) =!= 0)
       val scheduled = crawlFrontier(b1, crawled, rules,
           agent = "graftbot", perHost = 2)
         .select(col("url").as("canonical_url"))
+        .localCheckpoint()
       frontierAdmitBatch(b2, crawled, scheduled, rules,
           agent = "graftbot", perHost = 2)
         .orderBy(col("host"), col("rk"))

@@ -62,13 +62,28 @@ object MainContent {
       minChars: Int = 30, minDensityPct: Int = 50): DataFrame = {
     require(minChars >= 0 && minDensityPct >= 0 && minDensityPct <= 100,
       s"bad thresholds: $minChars, $minDensityPct")
+    // optimization r18 (guide §1.2 per-task work): stage the block split
+    // and the kept-block selection through NAMED columns — the previous
+    // form inlined the split+transform+filter regex pipeline into
+    // n_blocks, n_kept AND __main, evaluating the per-block regexes
+    // three times per row (HOF lambdas are CodegenFallback, outside
+    // codegen subexpression elimination)
     docs.select(col(idCol), stripScriptStyle(col(htmlCol)).as("__ns"))
       .select(col(idCol),
-        expr(s"size(split(__ns, '$BlockCloseRe'))").cast("long")
-          .as("n_blocks"),
-        expr(s"size(${keptExpr("__ns", minChars, minDensityPct)})")
-          .cast("long").as("n_kept"),
-        mainTextCol("__ns", minChars, minDensityPct).as("__main"))
+        expr(s"split(__ns, '$BlockCloseRe')").as("__blocks"))
+      .select(col(idCol), col("__blocks"),
+        expr(s"""filter(
+          |  transform(__blocks,
+          |    b -> named_struct(
+          |      't', trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' '), '\\\\s+', ' ')),
+          |      'raw', length(b))),
+          |  x -> length(x.t) >= $minChars
+          |       AND length(x.t) * 100 >= $minDensityPct * x.raw)""".stripMargin)
+          .as("__kept"))
+      .select(col(idCol),
+        size(col("__blocks")).cast("long").as("n_blocks"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        expr("array_join(transform(__kept, x -> x.t), ' ')").as("__main"))
       .select(col(idCol), col("n_blocks"), col("n_kept"),
         length(col("__main")).cast("long").as("n_chars"),
         md5(col("__main")).as("text_md5"))

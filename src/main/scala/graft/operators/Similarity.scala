@@ -1100,17 +1100,25 @@ object Similarity {
     * index on ties — the withCells tie-break). Output (vec_id, v, codes:
     * array<int>); at scale persist (vec_id, codes) and drop v. */
   def pqEncode(embeddings: DataFrame,
-      books: Array[Array[Array[Double]]]): DataFrame = {
+      books: Array[Array[Array[Double]]]): DataFrame =
+    vecs(embeddings).select(col("vec_id"), col("v"),
+      pqCodes(col("v"), books).as("codes"))
+
+  /** The PQ encode expression over a vector column: per subspace, the
+    * argmin (smallest index on ties) of the ksub squared distances to
+    * the codebook literals. Shared by [[pqEncode]] and [[ivfadcEncode]]
+    * so the two can never drift. */
+  private def pqCodes(vCol: Column,
+      books: Array[Array[Array[Double]]]): Column = {
     val m = books.length
     val dsub = books(0)(0).length
-    val codes = array((0 until m).map { j =>
+    array((0 until m).map { j =>
       val dists = array(books(j).map { c =>
         graft.functions.SquaredDistance(array(c.map(lit).toIndexedSeq: _*),
-          slice(col("v"), j * dsub + 1, dsub))
+          slice(vCol, j * dsub + 1, dsub))
       }.toIndexedSeq: _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }: _*)
-    vecs(embeddings).select(col("vec_id"), col("v"), codes.as("codes"))
   }
 
   /** ADC top-k: queries chosen by `isQuery` keep their exact vector; the
@@ -1246,14 +1254,22 @@ object Similarity {
   /** The stored IVFADC index: (vec_id, cell, codes) — residual PQ codes
     * under the frozen centroids/codebooks; persist bucketed by cell. */
   def ivfadcEncode(embeddings: DataFrame, cents: Array[Array[Double]],
-      books: Array[Array[Array[Double]]]): DataFrame = {
-    val assigned = withCells(vecs(embeddings), cents)
-      .select(col("vec_id"), col("v"), col("cell"))
-    pqEncode(assigned.select(col("vec_id"),
-        residual(col("v"), col("cell"), cents).as("embedding")), books)
-      .select(col("vec_id"), col("codes"))
-      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
-  }
+      books: Array[Array[Array[Double]]]): DataFrame =
+    // optimization r18 (guide §2.4): one pass — cell assignment and the
+    // residual PQ encode in the same projection. The previous form
+    // computed `withCells` on BOTH branches of a (vec_id ⋈ vec_id)
+    // self-join (the 16 assignment folds evaluated twice per vector,
+    // plus an embeddings-sized join exchange) just to re-attach `cell`
+    // to the codes; values are identical, the join and the duplicate
+    // fold tree are gone.
+    withCells(vecs(embeddings), cents)
+      // residual as a NAMED column (the withCells discipline): inlining
+      // it into pqCodes would copy the zip_with subtree into all m×ksub
+      // distance folds
+      .select(col("vec_id"), col("cell"),
+        residual(col("v"), col("cell"), cents).as("rv"))
+      .select(col("vec_id"), pqCodes(col("rv"), books).as("codes"),
+        col("cell"))
 
   /** IVFADC probe: nprobe nearest cells per query (the q41b ranking),
     * one ADC table per (query, probed cell) from the query's residual,

@@ -1555,13 +1555,14 @@ object TextAnalysis {
   // frequency → merge the argmax pair everywhere). The scale shape is
   // the whole point: after ONE corpus pass builds the word-frequency
   // table, every round runs over the VOCAB table only (corpus text is
-  // never touched again) — explode symbols with position, pair counts
-  // via lead() + one hash-agg, a 1-row argmax collect (bounded, the q69
-  // eagerness caveat), and merge application as a gaps-and-islands
-  // window: within each maximal run of consecutive pair matches, greedy
-  // left-to-right application merges exactly the even offsets — so the
-  // inherently sequential-looking scan is two window functions + a
-  // rebuild groupBy, no UDF, no driver text. Ties break (count DESC,
+  // never touched again) — pair counts from the exploded symbol list +
+  // one hash-agg, a 1-row argmax collect (bounded, the q69 eagerness
+  // caveat), and greedy left-to-right merge application as ONE
+  // sequential array fold per word (optimization r18, guide §2.4: the
+  // previous form ran TWO per-word window passes per round — each a
+  // full vocab shuffle — plus a collect_list rebuild groupBy; the fold
+  // is a stateless projection, so a round's only shuffle is the tiny
+  // (a, b) pair-count agg). Ties break (count DESC,
   // left, right) so the learned merge sequence is a pure function of
   // the corpus; every count is an exact LONG and the oracle replays all
   // k rounds bit-for-bit. Words end with a '</w>' sentinel (the paper's
@@ -1580,8 +1581,22 @@ object TextAnalysis {
   /** Shared learn loop for [[bpeMerges]] / [[bpeSegment]]: returns the
     * final (w, n, s) vocab frame and the merge sequence. One corpus
     * pass builds the word-frequency table; each round is vocab-confined
-    * (explode + two windows + rebuild groupBy) with a 1-row argmax
-    * collect and a localCheckpoint to truncate lineage. */
+    * (pair-count agg + one stateless fold projection) with a 1-row
+    * argmax collect and a localCheckpoint to truncate lineage.
+    *
+    * Optimization r18 (guide §2.4 — remove shuffles outright): pair
+    * counting reads adjacent symbols straight off the array
+    * (posexplode + `get(s, i+1)`, a projection) instead of a per-word
+    * lead() window, and merge application is ONE sequential
+    * left-to-right `aggregate` fold per word instead of the
+    * lead/lag/max gaps-and-islands windows + collect_list rebuild
+    * groupBy. Semantics are unchanged — the fold IS the greedy scan
+    * the windows emulated (on a match emit l||r and consume the right
+    * symbol; matches are tested against the ROUND-START array, exactly
+    * like the window's lead-based flags) — pinned by the hand-computed
+    * merge/tie tests in OperatorsSpec and every q155b/q156* oracle.
+    * Plan effect per round: 3 vocab-wide exchanges (two windows + the
+    * rebuild) → 1 tiny (a, b) agg exchange. */
   private def bpeLearn(docs: DataFrame, textCol: String,
       steps: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
     require(steps >= 1 && steps <= 32, s"steps in [1,32], got $steps")
@@ -1594,18 +1609,16 @@ object TextAnalysis {
           i => col("w").substr(i, lit(1))),
         array(lit("</w>"))).as("s"))
       .localCheckpoint()
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("w")).orderBy(col("i"))
-    val cum = win.rowsBetween(org.apache.spark.sql.expressions.Window
-      .unboundedPreceding, 0)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (step <- 1 to steps) {
-      val pos = vocab.select(col("w"), col("n"),
-        posexplode(col("s")).as(Seq("i", "sym")))
-      val best = pos
-        .withColumn("b", lead(col("sym"), 1).over(win))
+      // adjacent pairs off the array: a = s[i+1] (posexplode is
+      // 0-based), b = s[i+2] via 0-based `get` (null past the end, like
+      // the lead() it replaces — dropped by the isNotNull filter)
+      val best = vocab
+        .select(col("n"), col("s"), posexplode(col("s")).as(Seq("i", "a")))
+        .select(col("n"), col("a"), get(col("s"), col("i") + 1).as("b"))
         .filter(col("b").isNotNull)
-        .groupBy(col("sym").as("a"), col("b"))
+        .groupBy(col("a"), col("b"))
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
@@ -1613,31 +1626,27 @@ object TextAnalysis {
       val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
         best(0).getLong(2))
       merges += ((step, l, r, cnt))
-      // greedy application: match(i) = (s[i], s[i+1]) == (l, r); within a
-      // maximal run of consecutive matches, merge offsets 0, 2, 4, …
-      // from the run start (each merge consumes its right symbol, so the
-      // next candidate is two positions on — exactly what a sequential
-      // left-to-right scan does)
-      val flagged = pos
-        .withColumn("m",
-          col("sym") === lit(l) &&
-            coalesce(lead(col("sym"), 1).over(win) === lit(r), lit(false)))
-        .withColumn("rs",
-          max(when(col("m") &&
-            !coalesce(lag(col("m"), 1).over(win), lit(false)), col("i")))
-            .over(cum))
-        .withColumn("merged", col("m") && pmod(col("i") - col("rs"), lit(2)) === 0)
-        .withColumn("sym2",
-          when(col("merged"), lit(l + r))
-            .when(coalesce(lag(col("merged"), 1).over(win), lit(false)),
-              lit(null).cast("string"))
-            .otherwise(col("sym")))
-      vocab = flagged
-        .filter(col("sym2").isNotNull)
-        .groupBy(col("w"), col("n"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("i"), col("sym2")))),
-          e => e.getField("sym2")).as("s"))
+      // greedy application, one sequential fold per word: walk 1-based
+      // positions; `skip` consumes the right symbol of a merge, so the
+      // next candidate is two positions on — and each match tests the
+      // round-start array, never the partially-built output
+      val applied = aggregate(
+        sequence(lit(1), size(col("s"))),
+        struct(array().cast("array<string>").as("out"),
+          lit(false).as("skip")),
+        (acc, i) =>
+          when(acc.getField("skip"),
+            struct(acc.getField("out").as("out"), lit(false).as("skip")))
+            .when(element_at(col("s"), i) === lit(l) &&
+                get(col("s"), i) === lit(r),
+              struct(concat(acc.getField("out"), array(lit(l + r))).as("out"),
+                lit(true).as("skip")))
+            .otherwise(
+              struct(concat(acc.getField("out"),
+                array(element_at(col("s"), i))).as("out"),
+                lit(false).as("skip"))),
+        acc => acc.getField("out"))
+      vocab = vocab.select(col("w"), col("n"), applied.as("s"))
         .localCheckpoint()
     }
     (vocab, merges.toSeq)
