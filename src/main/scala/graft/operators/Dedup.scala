@@ -1102,7 +1102,12 @@ object Dedup {
     GraftQuery(
       "q142_banding_calculator",
       (s, dir) => {
-        val pairs = jaccardPairs(s, dir).limit(10)
+        // optimization r18 (guide §2.4): materialize the 10 calibration
+        // pairs ONCE — the six per-config branches previously embedded
+        // the FULL q36 shingle self-join each (48 scans / 144 Exchanges
+        // in the before plan; 6 scans / small after), for 10 rows of
+        // pure column arithmetic per branch
+        val pairs = jaccardPairs(s, dir).limit(10).localCheckpoint()
         configs.map { case (b, r) =>
           val p = lit(1.0) - pw(lit(1.0) - pw(col("jaccard"), r), b)
           pairs.select(col("da"), col("db"), col("jaccard"),
@@ -1163,10 +1168,15 @@ object Dedup {
           upper(col("text")).as("text")))
         .unionAll(base.select((col("doc_id") + lit(2000000000L)).as("doc_id"),
           concat(col("text"), lit(" !! 42")).as("text")))
+      // optimization r18 (guide §2.4): materialize the normalized keys
+      // once — `norm` feeds BOTH the top-1 heap and the membership
+      // count, and lazily each side re-ran the 3×-corpus scan and the
+      // three-regex dedupNormalized chain (12 scans in the before plan)
       val norm = noisy.select(
         md5(graft.functions.TextFunctions.dedupNormalized(col("text")))
           .as("norm_hash"),
         col("doc_id"), length(col("text")).cast("long").as("l"))
+        .localCheckpoint()
       val reps = bestOfGroup(norm, col("norm_hash"),
         Seq(col("l").desc, col("doc_id")))
       val counts = norm.groupBy(col("norm_hash"))

@@ -588,6 +588,12 @@ object Extraction {
       val corpus = base.unionAll(base.select(
         (col("doc_id") + lit(1000000000L)).as("doc_id"),
         concat(lit("EDIT: "), col("text")).as("text")))
+      // Optimization r18 note: localCheckpoint-ing the chunk table
+      // (read by both the store side and the totals) was tried and
+      // REVERTED — materializing the chunk rows cost more than the
+      // second run of the fused explode at sf0.1 (3.3 → 5.1–5.2 s
+      // measured); Spark's runtime exchange reuse already shares the
+      // heavy agg outputs between the two consumers.
       val ch = cdcChunks(corpus, "doc_id", "text")
       // store side: one row per distinct chunk, owned by min doc id;
       // per-doc distinct sizes first (a doc repeating a chunk stores

@@ -325,7 +325,16 @@ object LinkGraph {
       .filter(col("canonical_url").isNotNull)
       .groupBy(col("canonical_url"))
       .agg(count(lit(1)).as("n_inlinks"))
+    // optimization r18 (guide §2.4): materialize the fresh candidates —
+    // robotsGate semi-joins its input against its own audit, so `fresh`
+    // is read TWICE per frontier query; lazily that re-ran the whole
+    // extraction → canonicalize → candidate-agg → anti-join pipeline
+    // (q191's before plan: the 30-regex link scan executed twice). The
+    // frame is the candidate aggregate (one row per distinct URL) —
+    // already the pipeline's smallest corpus-derived frame, and the
+    // store boundary a production frontier persists anyway.
     val fresh = cand.join(crawled, Seq("canonical_url"), "left_anti")
+      .localCheckpoint()
     // host key via hostOfCanonical, NOT urlHost: the candidate URL is
     // already canonical (one www. stripped); urlHost would strip a
     // second www. and disagree with hostProfile's v:-keyed budget

@@ -641,11 +641,18 @@ object Robots {
     // silently resolved to unreachable/deny. One host key, both sides.
     val normHost = regexp_replace(regexp_replace(
       lower(col(hostCol)), ":[0-9]+$", ""), "^www\\.", "")
+    // hosts-sized and read by FOUR consumers (origin set, edge set, the
+    // terminal lookup, the final host join) — materialize once
+    // (optimization r18, guide §2.4): lazily each consumer re-embedded
+    // the caller's fetch-table derivation (q214b: a corpus DISTINCT per
+    // reference, ×2 again inside robotsRulesWithStatus' parse/deny
+    // union — 32 corpus scans in the before plan)
     val f = fetches.select(
       col(hostCol).as("__h"), col(statusCol).as("__st"),
       col(locationCol).as("__loc"), col(bodyCol).as("__body"),
       concat(lit("https://"), normHost, lit("/robots.txt"))
         .as("__url"))
+      .localCheckpoint()
     // edge targets NORMALIZE to the synthesized per-host key by HOST
     // (code-review r17: an exact-string match denied any http://,
     // ported, or path-variant Location pointing at an in-table host):

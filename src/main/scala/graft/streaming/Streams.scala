@@ -319,6 +319,14 @@ object Streams {
       val gated = Http.frontierBackoffGate(responses, backoff, "host", asOf)
       val admitted = gated.filter(!col("deferred"))
       val merged = Snapshots.revalidateMerge(validators, admitted)
+      // Optimization r18 note: checkpointing the three states per step
+      // (the graph-loop rule) was tried and REVERTED — it collapses
+      // q220's plan from 130 Exchanges / 48 scans to 12 / 2, but the
+      // nine eager state-sized jobs cost ~2× the duplicated lazy work
+      // at sf0.1 (4.6 → 9.2–10.7 s measured); the lazy compound plan
+      // executes as ONE fused action. On a long-running production
+      // loop (many triggers) the state MUST be cut — there the
+      // foreachBatch sink boundary does it per trigger.
       validators = merged.select(col("url"), col("content_md5"),
         col("last_fetch"), col("etag"), col("last_modified"))
       snap = Snapshots.snapshotAdmitBatch(snap,
