@@ -491,27 +491,24 @@ object Extraction {
 
   /** CDC chunks of `textCol`: `(idCol, chunk_no, start, n_chars,
     * chunk_md5)` — `start` 0-based, chunk text pinned as md5 (the q172
-    * convention: stats, never payloads). One positional explode
-    * (corpus-chars-sized, the q95 class) + a per-doc bounded
-    * boundary fold; no UDFs. */
+    * convention: stats, never payloads).
+    *
+    * Optimization r18 (guide §1.2): boundary detection is the native
+    * one-pass [[graft.functions.CdcBoundaries]] expression — the
+    * previous per-position explode evaluated 8 positional
+    * `ascii(substr(t, k, 1))` probes per character (each substr an
+    * O(position) codepoint seek), then re-assembled positions with a
+    * collect_list groupBy and joined them back; all of that is now one
+    * O(len) projection per document, no explode, no shuffle. The
+    * replaced composition is kept in [[cdcBoundariesReference]] and
+    * asserted bit-identical in CdcSpec (ASCII/Latin-1/CJK/astral +
+    * corpus). */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol), col(textCol).as("__t"))
-    val pos = base
-      .filter(length(col("__t")) >= CdcW)
-      .select(col(idCol),
-        explode(sequence(lit(CdcW), length(col("__t")))).as("i"),
-        col("__t"))
-    val winSum = CdcCoef.zipWithIndex.map { case (c, j) =>
-      ascii(col("__t").substr(col("i") - lit(CdcW - 1 - j), lit(1))) *
-        lit(c)
-    }.reduce(_ + _)
-    val bps = pos.filter(pmod(winSum, lit(CdcDiv)) === 0)
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("i").cast("long"))).as("__bps"))
-    val bounds = base.join(bps, Seq(idCol), "left")
+    val bounds = base
       .select(col(idCol), col("__t"),
         concat(array(lit(0L)),
-          coalesce(col("__bps"), array().cast("array<long>")),
+          graft.functions.CdcBoundaries(col("__t")),
           array(length(col("__t")).cast("long"))).as("__bs"))
     bounds
       .select(col(idCol), col("__t"),
@@ -525,6 +522,27 @@ object Extraction {
         (col("seg.e") - col("seg.s")).as("n_chars"),
         md5(col("__t").substr((col("seg.s") + 1).cast("int"),
           (col("seg.e") - col("seg.s")).cast("int"))).as("chunk_md5"))
+  }
+
+  /** The pre-r18 explode/collect boundary composition, kept as the
+    * equivalence oracle for [[graft.functions.CdcBoundaries]] (the
+    * shinglesReference pattern): `(idCol, __bps array<long>)` with NO
+    * row for boundary-free docs. */
+  private[operators] def cdcBoundariesReference(docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol).as("__t"))
+    val pos = base
+      .filter(length(col("__t")) >= CdcW)
+      .select(col(idCol),
+        explode(sequence(lit(CdcW), length(col("__t")))).as("i"),
+        col("__t"))
+    val winSum = CdcCoef.zipWithIndex.map { case (c, j) =>
+      ascii(col("__t").substr(col("i") - lit(CdcW - 1 - j), lit(1))) *
+        lit(c)
+    }.reduce(_ + _)
+    pos.filter(pmod(winSum, lit(CdcDiv)) === 0)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("i").cast("long"))).as("__bps"))
   }
 
   /** The CDC cascade as DuckDB CTEs over a caller-supplied CTE `src`

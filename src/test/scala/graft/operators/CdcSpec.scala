@@ -51,4 +51,35 @@ class CdcSpec extends SparkSpec {
       .digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
   }
+
+  test("CdcBoundaries ≡ the explode/ascii/substr composition (r18 rework)") {
+    import spark.implicits._
+    // ASCII, Latin-1, CJK, astral, window-edge lengths, and a text
+    // engineered to hit boundaries — the codepoint-semantics edges the
+    // native walk must reproduce exactly (substr counts an astral char
+    // as ONE position; ascii returns the full codepoint)
+    val rows = Seq(
+      1L -> base,
+      2L -> "tiny",
+      3L -> "",
+      4L -> "exactly8",
+      5L -> "exactly9!",
+      6L -> ("naïve café déjà-vu résumé " * 40),
+      7L -> ("漢字テキストの境界検出を確認する " * 30),
+      8L -> ("mixed ascii 漢字 und ümlauts with 😀 astral " * 25),
+      9L -> ("😀😁😂" * 30))
+      .toDF("id", "text")
+    val native = rows.select(col("id"),
+      graft.functions.CdcBoundaries(col("text")).as("bps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val ref = Extraction.cdcBoundariesReference(rows, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    rows.select("id").collect().map(_.getLong(0)).foreach { id =>
+      assert(native(id) == ref.getOrElse(id, Nil),
+        s"doc $id: native ${native(id)} vs reference ${ref.get(id)}")
+    }
+    // at least one fixture must actually produce boundaries, or the
+    // equivalence is vacuous
+    assert(native.values.exists(_.nonEmpty), "no boundaries anywhere")
+  }
 }
