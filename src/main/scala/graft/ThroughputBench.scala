@@ -86,6 +86,17 @@ object ThroughputBench {
       ("transcode_utf8", timed(transport,
         graft.operators.Http.transcode(col("b"), lit("utf-8")))),
       ("html_text", timed(html, graft.operators.Extraction.htmlText(col("b")))),
+      // r19: the q93d/q197 main-content block selection, native one-pass
+      // walk vs the retained HOF/regex reference composition (strip
+      // inlined into the reference expression so both rows cover the
+      // identical strip→split→select pipeline end to end)
+      ("main_content", timed(html,
+        graft.functions.MainContentExtract(col("b"), 30, 50).getField("text"))),
+      ("main_content_ref", timed(html, expr(
+        "array_join(transform(" + graft.operators.MainContent.keptExpr(
+          "regexp_replace(b, '(?is)<script\\\\b[^>]*>.*?</script>" +
+            "|<style\\\\b[^>]*>.*?</style>', ' ')", 30, 50) +
+          ", x -> x.t), ' ')"))),
       ("warc_parse_bytes", {
         val in = warc.cache()
         val mb = in.agg(sum(length(col("b")))).collect()(0).getLong(0) / 1e6

@@ -259,11 +259,15 @@ object CurationChain {
       keep = Seq("source")))
     val pages = tap("http_gate", Http.httpPayloads(bodies, "doc_id",
       "body", keep = Seq("source", "target_uri")))
+    // optimization r19 (guide §1.2): the interpreted strip+HOF pipeline
+    // (stripScriptStyle regex + mainTextCol's CodegenFallback lambdas)
+    // owned this fused ingest scan's per-row CPU (~6.4 s probed at
+    // sf0.1); now ONE native codegen'd traversal (MainContentExtract,
+    // bit-equality pinned by MainContentSpec)
     val extracted = tap("main_nfc", pages
-      .withColumn("__ns", MainContent.stripScriptStyle(col("payload")))
       .select(col("doc_id"), col("source"), col("target_uri"),
         graft.functions.NfcNormalize(
-          MainContent.mainTextCol("__ns", 30, 50)).as("text")))
+          MainContent.mainTextNative(col("payload"), 30, 50)).as("text")))
     val blockList = docs.agg(min(col("source")).as("s"))
       .select(concat(lit("v:"), col("s"), lit(".example.com"))
         .as("host_key"), lit("blocked_source").as("rule"))

@@ -30,18 +30,23 @@ import graft.sources.Tables
   */
 object MainContent {
 
-  private val BlockCloseRe =
+  private[graft] val BlockCloseRe =
     "(?is)</(p|div|section|article|li|h[1-6]|td|blockquote)>"
 
   /** Script/style kill — the pre-blocking step, as a Column. */
-  private[operators] def stripScriptStyle(html: Column): Column =
+  private[graft] def stripScriptStyle(html: Column): Column =
     regexp_replace(html,
       "(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>", " ")
 
   /** The kept-blocks pipeline as a Spark SQL expression string over a
-    * script-stripped column named `nsCol` — ONE home for the selection
-    * logic (mainContent here, the q93d chain ingest). */
-  private[operators] def keptExpr(nsCol: String, minChars: Int,
+    * script-stripped column named `nsCol` — RETAINED as the reference
+    * composition for [[graft.functions.MainContentExtract]]'s
+    * bit-equality spec (MainContentExtractSpec), no longer on any query's hot
+    * path: both consumers (mainContent here, the q93d chain ingest) now
+    * ride the native one-pass expression (optimization r19, guide §1.2 —
+    * the HOF lambdas are CodegenFallback and owned the fused ingest
+    * scan's per-row CPU). */
+  private[graft] def keptExpr(nsCol: String, minChars: Int,
       minDensityPct: Int): String =
     s"""filter(
        |  transform(split($nsCol, '$BlockCloseRe'),
@@ -52,41 +57,41 @@ object MainContent {
        |       AND length(x.t) * 100 >= $minDensityPct * x.raw)""".stripMargin
 
   /** Selected main text as a Column (blocks joined by single spaces;
-    * '' when nothing survives). */
-  private[operators] def mainTextCol(nsCol: String, minChars: Int,
+    * '' when nothing survives) — reference composition over a
+    * pre-stripped `nsCol`, spec-only (see [[keptExpr]]). */
+  private[graft] def mainTextCol(nsCol: String, minChars: Int,
       minDensityPct: Int): Column =
     expr(s"array_join(transform(${keptExpr(nsCol, minChars, minDensityPct)}, x -> x.t), ' ')")
+
+  /** Selected main text straight from RAW html (script strip included)
+    * via the native one-pass expression — the q93d chain-ingest hot
+    * path. */
+  private[operators] def mainTextNative(html: Column, minChars: Int,
+      minDensityPct: Int): Column =
+    graft.functions.MainContentExtract(html, minChars, minDensityPct)
+      .getField("text")
 
   /** `(idCol, n_blocks, n_kept, n_chars, text_md5)` per document. */
   def mainContent(docs: DataFrame, idCol: String, htmlCol: String,
       minChars: Int = 30, minDensityPct: Int = 50): DataFrame = {
     require(minChars >= 0 && minDensityPct >= 0 && minDensityPct <= 100,
       s"bad thresholds: $minChars, $minDensityPct")
-    // optimization r18 (guide §1.2 per-task work): stage the block split
-    // and the kept-block selection through NAMED columns — the previous
-    // form inlined the split+transform+filter regex pipeline into
-    // n_blocks, n_kept AND __main, evaluating the per-block regexes
-    // three times per row (HOF lambdas are CodegenFallback, outside
-    // codegen subexpression elimination)
-    docs.select(col(idCol), stripScriptStyle(col(htmlCol)).as("__ns"))
+    // optimization r19 (guide §1.2 per-task work): the whole
+    // strip→split→select pipeline is ONE native codegen'd traversal
+    // (MainContentExtract); the four field reads below share the single
+    // evaluation through codegen subexpression elimination (the
+    // expression is deterministic and codegen-capable, unlike the
+    // CodegenFallback HOF lambdas it replaces). Bit-equality to the
+    // retained keptExpr/mainTextCol composition is pinned by
+    // MainContentSpec.
+    docs.select(col(idCol),
+        graft.functions.MainContentExtract(col(htmlCol), minChars,
+          minDensityPct).as("__mc"))
       .select(col(idCol),
-        expr(s"split(__ns, '$BlockCloseRe')").as("__blocks"))
-      .select(col(idCol), col("__blocks"),
-        expr(s"""filter(
-          |  transform(__blocks,
-          |    b -> named_struct(
-          |      't', trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' '), '\\\\s+', ' ')),
-          |      'raw', length(b))),
-          |  x -> length(x.t) >= $minChars
-          |       AND length(x.t) * 100 >= $minDensityPct * x.raw)""".stripMargin)
-          .as("__kept"))
-      .select(col(idCol),
-        size(col("__blocks")).cast("long").as("n_blocks"),
-        size(col("__kept")).cast("long").as("n_kept"),
-        expr("array_join(transform(__kept, x -> x.t), ' ')").as("__main"))
-      .select(col(idCol), col("n_blocks"), col("n_kept"),
-        length(col("__main")).cast("long").as("n_chars"),
-        md5(col("__main")).as("text_md5"))
+        col("__mc").getField("n_blocks").cast("long").as("n_blocks"),
+        col("__mc").getField("n_kept").cast("long").as("n_kept"),
+        length(col("__mc").getField("text")).cast("long").as("n_chars"),
+        md5(col("__mc").getField("text")).as("text_md5"))
   }
 
   /** The same selection as a DuckDB scalar expression over `htmlExpr`
