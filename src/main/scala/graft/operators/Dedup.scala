@@ -607,15 +607,12 @@ object Dedup {
     */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
-    substringCoverage(docs, idCol, textCol, k).groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        count(when(col("cum") <= 0, 1)).as("n_kept"),
-        count(when(col("cum") > 0, 1)).as("n_dropped"),
-        md5(concat_ws(" ", transform(
-          array_sort(collect_list(when(col("cum") <= 0,
-            struct(col("p"), col("tok"))))),
-          x => x("tok")))).as("clean_md5"))
+    substringCoverage(docs, idCol, textCol, k)
+      .select(col(idCol),
+        col("__sc").getField("n_tokens").as("n_tokens"),
+        col("__sc").getField("n_kept").as("n_kept"),
+        col("__sc").getField("n_dropped").as("n_dropped"),
+        md5(col("__sc").getField("clean_text")).as("clean_md5"))
 
   /** [[substringDedup]] emitting the surviving TEXT (tokens joined by
     * single spaces), not just its md5 — the product form a training
@@ -627,20 +624,30 @@ object Dedup {
     */
   def substringDedupText(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
-    substringCoverage(docs, idCol, textCol, k).groupBy(col(idCol))
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(col("cum") <= 0,
-            struct(col("p"), col("tok"))))),
-          x => x("tok"))).as("clean_text"),
-        count(lit(1)).as("n_tokens"),
-        count(when(col("cum") <= 0, 1)).as("n_kept"),
-        count(when(col("cum") > 0, 1)).as("n_dropped"))
+    substringCoverage(docs, idCol, textCol, k)
+      .select(col(idCol),
+        col("__sc").getField("clean_text").as("clean_text"),
+        col("__sc").getField("n_tokens").as("n_tokens"),
+        col("__sc").getField("n_kept").as("n_kept"),
+        col("__sc").getField("n_dropped").as("n_dropped"))
 
   /** Shared span-coverage core of [[substringDedup]] /
-    * [[substringDedupText]]: one row per (id, token position) with the
-    * token and its duplicated-span coverage cumsum (`cum` > 0 ⇔ the
-    * token sits inside some non-first occurrence of a repeated k-span).
+    * [[substringDedupText]]: one row per document with a
+    * `__sc = (n_tokens, n_kept, n_dropped, clean_text)` struct.
+    *
+    * Optimization r19 (guide §2.3/§2.4, VERDICT r18 next #3): coverage
+    * resolution used to materialize one row per TOKEN POSITION
+    * (posexplode), join the flagged-span difference array on (id, p),
+    * run a per-document cumulative-sum window, and REBUILD documents
+    * with collect_list + array_sort — two corpus-tokens-sized exchanges,
+    * a window sort, and an ObjectHashAggregate. Coverage is a
+    * per-document question, so the flagged span STARTS are now
+    * aggregated per document (flagged-spans-sized, the smallest frame in
+    * the pipeline) and folded over the token array by the native
+    * [[graft.functions.SpanCoverage]] expression — same difference-array
+    * cumsum, zero per-token rows. Equivalence pinned by
+    * SpanCoverageSpec's law against the retained window/collect_list
+    * reference and by the unchanged q95/q93b oracle replays.
     */
   private def substringCoverage(docs: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
@@ -664,8 +671,42 @@ object Dedup {
     val flagged = occ.join(firstOcc, Seq("gh"))
       .filter(!(col(idCol) === col("__fid") && col("pos") === col("__fpos")))
       .select(col(idCol), col("pos"))
-    // difference array: +1 at start, -1 one past span end; token index i
-    // is covered iff the cumulative sum through i is positive
+    // flagged non-first span starts, one small row per affected doc
+    val spanStarts = flagged.groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("__ss"))
+    toked.join(spanStarts, Seq(idCol), "left")
+      .select(col(idCol),
+        graft.functions.SpanCoverage(col("t"),
+          coalesce(col("__ss"), array().cast("array<int>")), k).as("__sc"))
+  }
+
+  /** RETAINED pre-r19 coverage pipeline (positional explode + difference
+    * array + per-doc cumsum window + collect_list rebuild) — the
+    * reference composition SpanCoverageSpec pins the native
+    * [[graft.functions.SpanCoverage]] fold against, bit for bit. Not on
+    * any query path. Output: (id, clean_text, n_tokens, n_kept,
+    * n_dropped), the [[substringDedupText]] contract. */
+  private[graft] def substringDedupTextReference(docs: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    val toked = docs
+      .select(col(idCol), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 1)
+    val occ = toked
+      .select(col(idCol), col("t"),
+        explode(when(size(col("t")) >= k,
+            sequence(lit(1), size(col("t")) - lit(k - 1)))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col(idCol), col("pos"),
+        xxhash64(concat_ws(" ", slice(col("t"), col("pos"), lit(k)))).as("gh"))
+    val firstOcc = occ.groupBy(col("gh"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col(idCol), col("pos"))).as("f"))
+      .filter(col("c") > 1)
+      .select(col("gh"), col("f")(idCol).as("__fid"), col("f")("pos").as("__fpos"))
+    val flagged = occ.join(firstOcc, Seq("gh"))
+      .filter(!(col(idCol) === col("__fid") && col("pos") === col("__fpos")))
+      .select(col(idCol), col("pos"))
     val deltas = flagged.select(col(idCol), col("pos").as("p"), lit(1).as("d"))
       .union(flagged.select(col(idCol), (col("pos") + k).as("p"), lit(-1).as("d")))
       .groupBy(col(idCol), col("p")).agg(sum(col("d")).as("d"))
@@ -676,6 +717,15 @@ object Dedup {
       .partitionBy(col(idCol)).orderBy(col("p"))
     tokPos.join(deltas, Seq(idCol, "p"), "left")
       .withColumn("cum", sum(coalesce(col("d"), lit(0L))).over(covW))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("cum") <= 0,
+            struct(col("p"), col("tok"))))),
+          x => x("tok"))).as("clean_text"),
+        count(lit(1)).as("n_tokens"),
+        count(when(col("cum") <= 0, 1)).as("n_kept"),
+        count(when(col("cum") > 0, 1)).as("n_dropped"))
   }
 
   // ---------------------------------------------------------------- q95
