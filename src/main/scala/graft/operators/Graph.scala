@@ -91,7 +91,7 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(1.0 / nNodes))
     val base = lit((1.0 - damping) / nNodes)
     val nodeType = nodes.schema("node").dataType
-    for (_ <- 0 until iters) {
+    for (it <- 0 until iters) {
       val edgeContrib = withOw
         .join(ranks.withColumnRenamed("node", "src"), "src")
         // fixed op order: ((rank * w) / ow) scaled to an exact LONG, so
@@ -99,7 +99,7 @@ object Graph {
         .select(col("dst").as("node"),
           floor(((col("rank") * col("w").cast("double")) /
             col("ow").cast("double")) * lit(SCALE)).cast("long").as("c"))
-      val next = (sinks match {
+      val nextPlan = (sinks match {
         case Some(sk) =>
           // exact sink mass, FUSED into the per-node contribution agg
           // (VERDICT r14 next #6 — the sink fold was a second
@@ -115,12 +115,13 @@ object Graph {
           val sinkContrib = sk.join(ranks, Seq("node"))
             .select(lit(null).cast(nodeType).as("node"),
               floor(col("rank") * lit(SCALE)).cast("long").as("c"))
-          val contribAll = edgeContrib
+          val contribAllPlan = edgeContrib
             .withColumn("is_sink", lit(false))
             .unionByName(sinkContrib.withColumn("is_sink", lit(true)))
             .groupBy(col("node"), col("is_sink"))
             .agg(sum(col("c")).as("cs"))
-            .localCheckpoint()
+          graft.IterProbe.tap("pagerank_contrib", it, contribAllPlan)
+          val contribAll = contribAllPlan.localCheckpoint()
           val scs = contribAll.filter(col("is_sink"))
             .select(col("cs")).collect()
             .headOption.map(_.getLong(0)).getOrElse(0L)
@@ -139,8 +140,9 @@ object Graph {
               (base + lit(damping) *
                 (coalesce(col("cs"), lit(0L)).cast("double") / lit(SCALE)))
                 .as("rank"))
-      }).localCheckpoint() // eager: materialize + LOGICAL lineage cut
-      ranks = next
+      })
+      graft.IterProbe.tap("pagerank", it, nextPlan)
+      ranks = nextPlan.localCheckpoint() // eager: materialize + LOGICAL lineage cut
     }
     // the returned frame is a materialized node-sized LogicalRDD,
     // self-contained; superseded iteration blocks are context-cleaned
@@ -371,11 +373,12 @@ object Graph {
       // eager checkpoint = materialize + lineage cut in one step; the
       // per-step state is a node-sized LogicalRDD, so every downstream
       // plan stays constant-size no matter the iteration count
-      val out = nodes.join(raw, Seq("node"), "left")
+      val outPlan = nodes.join(raw, Seq("node"), "left")
         .select(col("node"),
           (coalesce(col("cr"), lit(0L)).cast("double") /
             lit(t.toDouble)).as("s"))
-        .localCheckpoint()
+      graft.IterProbe.tap(s"hits_$from$to", 0, outPlan)
+      val out = outPlan.localCheckpoint()
       raw.unpersist()
       out
     }

@@ -1614,14 +1614,16 @@ object TextAnalysis {
       // adjacent pairs off the array: a = s[i+1] (posexplode is
       // 0-based), b = s[i+2] via 0-based `get` (null past the end, like
       // the lead() it replaces — dropped by the isNotNull filter)
-      val best = vocab
+      val bestPlan = vocab
         .select(col("n"), col("s"), posexplode(col("s")).as(Seq("i", "a")))
         .select(col("n"), col("a"), get(col("s"), col("i") + 1).as("b"))
         .filter(col("b").isNotNull)
         .groupBy(col("a"), col("b"))
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
+        .limit(1)
+      graft.IterProbe.tap("bpe_pairs", step, bestPlan)
+      val best = bestPlan.collect()
       require(best.nonEmpty, s"no pairs left to merge at step $step")
       val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
         best(0).getLong(2))
@@ -1646,8 +1648,9 @@ object TextAnalysis {
                 array(element_at(col("s"), i))).as("out"),
                 lit(false).as("skip"))),
         acc => acc.getField("out"))
-      vocab = vocab.select(col("w"), col("n"), applied.as("s"))
-        .localCheckpoint()
+      val nextVocab = vocab.select(col("w"), col("n"), applied.as("s"))
+      graft.IterProbe.tap("bpe_apply", step, nextVocab)
+      vocab = nextVocab.localCheckpoint()
     }
     (vocab, merges.toSeq)
   }
