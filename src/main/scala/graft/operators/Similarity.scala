@@ -1236,8 +1236,19 @@ object Similarity {
   // literals — the generated oracle replays cells, residuals, encode
   // argmins, per-cell tables, and the left-assoc ADC sums bit-for-bit.
 
-  /** Element-wise v − cents[cell] via one nested-literal lookup. */
+  /** Element-wise v − cents[cell] — native compiled expression
+    * (optimization r19, guide §1.2): the previous zip_with form is
+    * CodegenFallback, so it AND its nested nlist×dim centroid
+    * CreateArray subtree re-evaluated interpreted on every corpus row of
+    * the encode/fit projections. Bit-equality to [[residualReference]]
+    * pinned in SimilaritySpec; the q116/q146/q41b oracles replay the
+    * same subtractions. */
   private def residual(vCol: Column, cellCol: Column,
+      cents: Array[Array[Double]]): Column =
+    graft.functions.VectorResidual(vCol, cellCol, cents)
+
+  /** RETAINED pre-r19 HOF residual — SimilaritySpec's reference. */
+  private[operators] def residualReference(vCol: Column, cellCol: Column,
       cents: Array[Array[Double]]): Column = {
     val centArr = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
     zip_with(vCol, element_at(centArr, cellCol + 1), (a, b) => a - b)

@@ -538,4 +538,34 @@ class SimilaritySpec extends SparkSpec {
       assert(!r.getAs[Boolean]("var_drift"), s"false var drift on dim ${r.get(0)}")
     }
   }
+
+  test("native vector_residual == zip_with reference, bit for bit (r19)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cents = Array.tabulate(16)(c =>
+      Array.tabulate(64)(j => math.cos(c * 13.1 + j * 3.7) * 5.0))
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian() * 8.0), i % 16)
+    }
+    val df = rows.toDF("vec_id", "v", "cell")
+    val out = df.select(col("vec_id"),
+      graft.functions.VectorResidual(col("v"), col("cell"), cents).as("n"),
+      Similarity.residualReference(col("v"), col("cell"), cents).as("r"))
+      .collect()
+    out.foreach { r =>
+      val n = r.getSeq[Double](1)
+      val ref = r.getSeq[Double](2)
+      assert(n.length == 64 && n.length == ref.length)
+      n.indices.foreach { i =>
+        assert(java.lang.Double.doubleToRawLongBits(n(i)) ==
+          java.lang.Double.doubleToRawLongBits(ref(i)),
+          s"vec ${r.getLong(0)} dim $i: ${n(i)} != ${ref(i)}")
+      }
+    }
+    // guards throw rather than mis-encode
+    intercept[Exception] { // wrapped or direct depending on codegen path
+      df.select(graft.functions.VectorResidual(col("v"),
+        col("cell") + 16, cents)).collect()
+    }
+  }
 }
