@@ -1628,32 +1628,41 @@ object TextAnalysis {
       val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
         best(0).getLong(2))
       merges += ((step, l, r, cnt))
-      // greedy application, one sequential fold per word: walk 1-based
-      // positions; `skip` consumes the right symbol of a merge, so the
-      // next candidate is two positions on — and each match tests the
-      // round-start array, never the partially-built output
-      val applied = aggregate(
-        sequence(lit(1), size(col("s"))),
-        struct(array().cast("array<string>").as("out"),
-          lit(false).as("skip")),
-        (acc, i) =>
-          when(acc.getField("skip"),
-            struct(acc.getField("out").as("out"), lit(false).as("skip")))
-            .when(element_at(col("s"), i) === lit(l) &&
-                get(col("s"), i) === lit(r),
-              struct(concat(acc.getField("out"), array(lit(l + r))).as("out"),
-                lit(true).as("skip")))
-            .otherwise(
-              struct(concat(acc.getField("out"),
-                array(element_at(col("s"), i))).as("out"),
-                lit(false).as("skip"))),
-        acc => acc.getField("out"))
+      // greedy application — one COMPILED pass per word (optimization
+      // r19, guide §1.2): the previous aggregate() fold was a
+      // CodegenFallback HOF whose accumulator concat'd a fresh array per
+      // symbol (O(L²) interpreted copies per word per step). Same greedy
+      // scan testing the round-start array with the right symbol
+      // consumed on a match; bit-equality to the retained fold
+      // (bpeMergeApplyReference) pinned in OperatorsSpec, and the BPE
+      // oracles replay the identical gaps-and-islands application.
+      val applied = graft.functions.BpeMergeApply(col("s"), l, r)
       val nextVocab = vocab.select(col("w"), col("n"), applied.as("s"))
       graft.IterProbe.tap("bpe_apply", step, nextVocab)
       vocab = nextVocab.localCheckpoint()
     }
     (vocab, merges.toSeq)
   }
+
+  /** RETAINED pre-r19 HOF merge-application fold — the reference
+    * OperatorsSpec pins [[graft.functions.BpeMergeApply]] against. Not
+    * on any query path. */
+  private[operators] def bpeMergeApplyReference(s: Column, l: String,
+      r: String): Column =
+    aggregate(
+      sequence(lit(1), size(s)),
+      struct(array().cast("array<string>").as("out"),
+        lit(false).as("skip")),
+      (acc, i) =>
+        when(acc.getField("skip"),
+          struct(acc.getField("out").as("out"), lit(false).as("skip")))
+          .when(element_at(s, i) === lit(l) && get(s, i) === lit(r),
+            struct(concat(acc.getField("out"), array(lit(l + r))).as("out"),
+              lit(true).as("skip")))
+          .otherwise(
+            struct(concat(acc.getField("out"), array(element_at(s, i))).as("out"),
+              lit(false).as("skip"))),
+      acc => acc.getField("out"))
 
   /** Generated DuckDB oracle for [[bpeMerges]]: the k rounds unrolled as
     * a CTE cascade — per round, pair counts via LEAD, a 1-row argmax

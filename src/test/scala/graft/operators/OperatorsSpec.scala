@@ -900,4 +900,35 @@ class OperatorsSpec extends SparkSpec {
     assert((w2, s22, sy2) == (2L, 1L, 0L))
     assert(fk2 == 39L * 2 - 1559L, s"fk2=$fk2")
   }
+
+  test("BpeMergeApply == retained aggregate-fold reference (r19 native swap)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial symbol arrays: overlapping l==r runs, match at start/
+    // end, no match, single symbol, the </w> marker, multi-byte symbols
+    val arrays = Seq(
+      Seq("a", "a", "a", "a", "</w>"),
+      Seq("a", "b", "a", "b", "a", "</w>"),
+      Seq("ab", "c", "ab", "c"),
+      Seq("x"), Seq("a", "b"), Seq("b", "a"),
+      Seq("世", "界", "世", "界", "</w>"),
+      Seq("q", "r", "s", "t", "u", "v"))
+    val pairs = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("ab", "c"),
+      ("世", "界"), ("</w>", "a"), ("t", "u"))
+    val df = arrays.toDF("s")
+    for ((l, r) <- pairs) {
+      val out = df.select(
+        graft.functions.BpeMergeApply(col("s"), l, r).as("n"),
+        TextAnalysis.bpeMergeApplyReference(col("s"), l, r).as("ref"))
+        .collect()
+      out.foreach { row =>
+        assert(row.getSeq[String](0) == row.getSeq[String](1),
+          s"pair ($l,$r): ${row.getSeq[String](0)} != ${row.getSeq[String](1)}")
+      }
+    }
+    // non-vacuity: at least one pair merges an overlapping run greedily
+    val greedy = df.select(graft.functions.BpeMergeApply(col("s"), "a", "a"))
+      .collect()(0).getSeq[String](0)
+    assert(greedy == Seq("aa", "aa", "</w>"))
+  }
 }
