@@ -54,8 +54,49 @@ object CdcBoundaries {
   private val COEF =
     Array(376843L, 170969L, 281459L, 898641L, 150939L, 17161L, 131L, 1L)
 
+  /** Strict one-codepoint decode of the character at `off` whose step
+    * length (Spark's `UTF8String.numBytesForFirstByte`) is `step`,
+    * clamped to the byte range — mirrors what the reference composition
+    * computes per position: `substr(t, k, 1)` slices by the SAME step
+    * table and `ascii` decodes the slice through Java's UTF-8 decoder,
+    * which yields U+FFFD for anything malformed (truncated sequence,
+    * invalid lead, overlong form, surrogate range, > U+10FFFF). ADVICE
+    * r18: the previous decode read continuation bytes past the end of
+    * the array (ArrayIndexOutOfBounds on a truncated tail) and decoded
+    * invalid leads differently from the composition. */
+  private def decodeChar(bytes: Array[Byte], off: Int, step: Int, n: Int): Long = {
+    val b0 = bytes(off) & 0xff
+    if (b0 < 0x80) return b0.toLong
+    if (off + step > n) return 0xFFFDL // truncated at end of input
+    def cont(k: Int): Boolean = (bytes(off + k) & 0xc0) == 0x80
+    step match {
+      case 2 =>
+        if (b0 >= 0xc2 && cont(1)) (((b0 & 0x1f) << 6) | (bytes(off + 1) & 0x3f)).toLong
+        else 0xFFFDL // 0xC0/0xC1 overlong, bad continuation, or 0x80–0xBF lead
+      case 3 =>
+        val b1 = bytes(off + 1) & 0xff
+        val ok = cont(1) && cont(2) &&
+          (b0 != 0xe0 || b1 >= 0xa0) && // overlong
+          (b0 != 0xed || b1 < 0xa0) // UTF-16 surrogate range
+        if (ok) (((b0 & 0x0f) << 12) | ((b1 & 0x3f) << 6) |
+          (bytes(off + 2) & 0x3f)).toLong
+        else 0xFFFDL
+      case 4 =>
+        val b1 = bytes(off + 1) & 0xff
+        val ok = b0 <= 0xf4 && cont(1) && cont(2) && cont(3) &&
+          (b0 != 0xf0 || b1 >= 0x90) && // overlong
+          (b0 != 0xf4 || b1 < 0x90) // > U+10FFFF
+        if (ok) (((b0 & 0x07) << 18) | ((b1 & 0x3f) << 12) |
+          ((bytes(off + 2) & 0x3f) << 6) | (bytes(off + 3) & 0x3f)).toLong
+        else 0xFFFDL
+      case _ => 0xFFFDL // 1-byte 0x80–0xBF leads, 5/6-byte leads
+    }
+  }
+
   /** Sorted boundary positions (1-based codepoint index of each window
-    * END); empty for strings shorter than the window. */
+    * END); empty for strings shorter than the window. Positions step by
+    * Spark's own `numBytesForFirstByte` table (clamped at end of input),
+    * so char counting matches `length`/`substr` on malformed bytes too. */
   def compute(s: UTF8String): ArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
@@ -65,22 +106,10 @@ object CdcBoundaries {
     var filled = 0 // codepoints decoded so far (1-based position of last)
     var off = 0
     while (off < n) {
-      val b0 = bytes(off) & 0xff
-      var cp = 0
-      if (b0 < 0x80) { cp = b0; off += 1 }
-      else if (b0 < 0xe0) { // 2-byte
-        cp = ((b0 & 0x1f) << 6) | (bytes(off + 1) & 0x3f)
-        off += 2
-      } else if (b0 < 0xf0) { // 3-byte
-        cp = ((b0 & 0x0f) << 12) | ((bytes(off + 1) & 0x3f) << 6) |
-          (bytes(off + 2) & 0x3f)
-        off += 3
-      } else { // 4-byte (astral — ONE codepoint position, like substr)
-        cp = ((b0 & 0x07) << 18) | ((bytes(off + 1) & 0x3f) << 12) |
-          ((bytes(off + 2) & 0x3f) << 6) | (bytes(off + 3) & 0x3f)
-        off += 4
-      }
-      ring(filled % W) = cp.toLong
+      val step = UTF8String.numBytesForFirstByte(bytes(off))
+      val cp = decodeChar(bytes, off, step, n)
+      off += step // may overshoot the end, exactly like numChars
+      ring(filled % W) = cp
       filled += 1
       if (filled >= W) {
         // window = positions filled-7 .. filled; ring slot of position p

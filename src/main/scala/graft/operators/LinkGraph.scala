@@ -333,6 +333,10 @@ object LinkGraph {
     // frame is the candidate aggregate (one row per distinct URL) —
     // already the pipeline's smallest corpus-derived frame, and the
     // store boundary a production frontier persists anyway.
+    // BATCH-ONLY + EAGER contract (ADVICE r18): the localCheckpoint
+    // runs a job during plan construction and would throw
+    // AnalysisException on a streaming frame; streaming callers must
+    // cut at a sink boundary (foreachBatch) first.
     val fresh = cand.join(crawled, Seq("canonical_url"), "left_anti")
       .localCheckpoint()
     // host key via hostOfCanonical, NOT urlHost: the candidate URL is

@@ -646,7 +646,12 @@ object Robots {
     // (optimization r18, guide §2.4): lazily each consumer re-embedded
     // the caller's fetch-table derivation (q214b: a corpus DISTINCT per
     // reference, ×2 again inside robotsRulesWithStatus' parse/deny
-    // union — 32 corpus scans in the before plan)
+    // union — 32 corpus scans in the before plan).
+    // BATCH-ONLY + EAGER contract (ADVICE r18): the localCheckpoint
+    // makes building this operator execute a Spark job immediately and
+    // would throw AnalysisException on a streaming frame; all declared
+    // callers are batch — a streaming caller must cut at a sink
+    // boundary (foreachBatch) first.
     val f = fetches.select(
       col(hostCol).as("__h"), col(statusCol).as("__st"),
       col(locationCol).as("__loc"), col(bodyCol).as("__body"),

@@ -82,4 +82,35 @@ class CdcSpec extends SparkSpec {
     // equivalence is vacuous
     assert(native.values.exists(_.nonEmpty), "no boundaries anywhere")
   }
+
+  test("malformed UTF-8 (ADVICE r18): truncated/invalid bytes never throw; native == reference") {
+    import spark.implicits._
+    // Spark does not validate UTF-8 (cast(binary as string) reinterprets
+    // raw bytes), so truncated multi-byte tails and invalid lead bytes
+    // are reachable corpus states. pad: enough valid prefix that windows
+    // exist; tail: the malformed bytes.
+    val pad = base.take(400).getBytes("UTF-8") // long enough to carry real boundaries
+    def doc(tail: Int*) : Array[Byte] = pad ++ tail.map(_.toByte).toArray
+    val fixtures: Seq[(Long, Array[Byte])] = Seq(
+      (1L, doc(0xC3)),                   // truncated 2-byte seq at end
+      (2L, doc(0xE4, 0xB8)),             // truncated 3-byte seq at end
+      (3L, doc(0xF0, 0x9F, 0x98)),       // truncated 4-byte seq at end
+      (4L, doc(0x80, 0x81, 0xBF, 0x41)), // lone continuation bytes
+      (5L, doc(0xF8, 0x41, 0x42)),       // 5-byte lead (invalid in Unicode)
+      (6L, doc(0xFE, 0xFF, 0x41)),       // never-valid leads
+      (7L, doc(0xC3, 0x28)),             // 2-byte lead + non-continuation
+      (8L, pad ++ "正常なテキスト".getBytes("UTF-8") ++ Array(0xED.toByte, 0xA0.toByte)))
+    val rows = fixtures.toDF("id", "b")
+      .select(col("id"), col("b").cast("string").as("text"))
+    val native = rows.select(col("id"),
+      graft.functions.CdcBoundaries(col("text")).as("bps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val ref = Extraction.cdcBoundariesReference(rows, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    fixtures.map(_._1).foreach { id =>
+      assert(native(id) == ref.getOrElse(id, Nil),
+        s"doc $id: native ${native(id)} vs reference ${ref.get(id)}")
+    }
+    assert(native.values.exists(_.nonEmpty), "no boundaries anywhere")
+  }
 }
