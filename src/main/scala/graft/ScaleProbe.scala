@@ -202,7 +202,14 @@ object ScaleProbe {
           "q78_repetition_signals", "q79_decontaminate", "q82_rarity_scoring",
           "q85_prep_pipeline", "q87_heavy_hitters", "q88_paragraph_dedup",
           "q89_decontaminate_bloom", "q90_cms_heavy_hitters", "q91_epoch_mix",
-          "q93_curation_chain", "q95_substring_dedup", "q96_bigram_lm_score")
+          "q93_curation_chain", "q95_substring_dedup", "q96_bigram_lm_score",
+          // r19 (VERDICT r18 next #8): the remaining docs-only top bench
+          // owners, so the 8c-vs-32c core-scaling table can cover them at
+          // an SF where they are not fixed-overhead-bound
+          "q93b_curation_chain_span", "q93c_crawl_chain",
+          "q93d_crawl_chain_http", "q51b_dedup_pipeline_dcc",
+          "q178_unigram_segment", "q178b_unigram_encode",
+          "q155b_token_budget_bpe", "q188b_http_chain")
         // optional 4th arg: comma-separated subset (the x1000 decade runs
         // only its target queries — a full 17-query sweep at 5M docs is
         // hours of probe time for rows nobody reads)
