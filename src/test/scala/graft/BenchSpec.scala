@@ -25,7 +25,8 @@ class BenchSpec extends AnyFunSuite {
       "/root/testdata/sf0.001", mult = 1, reps = 1)
     val names = rows.map(_._1)
     assert(names == Seq("dechunk", "gunzip_bytes", "inflate_bytes",
-      "transcode_utf8", "html_text", "warc_parse_bytes"), names.toString)
+      "transcode_utf8", "html_text", "main_content", "main_content_ref",
+      "warc_parse_bytes"), names.toString)
     rows.foreach { case (n, mb, sec) =>
       assert(mb > 1 && sec > 0, s"$n: mb=$mb sec=$sec")
     }
