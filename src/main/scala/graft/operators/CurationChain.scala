@@ -70,6 +70,11 @@ object CurationChain {
       spanK: Int,
       probe: Option[(String, DataFrame) => Unit]): DataFrame = {
     def tap(name: String, df: DataFrame): DataFrame = {
+      // stage-plan capture for PlanDumpR19 (None in Bench/Verify): the
+      // chains checkpoint eagerly, so the final explain only shows the
+      // post-checkpoint frame — the ingest-stage claims are verifiable
+      // only from these per-stage plans
+      graft.IterProbe.tap(s"stage_$name", 0, df)
       probe.foreach(_(name, df)); df
     }
     val toks = tokens(col("text"))
@@ -170,6 +175,11 @@ object CurationChain {
       spanK: Int,
       probe: Option[(String, DataFrame) => Unit]): DataFrame = {
     def tap(name: String, df: DataFrame): DataFrame = {
+      // stage-plan capture for PlanDumpR19 (None in Bench/Verify): the
+      // chains checkpoint eagerly, so the final explain only shows the
+      // post-checkpoint frame — the ingest-stage claims are verifiable
+      // only from these per-stage plans
+      graft.IterProbe.tap(s"stage_$name", 0, df)
       probe.foreach(_(name, df)); df
     }
     // WARC build ⊗ parse: only valid response bodies survive
@@ -252,6 +262,11 @@ object CurationChain {
       targetDocs: Long, spanK: Int,
       probe: Option[(String, DataFrame) => Unit]): DataFrame = {
     def tap(name: String, df: DataFrame): DataFrame = {
+      // stage-plan capture for PlanDumpR19 (None in Bench/Verify): the
+      // chains checkpoint eagerly, so the final explain only shows the
+      // post-checkpoint frame — the ingest-stage claims are verifiable
+      // only from these per-stage plans
+      graft.IterProbe.tap(s"stage_$name", 0, df)
       probe.foreach(_(name, df)); df
     }
     val bodies = tap("warc_parse", Warc.warcBodies(
